@@ -1,0 +1,64 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+
+import graft.extract.html.{Charsets, HtmlExtractor}
+import graft.extract.pdf.PdfParser
+import graft.model.{ExtractionResult, WebPage}
+
+/** Payload sniffing + dispatch + failure containment — the Spark analog of
+  * the reference's extension routing and error records
+  * (/root/reference/document_converter.py:26-43 routing;
+  * /root/reference/src/converters/document_converters.py:113-120,142-148
+  * failure records). Total function: any payload yields a result row, never
+  * an exception — failures become success=false rows so one poisoned
+  * document cannot kill a 10^12-document job.
+  */
+object Extractor {
+
+  /** Magic-prefix format sniffing (replaces file-extension routing):
+    * `%PDF-` -> pdf; a '<' byte in the first 1024 bytes -> html; else txt. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
+    val limit = math.min(bytes.length, 1024)
+    var i = 0
+    while (i < limit) {
+      if (bytes(i) == '<') return "html"
+      i += 1
+    }
+    "txt"
+  }
+
+  /** Per-document payload cap: documents above it yield a failure row
+    * (mirrors FileTooLargeError, /root/reference/src/core/exceptions.py:28-30)
+    * instead of risking executor OOM at scale. */
+  val maxPayloadBytes: Int = 64 * 1024 * 1024
+
+  def extractOne(page: WebPage, partitionId: Int): ExtractionResult = {
+    val bytes = if (page.html == null) Array.emptyByteArray else page.html
+    val fmt = sniffFormat(bytes)
+    try {
+      if (bytes.length > maxPayloadBytes)
+        return ExtractionResult(page.url, success = false, text = "", format_from = fmt,
+          original_size = bytes.length.toLong, new_size = 0L,
+          error = s"payload ${bytes.length} bytes exceeds cap $maxPayloadBytes",
+          partition_id = partitionId)
+      val text = fmt match {
+        case "pdf" => PdfParser.extract(bytes)
+        case "html" => HtmlExtractor.extract(bytes)
+        case _ => Charsets.decode(bytes)
+      }
+      ExtractionResult(page.url, success = true, text = text, format_from = fmt,
+        original_size = bytes.length.toLong,
+        new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,
+        error = "", partition_id = partitionId)
+    } catch {
+      case e: Throwable =>
+        ExtractionResult(page.url, success = false, text = "", format_from = fmt,
+          original_size = bytes.length.toLong, new_size = 0L,
+          error = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}",
+          partition_id = partitionId)
+    }
+  }
+}

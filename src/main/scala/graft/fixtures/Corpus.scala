@@ -1,0 +1,71 @@
+package graft.fixtures
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.WebPage
+
+/** Deterministic synthesis of the Common-Crawl-style webpages table
+  * (BASELINE.json input_hint) from the driver's documents.parquet.
+  * Pure per-row function of the document — independent of partitioning,
+  * session, or time (FIXTURES.md §1). The `text` column carries the expected
+  * extraction (golden), derived by the same paragraphization the templates
+  * use; replacing '\n' with ' ' in it recovers documents.text exactly.
+  *
+  * Payload routing: doc_id % 4 == 3 -> PDF (variant (doc_id/4) % 4),
+  * else HTML (template (doc_id/4) % 6, encoding (doc_id/24) % 5).
+  */
+object Corpus {
+
+  private val epoch = Instant.parse("2024-01-01T00:00:00Z")
+
+  final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+  def isPdf(docId: Long): Boolean = docId % 4 == 3
+
+  /** Pure builder: one document row -> one webpage row. */
+  def buildPage(doc: Doc, skewHost: Boolean): WebPage = {
+    val host =
+      if (skewHost && doc.doc_id % 2 == 0) "hot.example.org"
+      else s"${doc.source}.example.org"
+    val url = s"https://$host/${doc.lang}/doc${doc.doc_id}"
+    val ts = Timestamp.from(epoch.plusSeconds(doc.doc_id))
+    val paragraphs = HtmlTemplates.paragraphize(doc.text)
+    val golden = paragraphs.mkString("\n")
+    val payload: Array[Byte] =
+      if (isPdf(doc.doc_id)) {
+        PdfWriter.generate(paragraphs, ((doc.doc_id / 4) % 4).toInt)
+      } else {
+        val tid = ((doc.doc_id / 4) % HtmlTemplates.numTemplates).toInt
+        val encId = ((doc.doc_id / 24) % HtmlTemplates.numEncodings).toInt
+        HtmlTemplates.encode(encId, (meta, extra) =>
+          HtmlTemplates.render(tid, doc.doc_id, paragraphs, meta, extra))
+      }
+    WebPage(url, ts, payload, golden, doc.lang)
+  }
+
+  def synthesize(spark: SparkSession, sfDir: String, skewHost: Boolean = false): Dataset[WebPage] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc]
+      .map(buildPage(_, skewHost))
+  }
+
+  /** Materialize once per (sfDir, skew) under java.io.tmpdir and read back —
+    * keeps synthesis cost out of extraction benchmarks and lets repeated
+    * Verify/Bench queries share one parquet. Deterministic, so caching is safe. */
+  def materialize(spark: SparkSession, sfDir: String, skewHost: Boolean = false): Dataset[WebPage] = {
+    import spark.implicits._
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + (if (skewHost) "_skew" else "")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      synthesize(spark, sfDir, skewHost)
+        .repartition(32)
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).as[WebPage]
+  }
+}
