@@ -1,13 +1,421 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dataconv.{FormatCodecs, VersionMappers}
+import graft.dedup.Dedup
+import graft.fixtures.Corpus
+import graft.multimodal.Multimodal
+import graft.pipeline.ExtractionPipeline
+import graft.similarity.Similarity
+import graft.textops.{LangId, TextAnalysis}
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB-equivalent oracle SQL wherever the
+  * semantics are ANSI-SQL-expressible. Kernel operators (HTML/PDF
+  * extraction) are oracled end-to-end through the corpus round-trip
+  * invariant: extracted text with newlines respaced == documents.text.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: extraction over the synthesized sf0.001 corpus — one row per
+    * (format, success) with byte-identity match counts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Corpus.materialize(spark, "/root/testdata/sf0.001")
+    ExtractionPipeline.verifyAgainstGolden(pages, spark.sparkContext.defaultParallelism)
+      .groupBy(col("format_from"), col("success"))
+      .agg(count(lit(1)).as("docs"), sum(when(col("matches"), 1L).otherwise(0L)).as("matched"))
+  }
+
+  // ---- shared synthetic inputs (mirrored 1:1 in the oracle SQL) ------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def extractDF(s: SparkSession, dir: String): DataFrame = {
+    val pages = Corpus.materialize(s, dir)
+    ExtractionPipeline.extract(pages, s.sparkContext.defaultParallelism).toDF()
+      .withColumn("doc_id", regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+  }
+
+  /** documents ∪ exact copies of every 5th doc (id offset +100000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("id"), col("text")))
+  }
+
+  /** documents ∪ near-duplicates of every 5th doc: the 50th, 100th, …
+    * (1-based) words dropped. Matches the oracle's
+    * list_filter(words, (w,i) -> i % 50 != 0) with 1-based i. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val words = split(col("text"), " ")
+    val perturbed = array_join(filter(words, (w, i) => (i + 1) % 50 =!= 0), " ")
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("id"), perturbed.as("text")))
+  }
+
+  /** embeddings (double-cast) ∪ perturbed copies of every 5th vector. */
+  private def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val orig = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        x.cast("double") * (lit(1.0) + (pmod(col("vec_id") * 64 + j, lit(7)) - 3) * lit(0.002))).as("v"))
+    orig.unionByName(pert)
+  }
+
+  private def v1FromCustomer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"),
+      lit("Cust").as("first_name"),
+      lpad(col("c_custkey").cast("string"), 9, "0").as("last_name"),
+      concat(lit("cust"), col("c_custkey").cast("string"), lit("@example.com")).as("email"),
+      concat(lit("2024-01-"), lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0")).as("created_at"),
+      when(col("c_custkey") % 3 === 0, "yes")
+        .when(col("c_custkey") % 3 === 1, "false")
+        .otherwise("1").as("active"))
+
+  private def v2FromCustomer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"),
+      concat(lit("Cust "), lpad(col("c_custkey").cast("string"), 9, "0")).as("fullName"),
+      concat(lit("cust"), col("c_custkey").cast("string"), lit("@example.com")).as("emailAddress"),
+      concat(lit("2024-01-"), lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0")).as("createdAt"),
+      when(col("c_custkey") % 2 === 0, "active").otherwise("inactive").as("status"))
+
+  private def v3FromCustomer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"),
+      struct(lit("Cust").as("first"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("last")).as("name"),
+      struct(concat(lit("cust"), col("c_custkey").cast("string"), lit("@example.com")).as("email")).as("contact"),
+      struct(concat(lit("2024-01-"), lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0")).as("createdAt"),
+        (col("c_custkey") % 2 === 0).as("active")).as("meta"))
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction kernels (K2 html / K3 pdf / S2 sniff / S15 metrics) ----
+    "extract_roundtrip" -> ((s, dir) => extractDF(s, dir)
+      .select(col("doc_id"), regexp_replace(col("text"), "\n", " ").as("text"))
+      .orderBy("doc_id")),
+    "extract_formats" -> ((s, dir) => extractDF(s, dir)
+      .select(col("doc_id"), col("format_from")).orderBy("doc_id")),
+    "extract_metrics" -> ((s, dir) => extractDF(s, dir)
+      .groupBy(col("format_from"))
+      .agg(count(lit(1)).cast("bigint").as("docs"),
+        sum(col("new_size")).cast("bigint").as("bytes_out"),
+        sum(when(!col("success"), 1L).otherwise(0L)).cast("bigint").as("failures"))
+      .orderBy("format_from")),
+
+    // ---- structured-data conversion (K4, S5-S12, F1-F4, P1-P4) -------------
+    "dc_v1_to_v2" -> ((s, dir) =>
+      VersionMappers.mapVersion(v1FromCustomer(s, dir), "v1", "v2", keep = Seq("c_custkey"))
+        .select(col("c_custkey"), col("fullName").as("full_name"),
+          col("emailAddress").as("email_address"), col("createdAt").as("created_at"),
+          col("status"))
+        .orderBy("c_custkey")),
+    "dc_v2_to_v3" -> ((s, dir) =>
+      VersionMappers.mapVersion(v2FromCustomer(s, dir), "v2", "v3", keep = Seq("c_custkey"))
+        .select(col("c_custkey"),
+          col("name.first").as("name_first"), col("name.last").as("name_last"),
+          col("contact.email").as("contact_email"),
+          col("meta.createdAt").as("meta_created_at"), col("meta.active").as("meta_active"))
+        .orderBy("c_custkey")),
+    "dc_v3_roundtrip" -> ((s, dir) =>
+      VersionMappers.mapVersion(v3FromCustomer(s, dir), "v3", "v1", keep = Seq("c_custkey"))
+        .orderBy("c_custkey")),
+    "dc_sample" -> ((s, dir) =>
+      VersionMappers.mapVersion(FormatCodecs.sampleV1(s), "v1", "v2")
+        .select(col("fullName").as("full_name"), col("emailAddress").as("email_address"),
+          col("createdAt").as("created_at"), col("status"))
+        .orderBy("full_name")),
+    "dc_csv_roundtrip" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"), col("c_name"),
+        concat(lit("seg \""), col("c_mktsegment"), lit("\", ok")).as("note"))
+      val line = FormatCodecs.toCsvLine(col("c_custkey"), col("c_name"), col("note"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, note STRING")
+      base.select(FormatCodecs.parseCsvLine(line, schema).as("r"))
+        .select(col("r.c_custkey").as("c_custkey"), col("r.c_name").as("c_name"),
+          col("r.note").as("note"))
+        .orderBy("c_custkey")
+    }),
+    "dc_ndjson_roundtrip" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+      base.select(FormatCodecs.parseNdjsonLine(
+          FormatCodecs.toNdjsonLine(col("c_custkey"), col("c_name"), col("c_acctbal")), schema).as("r"))
+        .select(col("r.c_custkey").as("c_custkey"), col("r.c_name").as("c_name"),
+          col("r.c_acctbal").as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+    "dc_keyvalue_roundtrip" -> ((s, dir) => {
+      val doc = concat(
+        lit("# customer record\n"),
+        lit("name = "), col("c_name"), lit("\n"),
+        lit("segment="), col("c_mktsegment"), lit("\n"),
+        lit("not a kv line\n"),
+        lit("balance = "), col("c_acctbal").cast("string"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), FormatCodecs.parseKeyValue(doc).as("m"))
+        .select(col("c_custkey"),
+          element_at(col("m"), "name").as("name"),
+          element_at(col("m"), "segment").as("segment"),
+          element_at(col("m"), "balance").cast("double").as("balance"))
+        .orderBy("c_custkey")
+    }),
+    "dc_json_parse" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy("event_id")),
+
+    // ---- text analysis (training-data tier) --------------------------------
+    "ta_tokens" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .orderBy("doc_id")),
+    "ta_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "ta_fingerprint" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id")),
+    "ta_langid" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => val (lang, score) = LangId.detect(t); (id, lang, score) }
+        .toDF("doc_id", "lang_pred", "score_permille")
+        .orderBy("doc_id")
+    }),
+
+    // ---- deduplication (training-data tier) --------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(dupCorpus(s, dir), "text")
+        .select(col("h"), col("cnt").cast("bigint").as("cnt")).orderBy("h")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(nearDupVectors(s, dir), "vec_id", "v", 0.9)
+        .orderBy("a_id", "b_id")),
+
+    // ---- similarity search (training-data tier) ----------------------------
+    "sim_topk" -> ((s, dir) => {
+      val all = nearDupVectors(s, dir).filter(col("vec_id") < 100000) // originals, double-cast
+      Similarity.topKBruteForce(all, all.filter(col("vec_id") < 5), "vec_id", "v", 10)
+        .orderBy("qid", "rank")
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- multimodal plumbing (stubbed codec) -------------------------------
+    "mm_decode_stub" -> ((s, dir) => {
+      import s.implicits._
+      val media = Corpus.materialize(s, dir)
+        .select(regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("doc_id"),
+          lit("").as("media_type"), col("html").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- relational coverage (§2.3 joins / §2.4 aggs / §2.5 windows) -------
+    "rel_agg_pricing" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          count(lit(1)).cast("bigint").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "rel_join_topcust" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+    "rel_window_latest_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("latest_date"))
+        .orderBy("o_custkey")
+    }),
+    "rel_events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).cast("bigint").as("sessions"),
+          count(lit(1)).cast("bigint").as("events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- scale layer (S13 size buckets / skew salting) ---------------------
+    "scale_size_buckets" -> ((s, dir) => docs(s, dir)
+      .select(least(col("n_chars").divide(lit(64)).cast("long"), lit(7L)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("bigint").as("docs"))
+      .orderBy("bucket")),
+    "scale_salt" -> ((s, dir) => docs(s, dir)
+      .select(pmod(col("doc_id") * 2654435761L, lit(16L)).cast("int").as("salt"))
+      .groupBy("salt").agg(count(lit(1)).cast("bigint").as("docs"))
+      .orderBy("salt"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "extract_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "extract_formats" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'pdf' ELSE 'html' END AS format_from " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_metrics" ->
+      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' ELSE 'html' END AS format_from, " +
+        "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
+        "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
+    "dc_v1_to_v2" ->
+      ("SELECT c_custkey, " +
+        "trim('Cust' || ' ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS full_name, " +
+        "'cust' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email_address, " +
+        "'2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS created_at, " +
+        "CASE WHEN c_custkey % 3 = 1 THEN 'inactive' ELSE 'active' END AS status " +
+        "FROM customer ORDER BY c_custkey"),
+    "dc_v2_to_v3" ->
+      ("SELECT c_custkey, 'Cust' AS name_first, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS name_last, " +
+        "'cust' || CAST(c_custkey AS VARCHAR) || '@example.com' AS contact_email, " +
+        "'2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS meta_created_at, " +
+        "(c_custkey % 2 = 0) AS meta_active FROM customer ORDER BY c_custkey"),
+    "dc_v3_roundtrip" ->
+      ("SELECT c_custkey, 'Cust' AS first_name, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS last_name, " +
+        "'cust' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email, " +
+        "'2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS created_at, " +
+        "(c_custkey % 2 = 0) AS active FROM customer ORDER BY c_custkey"),
+    "dc_sample" ->
+      ("SELECT * FROM (VALUES " +
+        "('Ada Lovelace', 'ada@example.com', '1843-12-10', 'active'), " +
+        "('Alan Turing', 'alan@example.com', '1936-06-01', 'inactive')) " +
+        "AS t(full_name, email_address, created_at, status) ORDER BY full_name"),
+    "dc_csv_roundtrip" ->
+      ("SELECT c_custkey, c_name, 'seg \"' || c_mktsegment || '\", ok' AS note " +
+        "FROM customer ORDER BY c_custkey"),
+    "dc_ndjson_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "dc_keyvalue_roundtrip" ->
+      ("SELECT c_custkey, c_name AS name, c_mktsegment AS segment, " +
+        "c_acctbal AS balance FROM customer ORDER BY c_custkey"),
+    "dc_json_parse" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k " +
+        "FROM events ORDER BY event_id"),
+    "ta_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+    "ta_quality" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(n_chars - (len(string_split(text, ' ')) - 1) AS INT) AS word_chars, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN " +
+        "('the','a','an','of','and','to','in','is','on','for','it','as','with','by','at','or','be','this','that','from'))) AS INT) AS stopword_ct, " +
+        "CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INT) AS max_word_len " +
+        "FROM documents ORDER BY doc_id"),
+    "ta_fingerprint" ->
+      "SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      ("WITH c AS (SELECT text FROM documents UNION ALL " +
+        "SELECT text FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cnt FROM c " +
+        "GROUP BY 1 HAVING count(*) > 1 ORDER BY h"),
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_embedding" ->
+      ("WITH o AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "p AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(embedding, (x, j) -> CAST(x AS DOUBLE) * (1 + (((vec_id * 64 + j - 1) % 7) - 3) * 0.002)) AS v " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        "c AS (SELECT * FROM o UNION ALL SELECT * FROM p) " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM c a JOIN c b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.v, b.v) >= 0.9 ORDER BY a_id, b_id"),
+    "sim_topk" ->
+      ("WITH o AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM o WHERE vec_id < 5), " +
+        "s AS (SELECT q.qid, o.vec_id, list_cosine_similarity(q.qv, o.v) AS score FROM q, o), " +
+        "r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn FROM s) " +
+        "SELECT qid, CAST(rn AS INT) AS \"rank\", vec_id FROM r WHERE rn <= 10 ORDER BY qid, rn"),
+    "rel_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price, " +
+        "CAST(count(*) AS BIGINT) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "rel_join_topcust" ->
+      ("SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "rel_window_latest_order" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+        "FROM orders) SELECT o_custkey, o_orderkey, latest_date FROM r WHERE rn = 1 ORDER BY o_custkey"),
+    "rel_events_sessions" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR " +
+        "date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions, " +
+        "CAST(count(*) AS BIGINT) AS events FROM x GROUP BY user_id ORDER BY user_id"),
+    "scale_size_buckets" ->
+      ("SELECT CAST(least(n_chars // 64, 7) AS INT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY bucket"),
+    "scale_salt" ->
+      ("SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS salt, " +
+        "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt")
+  )
+
+  /** Shared oracle for the two jaccard-threshold dedup queries: exhaustive
+    * word-3-gram Jaccard >= 4/5 via integer cross-multiplication. */
+  private val jaccardOracle: String =
+    "WITH corpus AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000 AS id, " +
+      "array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 50 != 0), ' ') AS text " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "w AS (SELECT id, string_split(text, ' ') AS words FROM corpus), " +
+      "sh AS (SELECT DISTINCT id, CASE WHEN len(words) < 3 THEN array_to_string(words, ' ') " +
+      "ELSE words[i] || ' ' || words[i+1] || ' ' || words[i+2] END AS s " +
+      "FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i) t), " +
+      "n AS (SELECT id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY id), " +
+      "inter AS (SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2) " +
+      "SELECT i.a_id, i.b_id FROM inter i " +
+      "JOIN n na ON na.id = i.a_id JOIN n nb ON nb.id = i.b_id " +
+      "WHERE 5 * i.i >= 4 * (na.ns + nb.ns - i.i) ORDER BY a_id, b_id"
 }

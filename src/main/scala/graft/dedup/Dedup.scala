@@ -1,0 +1,235 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline tier.
+  *
+  * Scale design (10^12 docs): every variant avoids the O(n²) cross join —
+  *  - exact: hash groupBy (one shuffle on the digest);
+  *  - n-gram Jaccard: inverted-index self-join on shingles (shuffle on
+  *    shingle; hot shingles are capped by distinct-per-doc and, at real
+  *    scale, a document-frequency cutoff);
+  *  - MinHash+LSH: candidates from band-bucket joins (shuffle on band hash,
+  *    candidate count ≪ n²), then exact-Jaccard verification of candidates;
+  *  - SimHash: 64-bit signature, banded into 4×16-bit chunks; pairs within
+  *    hamming distance ≤ 3 must collide on ≥1 chunk (pigeonhole), so the
+  *    join is on chunk values, never all-pairs.
+  *
+  * Jaccard thresholding uses integer cross-multiplication
+  * (`den*inter >= num*union`) — bit-exact, reproducible by the DuckDB
+  * oracle, no float boundary flakes.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct, order-insensitive) as a column
+    * expression over single-spaced text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) < n, array(array_join(words, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " "))))
+  }
+
+  /** Exact duplicate groups: digest -> count (>1 only).
+    * One shuffle, map-side combined. */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** All pairs (a_id < b_id) with word-n-gram Jaccard >= num/den, via an
+    * inverted-index join on shingles. Input columns: id (long), textCol. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(counts.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      // jaccard = inter/(na+nb-inter) >= num/den, integer math
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  val minhashPerms = 64
+  val lshBands = 16 // 16 bands x 4 rows
+
+  private val mersenne = (1L << 61) - 1
+
+  /** Deterministic per-permutation coefficients (no RNG at runtime): a_i, b_i
+    * from a splitmix-style integer mix of the permutation index. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val permA: Array[Long] =
+    Array.tabulate(minhashPerms)(p => (mix(2 * p + 1) & Long.MaxValue) % (mersenne - 1) + 1)
+  private val permB: Array[Long] =
+    Array.tabulate(minhashPerms)(p => (mix(2 * p + 2) & Long.MaxValue) % mersenne)
+
+  /** 64-permutation MinHash signature of a shingle set (Scala kernel). */
+  def minhashSignature(shingleSet: Iterable[String]): Array[Long] = {
+    val sig = Array.fill(minhashPerms)(Long.MaxValue)
+    shingleSet.foreach { s =>
+      // base hash of the shingle (FNV-1a 64)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      val x = (h & Long.MaxValue) % mersenne
+      var p = 0
+      while (p < minhashPerms) {
+        val hp = (mulmod61(permA(p), x) + permB(p)) % mersenne
+        if (hp < sig(p)) sig(p) = hp
+        p += 1
+      }
+    }
+    sig
+  }
+
+  /** Band hashes of a signature: lshBands values, each hashing
+    * minhashPerms/lshBands consecutive signature slots. */
+  def bandHashes(sig: Array[Long]): Array[Long] = {
+    val rows = minhashPerms / lshBands
+    Array.tabulate(lshBands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h ^= sig(b * rows + r); h *= 0x100000001b3L; r += 1 }
+      h
+    }
+  }
+
+  private def mulmod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & mersenne)
+    while (r >= mersenne) r -= mersenne
+    r
+  }
+
+  /** Candidate pairs from MinHash-LSH banding, verified by exact n-gram
+    * Jaccard (integer threshold). Output equals ngramJaccardPairs whenever
+    * LSH recall is 1 at the chosen threshold (16x4 bands: P(miss) < 1e-7 at
+    * j >= 0.8); the verification step removes all false positives. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // kernel: signature + band hashes per doc
+    val banded = withSh.select(col("id"), col("sh")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, sh) =>
+          val bands = bandHashes(minhashSignature(sh))
+          bands.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
+        }
+      }.toDF("id", "band", "bh")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sets = withSh.select(col("id"), col("sh"))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over word features (FNV-1a word hashes, unit weights). */
+  def simhash64(text: String): Long = {
+    val v = new Array[Int](64)
+    var start = 0
+    val s = text
+    while (start <= s.length) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = s.length
+      if (end > start) {
+        var h = 0xcbf29ce484222325L
+        var i = start
+        while (i < end) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) v(bit) += 1 else v(bit) -= 1
+          bit += 1
+        }
+      }
+      start = end + 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (v(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** Pairs within hamming distance <= maxDist of the 64-bit SimHash,
+    * found by banding into 4 16-bit chunks (pigeonhole: d<=3 implies an
+    * identical chunk) and verifying candidates. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for d<=3")
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("t")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }.toDF("id", "sig")
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("e"))
+      .select(col("id"), col("sig"), col("e.chunk"), col("e.ck"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("x.sig").as("siga"),
+        col("y.id").as("b_id"), col("y.sig").as("sigb"))
+      .distinct()
+    cands
+      .withColumn("dist", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("int").as("hamming"))
+  }
+
+  // ---- Embedding cosine near-dup -------------------------------------------
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * left-to-right (deterministic, matches the DuckDB oracle's
+    * list_cosine_similarity on double-cast lists). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / sqrt(na * nb)
+  }
+
+  /** Brute-force near-duplicate pairs with cosine >= threshold. Baseline
+    * (quadratic) variant — at real scale replace the self-join with the LSH
+    * bucketing in [[graft.similarity.Similarity.annLsh]]. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for the training-data pipeline tier: media
+  * payloads are opaque `binary` columns plus typed metadata; decode /
+  * feature-extract run as batched per-partition kernels (the Scala analog of
+  * `mapInPandas` batches).
+  *
+  * The actual codec step is STUBBED with a deterministic fake (this
+  * container has no image/audio libraries): `fakeDecode` derives pixel-stats
+  * from payload bytes reproducibly. The Spark-side plumbing — schema,
+  * size-aware repartitioning, batch iteration, failure containment — is real
+  * and is what the tests assert.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float], error: String)
+
+  /** Magic-prefix media sniffing (PNG/JPEG/GIF/RIFF/PDF/HTML/other) — same
+    * pattern as the payload sniffer in [[graft.extract.Extractor]]. */
+  def sniffMedia(bytes: Array[Byte]): String = {
+    def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
+    else if (at(0, 0xff) && at(1, 0xd8)) "image/jpeg"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
+    else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
+    else if (bytes.take(256).contains('<'.toByte)) "text/html"
+    else "application/octet-stream"
+  }
+
+  /** STUB decode: deterministic pseudo-decode of payload bytes into
+    * (width, height, frames, 8-dim feature). A real deployment swaps this
+    * body for an actual codec (e.g. javax.imageio / ffmpeg-jni) — the
+    * signature and batch shape stay identical. */
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xff; h *= 0x100000001b3L; i += 1 }
+    val w = 64 + (h & 0x3ff).toInt            // 64..1087 "pixels"
+    val ht = 64 + ((h >>> 10) & 0x3ff).toInt
+    val frames = 1 + ((h >>> 20) & 0x7).toInt
+    val feat = Array.tabulate(8)(j => (((h >>> (j * 7)) & 0xff).toInt - 128) / 128.0f)
+    (w, ht, frames, feat)
+  }
+
+  /** Batched decode + feature extraction: one kernel instantiation per
+    * partition (amortized setup — the mapInPandas batch analog), per-row
+    * failure containment (error rows, never task failure). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup happens here (codec init in a real deployment)
+      it.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        try {
+          val (w, h, frames, feat) = fakeDecode(bytes)
+          MediaFeatures(m.doc_id, sniffMedia(bytes), bytes.length.toLong,
+            w, h, frames, feat, "")
+        } catch {
+          case e: Throwable =>
+            MediaFeatures(m.doc_id, "unknown", bytes.length.toLong, 0, 0, 0,
+              Array.empty[Float], s"${e.getClass.getSimpleName}")
+        }
+      }
+    }
+  }
+
+  /** Frame sampling plan for video-ish payloads: every `stride`-th frame
+    * index — pure metadata op (the real frame grab is behind the stub). */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.select(col("doc_id"), col("n_frames"),
+      filter(sequence(lit(0), col("n_frames") - 1),
+        i => i % stride === 0).as("sampled_frames"))
+}

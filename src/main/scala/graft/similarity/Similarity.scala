@@ -1,0 +1,95 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (training-data pipeline tier).
+  *
+  *  - [[topKBruteForce]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one pass, no shuffle of the corpus side.
+  *    Correctness baseline + the per-bucket kernel of the ANN path.
+  *  - [[annLsh]]: random-hyperplane LSH — each vector gets `tables`
+  *    signatures of `planes` sign bits from deterministic pseudo-random
+  *    hyperplanes; candidates share a (table, code) bucket. Scale path:
+  *    shuffle is on bucket keys (corpus-size linear), never all-pairs.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query row. queries must be small enough
+    * to broadcast (driver-bounded; at scale chunk the query set). Rank ties
+    * break by candidate id ascending (deterministic). */
+  def topKBruteForce(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("vec_id"))
+  }
+
+  /** Deterministic hyperplane component for (table, plane, dim) — a fixed
+    * pseudo-random ±1/value grid, no RNG at runtime. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sign-bit code of a vector under `planes` hyperplanes of table `t`. */
+  def lshCode(vec: Array[Float], t: Int, planes: Int): Int = {
+    var code = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) {
+        // component in [-1,1): mix to 53-bit mantissa
+        val m = mix(((t * 131L + p) * 8191L + d))
+        dot += vec(d) * ((m >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+        d += 1
+      }
+      if (dot >= 0) code |= (1 << p)
+      p += 1
+    }
+    code
+  }
+
+  /** ANN top-k: bucket corpus and queries by (table, code); exact cosine
+    * within shared buckets; global top-k per query across tables.
+    * Recall < 1 by construction — report it against topKBruteForce. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, tables: Int = 8, planes: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def bucketize(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(out)).as[(Long, Array[Float])]
+        .flatMap { case (i, v) =>
+          (0 until tables).iterator.map(t => (i, v, t, lshCode(v, t, planes)))
+        }.toDF(id, out, "table", "code")
+    val c = bucketize(corpus, "vec_id", "cv")
+    val q = bucketize(queries, "qid", "qv")
+    val scored = c.join(broadcast(q), Seq("table", "code"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("score"))
+      .groupBy("qid", "vec_id").agg(first("score").as("score")) // dedup multi-table hits
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("vec_id"))
+  }
+
+  /** Recall@k of the ANN result against the exact result (same shape:
+    * qid, rank, vec_id). */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+}
