@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Spark-level behavior of the dedup and similarity operators on small,
+  * fully-understood corpora. */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus() = {
+    // distinct per-doc vocabularies: unrelated docs share zero shingles
+    def doc(seed: Int, n: Int) =
+      Array.tabulate(n)(i => s"d${seed}w${(i * 7) % 97}").mkString(" ")
+    val a = doc(1, 120)
+    val aNear = a.split(' ').zipWithIndex.collect { case (w, i) if i % 50 != 49 => w }.mkString(" ")
+    val b = doc(2, 80)
+    val c = doc(3, 100)
+    Seq((1L, a), (2L, b), (3L, c), (101L, aNear), (102L, b))
+      .toDF("id", "text")
+  }
+
+  test("exact dedup finds only the exact pair") {
+    val groups = Dedup.exactDupGroups(corpus(), "text").collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 2) // ids 2 and 102
+  }
+
+  test("ngram jaccard and minhash-lsh agree and find only the near pair + exact pair") {
+    val exact = Dedup.ngramJaccardPairs(corpus(), "id", "text")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus(), "id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 101L), (2L, 102L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs finds near-dup within hamming 3") {
+    val pairs = Dedup.simhashPairs(corpus(), "id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 102L))) // identical -> distance 0
+    assert(pairs.contains((1L, 101L)))
+    assert(!pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force topk: self is rank 1, ranks are 1..k, deterministic") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))
+    }.toDF("vec_id", "v")
+    val top = Similarity.topKBruteForce(vecs, vecs.filter(col("vec_id") < 3), "vec_id", "v", 5)
+    val rows = top.select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(rows.length == 15)
+    (0L until 3L).foreach { q =>
+      val mine = rows.filter(_._1 == q).sortBy(_._2)
+      assert(mine.head == ((q, 1, q)), s"self not rank1 for $q: ${mine.head}")
+      assert(mine.map(_._2).toSeq == (1 to 5))
+    }
+  }
+
+  test("ann lsh achieves high recall vs brute force on clustered vectors") {
+    // clustered data (ANN-friendly): 4 well-separated centers + small jitter
+    val vecs = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(16)(d =>
+        (math.cos(c * 16 + d) * 10 + math.sin(i * 16 + d) * 0.3).toFloat))
+    }.toDF("vec_id", "v")
+    val q = vecs.filter(col("vec_id") < 4)
+    val exact = Similarity.topKBruteForce(vecs, q, "vec_id", "v", 5)
+    val approx = Similarity.annLsh(vecs, q, "vec_id", "v", 5, tables = 8, planes = 8)
+    val rec = Similarity.recallAtK(exact, approx)
+      .agg(avg("recall")).as[Double].head()
+    assert(rec >= 0.8, s"recall $rec")
+  }
+
+  test("embedding near-dup pairs: only perturbed copies cross 0.9") {
+    val base = (0L until 10L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 16 + d)))).toDF("vec_id", "v")
+    val pert = (0L until 10L).filter(_ % 5 == 0).map { i =>
+      (i + 100L, Array.tabulate(16)(d => math.sin(i * 16 + d) * (1 + 0.001 * d)))
+    }.toDF("vec_id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "v", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (5L, 105L)))
+  }
+}
