@@ -1,24 +1,111 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Corpus
+import graft.pipeline.ExtractionPipeline
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Two sections:
+  *  1. per-query wall time for every SparkEntry query at local[cpus]
+  *     (cpus = SPARK_GRAFT_CPUS, default 32);
+  *  2. the north-rule scaling protocol — the extraction pipeline run on the
+  *     SAME amplified corpus, with the SAME partition count, at local[N]
+  *     and local[4N] (the sandbox stand-in for N vs 4N executors), reporting
+  *     docs/sec, MB/sec and scaling efficiency = (tpHi/tpLo)/4. The default
+  *     pair is 2,8 — this VM's parallel capacity saturates near 20 effective
+  *     cores (measured: a pure-ALU loop gets only 2.8x from 8->32 threads),
+  *     so 8,32 measures the hardware ceiling, not the job; see
+  *     BENCH/BASELINE.md for the calibration table.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_AMPLIFY (default 240 -> 1.2M docs / ~1.8GB at sf0.1 so
+  *        the measured pass is compute-bound, not session-overhead-bound),
+  *      SPARK_GRAFT_SKIP_SCALING=1 to skip section 2.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores * 2, 32).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  /** One extraction pass over the cached corpus parquet; partitions is held
+    * constant across parallelism levels so only core count varies.
+    * Returns (wallSec, docs, bytesIn, failures). */
+  private def extractionPass(spark: SparkSession, corpusDir: String,
+                             partitions: Int): (Double, Long, Long, Long) = {
+    import spark.implicits._
+    val pages = spark.read.parquet(corpusDir).as[graft.model.WebPage]
+    val t0 = System.nanoTime()
+    val row = ExtractionPipeline.extract(pages, partitions).toDF()
+      .agg(count(lit(1)), sum(col("original_size")),
+        sum(when(!col("success"), 1L).otherwise(0L))).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "240").toInt
+    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
+    // ---- section 1: query suite ----
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+
+    // ---- section 2: scaling protocol ----
+    val scalingJson = if (skipScaling) "" else {
+      val corpusDir = Corpus.materializeAmplified(spark, sfDir, amplify)
+      // JIT warmup in this session (timings discarded)
+      extractionPass(spark, corpusDir, 256)
+      spark.stop()
+
+      def bestOf(cores: Int, reps: Int): (Double, Long, Long, Long) = {
+        val s = session(cores)
+        s.sparkContext.setLogLevel("WARN")
+        val runs = (1 to reps).map(_ => extractionPass(s, corpusDir, 256))
+        s.stop()
+        runs.minBy(_._1)
+      }
+      // N vs 4N parallelism pair (default 2,8: both below this VM's
+      // parallel-capacity saturation point — see BENCH/BASELINE.md for the
+      // hardware calibration; override e.g. SPARK_GRAFT_SCALING_CORES=8,32)
+      val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "2,8")
+        .split(",").map(_.trim.toInt)
+      val (secLo, docs, bytes, failLo) = bestOf(nLo, 2)
+      val (secHi, _, _, failHi) = bestOf(nHi, 2)
+      val tpLo = docs / secLo
+      val tpHi = docs / secHi
+      val mb = bytes / 1e6
+      val eff = (tpHi / tpLo) / (nHi.toDouble / nLo)
+      f""","scaling":{"docs":$docs,"input_mb":${mb}%.1f,"amplify":$amplify,""" +
+        f""""cores_lo":$nLo,"cores_hi":$nHi,""" +
+        f""""lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
+        f""""lo_docs_per_sec":$tpLo%.0f,"hi_docs_per_sec":$tpHi%.0f,""" +
+        f""""lo_mb_per_sec":${mb / secLo}%.1f,"hi_mb_per_sec":${mb / secHi}%.1f,""" +
+        f""""failures":${failLo + failHi},"scaling_efficiency":$eff%.3f}"""
+    }
+    if (skipScaling) spark.stop()
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
   }
 }

@@ -175,6 +175,15 @@ object SparkEntry {
           element_at(col("m"), "balance").cast("double").as("balance"))
         .orderBy("c_custkey")
     }),
+    "dc_split_merge" -> ((s, dir) => {
+      val docs0 = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val chunks = graft.dataconv.FileChunks.split(docs0, "doc_id", "payload", 256)
+      graft.dataconv.FileChunks.merge(chunks)
+        .select(col("id").as("doc_id"), col("n_parts"),
+          col("merged").cast("string").as("restored"))
+        .orderBy("doc_id")
+    }),
     "dc_json_parse" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"),
@@ -335,6 +344,9 @@ object SparkEntry {
     "dc_keyvalue_roundtrip" ->
       ("SELECT c_custkey, c_name AS name, c_mktsegment AS segment, " +
         "c_acctbal AS balance FROM customer ORDER BY c_custkey"),
+    "dc_split_merge" ->
+      ("SELECT doc_id, CAST(greatest(ceil(strlen(text) / 256.0), 1) AS INT) AS n_parts, " +
+        "text AS restored FROM documents ORDER BY doc_id"),
     "dc_json_parse" ->
       ("SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k " +
         "FROM events ORDER BY event_id"),

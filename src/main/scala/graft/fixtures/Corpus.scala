@@ -53,6 +53,27 @@ object Corpus {
       .map(buildPage(_, skewHost))
   }
 
+  /** Deterministically amplified corpus for throughput benchmarks: each
+    * source document is replicated `factor` times under distinct doc_ids
+    * (offset 1M per replica — disjoint from real ids), so the bench input is
+    * `factor`× the docs with the same payload-size/format/host distribution.
+    * Replica 0 is the original corpus bit-for-bit. */
+  def materializeAmplified(spark: SparkSession, sfDir: String, factor: Int): String = {
+    import spark.implicits._
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$factor"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(256)
+        .as[Doc]
+        .flatMap(d => (0 until factor).iterator.map(i =>
+          buildPage(d.copy(doc_id = d.doc_id + 1000000L * i), skewHost = false)))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Materialize once per (sfDir, skew) under java.io.tmpdir and read back —
     * keeps synthesis cost out of extraction benchmarks and lets repeated
     * Verify/Bench queries share one parquet. Deterministic, so caching is safe. */

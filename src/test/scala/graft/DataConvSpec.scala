@@ -89,6 +89,31 @@ class DataConvSpec extends AnyFunSuite {
     assert(FormatCodecs.headerUnion(df, "m") == Seq("a", "b", "c"))
   }
 
+  test("keyvalue stringify round-trips through parse") {
+    val m = Map("host" -> "a.example.org", "port" -> "8080", "path" -> "/x=y")
+    val doc = Seq(m).toDF("m")
+      .select(FormatCodecs.stringifyKeyValue(col("m")).as("d")).as[String].head()
+    val back = Seq(doc).toDF("d")
+      .select(FormatCodecs.parseKeyValue(col("d")).as("m"))
+      .select(map_entries(col("m")).as("e")).as[Seq[(String, String)]].head()
+    assert(back.toMap == m)
+  }
+
+  test("binary split/merge round-trips payloads including multi-byte UTF-8 and empty") {
+    val rows = Seq(
+      (1L, "x" * 1000),          // 4 parts at 256
+      (2L, "中文字符" * 200),     // multi-byte: chunk at byte boundaries, merge restores
+      (3L, ""),                  // empty -> one empty part
+      (4L, "short"))
+      .toDF("doc_id", "text").select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val merged = graft.dataconv.FileChunks.merge(
+        graft.dataconv.FileChunks.split(rows, "doc_id", "payload", 256))
+      .select(col("id"), col("n_parts"), col("merged").cast("string").as("t"))
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(merged.map(_._2) == Seq(4, 10, 1, 1)) // 中文字符 = 12 bytes * 200 = 2400 -> 10
+    assert(merged.map(_._3) == Seq("x" * 1000, "中文字符" * 200, "", "short"))
+  }
+
   test("K7 sample maps to the reference's v2 output") {
     val v2 = VersionMappers.mapVersion(FormatCodecs.sampleV1(spark), "v1", "v2")
       .as[(String, String, String, String)].collect().toSeq.sorted

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.fixtures.Corpus
+import graft.pipeline.ExtractionPipeline
+
+/** Physical-plan shape assertions — the 100TB design invariants
+  * (SURVEY §4.2): broadcast the small side, push filters/prune columns to
+  * the parquet scan, and never shuffle more than the operator needs. These
+  * are plan-level tests so a future refactor that silently regresses the
+  * plan (e.g. loses pushdown behind an opaque lambda) fails CI. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def planString(df: DataFrame): String = planOf(df).toString
+
+  /** AdaptiveSparkPlanExec is a leaf (its inner plan is not in `children`),
+    * so count shuffle Exchange nodes in the rendered tree instead: shuffles
+    * print as `Exchange hashpartitioning(...)` / `Exchange rangepartitioning`,
+    * broadcasts as `BroadcastExchange` (excluded by the line anchor). */
+  private def countShuffles(df: DataFrame): Int =
+    "(?m)^[\\s+*:!-]*Exchange ".r.findAllIn(planString(df)).length
+
+  test("customer-side join broadcasts the dimension (no shuffle of orders for the join)") {
+    val df = SparkEntry.queries("rel_join_topcust")(spark, sfDir)
+    assert(planString(df).contains("BroadcastHashJoin"), planString(df))
+  }
+
+  test("lineitem date filter is pushed to the parquet scan and columns are pruned") {
+    val df = SparkEntry.queries("rel_agg_pricing")(spark, sfDir)
+    val scan = planString(df)
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
+    // projection needs 5 columns; pruned schema must not include l_partkey etc.
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_comment"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("extraction pipeline shuffles exactly once (the balancing repartition)") {
+    val pages = Corpus.materialize(spark, sfDir)
+    val df = ExtractionPipeline.extract(pages, 8).toDF()
+    assert(countShuffles(df) == 1, planString(df))
+  }
+
+  test("extraction metrics rollup adds exactly one more shuffle (partial agg map-side)") {
+    val pages = Corpus.materialize(spark, sfDir)
+    val res = ExtractionPipeline.extract(pages, 8)
+    val df = ExtractionPipeline.metrics(res, "plan").toDF()
+    assert(countShuffles(df) == 2, planString(df))
+    // partial aggregation before the exchange (map-side combine)
+    val s = planString(df)
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("exact dedup is a single-shuffle hash aggregate with partial combine") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val df = Dedup.exactDupGroups(docs, "text")
+    assert(countShuffles(df) == 1, planString(df))
+  }
+
+  test("corpus scan prunes to selected columns only") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang")
+    val readSchema = planString(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"), readSchema)
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val df = graft.similarity.Similarity.topKBruteForce(e, e.filter(col("vec_id") < 3), "vec_id", "v", 5)
+    assert(planString(df).contains("BroadcastNestedLoopJoin") || planString(df).contains("BroadcastHashJoin"),
+      planString(df))
+  }
+}
