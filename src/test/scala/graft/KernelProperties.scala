@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.dedup.Dedup
+import graft.extract.Extractor
+import graft.extract.html.Charsets
+import graft.fixtures.Corpus
+import graft.functions.DocFunctions
+import graft.model.WebPage
+import graft.pipeline.ResumableRunner
+import graft.textops.TextAnalysis
+
+/** Generative properties (SURVEY §5.2.3): the golden-fixture matrix covers
+  * pinned inputs; these cover the same kernels under arbitrary content from
+  * the documents-table contract (single-spaced word text) and arbitrary
+  * bytes. Pure-JVM kernels only — no Spark session, so the 100-case default
+  * per property stays fast. */
+object KernelProperties extends Properties("kernels") {
+
+  private val ts = new java.sql.Timestamp(0)
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val text: Gen[String] =
+    Gen.chooseNum(1, 150).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val docId: Gen[Long] = Gen.chooseNum(0L, 1000000L)
+
+  property("corpus roundtrip: any word text x any template/encoding/pdf variant extracts byte-identically") =
+    forAll(docId, text) { (id, t) =>
+      val page = Corpus.buildPage(Corpus.Doc(id, t, "en", s"src${id % 20}", t.length.toLong), skewHost = false)
+      val r = Extractor.extractOne(page, 0)
+      r.success && r.text == page.text
+    }
+
+  property("extraction is total on arbitrary bytes (never throws, always a row)") = {
+    val raw = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    val payload = Gen.oneOf(
+      raw,
+      raw.map("%PDF-".getBytes(StandardCharsets.ISO_8859_1) ++ _),
+      raw.map("<html><body>".getBytes(StandardCharsets.UTF_8) ++ _))
+    forAll(payload) { bytes =>
+      val r = Extractor.extractOne(WebPage("u", ts, bytes, "", "en"), 0)
+      r != null && (r.success || r.error.nonEmpty)
+    }
+  }
+
+  property("charset decode is total on arbitrary bytes") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      Charsets.decode(bytes) != null
+    }
+
+  property("manifest bucket is in range and platform-stable") =
+    forAll(Gen.asciiPrintableStr, Gen.chooseNum(1, 512)) { (url, n) =>
+      val b = ResumableRunner.bucketOf(url, n)
+      b >= 0 && b < n && b == ResumableRunner.bucketOf(url, n)
+    }
+
+  property("identical texts collide on every minhash band; signatures are deterministic") =
+    forAll(text) { t =>
+      val sh = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+      val s1 = Dedup.bandHashes(Dedup.minhashSignature(sh))
+      val s2 = Dedup.bandHashes(Dedup.minhashSignature(sh))
+      s1.sameElements(s2)
+    }
+
+  property("simhash is deterministic; hamming(t,t) == 0") =
+    forAll(text) { t =>
+      java.lang.Long.bitCount(Dedup.simhash64(t) ^ Dedup.simhash64(t)) == 0
+    }
+
+  property("rolling fingerprint is monotone non-increasing under suffix append") =
+    forAll(text, text) { (t, suffix) =>
+      TextAnalysis.rollingFingerprint(t + " " + suffix) <= TextAnalysis.rollingFingerprint(t) ||
+        t.split(' ').length < 8 // below one full window the min can move freely
+    }
+
+  property("valid UTF-8 never probes as binary") =
+    forAll(Gen.asciiPrintableStr, text) { (a, b) =>
+      !DocFunctions.isBinaryBytes((a + b).getBytes(StandardCharsets.UTF_8))
+    }
+}
