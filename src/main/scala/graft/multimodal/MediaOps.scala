@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Image/audio conversion semantics (SURVEY §2.7 K5/K6) over media METADATA
+  * columns — the observable contract of the reference's Pillow/pydub paths
+  * (dimension geometry, duration accounting, parameter validation, result
+  * records) as pure column expressions; the pixel/sample codecs themselves
+  * stay behind the [[Multimodal]] stub (no media libraries in this
+  * container; a real deployment swaps the stub, these semantics stay).
+  *
+  * Reference: /root/reference/src/converters/image_converters.py:78-110
+  * (resize/crop/rotate/flip/grayscale order), :111-115 + :138 (quality,
+  * dimensions string); /root/reference/src/converters/audio_converters.py:
+  * 70-88 (volume/fade/speed/slice), :114-118 (duration/channels result),
+  * :183-192 (merge fold).
+  *
+  * Expected input columns: image ops — width:int, height:int, mode:string;
+  * audio ops — duration_ms:long, channels:int, frame_rate:int.
+  */
+object MediaOps {
+
+  // ---- image geometry (image_converters.py:80-103) -------------------------
+
+  /** resize requires BOTH width and height (the reference skips the op
+    * otherwise — image_converters.py:82-85). */
+  def resize(df: DataFrame, width: Option[Int], height: Option[Int]): DataFrame =
+    (width, height) match {
+      case (Some(w), Some(h)) =>
+        df.withColumn("width", lit(w)).withColumn("height", lit(h))
+      case _ => df
+    }
+
+  /** crop box with reference defaults left=0, top=0, right=width,
+    * bottom=height (image_converters.py:87-93). */
+  def crop(df: DataFrame, left: Int = 0, top: Int = 0,
+           right: Option[Int] = None, bottom: Option[Int] = None): DataFrame = {
+    val r = right.map(lit(_): Column).getOrElse(col("width"))
+    val b = bottom.map(lit(_): Column).getOrElse(col("height"))
+    df.withColumn("new_width", (r - left).cast("int"))
+      .withColumn("new_height", (b - top).cast("int"))
+      .drop("width", "height")
+      .withColumnRenamed("new_width", "width")
+      .withColumnRenamed("new_height", "height")
+  }
+
+  /** rotate with expand=True (image_converters.py:95-96): bounding box of
+    * the rotated frame. Exact for right angles; rounded for others. */
+  def rotate(df: DataFrame, degrees: Double): DataFrame = {
+    val rad = math.toRadians(degrees)
+    val (c, s) = (math.abs(math.cos(rad)), math.abs(math.sin(rad)))
+    df.withColumn("new_width", round(col("width") * c + col("height") * s).cast("int"))
+      .withColumn("new_height", round(col("width") * s + col("height") * c).cast("int"))
+      .drop("width", "height")
+      .withColumnRenamed("new_width", "width")
+      .withColumnRenamed("new_height", "height")
+  }
+
+  /** flip keeps dimensions (image_converters.py:98-102). */
+  def flip(df: DataFrame, direction: String): DataFrame = {
+    require(direction == "horizontal" || direction == "vertical", direction)
+    df
+  }
+
+  /** grayscale: single-channel mode 'L' (image_converters.py:104-105). */
+  def grayscale(df: DataFrame): DataFrame = df.withColumn("mode", lit("L"))
+
+  /** JPEG save path forces RGB for RGBA/P inputs (image_converters.py:110-112). */
+  def forOutputFormat(df: DataFrame, outputFormat: String): DataFrame =
+    if (Seq(".jpg", ".jpeg").contains(outputFormat.toLowerCase))
+      df.withColumn("mode",
+        when(col("mode").isin("RGBA", "P"), "RGB").otherwise(col("mode")))
+    else df
+
+  /** quality 1-100, default 95 (document_converter.py:61 gate;
+    * image_converters.py:107-109 default). */
+  def quality(requested: Option[Int]): Int = {
+    val q = requested.getOrElse(95)
+    require(q >= 1 && q <= 100, s"quality $q outside 1-100")
+    q
+  }
+
+  /** The image result record incl. the "WxH" dimensions string
+    * (image_converters.py:130-139). */
+  def imageResult(df: DataFrame, idCol: String, formatTo: String): DataFrame =
+    df.select(col(idCol),
+      lit(true).as("success"),
+      lit(formatTo).as("format_to"),
+      concat(col("width"), lit("x"), col("height")).as("dimensions"),
+      col("mode"))
+
+  // ---- audio duration accounting (audio_converters.py:70-92) ---------------
+
+  /** volume/fade change loudness, not duration (audio_converters.py:70-78). */
+  def volumeChange(df: DataFrame, db: Double): DataFrame =
+    df.withColumn("volume_db", coalesce(col("volume_db"), lit(0.0)) + db)
+
+  /** speedup divides duration (audio_converters.py:80-82). */
+  def speedup(df: DataFrame, speed: Double): DataFrame = {
+    require(speed > 0, s"speed $speed")
+    df.withColumn("duration_ms", (col("duration_ms") / speed).cast("long"))
+  }
+
+  /** start/end slice in seconds, end defaults to full length, clamped
+    * (audio_converters.py:84-87 pydub slice semantics). */
+  def slice(df: DataFrame, startSec: Double = 0.0, endSec: Option[Double] = None): DataFrame = {
+    val startMs = least(lit((startSec * 1000).toLong), col("duration_ms"))
+    val endMs = endSec.map(e => least(lit((e * 1000).toLong), col("duration_ms")): Column)
+      .getOrElse(col("duration_ms"))
+    df.withColumn("duration_ms", greatest(endMs - startMs, lit(0L)))
+  }
+
+  /** A4 ordered merge fold: total duration of concatenated segments
+    * (audio_converters.py:183-192); one shuffle, map-side combined. */
+  def mergeDurations(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("n_files"),
+        (sum(col("duration_ms")) / 1000.0).as("total_duration"))
+
+  /** The audio result record shape (audio_converters.py:105-118). */
+  def audioResult(df: DataFrame, idCol: String, formatTo: String): DataFrame =
+    df.select(col(idCol),
+      lit(true).as("success"),
+      lit(formatTo).as("format_to"),
+      (col("duration_ms") / 1000.0).as("duration"),
+      col("channels"), col("frame_rate"))
+}
