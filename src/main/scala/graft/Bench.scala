@@ -61,14 +61,16 @@ object Bench {
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "240").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
-    // ---- section 1: query suite ----
+    // ---- section 1: query suite (SPARK_GRAFT_SKIP_QUERIES=1 to skip) ----
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val total = results.map(_._2).sum
 
     // ---- section 2: scaling protocol ----
@@ -105,7 +107,33 @@ object Bench {
     }
     if (skipScaling) spark.stop()
 
+    // ---- optional section 3: skew evidence (SPARK_GRAFT_SKEW_BENCH=1) ----
+    // Hot-host corpus (50% of docs on one host): the salted pipeline vs a
+    // naive host-hash repartition, same cores, same partition count. The
+    // naive plan pins half the corpus on one task; salting spreads it.
+    val skewJson = if (!sys.env.get("SPARK_GRAFT_SKEW_BENCH").contains("1")) "" else {
+      val s = session(32)
+      s.sparkContext.setLogLevel("WARN")
+      import s.implicits._
+      val dir = Corpus.materializeAmplified(s, sfDir, math.max(amplify / 4, 1), skewHost = true)
+      def pages = s.read.parquet(dir).as[graft.model.WebPage]
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def saltedRun() = time(ExtractionPipeline.extract(pages, 256).toDF().count())
+      def naiveRun() = time {
+        pages.repartition(256, regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+          .mapPartitions(it => it.map(p => graft.extract.Extractor.extractOne(p, 0)))
+          .toDF().count()
+      }
+      saltedRun(); naiveRun() // JIT warmup of both paths
+      val salted = math.min(saltedRun(), saltedRun())
+      val naive = math.min(naiveRun(), naiveRun())
+      s.stop()
+      f""","skew":{"salted_sec":$salted%.2f,"naive_hosthash_sec":$naive%.2f,"speedup":${naive / salted}%.2f}"""
+    }
+
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson$skewJson}""")
   }
 }

@@ -58,9 +58,11 @@ object Corpus {
     * (offset 1M per replica — disjoint from real ids), so the bench input is
     * `factor`× the docs with the same payload-size/format/host distribution.
     * Replica 0 is the original corpus bit-for-bit. */
-  def materializeAmplified(spark: SparkSession, sfDir: String, factor: Int): String = {
+  def materializeAmplified(spark: SparkSession, sfDir: String, factor: Int,
+                           skewHost: Boolean = false): String = {
     import spark.implicits._
-    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$factor"
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$factor" +
+      (if (skewHost) "_skew" else "")
     val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       spark.read.parquet(s"$sfDir/documents.parquet")
@@ -68,7 +70,7 @@ object Corpus {
         .repartition(256)
         .as[Doc]
         .flatMap(d => (0 until factor).iterator.map(i =>
-          buildPage(d.copy(doc_id = d.doc_id + 1000000L * i), skewHost = false)))
+          buildPage(d.copy(doc_id = d.doc_id + 1000000L * i), skewHost)))
         .write.mode("overwrite").parquet(dir)
     }
     dir
