@@ -33,6 +33,33 @@ object Dedup {
           i => array_join(slice(words, i + 1, lit(n)), " "))))
   }
 
+  /** Same shingle set as [[shingles]], computed in Scala (hot paths: the
+    * codegen'd HOF chain allocates per element; a kernel loop doesn't). */
+  def shingleSet(text: String, n: Int = 3): scala.collection.immutable.Set[String] = {
+    val words = text.split(' ')
+    if (words.length < n) Set(words.mkString(" "))
+    else {
+      val b = scala.collection.immutable.Set.newBuilder[String]
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(words(i + k)); k += 1 }
+        b += sb.toString
+        i += 1
+      }
+      b.result()
+    }
+  }
+
+  /** Exact integer-threshold Jaccard test on two texts' shingle sets. */
+  def jaccardAtLeast(a: String, b: String, n: Int, num: Int, den: Int): Boolean = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    val inter = sa.count(sb.contains)
+    den * inter >= num * (sa.size + sb.size - inter)
+  }
+
   /** Exact duplicate groups: digest -> count (>1 only).
     * One shuffle, map-side combined. */
   def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
@@ -41,10 +68,18 @@ object Dedup {
       .filter(col("cnt") > 1)
 
   /** All pairs (a_id < b_id) with word-n-gram Jaccard >= num/den, via an
-    * inverted-index join on shingles. Input columns: id (long), textCol. */
+    * inverted-index join on shingles (exhaustive — recall 1 by construction;
+    * the LSH variant below is the cheaper scale path). Shingle rows are
+    * produced by a kernel flatMap (one shuffle column, no array columns).
+    * Input columns: id (long), textCol. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shingleSet(t, n).iterator.map(s => (id, s))
+      }).toDF("id", "sh")
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -126,28 +161,25 @@ object Dedup {
                       n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    // kernel: signature + band hashes per doc
-    val banded = withSh.select(col("id"), col("sh")).as[(Long, Seq[String])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, sh) =>
-          val bands = bandHashes(minhashSignature(sh))
-          bands.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
-        }
-      }.toDF("id", "band", "bh")
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // kernel: shingles -> signature -> band hashes per doc (one pass; only
+    // (id, band, bh) rows shuffle — never the shingle arrays)
+    val banded = texts.as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val bands = bandHashes(minhashSignature(shingleSet(t, n)))
+        bands.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
+      }).toDF("id", "band", "bh")
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val sets = withSh.select(col("id"), col("sh"))
+    // verify the (few) candidates with exact Jaccard recomputed from text
+    val jacc = udf((a: String, b: String) => jaccardAtLeast(a, b, n, num, den))
     cands
-      .join(sets.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sets.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
-      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .join(texts.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(texts.select(col("id").as("b_id"), col("t").as("tb")), "b_id")
+      .filter(jacc(col("ta"), col("tb")))
       .select(col("a_id"), col("b_id"))
   }
 
