@@ -80,26 +80,65 @@ object Bench {
       extractionPass(spark, corpusDir, 256)
       spark.stop()
 
-      def bestOf(cores: Int, reps: Int): (Double, Long, Long, Long) = {
-        val s = session(cores)
-        s.sparkContext.setLogLevel("WARN")
-        val runs = (1 to reps).map(_ => extractionPass(s, corpusDir, 256))
-        s.stop()
-        runs.minBy(_._1)
+      // One CHILD JVM per measured cluster size, GC threads matched to its
+      // core count — a local[N] session inside the shared bench JVM gets
+      // ~all 32 cores' worth of GC threads, which inflates the small-N
+      // baseline and corrupts the efficiency ratio. Each child warms up
+      // (JIT) then reports its best-of-reps pass.
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+      def childPass(cores: Int, reps: Int): (Double, Long, Long, Long) = {
+        // executor-realistic sizing: 2g of heap per core, GC threads = cores
+        val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
+          s"-Xmx${2 * cores}g",
+          "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cores",
+          "-cp", sys.props("java.class.path"),
+          "graft.BenchPass", cores.toString, corpusDir, "256", reps.toString)
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
+        p.waitFor()
+        lines.find(_.startsWith("PASS ")) match {
+          case Some(l) =>
+            val f = l.split(' ')
+            (f(1).toDouble, f(2).toLong, f(3).toLong, f(4).toLong)
+          case None => throw new IllegalStateException(
+            s"BenchPass($cores) produced no result:\n${lines.takeRight(20).mkString("\n")}")
+        }
       }
+
       // N vs 4N parallelism pair (default 2,8: both below this VM's
       // parallel-capacity saturation point — see BENCH/BASELINE.md for the
-      // hardware calibration; override e.g. SPARK_GRAFT_SCALING_CORES=8,32)
+      // hardware calibration; override e.g. SPARK_GRAFT_SCALING_CORES=8,32).
+      // This shared VM's throughput also drifts over minutes: ALTERNATE the
+      // two levels across `rounds` child JVMs and take min per level.
       val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "2,8")
         .split(",").map(_.trim.toInt)
-      val (secLo, docs, bytes, failLo) = bestOf(nLo, 2)
-      val (secHi, _, _, failHi) = bestOf(nHi, 2)
+      // Short passes are proportionally noisier on this VM: give the fast
+      // (hi) level more in-JVM reps so min() converges on both levels.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val passes = (1 to rounds).map(_ => (childPass(nLo, 3), childPass(nHi, 5)))
+      // Best observed wall time per level across rounds (each child already
+      // reports its in-JVM best); raw samples go into the JSON so a noisy
+      // window is visible rather than silently folded in.
+      val (secLo, docs, bytes, failLo) = passes.map(_._1).minBy(_._1)
+      val (secHi, _, _, failHi) = passes.map(_._2).minBy(_._1)
+      val loSamples = passes.map(p => f"${p._1._1}%.2f").mkString("[", ",", "]")
+      val hiSamples = passes.map(p => f"${p._2._1}%.2f").mkString("[", ",", "]")
       val tpLo = docs / secLo
       val tpHi = docs / secHi
       val mb = bytes / 1e6
       val eff = (tpHi / tpLo) / (nHi.toDouble / nLo)
       f""","scaling":{"docs":$docs,"input_mb":${mb}%.1f,"amplify":$amplify,""" +
         f""""cores_lo":$nLo,"cores_hi":$nHi,""" +
+        f""""lo_samples_sec":$loSamples,"hi_samples_sec":$hiSamples,""" +
         f""""lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
         f""""lo_docs_per_sec":$tpLo%.0f,"hi_docs_per_sec":$tpHi%.0f,""" +
         f""""lo_mb_per_sec":${mb / secLo}%.1f,"hi_mb_per_sec":${mb / secHi}%.1f,""" +

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ExtractionPipeline
+
+/** One cluster-size's measurement in its own JVM (spawned by [[Bench]]):
+  * a local[cores] session whose JVM was launched with GC threads matched to
+  * `cores` — the faithful stand-in for an executor of that size. In-JVM
+  * warmup pass first (JIT), then `reps` timed passes; prints the best as
+  * `PASS <sec> <docs> <bytes> <failures>`.
+  *
+  * args: cores corpusDir partitions reps
+  */
+object BenchPass {
+  def main(args: Array[String]): Unit = {
+    val Array(cores, corpusDir, partitions, reps) = args.padTo(4, "2")
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-pass-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores.toInt * 2, 32).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    import s.implicits._
+
+    def pass(): (Double, Long, Long, Long) = {
+      val pages = s.read.parquet(corpusDir).as[graft.model.WebPage]
+      val t0 = System.nanoTime()
+      val row = ExtractionPipeline.extract(pages, partitions.toInt).toDF()
+        .agg(count(lit(1)), sum(col("original_size")),
+          sum(when(!col("success"), 1L).otherwise(0L))).head()
+      ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+
+    pass() // JIT warmup, discarded
+    val best = (1 to reps.toInt).map(_ => pass()).minBy(_._1)
+    println(f"PASS ${best._1}%.3f ${best._2} ${best._3} ${best._4}")
+    s.stop()
+  }
+}
