@@ -291,6 +291,31 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "rel_asof_join" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_orderdate")
+      graft.operators.AsOfJoin.asof(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate", valueCols = Seq("o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("o_orderdate").cast("date").as("asof_date"))
+        .orderBy("event_id")
+    }),
+    "rel_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "rel_topk_parts" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey").asc)
+        .limit(10)),
+    "rel_setops_silent_cust" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey"))
+        .except(s.read.parquet(s"$dir/events.parquet").select(col("user_id")))
+        .orderBy("o_custkey")),
+
     // ---- scale layer (S13 size buckets / skew salting) ---------------------
     "scale_size_buckets" -> ((s, dir) => docs(s, dir)
       .select(least(col("n_chars").divide(lit(64)).cast("long"), lit(7L)).cast("int").as("bucket"))
@@ -405,6 +430,22 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR " +
         "date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions, " +
         "CAST(count(*) AS BIGINT) AS events FROM x GROUP BY user_id ORDER BY user_id"),
+    "rel_asof_join" ->
+      ("SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS asof_date " +
+        "FROM events e ASOF LEFT JOIN orders o " +
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
+    "rel_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "rel_topk_parts" ->
+      ("SELECT l_partkey, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue " +
+        "FROM lineitem GROUP BY l_partkey ORDER BY revenue DESC, l_partkey ASC LIMIT 10"),
+    "rel_setops_silent_cust" ->
+      ("SELECT o_custkey FROM orders EXCEPT SELECT user_id FROM events " +
+        "ORDER BY o_custkey"),
     "scale_size_buckets" ->
       ("SELECT CAST(least(n_chars // 64, 7) AS INT) AS bucket, " +
         "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY bucket"),
