@@ -291,6 +291,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "rel_range_join" -> ((s, dir) => {
+      val items = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 122 DAYS")).as("o_window_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          items, "l_orderkey", "l_shipdate", orders, "o_orderkey", "o_orderdate", "o_window_end",
+          bucketSeconds = 122L * 86400)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "rel_asof_join" -> ((s, dir) => {
       val events = s.read.parquet(s"$dir/events.parquet")
       val orders = s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_orderdate")
@@ -430,6 +442,11 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR " +
         "date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions, " +
         "CAST(count(*) AS BIGINT) AS events FROM x GROUP BY user_id ORDER BY user_id"),
+    "rel_range_join" ->
+      ("SELECT l.l_orderkey, l.l_linenumber FROM lineitem l JOIN orders o " +
+        "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate " +
+        "AND l.l_shipdate <= o.o_orderdate + INTERVAL 122 DAY " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
     "rel_asof_join" ->
       ("SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS asof_date " +
         "FROM events e ASOF LEFT JOIN orders o " +

@@ -142,8 +142,24 @@ object PdfWriter {
     out.toByteArray
   }
 
-  /** Generate a complete PDF for the given paragraphs. */
+  /** Generate a complete PDF for the given paragraphs.
+    *
+    * Scope guard: text must be ISO-8859-1-representable (ASCII + 0xA0-0xFF;
+    * the writer emits a WinAnsi-encoded Type1 font and the content stream as
+    * Latin-1 bytes). Anything beyond — CJK, typographic-quote range
+    * 0x80-0x9F — would need a CID font, which is outside the pinned fixture
+    * scope (SURVEY §7.3 "resist wild-PDF generality"); failing loudly here
+    * beats silently writing '?' and corrupting a golden. */
   def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
+    paragraphs.foreach { p =>
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        require(c < 0x100 && !(c >= 0x80 && c <= 0x9f),
+          f"PdfWriter scope: char U+${c.toInt}%04X in '${p.take(40)}…' is not ISO-8859-1-representable")
+        i += 1
+      }
+    }
     val pages = layout(paragraphs, variant)
     val nPages = pages.length
     val compress = variant != 0
