@@ -229,6 +229,11 @@ object SparkEntry {
       Similarity.topKBruteForce(all, all.filter(col("vec_id") < 5), "vec_id", "v", 10)
         .orderBy("qid", "rank")
     }),
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
     "sim_ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.annLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)

@@ -85,6 +85,68 @@ object Similarity {
       .select(col("qid"), col("rank").cast("int").as("rank"), col("vec_id"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    * centroid, probe the `nProbe` nearest cells per query, exact cosine
+    * inside probed cells only.
+    *
+    * Centroids are deterministic: seeded from the `nCentroids` lowest-id
+    * corpus vectors, refined by one distributed Lloyd iteration (assign ->
+    * per-cell mean — a single groupBy). Scale shape: the corpus shuffles
+    * once on cell id; queries broadcast; a cell is ~corpus/nCentroids —
+    * at 10^9 vectors raise nCentroids so cells stay executor-sized. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+
+    def nearest(v: Array[Double], cents: Array[Array[Double]], top: Int): Seq[Int] =
+      cents.indices.sortBy { i =>
+        var d = 0.0; var j = 0
+        val ct = cents(i)
+        while (j < v.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+        d
+      }.take(top)
+
+    val seed: Array[Array[Double]] =
+      c.orderBy(col(idCol)).limit(nCentroids).collect().map(_._2)
+    val bSeed = spark.sparkContext.broadcast(seed)
+    // one Lloyd iteration: mean of assigned vectors per cell (empty cells
+    // keep their seed). reduceGroups partially aggregates map-side, so only
+    // nCentroids partial sums per partition cross the wire.
+    val refined: Array[Array[Double]] = {
+      val sums = c.map { case (_, v) => (nearest(v, bSeed.value, 1).head, v, 1L) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2.clone(); var j = 0
+          while (j < s.length) { s(j) += b._2(j); j += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2).collect().map(t => t._1 -> (t._2, t._3)).toMap
+      seed.indices.map { i =>
+        sums.get(i) match {
+          case Some((s, n)) => s.map(_ / n)
+          case None => seed(i)
+        }
+      }.toArray
+    }
+    val bCents = spark.sparkContext.broadcast(refined)
+
+    val cells = c.map { case (id, v) => (nearest(v, bCents.value, 1).head, id, v) }
+      .toDF("cell", "vec_id", "cv")
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) => nearest(v, bCents.value, nProbe).map(cell => (cell, qid, v)) }
+      .toDF("cell", "qid", "qv")
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("vec_id"))
+  }
+
   /** Recall@k of the ANN result against the exact result (same shape:
     * qid, rank, vec_id). */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
