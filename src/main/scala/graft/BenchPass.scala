@@ -22,6 +22,12 @@ object BenchPass {
       .config("spark.sql.shuffle.partitions", math.max(cores.toInt * 2, 32).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Shuffle spill dir on tmpfs: on a real cluster every executor brings
+      // its own local disk (shuffle bandwidth scales with cluster size); on
+      // this single box one shared disk would NOT scale with the simulated
+      // size and would contaminate the N-vs-4N ratio with a fixed-bandwidth
+      // artifact. RAM-backed local dir restores the per-executor-disk model.
+      .config("spark.local.dir", s"/dev/shm/graft_bench_local_$cores")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
