@@ -14,7 +14,7 @@ import graft.model.WebPage
   * use; replacing '\n' with ' ' in it recovers documents.text exactly.
   *
   * Payload routing: doc_id % 4 == 3 -> PDF (variant (doc_id/4) % 4),
-  * else HTML (template (doc_id/4) % 6, encoding (doc_id/24) % 5).
+  * else HTML (template (doc_id/4) % 7, encoding (doc_id/24) % 6).
   */
 object Corpus {
 

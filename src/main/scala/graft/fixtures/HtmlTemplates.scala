@@ -14,8 +14,8 @@ import java.nio.charset.{Charset, StandardCharsets}
   */
 object HtmlTemplates {
 
-  val numTemplates = 6
-  val numEncodings = 5
+  val numTemplates = 7
+  val numEncodings = 6
 
   /** Split `text` (single-spaced words) into paragraphs of ~25 words; a final
     * fragment of < 17 words is merged into the previous paragraph (widow
@@ -91,6 +91,17 @@ object HtmlTemplates {
       case 5 => // malformed: unclosed tags, stray close, unquoted attributes
         val openPs = paragraphs.map(p => s"<p>$p").mkString("\n") // never closed
         s"""</div><div class=main id=main><ARTICLE>$openPs</div>${sidebar(docId)}"""
+      case 6 => // deep nesting: blockquote/main/section wrappers, link-dense
+        // share bars between paragraphs (density 1.0 -> stripped)
+        // inside an ignored subtree (aside) per the fixture-design rule: a
+        // link-dense block BETWEEN paragraphs would otherwise flip the
+        // classifier's prev-density branch for short following paragraphs
+        val share = """<aside class="share"><a href="#t">share on t</a> <a href="#f">share on f</a> <a href="#m">mail this</a></aside>"""
+        val nested = paragraphs.zipWithIndex.map { case (p, i) =>
+          if (i % 2 == 0) s"<section><blockquote><p>$p</p></blockquote></section>$share"
+          else s"<div><div><div><p>$p</p></div></div></div>"
+        }.mkString
+        s"""<main>${nav(docId)}$nested</main>${sidebar(docId)}"""
       case other => throw new IllegalArgumentException(s"template $other")
     }
     s"""<!DOCTYPE html><html lang="en">${head(title, metaCharset)}<body>$body${footer(footerExtra)}</body></html>"""
@@ -128,6 +139,9 @@ object HtmlTemplates {
       Array[Byte](0xff.toByte, 0xfe.toByte) ++ b
     case 4 => // meta lies (us-ascii) over UTF-8 bytes — strict decode must fall through
       render("us-ascii", " café").getBytes(StandardCharsets.UTF_8)
+    case 5 => // UTF-16BE with BOM; meta lies (iso-8859-1) — BOM must win
+      val b = render("iso-8859-1", " grüße").getBytes(StandardCharsets.UTF_16BE)
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ b
     case other => throw new IllegalArgumentException(s"encoding $other")
   }
 }
