@@ -48,7 +48,7 @@ object Bench {
     import spark.implicits._
     val pages = spark.read.parquet(corpusDir).as[graft.model.WebPage]
     val t0 = System.nanoTime()
-    val row = ExtractionPipeline.extract(pages, partitions).toDF()
+    val row = ExtractionPipeline.extract(pages, partitions, carryGolden = false).toDF()
       .agg(count(lit(1)), sum(col("original_size")),
         sum(when(!col("success"), 1L).otherwise(0L))).head()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -68,7 +68,11 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: $e")
+            -1L
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val total = results.map(_._2).sum
@@ -159,9 +163,12 @@ object Bench {
       def time(f: => Long): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      def saltedRun() = time(ExtractionPipeline.extract(pages, 256).toDF().count())
+      def saltedRun() =
+        time(ExtractionPipeline.extract(pages, 256, carryGolden = false).toDF().count())
       def naiveRun() = time {
-        pages.repartition(256, regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        pages.toDF().withColumn("text", lit(""))
+          .repartition(256, regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+          .as[graft.model.WebPage]
           .mapPartitions(it => it.map(p => graft.extract.Extractor.extractOne(p, 0)))
           .toDF().count()
       }

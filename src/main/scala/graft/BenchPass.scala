@@ -36,7 +36,7 @@ object BenchPass {
     def pass(): (Double, Long, Long, Long) = {
       val pages = s.read.parquet(corpusDir).as[graft.model.WebPage]
       val t0 = System.nanoTime()
-      val row = ExtractionPipeline.extract(pages, partitions.toInt).toDF()
+      val row = ExtractionPipeline.extract(pages, partitions.toInt, carryGolden = false).toDF()
         .agg(count(lit(1)), sum(col("original_size")),
           sum(when(!col("success"), 1L).otherwise(0L))).head()
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1), row.getLong(2))

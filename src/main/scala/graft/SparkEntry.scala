@@ -254,13 +254,16 @@ object SparkEntry {
     }),
 
     // ---- relational coverage (§2.3 joins / §2.4 aggs / §2.5 windows) -------
+    // Money sums as integer cents (round(x*100) -> BIGINT): bit-exact and
+    // hash-representation-proof vs the oracle — DECIMAL physical encodings
+    // differ between engines even when values agree.
     "rel_agg_pricing" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum(round(col("l_quantity") * 100).cast("bigint")).cast("bigint").as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).cast("bigint").as("sum_base_price_c"),
           count(lit(1)).cast("bigint").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
     "rel_join_topcust" -> ((s, dir) => {
@@ -269,7 +272,7 @@ object SparkEntry {
       orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total_spent"))
+          sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint").as("total_spent_c"))
         .orderBy("c_custkey")
     }),
     "rel_window_latest_order" -> ((s, dir) => {
@@ -427,14 +430,14 @@ object SparkEntry {
         "SELECT qid, CAST(rn AS INT) AS \"rank\", vec_id FROM r WHERE rn <= 10 ORDER BY qid, rn"),
     "rel_agg_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c, " +
         "CAST(count(*) AS BIGINT) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "rel_join_topcust" ->
       ("SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spent_c " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
     "rel_window_latest_order" ->

@@ -17,11 +17,14 @@ object FileChunks {
     * at least one part (an empty payload yields one empty chunk — mirrors
     * split_file which always writes part000). */
   def split(df: DataFrame, idCol: String, binCol: String, chunkBytes: Int): DataFrame = {
-    val len = length(col(binCol))
+    // NULL payloads coalesce to empty so the row still yields its one part
+    // (a NULL would null the sequence and posexplode would drop the id)
+    val payload = coalesce(col(binCol), lit(Array.emptyByteArray))
+    val len = length(payload)
     val nParts = greatest(ceil(len.cast("double") / chunkBytes).cast("int"), lit(1))
     df.select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), nParts - 1),
-          i => substring(col(binCol), i * chunkBytes + 1, lit(chunkBytes)))))
+          i => substring(payload, i * chunkBytes + 1, lit(chunkBytes)))))
       .withColumnRenamed("pos", "part_id")
       .withColumnRenamed("col", "chunk")
   }

@@ -72,11 +72,17 @@ object FormatCodecs {
   // ---- header-union aggregation (S10/A2) -----------------------------------
 
   /** Union of keys across all rows' map columns, sorted — the csv header
-    * rule of the authoritative server (/root/reference/server.py:132). */
-  def headerUnion(df: DataFrame, mapCol: String): Seq[String] = {
+    * rule of the authoritative server (/root/reference/server.py:132).
+    * Driver materialization is O(distinct keys), guarded by maxHeaders: a
+    * pathological corpus (per-row unique keys) fails fast instead of
+    * OOMing the driver. */
+  def headerUnion(df: DataFrame, mapCol: String, maxHeaders: Int = 100000): Seq[String] = {
     import df.sparkSession.implicits._
-    df.select(explode(map_keys(col(mapCol))).as("k"))
-      .distinct().orderBy("k").as[String].collect().toSeq
+    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().orderBy("k").limit(maxHeaders + 1).as[String].collect()
+    require(keys.length <= maxHeaders,
+      s"headerUnion: more than $maxHeaders distinct keys — not a tabular corpus")
+    keys.toSeq
   }
 
   // ---- K7 deterministic sample (Ada/Alan) ----------------------------------

@@ -36,7 +36,9 @@ object Dedup {
   /** Same shingle set as [[shingles]], computed in Scala (hot paths: the
     * codegen'd HOF chain allocates per element; a kernel loop doesn't). */
   def shingleSet(text: String, n: Int = 3): scala.collection.immutable.Set[String] = {
-    val words = text.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark's split() in
+    // [[shingles]] — "a b " must shingle identically on both paths
+    val words = text.split(" ", -1)
     if (words.length < n) Set(words.mkString(" "))
     else {
       val b = scala.collection.immutable.Set.newBuilder[String]
@@ -67,29 +69,55 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** All pairs (a_id < b_id) with word-n-gram Jaccard >= num/den, via an
-    * inverted-index join on shingles (exhaustive — recall 1 by construction;
-    * the LSH variant below is the cheaper scale path). Shingle rows are
-    * produced by a kernel flatMap (one shuffle column, no array columns).
-    * Input columns: id (long), textCol. */
+  /** Default document-frequency cutoff for [[ngramJaccardPairs]] candidate
+    * generation: a shingle seen in more docs than this ("of the and"-class
+    * stop phrases) is excluded from the inverted-index join, whose pair
+    * group would otherwise be O(df²). Verification stays exact, so output
+    * only changes for pairs whose EVERY shared shingle is that hot —
+    * vanishingly unlikely at a 0.8 Jaccard threshold. */
+  val defaultMaxShingleDf: Long = 1000L
+
+  /** All pairs (a_id < b_id) with word-n-gram Jaccard >= num/den.
+    *
+    * Candidate pairs come from an inverted-index self-join on shingles
+    * (kernel flatMap: only (id, shingle) rows shuffle, no array columns),
+    * with shingles of document frequency > maxDf dropped first — the
+    * standard hot-key cap that keeps one stop-phrase shingle from creating
+    * a quadratic join group at 10^12 docs. Candidates are then verified by
+    * exact integer-threshold Jaccard recomputed from the texts, so the
+    * cutoff cannot admit false positives and only affects recall for pairs
+    * sharing exclusively ultra-hot shingles (see [[defaultMaxShingleDf]]).
+    * Exhaustive vs the DuckDB oracle on the verification corpus. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
+                        n: Int = 3, num: Int = 4, den: Int = 5,
+                        maxDf: Long = defaultMaxShingleDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val sh = texts.as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shingleSet(t, n).iterator.map(s => (id, s))
       }).toDF("id", "sh")
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // hot-shingle cutoff: the hot set is tiny (stop phrases), broadcast anti-join
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val kept = sh.join(hot.hint("broadcast"), Seq("sh"), "left_anti")
+    val cands = kept.as("a").join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(counts.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-      // jaccard = inter/(na+nb-inter) >= num/den, integer math
-      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    verifyJaccard(cands, texts, n, num, den)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the texts —
+    * shared by the inverted-index and LSH candidate generators. */
+  private def verifyJaccard(cands: DataFrame, texts: DataFrame,
+                            n: Int, num: Int, den: Int): DataFrame = {
+    val jacc = udf((a: String, b: String) => jaccardAtLeast(a, b, n, num, den))
+    cands
+      .join(texts.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(texts.select(col("id").as("b_id"), col("t").as("tb")), "b_id")
+      .filter(jacc(col("ta"), col("tb")))
       .select(col("a_id"), col("b_id"))
   }
 
@@ -175,12 +203,7 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
     // verify the (few) candidates with exact Jaccard recomputed from text
-    val jacc = udf((a: String, b: String) => jaccardAtLeast(a, b, n, num, den))
-    cands
-      .join(texts.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
-      .join(texts.select(col("id").as("b_id"), col("t").as("tb")), "b_id")
-      .filter(jacc(col("ta"), col("tb")))
-      .select(col("a_id"), col("b_id"))
+    verifyJaccard(cands, texts, n, num, den)
   }
 
   // ---- SimHash -------------------------------------------------------------
@@ -253,36 +276,69 @@ object Dedup {
     dot / sqrt(na * nb)
   }
 
+  /** Broadcast-side chunk cap: above this many vectors the comparison side
+    * is broadcast in id-hash chunks (multiple passes over the corpus), so
+    * the DRIVER never materializes more than one chunk — the full-corpus
+    * collect was the 10^12-scale anti-pattern. */
+  val maxBroadcastVectors: Int = 1 << 20
+
   /** Brute-force near-duplicate pairs with cosine >= threshold.
     *
-    * Broadcast-kernel design: the comparison side is collected once and
-    * broadcast (the standard Spark small-side pattern — same driver-side
-    * materialization a broadcast join does), and each partition streams its
-    * rows against it with a tight primitive-double dot loop — no pair-row
-    * materialization, no shuffle, whole job is one scan. Cosine is computed
-    * as dot/(|a||b|) in left-to-right double accumulation, bit-matching the
-    * oracle's list_cosine_similarity.
+    * Broadcast-kernel design: the comparison side is broadcast and each
+    * partition streams its rows against it with a tight primitive-double
+    * dot loop — no pair-row materialization, no shuffle. Cosine is
+    * evaluated EXACTLY like the DuckDB oracle's list_cosine_similarity:
+    * dot / (|a| * |b|) with divide-then-compare (not cross-multiplied —
+    * rounding of the product can flip boundary pairs), and zero-norm
+    * vectors never pair (the oracle's 0/0 = NaN excludes them).
     *
-    * Scale path: this is the baseline for corpora whose vector set fits a
-    * broadcast (~10^6 x 64 dims). Beyond that, chunk the broadcast side or
-    * switch to [[graft.similarity.Similarity.annLsh]] bucketing. */
+    * Scale path: when the corpus exceeds [[maxBroadcastVectors]], the
+    * comparison side is split into id-hash chunks; each pass collects ONE
+    * chunk (driver memory = chunk, never corpus), broadcasts it, streams
+    * the full corpus against it, eagerly materializes that pass's pairs,
+    * and destroys the broadcast before the next pass. A pair (a, b),
+    * a.id < b.id, is found exactly once: in the pass owning b's chunk. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxChunk: Int = maxBroadcastVectors): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    val side = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.mapPartitions { it =>
-      val all = side.value
-      it.flatMap { case (aId, va) =>
-        val na = normOf(va)
-        all.iterator
-          .filter(_._1 > aId)
-          .filter { case (_, vb) => dot(va, vb) >= threshold * na * normOf(vb) }
-          .map { case (bId, _) => (aId, bId) }
-      }
-    }.toDF("a_id", "b_id")
+
+    def pairsVsSide(side: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]]) =
+      vecs.mapPartitions { it =>
+        val all = side.value
+        it.flatMap { case (aId, va) =>
+          val na = normOf(va)
+          if (na == 0.0) Iterator.empty
+          else all.iterator
+            .filter(_._1 > aId)
+            .filter { case (_, vb) =>
+              val nb = normOf(vb)
+              nb > 0.0 && dot(va, vb) / (na * nb) >= threshold
+            }
+            .map { case (bId, _) => (aId, bId) }
+        }
+      }.toDF("a_id", "b_id")
+
+    val n = vecs.count()
+    if (n <= maxChunk) {
+      val side = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+      pairsVsSide(side)
+    } else {
+      val numChunks = ((n + maxChunk - 1) / maxChunk).toInt
+      (0 until numChunks).map { c =>
+        val chunk = vecs.filter(pmod(xxhash64(col(idCol)), lit(numChunks)) === c)
+          .collect().sortBy(_._1) // driver holds ONE chunk
+        val side = spark.sparkContext.broadcast(chunk)
+        // eager: pairs for this pass are materialized before the broadcast
+        // is dropped, so passes never stack broadcasts in executor memory
+        val part = pairsVsSide(side).localCheckpoint(true)
+        side.destroy()
+        part
+      }.reduce(_ unionByName _)
+    }
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

@@ -20,6 +20,13 @@ object Corpus {
 
   private val epoch = Instant.parse("2024-01-01T00:00:00Z")
 
+  /** Cache-busting token for the /tmp corpus caches below: derived from the
+    * fixture matrix shape plus a manually bumped revision, so editing
+    * templates/encodings/routing invalidates stale cached corpora instead of
+    * silently serving the old fixtures to Verify/Bench. */
+  def fixtureVersion: String =
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e_r2"
+
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
   def isPdf(docId: Long): Boolean = docId % 4 == 3
@@ -62,7 +69,7 @@ object Corpus {
                            skewHost: Boolean = false): String = {
     import spark.implicits._
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$factor" +
-      (if (skewHost) "_skew" else "")
+      (if (skewHost) "_skew" else "") + s"_$fixtureVersion"
     val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       spark.read.parquet(s"$sfDir/documents.parquet")
@@ -81,7 +88,8 @@ object Corpus {
     * Verify/Bench queries share one parquet. Deterministic, so caching is safe. */
   def materialize(spark: SparkSession, sfDir: String, skewHost: Boolean = false): Dataset[WebPage] = {
     import spark.implicits._
-    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + (if (skewHost) "_skew" else "")
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
+      (if (skewHost) "_skew" else "") + s"_$fixtureVersion"
     val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {

@@ -23,30 +23,39 @@ object AsOfJoin {
 
   /** @param valueCols right-side columns to carry onto each left row (names
     *                  must not collide with left's). Unmatched lefts keep
-    *                  them null (left-join semantics). */
+    *                  them null (left-join semantics).
+    *
+    * The matched right row is carried as ONE struct with a single
+    * last(ignoreNulls=true) — never per-column — so all value columns come
+    * from the same right row (a NULL inside a newer right row stays NULL
+    * rather than being backfilled from an older row). NULL keys follow SQL
+    * equality: they never match (right NULL-key rows are dropped; left
+    * NULL-key rows pass through unmatched), like DuckDB's ASOF LEFT JOIN. */
   def asof(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
            leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    val r0 = right
+      .filter(col(rightKey).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__v"))
+    val vType = r0.schema("__v").dataType
+    val l0 = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val lAligned = valueCols.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r0 = right
-      .withColumn("__k", col(rightKey))
-      .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
-      .select(Seq(col("__k"), col("__ts"), col("__side")) ++ valueCols.map(col): _*)
+      .withColumn("__v", lit(null).cast(vType))
     val rAligned = leftCols.foldLeft(r0)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(lAligned.columns.map(col): _*)
+      .select(l0.columns.map(col): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lAligned.unionByName(rAligned))((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1).drop("__k", "__ts", "__side")
+    val matched = l0.filter(col("__k").isNotNull).unionByName(rAligned)
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = matched.unionByName(l0.filter(col("__k").isNull))
+    valueCols.foldLeft(out)((d, c) => d.withColumn(c, col("__v").getField(c)))
+      .drop("__k", "__ts", "__side", "__v")
   }
 }

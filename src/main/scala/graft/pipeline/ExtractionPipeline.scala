@@ -28,12 +28,16 @@ object ExtractionPipeline {
   val saltBuckets = 16
 
   /** Columns the kernel needs — projected before the shuffle so parquet scan
-    * prunes everything else (golden `text` is carried only when verification
-    * downstream needs it; pass carryGolden=false in production). */
-  def prepare(pages: Dataset[WebPage], parallelism: Int): Dataset[WebPage] = {
+    * prunes everything else. The golden `text` column exists only for
+    * verification: with carryGolden=false (production / throughput runs) it
+    * is blanked BEFORE the balancing repartition, so the shuffle moves the
+    * payload once, not payload + expected-text twice. */
+  def prepare(pages: Dataset[WebPage], parallelism: Int,
+              carryGolden: Boolean = true): Dataset[WebPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages
+    val base = if (carryGolden) pages.toDF() else pages.toDF().withColumn("text", lit(""))
+    base
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
       .withColumn("salt", pmod(xxhash64(col("url")), lit(saltBuckets)))
       // log2 size bucket: giant payloads land in distinct shuffle keys
@@ -44,10 +48,11 @@ object ExtractionPipeline {
   }
 
   /** Run the kernel; one result row per input document. */
-  def extract(pages: Dataset[WebPage], parallelism: Int): Dataset[ExtractionResult] = {
+  def extract(pages: Dataset[WebPage], parallelism: Int,
+              carryGolden: Boolean = true): Dataset[ExtractionResult] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    prepare(pages, parallelism).mapPartitions { it =>
+    prepare(pages, parallelism, carryGolden).mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       it.map(p => Extractor.extractOne(p, pid))
     }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.security.MessageDigest
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +18,15 @@ import graft.model.{ExtractionResult, ManifestEntry, WebPage}
   *     a re-run of a bucket is idempotent — rewrite-safe per SURVEY §7.3.4);
   *   outDir/manifest/ one row per completed bucket.
   * Resume = left-anti join of input buckets against the manifest: only
-  * unfinished buckets are re-read, re-extracted, re-written. No driver-side
-  * per-document state; the manifest is O(buckets).
+  * unfinished buckets are re-read, re-extracted, re-written.
+  *
+  * Scale properties: no driver-side per-document state — the only driver
+  * materialization is the manifest, O(numBuckets). All filesystem access
+  * goes through the Hadoop FileSystem API (works on HDFS/S3A, not just
+  * file://), and the post-commit manifest is derived by reading back ONLY
+  * the buckets this run wrote, unioned with the prior manifest rows — a
+  * resumed run never re-reads finished buckets' output (previously an
+  * O(total output) re-scan per run).
   */
 object ResumableRunner {
 
@@ -29,7 +37,10 @@ object ResumableRunner {
     math.floorMod(v, numBuckets)
   }
 
-  final case class RunSummary(runId: String, bucketsTotal: Int, bucketsRun: Int, docs: Long, failures: Long)
+  /** docs/failures cover the buckets THIS run processed; docsTotal adds the
+    * prior manifest's docs (lineage carried forward, output not re-read). */
+  final case class RunSummary(runId: String, bucketsTotal: Int, bucketsRun: Int,
+                              docs: Long, failures: Long, docsTotal: Long)
 
   // public: Spark codegen instantiates encoders for this class
   final case class BucketedPage(
@@ -43,26 +54,32 @@ object ResumableRunner {
 
     val manifestDir = s"$outDir/manifest"
     val resultsDir = s"$outDir/results"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(hconf)
+
+    // Prior manifest rows, collected eagerly: (a) O(numBuckets), never
+    // O(docs), so the driver holds it at any scale; (b) the manifest path
+    // is overwritten below — a lazy plan would re-read deleted files.
+    val manifestPath = new Path(manifestDir)
+    val prior: Array[ManifestEntry] =
+      if (fs.exists(manifestPath) &&
+          fs.listStatus(manifestPath).exists(_.getPath.getName.endsWith(".parquet"))) {
+        spark.read.parquet(manifestDir)
+          .filter(col("status") === "done").as[ManifestEntry].collect()
+      } else Array.empty[ManifestEntry]
+    val doneBuckets: Set[Int] = prior.map(_.partition_id).toSet
 
     val bucketUdf = udf((url: String) => bucketOf(url, numBuckets))
     val bucketed = pages.withColumn("bucket", bucketUdf(col("url")))
-
-    // Materialized eagerly: (a) it is O(numBuckets), never O(docs), so the
-    // driver can hold it at any scale; (b) the manifest path is overwritten
-    // below — a lazy plan would re-read deleted files.
-    val doneBuckets: Array[Int] =
-      if (new java.io.File(manifestDir, "_SUCCESS").exists() || parquetExists(manifestDir)) {
-        spark.read.parquet(manifestDir)
-          .filter(col("status") === "done")
-          .select(col("partition_id").cast("int")).distinct().as[Int].collect()
-      } else Array.empty[Int]
-
     val remaining =
       if (doneBuckets.isEmpty) bucketed
       else bucketed.join(
         doneBuckets.toSeq.toDF("bucket").hint("broadcast"), Seq("bucket"), "left_anti")
 
+    // golden `text` is blanked before the shuffle — the kernel reads only
+    // `html`; verification joins the source table by url afterwards
     val results: Dataset[ExtractionResult] = remaining
+      .withColumn("text", lit(""))
       .repartition(col("bucket"))
       .select(col("bucket"), col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[BucketedPage]
@@ -74,25 +91,33 @@ object ResumableRunner {
 
     results.write.mode(SaveMode.Overwrite).partitionBy("partition_id").parquet(resultsDir)
 
-    // manifest: derive from what was just written (post-commit lineage)
-    val written = spark.read.parquet(resultsDir)
-    val newManifest = written
-      .groupBy(col("partition_id"))
-      .agg(count(lit(1)).as("docs"))
-      .select(lit(runId).as("run_id"), col("partition_id").cast("int"),
-        lit("done").as("status"), col("docs"))
-      .as[ManifestEntry]
-    newManifest.write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    // Post-commit lineage: read back ONLY the bucket dirs this run wrote
+    // (incremental — finished buckets' output stays untouched on disk).
+    val resultsPath = new Path(resultsDir)
+    val ranDirs: Array[String] =
+      if (!fs.exists(resultsPath)) Array.empty
+      else fs.listStatus(resultsPath).iterator
+        .map(_.getPath)
+        .filter(_.getName.startsWith("partition_id="))
+        .filter(p => !doneBuckets.contains(p.getName.stripPrefix("partition_id=").toInt))
+        .map(_.toString).toArray
 
-    val stats = written.agg(
-      count(lit(1)).as("docs"),
-      sum(when(!col("success"), 1L).otherwise(0L)).as("failures")).head()
-    val ranBuckets = numBuckets - doneBuckets.length
-    RunSummary(runId, numBuckets, ranBuckets, stats.getLong(0), stats.getLong(1))
-  }
+    val fresh: Array[(Int, Long, Long)] =
+      if (ranDirs.isEmpty) Array.empty
+      else spark.read.option("basePath", resultsDir).parquet(ranDirs.toIndexedSeq: _*)
+        .groupBy(col("partition_id").cast("int").as("partition_id"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(!col("success"), 1L).otherwise(0L)).as("failures"))
+        .as[(Int, Long, Long)].collect()
 
-  private def parquetExists(dir: String): Boolean = {
-    val f = new java.io.File(dir)
-    f.isDirectory && f.listFiles() != null && f.listFiles().exists(_.getName.endsWith(".parquet"))
+    val manifest: Seq[ManifestEntry] =
+      prior.toSeq ++ fresh.map { case (b, docs, _) => ManifestEntry(runId, b, "done", docs) }
+    manifest.toDS().write.mode(SaveMode.Overwrite).parquet(manifestDir)
+
+    RunSummary(runId, numBuckets,
+      bucketsRun = fresh.length,
+      docs = fresh.map(_._2).sum,
+      failures = fresh.map(_._3).sum,
+      docsTotal = manifest.map(_.docs).sum)
   }
 }
