@@ -380,10 +380,12 @@ object SparkEntry {
     "extract_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "extract_formats" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'pdf' ELSE 'html' END AS format_from " +
+      ("SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
+        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from " +
         "FROM documents ORDER BY doc_id"),
     "extract_metrics" ->
-      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' ELSE 'html' END AS format_from, " +
+      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
+        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
         "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
         "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
     "dc_v1_to_v2" ->

@@ -17,10 +17,13 @@ import graft.model.{ExtractionResult, WebPage}
 object Extractor {
 
   /** Magic-prefix format sniffing (replaces file-extension routing):
-    * `%PDF-` -> pdf; a '<' byte in the first 1024 bytes -> html; else txt. */
+    * `%PDF-` -> pdf; `PK\x03\x04` (OOXML zip package) -> docx; a '<' byte
+    * in the first 1024 bytes -> html; else txt. */
   def sniffFormat(bytes: Array[Byte]): String = {
     if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
+    if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
+        bytes(2) == 3 && bytes(3) == 4) return "docx"
     val limit = math.min(bytes.length, 1024)
     var i = 0
     while (i < limit) {
@@ -35,6 +38,22 @@ object Extractor {
     * instead of risking executor OOM at scale. */
   val maxPayloadBytes: Int = 64 * 1024 * 1024
 
+  /** Single format-dispatch point — every surface (mapPartitions kernel,
+    * native Catalyst expression, SQL-registered UDF) routes through here so
+    * a new format cannot be wired into one path and missed in another. */
+  def extractByFormat(fmt: String, bytes: Array[Byte]): String = fmt match {
+    case "pdf" => PdfParser.extract(bytes)
+    case "docx" => graft.extract.docx.DocxExtractor.extract(bytes)
+    case "html" => HtmlExtractor.extract(bytes)
+    case _ => Charsets.decode(bytes)
+  }
+
+  /** Total variant: any error -> "" (the scalar-function contract). */
+  def extractTextOrEmpty(bytes: Array[Byte]): String = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    try extractByFormat(sniffFormat(b), b) catch { case _: Throwable => "" }
+  }
+
   def extractOne(page: WebPage, partitionId: Int): ExtractionResult = {
     val bytes = if (page.html == null) Array.emptyByteArray else page.html
     val fmt = sniffFormat(bytes)
@@ -44,11 +63,7 @@ object Extractor {
           original_size = bytes.length.toLong, new_size = 0L,
           error = s"payload ${bytes.length} bytes exceeds cap $maxPayloadBytes",
           partition_id = partitionId)
-      val text = fmt match {
-        case "pdf" => PdfParser.extract(bytes)
-        case "html" => HtmlExtractor.extract(bytes)
-        case _ => Charsets.decode(bytes)
-      }
+      val text = extractByFormat(fmt, bytes)
       ExtractionResult(page.url, success = true, text = text, format_from = fmt,
         original_size = bytes.length.toLong,
         new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,

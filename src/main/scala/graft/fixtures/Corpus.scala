@@ -14,6 +14,7 @@ import graft.model.WebPage
   * use; replacing '\n' with ' ' in it recovers documents.text exactly.
   *
   * Payload routing: doc_id % 4 == 3 -> PDF (variant (doc_id/4) % 4),
+  * doc_id % 4 == 1 -> DOCX (variant (doc_id/4) % 4),
   * else HTML (template (doc_id/4) % 7, encoding (doc_id/24) % 6).
   */
 object Corpus {
@@ -25,11 +26,12 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e_r2"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r3"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
   def isPdf(docId: Long): Boolean = docId % 4 == 3
+  def isDocx(docId: Long): Boolean = docId % 4 == 1
 
   /** Pure builder: one document row -> one webpage row. */
   def buildPage(doc: Doc, skewHost: Boolean): WebPage = {
@@ -43,6 +45,8 @@ object Corpus {
     val payload: Array[Byte] =
       if (isPdf(doc.doc_id)) {
         PdfWriter.generate(paragraphs, ((doc.doc_id / 4) % 4).toInt)
+      } else if (isDocx(doc.doc_id)) {
+        DocxWriter.generate(paragraphs, ((doc.doc_id / 4) % DocxWriter.numVariants).toInt)
       } else {
         val tid = ((doc.doc_id / 4) % HtmlTemplates.numTemplates).toInt
         val encId = ((doc.doc_id / 24) % HtmlTemplates.numEncodings).toInt

@@ -135,14 +135,10 @@ object DocFunctions {
       Extractor.sniffFormat(if (b == null) Array.emptyByteArray else b))
     spark.udf.register("graft_extract_html", (b: Array[Byte]) => HtmlExtractor.extract(b))
     spark.udf.register("graft_extract_pdf", (b: Array[Byte]) => PdfParser.extract(b))
-    spark.udf.register("graft_extract", (b: Array[Byte]) => {
-      val bytes = if (b == null) Array.emptyByteArray else b
-      Extractor.sniffFormat(bytes) match {
-        case "pdf" => PdfParser.extract(bytes)
-        case "html" => HtmlExtractor.extract(bytes)
-        case _ => Charsets.decode(bytes)
-      }
-    })
+    spark.udf.register("graft_extract_docx", (b: Array[Byte]) =>
+      graft.extract.docx.DocxExtractor.extract(b))
+    spark.udf.register("graft_extract", (b: Array[Byte]) =>
+      Extractor.extractTextOrEmpty(b))
     spark.udf.register("graft_is_binary", (b: Array[Byte]) => isBinaryBytes(b))
     spark.udf.register("graft_simhash64", (t: String) =>
       graft.dedup.Dedup.simhash64(if (t == null) "" else t))

@@ -25,16 +25,11 @@ import graft.extract.pdf.PdfParser
   */
 object GraftExpressions {
 
-  /** Static kernel entry points referenced from generated Java. */
-  def extractText(bytes: Array[Byte]): UTF8String = {
-    val b = if (bytes == null) Array.emptyByteArray else bytes
-    val out = Extractor.sniffFormat(b) match {
-      case "pdf" => try PdfParser.extract(b) catch { case _: Throwable => "" }
-      case "html" => try HtmlExtractor.extract(b) catch { case _: Throwable => "" }
-      case _ => Charsets.decode(b)
-    }
-    UTF8String.fromString(out)
-  }
+  /** Static kernel entry points referenced from generated Java. Format
+    * dispatch lives in Extractor.extractTextOrEmpty — one routing table for
+    * every surface. */
+  def extractText(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(Extractor.extractTextOrEmpty(bytes))
 
   def sniffFormat(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(Extractor.sniffFormat(if (bytes == null) Array.emptyByteArray else bytes))
