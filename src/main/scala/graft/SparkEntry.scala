@@ -184,6 +184,20 @@ object SparkEntry {
           col("merged").cast("string").as("restored"))
         .orderBy("doc_id")
     }),
+    // S9 JSON serialize: byte-compatible with the server's
+    // json.dumps(indent=2) — 2-space indent, ensure_ascii \uXXXX escapes,
+    // python bool casing. The oracle rebuilds the exact string in SQL.
+    "dc_json_pretty" -> ((s, dir) => {
+      val rec = struct(
+        lit("Cust").as("firstName"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("lastName"),
+        concat(lit("cust"), col("c_custkey").cast("string"), lit("@exämple.com")).as("email"),
+        concat(lit("2024-01-"), lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0")).as("createdAt"),
+        (col("c_custkey") % 2 === 0).as("active"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), graft.dataconv.PrettyJson.prettyStruct(rec).as("js"))
+        .orderBy("c_custkey")
+    }),
     "dc_json_parse" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"),
@@ -426,6 +440,15 @@ object SparkEntry {
     "dc_json_parse" ->
       ("SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k " +
         "FROM events ORDER BY event_id"),
+    "dc_json_pretty" ->
+      ("SELECT c_custkey, " +
+        "'{' || chr(10) || " +
+        "'  \"firstName\": \"Cust\",' || chr(10) || " +
+        "'  \"lastName\": \"' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || '\",' || chr(10) || " +
+        "'  \"email\": \"cust' || CAST(c_custkey AS VARCHAR) || '@ex\\u00e4mple.com\",' || chr(10) || " +
+        "'  \"createdAt\": \"2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || '\",' || chr(10) || " +
+        "'  \"active\": ' || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || chr(10) || " +
+        "'}' AS js FROM customer ORDER BY c_custkey"),
     "ta_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
         "CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),

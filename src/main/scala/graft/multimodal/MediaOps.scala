@@ -73,6 +73,35 @@ object MediaOps {
         when(col("mode").isin("RGBA", "P"), "RGB").otherwise(col("mode")))
     else df
 
+  /** The closed filter registry (image_converters.py:234-243): the eight
+    * Pillow convolution filters — pixel kernels behind the codec stub; their
+    * METADATA contract (mode and dimensions unchanged) is what's modeled. */
+  val convolutionFilters: Set[String] = Set(
+    "blur", "contour", "detail", "edge_enhance", "emboss",
+    "find_edges", "sharpen", "smooth")
+
+  /** apply_filter semantics (image_converters.py:224-284): convolution
+    * filters keep mode + dimensions; 'grayscale' -> mode 'L' (:249-250);
+    * 'invert' keeps mode — RGBA is split, RGB-inverted, re-merged with its
+    * alpha (:251-259); an unknown name yields a success=false record with
+    * the reference's exact error/message strings (:260-266). */
+  def applyFilter(df: DataFrame, filterName: String): DataFrame = {
+    val known = convolutionFilters.contains(filterName) ||
+      filterName == "grayscale" || filterName == "invert"
+    if (!known)
+      df.withColumn("success", lit(false))
+        .withColumn("filter", lit(filterName))
+        .withColumn("error", lit(s"Unknown filter: $filterName"))
+        .withColumn("message", lit(s"Filter '$filterName' not found"))
+    else
+      df.withColumn("mode",
+          if (filterName == "grayscale") lit("L") else col("mode"))
+        .withColumn("success", lit(true))
+        .withColumn("filter", lit(filterName))
+        .withColumn("error", lit(""))
+        .withColumn("message", lit(s"Applied $filterName filter"))
+  }
+
   /** quality 1-100, default 95 (document_converter.py:61 gate;
     * image_converters.py:107-109 default). */
   def quality(requested: Option[Int]): Int = {

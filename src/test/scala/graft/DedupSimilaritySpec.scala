@@ -85,4 +85,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 100L), (5L, 105L)))
   }
+
+  test("chunked-broadcast embedding dedup equals the single-broadcast result") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // maxChunk far below the corpus size forces the multi-pass path whose
+    // driver materialization is bounded by one chunk
+    val chunked = Dedup.embeddingNearDupPairs(docs, "vec_id", "v", 0.8, maxChunk = 7)
+      .as[(Long, Long)].collect().toSet
+    val single = Dedup.embeddingNearDupPairs(docs, "vec_id", "v", 0.8)
+      .as[(Long, Long)].collect().toSet
+    assert(chunked == single)
+  }
+
+  test("hot-shingle DF cutoff leaves threshold-passing pairs intact") {
+    // every doc shares one ultra-hot shingle; true near-dups still share
+    // plenty of non-hot shingles, so the candidate pruning must not change
+    // the verified output
+    val mk = (i: Long) => (0 until 30).map(k => s"w${i}_$k").mkString(" ")
+    val base = (0L until 20L).map(i => (i, s"hot stop phrase ${mk(i)}")).toDF("id", "text")
+    val dup = Seq((100L, s"hot stop phrase ${mk(3L)}"), (101L, s"hot stop phrase ${mk(7L)}"))
+      .toDF("id", "text")
+    val corpus = base.unionByName(dup)
+    val noCut = Dedup.ngramJaccardPairs(corpus, "id", "text", maxDf = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    val cut = Dedup.ngramJaccardPairs(corpus, "id", "text", maxDf = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(noCut == Set((3L, 100L), (7L, 101L)))
+    assert(cut == noCut)
+  }
 }

@@ -58,6 +58,25 @@ class MediaOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaOps.quality(Some(101)))
   }
 
+  test("filters: convolution keeps mode/dims, grayscale -> L, invert keeps RGBA, unknown fails") {
+    val base = Seq((1L, 100, 50, "RGBA")).toDF("id", "width", "height", "mode")
+    for (f <- MediaOps.convolutionFilters) {
+      val r = MediaOps.applyFilter(base, f)
+        .select("success", "mode", "width", "height", "filter", "message")
+        .as[(Boolean, String, Int, Int, String, String)].head()
+      assert(r == ((true, "RGBA", 100, 50, f, s"Applied $f filter")))
+    }
+    val g = MediaOps.applyFilter(base, "grayscale")
+      .select("success", "mode").as[(Boolean, String)].head()
+    assert(g == ((true, "L")))
+    val inv = MediaOps.applyFilter(base, "invert")
+      .select("success", "mode").as[(Boolean, String)].head()
+    assert(inv == ((true, "RGBA"))) // alpha preserved, mode unchanged
+    val bad = MediaOps.applyFilter(base, "posterize")
+      .select("success", "error", "message").as[(Boolean, String, String)].head()
+    assert(bad == ((false, "Unknown filter: posterize", "Filter 'posterize' not found")))
+  }
+
   test("audio: slice clamps, speedup divides, merge fold sums durations") {
     val a = Seq((1L, 90000L, 2, 44100), (1L, 30000L, 2, 44100), (2L, 10000L, 1, 22050))
       .toDF("id", "duration_ms", "channels", "frame_rate")

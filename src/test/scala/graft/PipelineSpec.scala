@@ -55,6 +55,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(resumed.sameElements(full), "resumed output differs from uninterrupted run")
   }
 
+  test("resume does not re-read finished buckets' output") {
+    val out = Files.createTempDirectory("graft_noreread").toString
+    val pages = Corpus.materialize(spark, sfDir)
+    ResumableRunner.run(spark, pages, out, "t3", numBuckets = 16)
+
+    // keep manifest rows for buckets < 8, then corrupt the DATA FILES of
+    // those finished buckets: if the resumed run read any of them (for the
+    // manifest rebuild or otherwise), it would throw on the bad footer
+    val kept = spark.read.parquet(s"$out/manifest").filter(col("partition_id") < 8).collect()
+    val schema = spark.read.parquet(s"$out/manifest").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(kept.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    for (b <- 0 until 8) {
+      val dir = new java.io.File(s"$out/results/partition_id=$b")
+      assert(dir.isDirectory, s"expected $dir")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+      }
+    }
+
+    val s = ResumableRunner.run(spark, pages, out, "t3r", numBuckets = 16)
+    assert(s.bucketsRun == 8, s"expected 8 reprocessed buckets, got $s")
+    // and the manifest is complete again (prior rows carried forward)
+    val manifest = spark.read.parquet(s"$out/manifest")
+      .select("partition_id").distinct().count()
+    assert(manifest == 16)
+  }
+
   test("skewed hot host is spread across shuffle partitions by salting") {
     val pages = Corpus.materialize(spark, sfDir, skewHost = true)
     val parts = 8

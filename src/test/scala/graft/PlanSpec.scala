@@ -73,6 +73,20 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"), readSchema)
   }
 
+  test("no query plan contains a cartesian product or non-broadcast nested-loop join") {
+    // Exact brute-force top-k is BY DESIGN a broadcast nested-loop (tiny
+    // query set broadcast against a streaming corpus — the corpus itself is
+    // never duplicated or shuffled); every other query must stay clear of
+    // all-pairs join shapes.
+    val bnljAllowed = Set("sim_topk", "sim_ann_lsh", "sim_ann_ivf")
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = planString(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
