@@ -179,7 +179,33 @@ object Bench {
       f""","skew":{"salted_sec":$salted%.2f,"naive_hosthash_sec":$naive%.2f,"speedup":${naive / salted}%.2f}"""
     }
 
+    // ---- optional section 4: hot-shingle skew (SPARK_GRAFT_SHINGLE_BENCH=1)
+    // Every doc shares one ultra-hot shingle ("hot stop phrase" class): the
+    // inverted-index join without a DF cutoff builds an O(n²) candidate
+    // group on it; the default cutoff prunes it before the join.
+    val shingleJson = if (!sys.env.get("SPARK_GRAFT_SHINGLE_BENCH").contains("1")) "" else {
+      val s = session(32)
+      s.sparkContext.setLogLevel("WARN")
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .limit(2000)
+        .select(col("doc_id").as("id"),
+          concat(lit("hot stop phrase "), col("text")).as("text"))
+        .cache()
+      docs.count()
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def cutRun() = time(graft.dedup.Dedup.ngramJaccardPairs(docs, "id", "text").count())
+      def noCutRun() = time(
+        graft.dedup.Dedup.ngramJaccardPairs(docs, "id", "text", maxDf = Long.MaxValue).count())
+      cutRun() // JIT warmup on the cheap arm
+      val cut = math.min(cutRun(), cutRun())
+      val noCut = noCutRun()
+      s.stop()
+      f""","shingle_skew":{"docs":2000,"cutoff_sec":$cut%.2f,"no_cutoff_sec":$noCut%.2f,"speedup":${noCut / cut}%.2f}"""
+    }
+
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson$skewJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson$skewJson$shingleJson}""")
   }
 }

@@ -312,7 +312,10 @@ object SparkEntry {
     "rel_join_topcust" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val customer = s.read.parquet(s"$dir/customer.parquet")
-      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // no broadcast() hint: the dimension is under the auto-broadcast
+      // threshold here and a forced hint would pin a broadcast even at
+      // 100x customer; size-based planning (+ AQE) picks the join side
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).cast("bigint").as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint").as("total_spent_c"))

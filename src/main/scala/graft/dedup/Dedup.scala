@@ -79,15 +79,23 @@ object Dedup {
 
   /** All pairs (a_id < b_id) with word-n-gram Jaccard >= num/den.
     *
-    * Candidate pairs come from an inverted-index self-join on shingles
-    * (kernel flatMap: only (id, shingle) rows shuffle, no array columns),
-    * with shingles of document frequency > maxDf dropped first — the
-    * standard hot-key cap that keeps one stop-phrase shingle from creating
-    * a quadratic join group at 10^12 docs. Candidates are then verified by
-    * exact integer-threshold Jaccard recomputed from the texts, so the
-    * cutoff cannot admit false positives and only affects recall for pairs
-    * sharing exclusively ultra-hot shingles (see [[defaultMaxShingleDf]]).
-    * Exhaustive vs the DuckDB oracle on the verification corpus. */
+    * Inverted-index self-join on shingles (kernel flatMap: only
+    * (id, shingle) rows shuffle, no array columns), with shingles of
+    * document frequency > maxDf dropped before the join — the standard
+    * hot-key cap that keeps one stop-phrase shingle from creating a
+    * quadratic join group at 10^12 docs.
+    *
+    * Correctness: hot shingles never enter the join, but their possible
+    * contribution to a pair's intersection is bounded — at most
+    * min(hotCount(a), hotCount(b)). Jaccard is monotone in the
+    * intersection, so integer cross-multiplication on [inter_kept,
+    * inter_kept + min(ha, hb)] decides almost every pair outright (hot
+    * counts are tiny — a handful of stop phrases per doc); only the
+    * narrow band where the bounds straddle the threshold falls back to
+    * exact Jaccard recomputed from the two texts. No false positives
+    * ever; recall is only lost for pairs sharing EXCLUSIVELY ultra-hot
+    * shingles (see [[defaultMaxShingleDf]]). Exhaustive vs the DuckDB
+    * oracle on the verification corpus. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, num: Int = 4, den: Int = 5,
                         maxDf: Long = defaultMaxShingleDf): DataFrame = {
@@ -102,11 +110,31 @@ object Dedup {
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val kept = sh.join(hot.hint("broadcast"), Seq("sh"), "left_anti")
-    val cands = kept.as("a").join(kept.as("b"),
+    // per-doc totals: n_all over every shingle, n_kept over surviving ones;
+    // n_all == n_kept marks docs untouched by the cutoff
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_all"))
+      .join(kept.groupBy("id").agg(count(lit(1)).as("n_kept")), Seq("id"), "left")
+      .select(col("id"), col("n_all"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    val inter = kept.as("a").join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
-    verifyJaccard(cands, texts, n, num, den)
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val joined = inter
+      .join(counts.select(col("id").as("a_id"), col("n_all").as("na"), col("n_kept").as("ka")), "a_id")
+      .join(counts.select(col("id").as("b_id"), col("n_all").as("nb"), col("n_kept").as("kb")), "b_id")
+    // the true intersection lies in [inter, inter + min(hot_a, hot_b)]
+    val upper = col("inter") + least(col("na") - col("ka"), col("nb") - col("kb"))
+    val lowerPasses =
+      lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter"))
+    val upperPasses =
+      lit(den) * upper >= lit(num) * (col("na") + col("nb") - upper)
+    // lower bound already clears the threshold -> pass without recomputation
+    val exact = joined.filter(lowerPasses).select(col("a_id"), col("b_id"))
+    // bounds straddle the threshold -> recompute from text (narrow band)
+    val fuzzy = verifyJaccard(
+      joined.filter(!lowerPasses && upperPasses).select(col("a_id"), col("b_id")),
+      texts, n, num, den)
+    exact.unionByName(fuzzy)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the texts —

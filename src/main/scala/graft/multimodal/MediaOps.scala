@@ -147,6 +147,40 @@ object MediaOps {
       .agg(count(lit(1)).cast("int").as("n_files"),
         (sum(col("duration_ms")) / 1000.0).as("total_duration"))
 
+  /** Tag-metadata normalization (_get_metadata, audio_converters.py:133-176):
+    * per container the raw tag keys map into the reference's metadata dict —
+    * mp3 translates ID3 frames (TIT2/TPE1/TALB/TDRC/TCON/TRCK) and reports
+    * bitrate; flac uses lowercase vorbis keys and reports bits_per_sample;
+    * ogg vorbis keys with bitrate. Missing tags default to '' (the
+    * reference's `[''][0]`), unknown containers yield an empty dict.
+    * Expected inputs: fmtCol ('.mp3'/'.flac'/'.ogg'), tagsCol
+    * map<string,string> of raw tags, and int columns bitrate, sample_rate,
+    * bits_per_sample. */
+  def audioMetadata(df: DataFrame, fmtCol: String, tagsCol: String): DataFrame = {
+    def tag(k: String): Column = coalesce(element_at(col(tagsCol), k), lit(""))
+    def info(c: String): Column = coalesce(col(c).cast("string"), lit(""))
+    val mp3 = map(
+      lit("title"), tag("TIT2"), lit("artist"), tag("TPE1"),
+      lit("album"), tag("TALB"), lit("year"), tag("TDRC"),
+      lit("genre"), tag("TCON"), lit("track"), tag("TRCK"),
+      lit("bitrate"), info("bitrate"), lit("sample_rate"), info("sample_rate"))
+    val flac = map(
+      lit("title"), tag("title"), lit("artist"), tag("artist"),
+      lit("album"), tag("album"), lit("date"), tag("date"),
+      lit("genre"), tag("genre"), lit("tracknumber"), tag("tracknumber"),
+      lit("bits_per_sample"), info("bits_per_sample"), lit("sample_rate"), info("sample_rate"))
+    val ogg = map(
+      lit("title"), tag("title"), lit("artist"), tag("artist"),
+      lit("album"), tag("album"), lit("date"), tag("date"),
+      lit("genre"), tag("genre"), lit("tracknumber"), tag("tracknumber"),
+      lit("bitrate"), info("bitrate"), lit("sample_rate"), info("sample_rate"))
+    df.withColumn("metadata",
+      when(lower(col(fmtCol)) === ".mp3", mp3)
+        .when(lower(col(fmtCol)) === ".flac", flac)
+        .when(lower(col(fmtCol)) === ".ogg", ogg)
+        .otherwise(map()))
+  }
+
   /** The audio result record shape (audio_converters.py:105-118). */
   def audioResult(df: DataFrame, idCol: String, formatTo: String): DataFrame =
     df.select(col(idCol),

@@ -30,9 +30,20 @@ object AsOfJoin {
     * from the same right row (a NULL inside a newer right row stays NULL
     * rather than being backfilled from an older row). NULL keys follow SQL
     * equality: they never match (right NULL-key rows are dropped; left
-    * NULL-key rows pass through unmatched), like DuckDB's ASOF LEFT JOIN. */
+    * NULL-key rows pass through unmatched), like DuckDB's ASOF LEFT JOIN.
+    *
+    * @param saltBuckets for skewed keys: left rows spread across S salt
+    *                    buckets (stable hash of the left timestamp) and the
+    *                    right side replicates into every bucket, so one hot
+    *                    key's window sort fans out over S tasks instead of
+    *                    pinning one. Results are identical for any S —
+    *                    each salted partition still sees every right row of
+    *                    its key. Cost: right side shuffles ×S; size S to
+    *                    the observed skew (1 = off, the default). */
   def asof(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
-           leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, valueCols: Seq[String],
+           saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets $saltBuckets")
     val leftCols = left.columns.toSeq
     val r0 = right
       .filter(col(rightKey).isNotNull)
@@ -48,12 +59,23 @@ object AsOfJoin {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(l0.columns.map(col): _*)
 
-    val w = Window.partitionBy(col("__k"))
+    val (lSalted, rSalted) =
+      if (saltBuckets == 1)
+        (l0.filter(col("__k").isNotNull).withColumn("__salt", lit(0)),
+          rAligned.withColumn("__salt", lit(0)))
+      else
+        (l0.filter(col("__k").isNotNull)
+          .withColumn("__salt", pmod(xxhash64(col("__ts")), lit(saltBuckets)).cast("int")),
+          rAligned.withColumn("__salt",
+            explode(sequence(lit(0), lit(saltBuckets - 1)))))
+
+    val w = Window.partitionBy(col("__k"), col("__salt"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l0.filter(col("__k").isNotNull).unionByName(rAligned)
+    val matched = lSalted.unionByName(rSalted)
       .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .drop("__salt")
     val out = matched.unionByName(l0.filter(col("__k").isNull))
     valueCols.foldLeft(out)((d, c) => d.withColumn(c, col("__v").getField(c)))
       .drop("__k", "__ts", "__side", "__v")

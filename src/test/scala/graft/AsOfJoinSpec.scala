@@ -37,6 +37,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       (5L, None)))     // key with no right side
   }
 
+  test("all value columns come from the SAME matched right row (no cross-row blending)") {
+    val left = Seq((1L, 1L, 30L)).toDF("event_id", "key", "ts")
+    val right = Seq(
+      (1L, 10L, Option("old_a"), Option("old_b")),
+      (1L, 20L, Option("new_a"), Option.empty[String]) // newest row has NULL b
+    ).toDF("rkey", "rts", "a", "b")
+    val out = AsOfJoin.asof(left, right, "key", "rkey", "ts", "rts", Seq("a", "b"))
+      .select("a", "b").as[(Option[String], Option[String])].head()
+    // b must be the newest row's NULL, never backfilled from the older row
+    assert(out == ((Some("new_a"), None)))
+  }
+
+  test("NULL keys never match (SQL equality), but left rows still pass through") {
+    val left = Seq((1L, Option(1L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("event_id", "key", "ts")
+    val right = Seq((Option(1L), 5L, "a"), (Option.empty[Long], 5L, "nullkey"))
+      .toDF("rkey", "rts", "tag")
+    val out = AsOfJoin.asof(left, right, "key", "rkey", "ts", "rts", Seq("tag"))
+      .select("event_id", "tag").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, Some("a")), (2L, None)))
+  }
+
+  test("salted variant returns identical results to the unsalted plan") {
+    val left = (0L until 200L).map(i => (i, i % 3, i % 40)).toDF("event_id", "key", "ts")
+    val right = (0L until 30L).map(i => (i % 3, i, s"tag$i")).toDF("rkey", "rts", "tag")
+    def run(s: Int) =
+      AsOfJoin.asof(left, right, "key", "rkey", "ts", "rts", Seq("tag"), saltBuckets = s)
+        .select("event_id", "tag").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(run(8) == run(1))
+  }
+
   test("asof join plan has a single shuffle (union + one window)") {
     val left = Seq((1L, 10L, 1)).toDF("event_id", "ts", "x").withColumn("key", $"event_id")
     val right = Seq((1L, 5L, "a")).toDF("rkey", "rts", "tag")

@@ -77,6 +77,25 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(bad == ((false, "Unknown filter: posterize", "Filter 'posterize' not found")))
   }
 
+  test("audio tag metadata normalizes per container, missing tags default empty") {
+    val rows = Seq(
+      (1L, ".mp3", Map("TIT2" -> "Song", "TPE1" -> "Band"), 320000, 44100, 0),
+      (2L, ".flac", Map("title" -> "Tune", "date" -> "1999"), 0, 48000, 24),
+      (3L, ".ogg", Map("artist" -> "Duo"), 192000, 44100, 0),
+      (4L, ".wav", Map("title" -> "ignored"), 0, 44100, 16)
+    ).toDF("id", "fmt", "tags", "bitrate", "sample_rate", "bits_per_sample")
+    val out = MediaOps.audioMetadata(rows, "fmt", "tags")
+      .select(col("id"), col("metadata")).as[(Long, Map[String, String])]
+      .collect().toMap
+    assert(out(1L)("title") == "Song" && out(1L)("artist") == "Band" &&
+      out(1L)("album") == "" && out(1L)("bitrate") == "320000")
+    assert(out(2L)("title") == "Tune" && out(2L)("date") == "1999" &&
+      out(2L)("bits_per_sample") == "24" && !out(2L).contains("bitrate"))
+    assert(out(3L)("artist") == "Duo" && out(3L)("tracknumber") == "" &&
+      out(3L)("bitrate") == "192000")
+    assert(out(4L).isEmpty) // unknown container -> empty dict (reference :174-176)
+  }
+
   test("audio: slice clamps, speedup divides, merge fold sums durations") {
     val a = Seq((1L, 90000L, 2, 44100), (1L, 30000L, 2, 44100), (2L, 10000L, 1, 22050))
       .toDF("id", "duration_ms", "channels", "frame_rate")
