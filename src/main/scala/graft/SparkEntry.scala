@@ -175,6 +175,15 @@ object SparkEntry {
           element_at(col("m"), "balance").cast("double").as("balance"))
         .orderBy("c_custkey")
     }),
+    // S12 keyvalue serialize: map column -> key=value lines (entry order)
+    "dc_keyvalue_serialize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          FormatCodecs.stringifyKeyValue(
+            map(lit("name"), col("c_name"),
+              lit("segment"), col("c_mktsegment"),
+              lit("balance"), col("c_acctbal").cast("string"))).as("kv"))
+        .orderBy("c_custkey")),
     "dc_split_merge" -> ((s, dir) => {
       val docs0 = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -204,6 +213,39 @@ object SparkEntry {
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k"))
         .orderBy("event_id")),
+
+    // ---- scalar-function surface (S4/P5/F5-F7/F9-F11) ----------------------
+    // One row per document exercising ext-normalize, kernel routing, the
+    // whitelist predicate, bytes-readable (three /1024 rungs), the binary
+    // probe (even rows valid UTF-8, odd rows carry a 0xFF byte), magic-byte
+    // mime and ISO timestamps; the oracle recomputes every column in SQL.
+    "fn_surface" -> ((s, dir) => {
+      import graft.functions.DocFunctions
+      val d = docs(s, dir)
+      val ext = when(col("doc_id") % 3 === 0, "PDF")
+        .when(col("doc_id") % 3 === 1, ".docx")
+        .otherwise("woff")
+      val badByte = lit(Array(0xff.toByte))
+      val payload = when(col("doc_id") % 2 === 0, col("text").cast("binary"))
+        .otherwise(concat(badByte, col("text").cast("binary")))
+      val mimePayload = when(col("doc_id") % 3 === 0, concat(lit("%PDF-"), col("text")).cast("binary"))
+        .when(col("doc_id") % 3 === 1, concat(lit("PK"), col("text")).cast("binary"))
+        .otherwise(concat(lit("plain "), col("text")).cast("binary"))
+      val isBin = udf((b: Array[Byte]) => DocFunctions.isBinaryBytes(b))
+      d.select(
+        col("doc_id"),
+        DocFunctions.normalizeExt(ext).as("ext_norm"),
+        DocFunctions.kernelFor(ext).as("kernel"),
+        DocFunctions.isSupported(ext, "input").as("in_whitelist"),
+        DocFunctions.bytesReadable(col("n_chars")).as("size_b"),
+        DocFunctions.bytesReadable(col("n_chars") * 1024L).as("size_kb"),
+        DocFunctions.bytesReadable(col("n_chars") * 1024L * 1024L).as("size_mb"),
+        isBin(payload).as("is_binary"),
+        DocFunctions.mimeGuess(mimePayload).as("mime"),
+        DocFunctions.isoTimestamp(
+          expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')")).as("iso_ts"))
+        .orderBy("doc_id")
+    }),
 
     // ---- text analysis (training-data tier) --------------------------------
     "ta_tokens" -> ((s, dir) => docs(s, dir)
@@ -283,6 +325,15 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // A4 ordered audio-merge fold over a constructed durations table
+    "mm_audio_merge" -> ((s, dir) =>
+      graft.multimodal.MediaOps.mergeDurations(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select((col("o_custkey") % 100).as("grp"),
+            (col("o_orderkey") % 10000).as("duration_ms")),
+        "grp")
+        .orderBy("grp")),
+
     // ---- multimodal plumbing (stubbed codec) -------------------------------
     "mm_decode_stub" -> ((s, dir) => {
       import s.implicits._
@@ -294,6 +345,38 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
           col("height"), col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // ---- resume manifest (S16 sink + J-a anti-join), oracled ---------------
+    // Runs the resumable pipeline TWICE into a fresh dir; the second run
+    // must be a no-op (asserted in-query), and the manifest's per-bucket doc
+    // counts must equal DuckDB's recomputation of the MD5 bucketing.
+    "pipeline_resume" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q_resume").toString
+      val pages = Corpus.materialize(s, dir)
+      graft.pipeline.ResumableRunner.run(s, pages, out, "q1", numBuckets = 64)
+      val second = graft.pipeline.ResumableRunner.run(s, pages, out, "q2", numBuckets = 64)
+      require(second.bucketsRun == 0, s"resume must be a no-op, got $second")
+      s.read.parquet(s"$out/manifest")
+        .select(col("partition_id").cast("int").as("partition_id"),
+          col("docs").cast("bigint").as("docs"))
+        .orderBy("partition_id")
+    }),
+
+    // ---- streaming surface (§2.8), oracled ---------------------------------
+    // AvailableNow drain of the corpus directory through the streaming
+    // kernel; per-format rollup must equal the batch extract_metrics oracle.
+    "stream_metrics" -> ((s, dir) => {
+      val inDir = Corpus.materializedDir(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_stream").toString
+      val q = graft.streaming.StreamingExtraction.run(s, inDir, tmp, s"$tmp/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/results")
+        .groupBy(col("format_from"))
+        .agg(count(lit(1)).cast("bigint").as("docs"),
+          sum(col("new_size")).cast("bigint").as("bytes_out"),
+          sum(when(!col("success"), 1L).otherwise(0L)).cast("bigint").as("failures"))
+        .orderBy("format_from")
     }),
 
     // ---- relational coverage (§2.3 joins / §2.4 aggs / §2.5 windows) -------
@@ -452,6 +535,39 @@ object SparkEntry {
         "'  \"createdAt\": \"2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || '\",' || chr(10) || " +
         "'  \"active\": ' || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || chr(10) || " +
         "'}' AS js FROM customer ORDER BY c_custkey"),
+    "fn_surface" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx' ELSE '.woff' END AS ext_norm, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' ELSE 'woff' END AS kernel, " +
+        "(doc_id % 3 = 1) AS in_whitelist, " +
+        "printf('%.2f B', CAST(n_chars AS DOUBLE)) AS size_b, " +
+        "printf('%.2f KB', CAST(n_chars AS DOUBLE)) AS size_kb, " +
+        "printf('%.2f MB', CAST(n_chars AS DOUBLE)) AS size_mb, " +
+        "(doc_id % 2 = 1) AS is_binary, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'application/pdf' " +
+        "WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document' " +
+        "ELSE 'application/octet-stream' END AS mime, " +
+        "strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts " +
+        "FROM documents ORDER BY doc_id"),
+    "dc_keyvalue_serialize" ->
+      ("SELECT c_custkey, 'name=' || c_name || chr(10) || 'segment=' || c_mktsegment || " +
+        "chr(10) || 'balance=' || CAST(c_acctbal AS VARCHAR) AS kv " +
+        "FROM customer ORDER BY c_custkey"),
+    "mm_audio_merge" ->
+      ("SELECT o_custkey % 100 AS grp, CAST(count(*) AS INT) AS n_files, " +
+        "sum(o_orderkey % 10000) / 1000.0 AS total_duration " +
+        "FROM orders GROUP BY 1 ORDER BY grp"),
+    "pipeline_resume" ->
+      ("WITH urls AS (SELECT 'https://' || source || '.example.org/' || lang || '/doc' || " +
+        "CAST(doc_id AS VARCHAR) AS url FROM documents) " +
+        "SELECT CAST(CAST(CONCAT('0x', substring(md5(url), 1, 8)) AS UBIGINT) % 64 AS INT) " +
+        "AS partition_id, CAST(count(*) AS BIGINT) AS docs " +
+        "FROM urls GROUP BY 1 ORDER BY partition_id"),
+    "stream_metrics" ->
+      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
+        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
+        "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
+        "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
     "ta_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
         "CAST(n_chars AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),

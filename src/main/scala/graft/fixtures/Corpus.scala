@@ -92,6 +92,12 @@ object Corpus {
     * Verify/Bench queries share one parquet. Deterministic, so caching is safe. */
   def materialize(spark: SparkSession, sfDir: String, skewHost: Boolean = false): Dataset[WebPage] = {
     import spark.implicits._
+    spark.read.parquet(materializedDir(spark, sfDir, skewHost)).as[WebPage]
+  }
+
+  /** Same cache as [[materialize]] but returns the parquet DIRECTORY — the
+    * input shape the streaming file source needs. */
+  def materializedDir(spark: SparkSession, sfDir: String, skewHost: Boolean = false): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
       (if (skewHost) "_skew" else "") + s"_$fixtureVersion"
     val dir = s"${sys.props("java.io.tmpdir")}/graft_webpages_$key"
@@ -101,6 +107,6 @@ object Corpus {
         .repartition(32)
         .write.mode("overwrite").parquet(dir)
     }
-    spark.read.parquet(dir).as[WebPage]
+    dir
   }
 }

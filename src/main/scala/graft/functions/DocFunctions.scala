@@ -25,7 +25,7 @@ object DocFunctions {
     * whitelists kept for API parity (callers gate batch inputs on these —
     * the Spark analog of `GET /api/formats/document`, server.py:31-33). */
   val supportedFormats: Map[String, Seq[String]] = Map(
-    "payload" -> Seq("html", "pdf", "txt"),
+    "payload" -> Seq("html", "pdf", "docx", "txt"),
     "input" -> Seq(
       ".txt", ".rtf", ".doc", ".docx", ".odt", ".ott", ".sxw",
       ".xls", ".xlsx", ".ods", ".ots", ".csv",
@@ -59,6 +59,7 @@ object DocFunctions {
     val e = normalizeExt(ext)
     when(e.isin(".html", ".htm", ".xml", ".xhtml"), "html")
       .when(e === ".pdf", "pdf")
+      .when(e === ".docx", "docx")
       .otherwise(regexp_replace(e, "^\\.", ""))
   }
 
@@ -103,6 +104,8 @@ object DocFunctions {
   def mimeGuess(bin: Column): Column = {
     val prefix = substring(bin, 1, 256).cast("string")
     when(startswith(prefix, lit("%PDF-")), "application/pdf")
+      .when(startswith(prefix, lit("PK")),
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
       .when(prefix.contains("<"), "text/html")
       .otherwise("application/octet-stream")
   }
