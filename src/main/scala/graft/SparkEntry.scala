@@ -247,6 +247,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S4 formats catalog as rows (the GET /api/formats analog)
+    "fn_formats" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.DocFunctions.supportedFormats.toSeq
+        .flatMap { case (direction, exts) => exts.map(direction -> _) }
+        .toDF("direction", "ext")
+        .orderBy("direction", "ext")
+    }),
+
     // ---- text analysis (training-data tier) --------------------------------
     "ta_tokens" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"),
@@ -535,6 +544,20 @@ object SparkEntry {
         "'  \"createdAt\": \"2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || '\",' || chr(10) || " +
         "'  \"active\": ' || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || chr(10) || " +
         "'}' AS js FROM customer ORDER BY c_custkey"),
+    "fn_formats" ->
+      ("SELECT direction, ext FROM (VALUES ('input', '.txt'), ('input', '.rtf'), " +
+        "('input', '.doc'), ('input', '.docx'), ('input', '.odt'), ('input', '.ott'), " +
+        "('input', '.sxw'), ('input', '.xls'), ('input', '.xlsx'), ('input', '.ods'), " +
+        "('input', '.ots'), ('input', '.csv'), ('input', '.ppt'), ('input', '.pptx'), " +
+        "('input', '.odp'), ('input', '.otp'), ('input', '.pub'), ('input', '.html'), " +
+        "('input', '.htm'), ('input', '.xml'), ('input', '.epub'), ('input', '.fodt'), " +
+        "('input', '.fods'), ('input', '.fodp'), ('output', '.pdf'), ('output', '.txt'), " +
+        "('output', '.rtf'), ('output', '.doc'), ('output', '.docx'), ('output', '.odt'), " +
+        "('output', '.html'), ('output', '.xml'), ('output', '.xls'), ('output', '.xlsx'), " +
+        "('output', '.ods'), ('output', '.csv'), ('output', '.ppt'), ('output', '.pptx'), " +
+        "('output', '.odp'), ('output', '.epub'), ('payload', 'html'), ('payload', 'pdf'), " +
+        "('payload', 'docx'), ('payload', 'txt')) AS t(direction, ext) " +
+        "ORDER BY direction, ext"),
     "fn_surface" ->
       ("SELECT doc_id, " +
         "CASE doc_id % 3 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx' ELSE '.woff' END AS ext_norm, " +
