@@ -301,6 +301,15 @@ object SparkEntry {
       Dedup.minhashLshPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
+    "dedup_exact_survivors" -> ((s, dir) =>
+      Dedup.exactDupSurvivors(dupCorpus(s, dir), "id", "text").orderBy("id")),
+    // cluster labels: min reachable id through the (LSH-found, exactly
+    // verified) near-dup pairs; oracle recomputes via a recursive CTE
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "id", "text")
+      Dedup.nearDupClusters(corpus.select("id"), pairs).orderBy("id")
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(nearDupVectors(s, dir), "vec_id", "v", 0.9)
         .orderBy("a_id", "b_id")),
@@ -611,6 +620,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_exact_survivors" ->
+      ("WITH c AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT CAST(min(id) AS BIGINT) AS id FROM c GROUP BY text ORDER BY id"),
+    "dedup_clusters" ->
+      ("WITH RECURSIVE " + jaccardCorpusAndPairs + ", " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(id, r) AS (SELECT id, id FROM corpus " +
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst) " +
+        "SELECT id, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY id ORDER BY id"),
     "ta_langid" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS docs, " +
         "CAST(count(*) AS BIGINT) AS correct FROM documents GROUP BY lang ORDER BY lang"),
@@ -681,10 +701,10 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt")
   )
 
-  /** Shared oracle for the two jaccard-threshold dedup queries: exhaustive
-    * word-3-gram Jaccard >= 4/5 via integer cross-multiplication. */
-  private val jaccardOracle: String =
-    "WITH corpus AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
+  /** Shared CTE body: the near-dup verification corpus and its exhaustive
+    * word-3-gram Jaccard >= 4/5 pair set (integer cross-multiplication). */
+  private val jaccardCorpusAndPairs: String =
+    "corpus AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
       "SELECT doc_id + 100000 AS id, " +
       "array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 50 != 0), ' ') AS text " +
       "FROM documents WHERE doc_id % 5 = 0), " +
@@ -694,10 +714,14 @@ object SparkEntry {
       "FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i) t), " +
       "n AS (SELECT id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY id), " +
       "inter AS (SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS i " +
-      "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2) " +
-      "SELECT i.a_id, i.b_id FROM inter i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2), " +
+      "pairs AS (SELECT i.a_id, i.b_id FROM inter i " +
       "JOIN n na ON na.id = i.a_id JOIN n nb ON nb.id = i.b_id " +
-      "WHERE 5 * i.i >= 4 * (na.ns + nb.ns - i.i) ORDER BY a_id, b_id"
+      "WHERE 5 * i.i >= 4 * (na.ns + nb.ns - i.i))"
+
+  /** Shared oracle for the two jaccard-threshold dedup queries. */
+  private val jaccardOracle: String =
+    s"WITH $jaccardCorpusAndPairs SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"
 
   /** ANN recall gate oracle: every query id must clear the recall floor. */
   private val annRecallOracle: String =

@@ -149,6 +149,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Keep-first exact dedup: the surviving corpus — one row (the minimum
+    * id) per distinct text. One shuffle on the digest. */
+  def exactDupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("id"))
+      .select("id")
+
+  /** Connected-component cluster labels over a near-dup pair set: every id
+    * maps to the MINIMUM id reachable through pairs (its cluster
+    * representative); singletons label themselves.
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the per-node minimum; converges in O(cluster diameter)
+    * rounds — near-dup clusters are shallow (dupes of a common source), so
+    * a few rounds suffice at any corpus size. Each round is one shuffle;
+    * lineage is truncated per round (localCheckpoint) so the plan does not
+    * grow with iterations — the standard Spark iterative-algorithm shape.
+    * maxIters is a diameter backstop, not a tuning knob. */
+  def nearDupClusters(ids: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col("id").cast("long").as("id"))
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   val minhashPerms = 64

@@ -98,6 +98,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(chunked == single)
   }
 
+  test("near-dup clusters: labels are transitive min-ids, singletons self-label") {
+    val ids = (1L to 8L).toDF("id")
+    // chain 2-5-7 plus pair 3-8; 1,4,6 singletons
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 8L)).toDF("a_id", "b_id")
+    val labels = Dedup.nearDupClusters(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 7L -> 2L,
+      3L -> 3L, 8L -> 3L, 4L -> 4L, 6L -> 6L))
+  }
+
   test("hot-shingle DF cutoff leaves threshold-passing pairs intact") {
     // every doc shares one ultra-hot shingle; true near-dups still share
     // plenty of non-hot shingles, so the candidate pruning must not change
