@@ -175,6 +175,19 @@ object SparkEntry {
           element_at(col("m"), "balance").cast("double").as("balance"))
         .orderBy("c_custkey")
     }),
+    // A2/S10 header union: the csv-serialize header rule (sorted union of
+    // all rows' keys) over a corpus whose rows carry different key sets
+    "dc_header_union" -> ((s, dir) => {
+      import s.implicits._
+      val maps = s.read.parquet(s"$dir/customer.parquet").select(
+        when(col("c_custkey") % 3 === 0,
+          map(lit("name"), col("c_name"), lit("segment"), col("c_mktsegment")))
+          .when(col("c_custkey") % 3 === 1,
+            map(lit("name"), col("c_name"), lit("balance"), col("c_acctbal").cast("string")))
+          .otherwise(map(lit("nation"), col("c_nationkey").cast("string"))).as("m"))
+      FormatCodecs.headerUnion(maps, "m").toDF("header")
+    }),
+
     // S12 keyvalue serialize: map column -> key=value lines (entry order)
     "dc_keyvalue_serialize" -> ((s, dir) =>
       s.read.parquet(s"$dir/customer.parquet")
@@ -581,6 +594,9 @@ object SparkEntry {
         "ELSE 'application/octet-stream' END AS mime, " +
         "strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts " +
         "FROM documents ORDER BY doc_id"),
+    "dc_header_union" ->
+      ("SELECT header FROM (VALUES ('balance'), ('name'), ('nation'), ('segment')) " +
+        "AS t(header) ORDER BY header"),
     "dc_keyvalue_serialize" ->
       ("SELECT c_custkey, 'name=' || c_name || chr(10) || 'segment=' || c_mktsegment || " +
         "chr(10) || 'balance=' || CAST(c_acctbal AS VARCHAR) AS kv " +

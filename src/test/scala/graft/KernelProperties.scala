@@ -36,11 +36,21 @@ object KernelProperties extends Properties("kernels") {
       r.success && r.text == page.text
     }
 
+  property("docx writer/extractor roundtrip over arbitrary paragraphs x all variants") = {
+    val paragraphs = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, text))
+    val variant = Gen.chooseNum(0, graft.fixtures.DocxWriter.numVariants - 1)
+    forAll(paragraphs, variant) { (ps, v) =>
+      val bytes = graft.fixtures.DocxWriter.generate(ps, v)
+      graft.extract.docx.DocxExtractor.extract(bytes) == ps.mkString("\n")
+    }
+  }
+
   property("extraction is total on arbitrary bytes (never throws, always a row)") = {
     val raw = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
     val payload = Gen.oneOf(
       raw,
       raw.map("%PDF-".getBytes(StandardCharsets.ISO_8859_1) ++ _),
+      raw.map(Array[Byte]('P', 'K', 3, 4) ++ _),
       raw.map("<html><body>".getBytes(StandardCharsets.UTF_8) ++ _))
     forAll(payload) { bytes =>
       val r = Extractor.extractOne(WebPage("u", ts, bytes, "", "en"), 0)
