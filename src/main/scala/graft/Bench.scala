@@ -204,9 +204,11 @@ object Bench {
       def cutRun() = time(graft.dedup.Dedup.ngramJaccardPairs(docs, "id", "text").count())
       def noCutRun() = time(
         graft.dedup.Dedup.ngramJaccardPairs(docs, "id", "text", maxDf = Long.MaxValue).count())
-      cutRun() // JIT warmup on the cheap arm
+      // symmetric protocol (same as the host-skew bench): warm both arms,
+      // then best-of-2 per arm
+      cutRun(); noCutRun()
       val cut = math.min(cutRun(), cutRun())
-      val noCut = noCutRun()
+      val noCut = math.min(noCutRun(), noCutRun())
       s.stop()
       f""","shingle_skew":{"docs":2000,"cutoff_sec":$cut%.2f,"no_cutoff_sec":$noCut%.2f,"speedup":${noCut / cut}%.2f}"""
     }

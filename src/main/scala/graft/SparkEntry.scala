@@ -71,6 +71,24 @@ object SparkEntry {
     orig.unionByName(pert)
   }
 
+  /** Scratch dir for queries that must write output: ONE fixed location per
+    * (purpose, sfDir), wiped before each use — repeated Verify/Bench/test
+    * invocations reuse it instead of accumulating createTempDirectory
+    * litter, and a fresh start also guarantees the resume/streaming
+    * semantics the queries assert (first run from empty state). */
+  private def freshScratchDir(purpose: String, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"${purpose}_$key")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
+  }
+
   private def v1FromCustomer(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/customer.parquet").select(
       col("c_custkey"),
@@ -383,7 +401,7 @@ object SparkEntry {
     // must be a no-op (asserted in-query), and the manifest's per-bucket doc
     // counts must equal DuckDB's recomputation of the MD5 bucketing.
     "pipeline_resume" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q_resume").toString
+      val out = freshScratchDir("graft_q_resume", dir)
       val pages = Corpus.materialize(s, dir)
       graft.pipeline.ResumableRunner.run(s, pages, out, "q1", numBuckets = 64)
       val second = graft.pipeline.ResumableRunner.run(s, pages, out, "q2", numBuckets = 64)
@@ -399,7 +417,7 @@ object SparkEntry {
     // kernel; per-format rollup must equal the batch extract_metrics oracle.
     "stream_metrics" -> ((s, dir) => {
       val inDir = Corpus.materializedDir(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q_stream").toString
+      val tmp = freshScratchDir("graft_q_stream", dir)
       val q = graft.streaming.StreamingExtraction.run(s, inDir, tmp, s"$tmp/ckpt")
       q.awaitTermination()
       s.read.parquet(s"$tmp/results")

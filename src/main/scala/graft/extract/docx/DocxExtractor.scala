@@ -82,8 +82,14 @@ object DocxExtractor {
         else {
           val tag = xml.substring(i + 1, close)
           if (tag.startsWith("w:t") && (tag.length == 3 || !isNameChar(tag.charAt(3)))) {
-            if (tag.endsWith("/")) () // empty <w:t/>: no text
-            else inT = true
+            if (tag.endsWith("/")) () // empty <w:t/>: no text run
+            else {
+              inT = true
+              // an open/close <w:t></w:t> pair IS a (zero-char) text run:
+              // the paragraph must still emit its (empty) line, so that an
+              // empty source paragraph round-trips instead of vanishing
+              paraHasRun = true
+            }
           } else if (tag == "/w:t") {
             inT = false
           } else if (tag.startsWith("w:p") && (tag.length == 3 || !isNameChar(tag.charAt(3)))) {
@@ -97,11 +103,9 @@ object DocxExtractor {
         if (c == '&') {
           val (decoded, next) = entity(xml, i)
           para.append(decoded)
-          paraHasRun = true
           i = next
         } else {
           para.append(c)
-          paraHasRun = true
           i += 1
         }
       } else i += 1

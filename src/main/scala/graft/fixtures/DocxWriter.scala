@@ -58,8 +58,9 @@ object DocxWriter {
         s"<w:r>$props${wt(frag)}</w:r>"
       }.toSeq
     case 2 =>
-      // split mid-word-ish: fixed-width 11-char fragments regardless of spaces
-      val frags = paragraph.grouped(11).toSeq
+      // split mid-word-ish: fixed-width 11-char fragments regardless of
+      // spaces; an empty paragraph still gets its one (empty) run
+      val frags = if (paragraph.isEmpty) Seq("") else paragraph.grouped(11).toSeq
       frags.map(f => s"<w:r>${wt(f)}</w:r>")
     case _ => throw new IllegalArgumentException(s"variant $variant")
   }

@@ -71,15 +71,21 @@ object Similarity {
     * log2(n / 32), clamped to [2, 24] — expected bucket ≈ 32 vectors at ANY
     * corpus size, so per-bucket exact work stays constant as n grows
     * (10^9 vectors → 24-bit codes); a fixed code length would either
-    * degenerate to brute force at scale or to empty buckets at test scale. */
+    * degenerate to brute force at scale or to empty buckets at test scale.
+    * Auto-sizing needs the corpus count: pass corpusSize when the caller
+    * already knows it (table stats), else ONE count job runs eagerly at
+    * call time — callers that only want the plan should supply it. */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, tables: Int = 16, planes: Int = 0): DataFrame = {
+             vecCol: String, k: Int, tables: Int = 16, planes: Int = 0,
+             corpusSize: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes0 =
       if (planes > 0) planes
-      else math.max(2, math.min(24,
-        math.ceil(math.log(corpus.count() / 32.0) / math.log(2)).toInt))
+      else {
+        val n = if (corpusSize >= 0) corpusSize else corpus.count()
+        math.max(2, math.min(24, math.ceil(math.log(n / 32.0) / math.log(2)).toInt))
+      }
     def bucketize(df: DataFrame, id: String, out: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(out)).as[(Long, Array[Float])]
         .flatMap { case (i, v) =>

@@ -59,6 +59,14 @@ class DocxSpec extends AnyFunSuite {
     }
   }
 
+  test("empty paragraphs round-trip as empty lines (every variant)") {
+    val paras = Vector("alpha bravo", "", "charlie")
+    for (v <- 0 until DocxWriter.numVariants) {
+      val got = DocxExtractor.extract(DocxWriter.generate(paras, v))
+      assert(got == "alpha bravo\n\ncharlie", s"variant $v: ${got.replace("\n", "\\n")}")
+    }
+  }
+
   test("writer output is byte-deterministic") {
     val paras = Vector("one two three", "four five six")
     for (v <- 0 until DocxWriter.numVariants) {

@@ -79,7 +79,15 @@ class PlanSpec extends AnyFunSuite {
     // never duplicated or shuffled); every other query must stay clear of
     // all-pairs join shapes.
     val bnljAllowed = Set("sim_topk", "sim_ann_lsh", "sim_ann_ivf")
-    for ((name, fn) <- SparkEntry.queries) {
+    // These queries EXECUTE at DataFrame-construction time (the resumable
+    // pipeline runs twice, the streaming drain awaits termination, label
+    // propagation iterates, headerUnion collects) and return a trivial
+    // read of already-written output — asserting on that read would burn
+    // minutes per `sbt test` without inspecting the heavy jobs. Their join
+    // shapes are covered by their own specs.
+    val eagerExcluded = Set("pipeline_resume", "stream_metrics",
+      "dedup_clusters", "dc_header_union")
+    for ((name, fn) <- SparkEntry.queries if !eagerExcluded(name)) {
       val plan = planString(fn(spark, sfDir))
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       if (!bnljAllowed(name))
