@@ -428,6 +428,20 @@ object SparkEntry {
         .orderBy("format_from")
     }),
 
+    // flatMapGroupsWithState sessionization, batch mode: one invocation per
+    // user with all events + empty state — must equal the window/lag SQL
+    "stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("ts"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessionStats(events).toDF()
+        .select(col("user_id"), col("sessions").cast("bigint").as("sessions"),
+          col("events").cast("bigint").as("events"))
+        .orderBy("user_id")
+    }),
+
     // ---- relational coverage (§2.3 joins / §2.4 aggs / §2.5 windows) -------
     // Money sums as integer cents (round(x*100) -> BIGINT): bit-exact and
     // hash-representation-proof vs the oracle — DECIMAL physical encodings
@@ -700,6 +714,12 @@ object SparkEntry {
       ("WITH r AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
         "FROM orders) SELECT o_custkey, o_orderkey, latest_date FROM r WHERE rn = 1 ORDER BY o_custkey"),
+    "stream_sessions" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR " +
+        "date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions, " +
+        "CAST(count(*) AS BIGINT) AS events FROM x GROUP BY user_id ORDER BY user_id"),
     "rel_events_sessions" ->
       ("WITH x AS (SELECT user_id, ts, event_id, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +

@@ -40,6 +40,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("flatMapGroupsWithState sessionization: state carries across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Event
+
+    def ev(id: Long, user: Long, sec: Long) =
+      Event(id, user, new java.sql.Timestamp(sec * 1000))
+    // user 1: three sessions split across the batch boundary (gap > 1800
+    // spans batches — only carried state can see it); user 2: one session
+    val batch1 = Seq(ev(1, 1, 0), ev(2, 1, 100), ev(3, 1, 5000), ev(4, 2, 0))
+    val batch2 = Seq(ev(5, 1, 5100), ev(6, 1, 20000), ev(7, 2, 1800))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Sessionize.sessionStats(stream.toDS()).writeStream
+      .format("memory").queryName("sess_test").outputMode("update").start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest update per user
+    val latest = spark.table("sess_test")
+      .groupBy("user_id").agg(max(struct(col("events"), col("sessions"))).as("s"))
+      .select(col("user_id"), col("s.sessions"), col("s.events"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, s, e) => u -> ((s, e)) }.toMap
+    assert(latest(1L) == ((3L, 5L)), s"user 1: $latest") // gaps at 5000 and 20000
+    assert(latest(2L) == ((1L, 2L)), s"user 2: $latest") // 1800 is NOT > 1800
+
+    // and batch mode over the union equals the same state machine
+    val batchRes = Sessionize.sessionStats((batch1 ++ batch2).toDS())
+      .as[Sessionize.UserSessions].collect()
+      .map(u => u.user_id -> ((u.sessions, u.events))).toMap
+    assert(batchRes == latest)
+  }
+
   test("windowed ingest metrics aggregate by event-time window and lang") {
     val pages = Corpus.materialize(spark, "/root/testdata/sf0.001")
     // batch execution of the same streaming aggregation plan
