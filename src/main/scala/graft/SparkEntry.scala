@@ -133,6 +133,37 @@ object SparkEntry {
         sum(when(!col("success"), 1L).otherwise(0L)).cast("bigint").as("failures"))
       .orderBy("format_from")),
 
+    // PPTX/XLSX byte-identity: payloads synthesized per doc inside the
+    // query (corpus routing stays docx), extracted, refined kind asserted,
+    // newline-respaced text must equal the source document exactly
+    "extract_pptx" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
+          val bytes = graft.fixtures.PptxWriter.generate(
+            paras, (id % graft.fixtures.PptxWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"pptx$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+    "extract_xlsx" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
+          // variants 0 (shared strings) and 2 (inline, stored archive):
+          // the ones whose cell layout reproduces the paragraphs verbatim
+          val bytes = graft.fixtures.XlsxWriter.generate(paras, (id % 2).toInt * 2)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"xlsx$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- structured-data conversion (K4, S5-S12, F1-F4, P1-P4) -------------
     "dc_v1_to_v2" -> ((s, dir) =>
       VersionMappers.mapVersion(v1FromCustomer(s, dir), "v1", "v2", keep = Seq("c_custkey"))
@@ -551,6 +582,12 @@ object SparkEntry {
         "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
         "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
         "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
+    "extract_pptx" ->
+      ("SELECT doc_id, 'pptx' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_xlsx" ->
+      ("SELECT doc_id, 'xlsx' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
     "dc_v1_to_v2" ->
       ("SELECT c_custkey, " +
         "trim('Cust' || ' ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS full_name, " +

@@ -17,8 +17,10 @@ import graft.model.{ExtractionResult, WebPage}
 object Extractor {
 
   /** Magic-prefix format sniffing (replaces file-extension routing):
-    * `%PDF-` -> pdf; `PK\x03\x04` (OOXML zip package) -> docx; a '<' byte
-    * in the first 1024 bytes -> html; else txt. */
+    * `%PDF-` -> pdf; `PK\x03\x04` -> "docx" (the OOXML-container token —
+    * magic bytes cannot tell docx/pptx/xlsx apart; extractOne refines the
+    * kind from package content); a '<' byte in the first 1024 bytes ->
+    * html; else txt. */
   def sniffFormat(bytes: Array[Byte]): String = {
     if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
@@ -43,7 +45,7 @@ object Extractor {
     * a new format cannot be wired into one path and missed in another. */
   def extractByFormat(fmt: String, bytes: Array[Byte]): String = fmt match {
     case "pdf" => PdfParser.extract(bytes)
-    case "docx" => graft.extract.docx.DocxExtractor.extract(bytes)
+    case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)._2
     case "html" => HtmlExtractor.extract(bytes)
     case _ => Charsets.decode(bytes)
   }
@@ -63,8 +65,12 @@ object Extractor {
           original_size = bytes.length.toLong, new_size = 0L,
           error = s"payload ${bytes.length} bytes exceeds cap $maxPayloadBytes",
           partition_id = partitionId)
-      val text = extractByFormat(fmt, bytes)
-      ExtractionResult(page.url, success = true, text = text, format_from = fmt,
+      // OOXML containers refine to their actual kind (docx/pptx/xlsx) from
+      // package content during extraction
+      val (fmtRefined, text) =
+        if (fmt == "docx") graft.extract.ooxml.OoxmlExtractor.extract(bytes)
+        else (fmt, extractByFormat(fmt, bytes))
+      ExtractionResult(page.url, success = true, text = text, format_from = fmtRefined,
         original_size = bytes.length.toLong,
         new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,
         error = "", partition_id = partitionId)

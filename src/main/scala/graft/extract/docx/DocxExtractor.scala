@@ -30,26 +30,34 @@ object DocxExtractor {
   }
 
   /** Stream the zip and return one entry's bytes (bounded by maxPartBytes). */
-  def readPart(zipBytes: Array[Byte], name: String): Option[Array[Byte]] = {
+  def readPart(zipBytes: Array[Byte], name: String): Option[Array[Byte]] =
+    readParts(zipBytes, _ == name).headOption.map(_._2)
+
+  /** Stream the zip once and return every entry whose name satisfies the
+    * predicate (each bounded by maxPartBytes), in archive order. */
+  def readParts(zipBytes: Array[Byte],
+                wanted: String => Boolean): Seq[(String, Array[Byte])] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    val acc = Seq.newBuilder[(String, Array[Byte])]
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName == name) {
+        if (wanted(e.getName)) {
           val out = new java.io.ByteArrayOutputStream(8192)
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
           while (n >= 0) {
             out.write(buf, 0, n)
             if (out.size() > maxPartBytes)
-              throw new IllegalArgumentException(s"$name inflates past $maxPartBytes bytes")
+              throw new IllegalArgumentException(
+                s"${e.getName} inflates past $maxPartBytes bytes")
             n = zin.read(buf)
           }
-          return Some(out.toByteArray)
+          acc += e.getName -> out.toByteArray
         }
         e = zin.getNextEntry
       }
-      None
+      acc.result()
     } finally zin.close()
   }
 
@@ -57,7 +65,12 @@ object DocxExtractor {
     * the current paragraph; `</w:p>` (or a self-closing `<w:p/>`) emits it.
     * Paragraphs with no text runs (empty `<w:p/>`, pure-property paras)
     * produce no line. */
-  def extractDocumentXml(xml: String): String = {
+  def extractDocumentXml(xml: String): String = extractRuns(xml, "w:p", "w:t")
+
+  /** The generalized paragraph/run scanner — WordprocessingML uses
+    * (w:p, w:t), DrawingML slides (a:p, a:t); same grammar, different
+    * names. */
+  def extractRuns(xml: String, pTag: String, tTag: String): String = {
     val out = new StringBuilder
     val para = new StringBuilder
     var paraHasRun = false
@@ -74,6 +87,9 @@ object DocxExtractor {
       paraHasRun = false
     }
 
+    def isTag(tag: String, name: String): Boolean =
+      tag.startsWith(name) && (tag.length == name.length || !isNameChar(tag.charAt(name.length)))
+
     while (i < n) {
       val c = xml.charAt(i)
       if (c == '<') {
@@ -81,7 +97,7 @@ object DocxExtractor {
         if (close < 0) { i = n } // truncated tag: stop
         else {
           val tag = xml.substring(i + 1, close)
-          if (tag.startsWith("w:t") && (tag.length == 3 || !isNameChar(tag.charAt(3)))) {
+          if (isTag(tag, tTag)) {
             if (tag.endsWith("/")) () // empty <w:t/>: no text run
             else {
               inT = true
@@ -90,11 +106,11 @@ object DocxExtractor {
               // empty source paragraph round-trips instead of vanishing
               paraHasRun = true
             }
-          } else if (tag == "/w:t") {
+          } else if (tag == s"/$tTag") {
             inT = false
-          } else if (tag.startsWith("w:p") && (tag.length == 3 || !isNameChar(tag.charAt(3)))) {
+          } else if (isTag(tag, pTag)) {
             if (tag.endsWith("/")) endParagraph() // self-closing <w:p/>
-          } else if (tag == "/w:p") {
+          } else if (tag == s"/$pTag") {
             endParagraph()
           }
           i = close + 1

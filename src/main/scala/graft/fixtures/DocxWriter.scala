@@ -1,9 +1,6 @@
 package graft.fixtures
 
-import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets
-import java.time.LocalDateTime
-import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+import graft.fixtures.OoxmlZip.xmlEscape
 
 /** Minimal deterministic DOCX generator for the golden-fixture corpus —
   * same pattern as [[PdfWriter]]. DOCX is the reference's flagship input
@@ -27,17 +24,6 @@ import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
 object DocxWriter {
 
   val numVariants = 4
-
-  private def xmlEscape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
 
   /** One `<w:t>` element; space-preserving iff the fragment has an edge
     * space (mid-word splits in variant 2 produce those). */
@@ -112,13 +98,8 @@ object DocxWriter {
       """<w:fonts xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
       """<w:font w:name="Liberation Serif"><w:charset w:val="00"/></w:font></w:fonts>"""
 
-  // fixed entry timestamp (local-time API: DOS-time conversion is
-  // timezone-independent this way) — byte-deterministic archives
-  private val entryTime = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
-
   /** Generate a complete DOCX package for the given paragraphs. */
   def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
-    val store = variant == 2
     val entries = Seq(
       "[Content_Types].xml" -> contentTypes,
       "_rels/.rels" -> rels) ++
@@ -126,27 +107,6 @@ object DocxWriter {
         "word/fontTable.xml" -> fontTableXml)
       else Seq.empty) ++
       Seq("word/document.xml" -> documentXml(paragraphs, variant))
-
-    val out = new ByteArrayOutputStream(4096)
-    val zip = new ZipOutputStream(out)
-    zip.setMethod(if (store) ZipOutputStream.STORED else ZipOutputStream.DEFLATED)
-    entries.foreach { case (name, content) =>
-      val bytes = content.getBytes(StandardCharsets.UTF_8)
-      val e = new ZipEntry(name)
-      e.setTimeLocal(entryTime)
-      if (store) {
-        val crc = new CRC32(); crc.update(bytes)
-        e.setMethod(ZipEntry.STORED)
-        e.setSize(bytes.length.toLong)
-        e.setCompressedSize(bytes.length.toLong)
-        e.setCrc(crc.getValue)
-      }
-      zip.putNextEntry(e)
-      zip.write(bytes)
-      zip.closeEntry()
-    }
-    zip.finish()
-    zip.close()
-    out.toByteArray
+    OoxmlZip.write(entries, store = variant == 2)
   }
 }
