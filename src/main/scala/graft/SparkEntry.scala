@@ -164,6 +164,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "extract_rtf" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = graft.fixtures.RtfWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t),
+            (id % graft.fixtures.RtfWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"rtf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+    "extract_odf" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val kind = Seq("odt", "odp", "ods")((id % 3).toInt)
+          // variants 0-2 preserve the paragraph layout for every kind
+          val bytes = graft.fixtures.OdfWriter.generate(
+            kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 3) % 3).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"odf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- structured-data conversion (K4, S5-S12, F1-F4, P1-P4) -------------
     "dc_v1_to_v2" -> ((s, dir) =>
       VersionMappers.mapVersion(v1FromCustomer(s, dir), "v1", "v2", keep = Seq("c_custkey"))
@@ -582,6 +610,13 @@ object SparkEntry {
         "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
         "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
         "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
+    "extract_rtf" ->
+      ("SELECT doc_id, 'rtf' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_odf" ->
+      ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'odt' WHEN 1 THEN 'odp' " +
+        "ELSE 'ods' END AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
     "extract_pptx" ->
       ("SELECT doc_id, 'pptx' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),

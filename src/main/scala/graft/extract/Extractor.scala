@@ -26,6 +26,8 @@ object Extractor {
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
         bytes(2) == 3 && bytes(3) == 4) return "docx"
+    if (bytes.length >= 5 && bytes(0) == '{' && bytes(1) == '\\' &&
+        bytes(2) == 'r' && bytes(3) == 't' && bytes(4) == 'f') return "rtf"
     val limit = math.min(bytes.length, 1024)
     var i = 0
     while (i < limit) {
@@ -46,6 +48,7 @@ object Extractor {
   def extractByFormat(fmt: String, bytes: Array[Byte]): String = fmt match {
     case "pdf" => PdfParser.extract(bytes)
     case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)._2
+    case "rtf" => graft.extract.rtf.RtfExtractor.extract(bytes)
     case "html" => HtmlExtractor.extract(bytes)
     case _ => Charsets.decode(bytes)
   }

@@ -1,0 +1,159 @@
+package graft.extract.ooxml
+
+import java.nio.charset.StandardCharsets
+
+import graft.extract.docx.DocxExtractor
+
+/** OpenDocument (ODF) text kernels — the reference whitelist's .odt/.odp/
+  * .ods family (/root/reference/src/converters/document_converters.py:16-26).
+  * An ODF package is a zip whose text lives in `content.xml`; the kind is
+  * declared by the `mimetype` entry. Unlike OOXML there is no dedicated
+  * run-text element: character data sits DIRECTLY inside `<text:p>` (and
+  * nested `<text:span>`), with whitespace elements `<text:s/>` (space,
+  * text:c repeat count), `<text:tab/>` and `<text:line-break/>`.
+  *
+  * Text semantics: odt/odp — `text:p` paragraphs in document order joined
+  * by "\n" (odp slides contribute their paragraphs in slide order);
+  * ods — `table:table-row` rows joined by "\n", cells joined by "\t",
+  * a cell's paragraphs joined by " ".
+  */
+object OdfExtractor {
+
+  private val kinds = Map(
+    "application/vnd.oasis.opendocument.text" -> "odt",
+    "application/vnd.oasis.opendocument.presentation" -> "odp",
+    "application/vnd.oasis.opendocument.spreadsheet" -> "ods")
+
+  /** Identify the ODF kind from the package's `mimetype` entry. */
+  def sniffKind(zipBytes: Array[Byte]): Option[String] =
+    DocxExtractor.readPart(zipBytes, "mimetype")
+      .map(b => new String(b, StandardCharsets.UTF_8).trim)
+      .flatMap(kinds.get)
+
+  /** Dispatch by mimetype; returns (kind, text). */
+  def extract(zipBytes: Array[Byte]): (String, String) = {
+    val kind = sniffKind(zipBytes).getOrElse(
+      throw new IllegalArgumentException("zip has no recognized ODF mimetype entry"))
+    val xml = DocxExtractor.readPart(zipBytes, "content.xml")
+      .map(new String(_, StandardCharsets.UTF_8))
+      .getOrElse(throw new IllegalArgumentException("ODF package has no content.xml"))
+    val text = kind match {
+      case "ods" => extractSpreadsheet(xml)
+      case _ => extractParagraphs(xml)
+    }
+    (kind, text)
+  }
+
+  /** All `text:p` paragraphs in document order, joined by "\n". */
+  def extractParagraphs(xml: String): String = {
+    val out = new StringBuilder
+    scan(xml,
+      onParagraph = p => {
+        if (out.nonEmpty) out.append('\n')
+        out.append(p)
+      },
+      onRowEnd = () => (), onCellEnd = () => ())
+    out.toString
+  }
+
+  /** Spreadsheet content: rows -> "\n", cells -> "\t", cell paragraphs -> " ". */
+  def extractSpreadsheet(xml: String): String = {
+    val rows = Vector.newBuilder[String]
+    var cells = Vector.newBuilder[String]
+    var cellParas = Vector.newBuilder[String]
+    scan(xml,
+      onParagraph = p => cellParas += p,
+      onCellEnd = () => {
+        val ps = cellParas.result()
+        if (ps.nonEmpty) cells += ps.mkString(" ")
+        cellParas = Vector.newBuilder[String]
+      },
+      onRowEnd = () => {
+        rows += cells.result().mkString("\t")
+        cells = Vector.newBuilder[String]
+      })
+    rows.result().filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Single pass over content.xml. Captures character data inside text:p
+    * (at any span depth), expands text:s / text:tab / text:line-break, and
+    * fires the row/cell callbacks on table boundaries. Entities decode via
+    * the shared XML entity table. */
+  private def scan(xml: String, onParagraph: String => Unit,
+                   onCellEnd: () => Unit, onRowEnd: () => Unit): Unit = {
+    val para = new StringBuilder
+    var pDepth = 0 // text:p may nest via spans; only the outer one delimits
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c == '<') {
+        val close = xml.indexOf('>', i)
+        if (close < 0) { i = n }
+        else {
+          val tag = xml.substring(i + 1, close)
+          def is(name: String): Boolean =
+            tag.startsWith(name) &&
+              (tag.length == name.length || !isNameChar(tag.charAt(name.length)))
+          if (is("text:p")) {
+            if (tag.endsWith("/")) { if (pDepth == 0) onParagraph("") }
+            else pDepth += 1
+          } else if (tag == "/text:p") {
+            pDepth -= 1
+            if (pDepth == 0) { onParagraph(para.toString); para.setLength(0) }
+          } else if (pDepth > 0 && is("text:s")) {
+            val count = attr(tag, "text:c").map(_.toInt).getOrElse(1)
+            para.append(" " * count)
+          } else if (pDepth > 0 && is("text:tab")) {
+            para.append('\t')
+          } else if (pDepth > 0 && is("text:line-break")) {
+            para.append('\n')
+          } else if (tag == "/table:table-cell") {
+            onCellEnd()
+          } else if (is("table:table-cell") && tag.endsWith("/")) {
+            onCellEnd() // empty covered/blank cell
+          } else if (tag == "/table:table-row") {
+            onRowEnd()
+          }
+          i = close + 1
+        }
+      } else if (pDepth > 0) {
+        if (c == '&') {
+          val semi = xml.indexOf(';', i)
+          if (semi > 0 && semi - i <= 12) {
+            para.append(decodeEntity(xml.substring(i + 1, semi)))
+            i = semi + 1
+          } else { para.append('&'); i += 1 }
+        } else { para.append(c); i += 1 }
+      } else i += 1
+    }
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == ':' || c == '-' || c == '_' || c == '.'
+
+  private def attr(tag: String, name: String): Option[String] = {
+    val k = name + "=\""
+    val s = tag.indexOf(k)
+    if (s < 0) None
+    else {
+      val e = tag.indexOf('"', s + k.length)
+      if (e < 0) None else Some(tag.substring(s + k.length, e))
+    }
+  }
+
+  private def decodeEntity(name: String): String = name match {
+    case "amp" => "&"
+    case "lt" => "<"
+    case "gt" => ">"
+    case "quot" => "\""
+    case "apos" => "'"
+    case _ if name.startsWith("#x") || name.startsWith("#X") =>
+      try new String(Character.toChars(Integer.parseInt(name.drop(2), 16)))
+      catch { case _: Exception => "&" + name + ";" }
+    case _ if name.startsWith("#") =>
+      try new String(Character.toChars(Integer.parseInt(name.drop(1))))
+      catch { case _: Exception => "&" + name + ";" }
+    case _ => "&" + name + ";"
+  }
+}

@@ -33,13 +33,19 @@ object OoxmlExtractor {
     else None
   }
 
-  /** Dispatch on package content; returns (kind, text). */
+  /** Dispatch on package content; returns (kind, text). ODF packages
+    * (odt/odp/ods — same zip magic, declared by their `mimetype` entry)
+    * route to [[OdfExtractor]]. */
   def extract(zipBytes: Array[Byte]): (String, String) = sniffKind(zipBytes) match {
     case Some("docx") => ("docx", DocxExtractor.extract(zipBytes))
     case Some("pptx") => ("pptx", extractPptx(zipBytes))
     case Some("xlsx") => ("xlsx", extractXlsx(zipBytes))
+    case _ if OdfExtractor.sniffKind(zipBytes).isDefined => OdfExtractor.extract(zipBytes)
+    case _ if graft.extract.epub.EpubExtractor.isEpub(zipBytes) =>
+      ("epub", graft.extract.epub.EpubExtractor.extract(zipBytes))
     case _ => throw new IllegalArgumentException(
-      "zip is not an OOXML package (no word/document.xml, ppt/presentation.xml, or xl/workbook.xml)")
+      "zip is not a recognized OOXML/ODF/EPUB package (no word/document.xml, " +
+        "ppt/presentation.xml, xl/workbook.xml, or known mimetype)")
   }
 
   private val slideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
