@@ -44,19 +44,22 @@ object Extractor {
 
   /** Single format-dispatch point — every surface (mapPartitions kernel,
     * native Catalyst expression, SQL-registered UDF) routes through here so
-    * a new format cannot be wired into one path and missed in another. */
-  def extractByFormat(fmt: String, bytes: Array[Byte]): String = fmt match {
-    case "pdf" => PdfParser.extract(bytes)
-    case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)._2
-    case "rtf" => graft.extract.rtf.RtfExtractor.extract(bytes)
-    case "html" => HtmlExtractor.extract(bytes)
-    case _ => Charsets.decode(bytes)
+    * a new format cannot be wired into one path and missed in another.
+    * Returns (refinedKind, text): container formats refine the sniff token
+    * to their actual kind (docx/pptx/xlsx/odt/odp/ods/epub) here, so no
+    * caller needs its own refinement branch. */
+  def extractByFormat(fmt: String, bytes: Array[Byte]): (String, String) = fmt match {
+    case "pdf" => ("pdf", PdfParser.extract(bytes))
+    case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)
+    case "rtf" => ("rtf", graft.extract.rtf.RtfExtractor.extract(bytes))
+    case "html" => ("html", HtmlExtractor.extract(bytes))
+    case other => (other, Charsets.decode(bytes))
   }
 
   /** Total variant: any error -> "" (the scalar-function contract). */
   def extractTextOrEmpty(bytes: Array[Byte]): String = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
-    try extractByFormat(sniffFormat(b), b) catch { case _: Throwable => "" }
+    try extractByFormat(sniffFormat(b), b)._2 catch { case _: Throwable => "" }
   }
 
   def extractOne(page: WebPage, partitionId: Int): ExtractionResult = {
@@ -68,11 +71,7 @@ object Extractor {
           original_size = bytes.length.toLong, new_size = 0L,
           error = s"payload ${bytes.length} bytes exceeds cap $maxPayloadBytes",
           partition_id = partitionId)
-      // OOXML containers refine to their actual kind (docx/pptx/xlsx) from
-      // package content during extraction
-      val (fmtRefined, text) =
-        if (fmt == "docx") graft.extract.ooxml.OoxmlExtractor.extract(bytes)
-        else (fmt, extractByFormat(fmt, bytes))
+      val (fmtRefined, text) = extractByFormat(fmt, bytes)
       ExtractionResult(page.url, success = true, text = text, format_from = fmtRefined,
         original_size = bytes.length.toLong,
         new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,

@@ -22,6 +22,11 @@ object DocxExtractor {
     * payload cap in graft.extract.Extractor). */
   val maxPartBytes: Int = 64 * 1024 * 1024
 
+  /** AGGREGATE inflated-size cap across the parts one extraction reads: a
+    * bomb of many just-under-cap parts must not pass the per-part check
+    * and still exhaust the executor heap. */
+  val maxTotalBytes: Long = 256L * 1024 * 1024
+
   def extract(docx: Array[Byte]): String = {
     val xml = readPart(docx, "word/document.xml")
       .getOrElse(throw new IllegalArgumentException(
@@ -29,36 +34,69 @@ object DocxExtractor {
     extractDocumentXml(new String(xml, StandardCharsets.UTF_8))
   }
 
-  /** Stream the zip and return one entry's bytes (bounded by maxPartBytes). */
-  def readPart(zipBytes: Array[Byte], name: String): Option[Array[Byte]] =
-    readParts(zipBytes, _ == name).headOption.map(_._2)
+  /** Entry NAMES only — no inflation; the cheap probe container sniffing
+    * uses (enumerating central headers costs bytes-of-archive, not
+    * bytes-inflated). */
+  def entryNames(zipBytes: Array[Byte]): Set[String] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    val names = Set.newBuilder[String]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) { names += e.getName; e = zin.getNextEntry }
+      names.result()
+    } finally zin.close()
+  }
+
+  /** Stream the zip and return one entry's bytes (bounded by maxPartBytes);
+    * stops scanning at the first match. */
+  def readPart(zipBytes: Array[Byte], name: String): Option[Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == name) return Some(readEntry(zin, name, maxTotalBytes))
+        e = zin.getNextEntry
+      }
+      None
+    } finally zin.close()
+  }
 
   /** Stream the zip once and return every entry whose name satisfies the
-    * predicate (each bounded by maxPartBytes), in archive order. */
+    * predicate, in archive order — each part bounded by maxPartBytes and
+    * the AGGREGATE bounded by maxTotalBytes (zip-bomb containment at both
+    * granularities). */
   def readParts(zipBytes: Array[Byte],
                 wanted: String => Boolean): Seq[(String, Array[Byte])] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     val acc = Seq.newBuilder[(String, Array[Byte])]
+    var total = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
         if (wanted(e.getName)) {
-          val out = new java.io.ByteArrayOutputStream(8192)
-          val buf = new Array[Byte](8192)
-          var n = zin.read(buf)
-          while (n >= 0) {
-            out.write(buf, 0, n)
-            if (out.size() > maxPartBytes)
-              throw new IllegalArgumentException(
-                s"${e.getName} inflates past $maxPartBytes bytes")
-            n = zin.read(buf)
-          }
-          acc += e.getName -> out.toByteArray
+          val bytes = readEntry(zin, e.getName, maxTotalBytes - total)
+          total += bytes.length
+          acc += e.getName -> bytes
         }
         e = zin.getNextEntry
       }
       acc.result()
     } finally zin.close()
+  }
+
+  private def readEntry(zin: ZipInputStream, name: String, budget: Long): Array[Byte] = {
+    val cap = math.min(maxPartBytes.toLong, budget)
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = zin.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap)
+        throw new IllegalArgumentException(
+          s"$name inflates past the ${if (cap < maxPartBytes) "aggregate" else "per-part"} cap ($cap bytes)")
+      n = zin.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Single-pass scan of document.xml: text inside `<w:t>` accumulates into
@@ -73,6 +111,8 @@ object DocxExtractor {
   def extractRuns(xml: String, pTag: String, tTag: String): String = {
     val out = new StringBuilder
     val para = new StringBuilder
+    val closeT = "/" + tTag // hoisted: the scan loop runs per tag, and an
+    val closeP = "/" + pTag // interpolation there would allocate per tag
     var paraHasRun = false
     var inT = false
     var i = 0
@@ -106,11 +146,11 @@ object DocxExtractor {
               // empty source paragraph round-trips instead of vanishing
               paraHasRun = true
             }
-          } else if (tag == s"/$tTag") {
+          } else if (tag == closeT) {
             inT = false
           } else if (isTag(tag, pTag)) {
             if (tag.endsWith("/")) endParagraph() // self-closing <w:p/>
-          } else if (tag == s"/$pTag") {
+          } else if (tag == closeP) {
             endParagraph()
           }
           i = close + 1

@@ -24,6 +24,8 @@ object OdfExtractor {
     "application/vnd.oasis.opendocument.presentation" -> "odp",
     "application/vnd.oasis.opendocument.spreadsheet" -> "ods")
 
+  def kindOfMimetype(mime: String): Option[String] = kinds.get(mime)
+
   /** Identify the ODF kind from the package's `mimetype` entry. */
   def sniffKind(zipBytes: Array[Byte]): Option[String] =
     DocxExtractor.readPart(zipBytes, "mimetype")
@@ -34,14 +36,19 @@ object OdfExtractor {
   def extract(zipBytes: Array[Byte]): (String, String) = {
     val kind = sniffKind(zipBytes).getOrElse(
       throw new IllegalArgumentException("zip has no recognized ODF mimetype entry"))
+    (kind, extractKind(zipBytes, kind))
+  }
+
+  /** Extraction for an already-identified kind (the dispatcher reads the
+    * mimetype once and passes the kind down). */
+  def extractKind(zipBytes: Array[Byte], kind: String): String = {
     val xml = DocxExtractor.readPart(zipBytes, "content.xml")
       .map(new String(_, StandardCharsets.UTF_8))
       .getOrElse(throw new IllegalArgumentException("ODF package has no content.xml"))
-    val text = kind match {
+    kind match {
       case "ods" => extractSpreadsheet(xml)
       case _ => extractParagraphs(xml)
     }
-    (kind, text)
   }
 
   /** All `text:p` paragraphs in document order, joined by "\n". */

@@ -22,30 +22,34 @@ import graft.extract.docx.DocxExtractor
   */
 object OoxmlExtractor {
 
-  /** Identify the OOXML kind by package content (docx | pptx | xlsx). */
+  /** Identify the OOXML kind by package content (docx | pptx | xlsx) —
+    * entry-name enumeration only, nothing inflated. */
   def sniffKind(zipBytes: Array[Byte]): Option[String] = {
-    val marker = DocxExtractor.readParts(zipBytes, name =>
-      name == "word/document.xml" || name == "ppt/presentation.xml" ||
-        name == "xl/workbook.xml").map(_._1).toSet
-    if (marker.contains("word/document.xml")) Some("docx")
-    else if (marker.contains("ppt/presentation.xml")) Some("pptx")
-    else if (marker.contains("xl/workbook.xml")) Some("xlsx")
+    val names = DocxExtractor.entryNames(zipBytes)
+    if (names.contains("word/document.xml")) Some("docx")
+    else if (names.contains("ppt/presentation.xml")) Some("pptx")
+    else if (names.contains("xl/workbook.xml")) Some("xlsx")
     else None
   }
 
   /** Dispatch on package content; returns (kind, text). ODF packages
-    * (odt/odp/ods — same zip magic, declared by their `mimetype` entry)
-    * route to [[OdfExtractor]]. */
+    * (odt/odp/ods) and EPUBs share the zip magic but declare themselves in
+    * a `mimetype` entry, read ONCE here and branched on. */
   def extract(zipBytes: Array[Byte]): (String, String) = sniffKind(zipBytes) match {
     case Some("docx") => ("docx", DocxExtractor.extract(zipBytes))
     case Some("pptx") => ("pptx", extractPptx(zipBytes))
     case Some("xlsx") => ("xlsx", extractXlsx(zipBytes))
-    case _ if OdfExtractor.sniffKind(zipBytes).isDefined => OdfExtractor.extract(zipBytes)
-    case _ if graft.extract.epub.EpubExtractor.isEpub(zipBytes) =>
-      ("epub", graft.extract.epub.EpubExtractor.extract(zipBytes))
-    case _ => throw new IllegalArgumentException(
-      "zip is not a recognized OOXML/ODF/EPUB package (no word/document.xml, " +
-        "ppt/presentation.xml, xl/workbook.xml, or known mimetype)")
+    case _ =>
+      val mime = DocxExtractor.readPart(zipBytes, "mimetype")
+        .map(b => new String(b, StandardCharsets.UTF_8).trim)
+      mime.flatMap(OdfExtractor.kindOfMimetype) match {
+        case Some(odfKind) => (odfKind, OdfExtractor.extractKind(zipBytes, odfKind))
+        case None if mime.contains(graft.extract.epub.EpubExtractor.mimetype) =>
+          ("epub", graft.extract.epub.EpubExtractor.extract(zipBytes))
+        case _ => throw new IllegalArgumentException(
+          "zip is not a recognized OOXML/ODF/EPUB package (no word/document.xml, " +
+            "ppt/presentation.xml, xl/workbook.xml, or known mimetype)")
+      }
   }
 
   private val slideName = "^ppt/slides/slide([0-9]+)\\.xml$".r

@@ -25,9 +25,10 @@ object RtfWriter {
       case '\\' => sb.append("\\\\")
       case '{' => sb.append("\\{")
       case '}' => sb.append("\\}")
-      case c if c > 0x7f && hexNonAscii =>
-        if (c <= 0xff) sb.append(f"\\'$c%02x")
-        else sb.append(s"\\u${c.toInt}?")
+      case c if c > 0x7f && c <= 0xff && hexNonAscii => sb.append(f"\\'$c%02x")
+      // chars beyond Latin-1 MUST escape in every variant — the writer
+      // serializes as ISO-8859-1, which would otherwise corrupt them to '?'
+      case c if c > 0xff => sb.append(s"\\u${c.toInt}?")
       case c => sb.append(c)
     }
     sb.toString

@@ -37,10 +37,12 @@ class RtfEpubSpec extends AnyFunSuite {
     }
   }
 
-  test("rtf with non-latin text round-trips via hex/unicode escapes") {
+  test("rtf with non-latin text round-trips via hex/unicode escapes in EVERY variant") {
     val special = Vector("café déjà vu ünïcode", "with 中文 characters too")
-    val got = RtfExtractor.extract(RtfWriter.generate(special, 2))
-    assert(got == special.mkString("\n"))
+    for (v <- 0 until RtfWriter.numVariants) {
+      val got = RtfExtractor.extract(RtfWriter.generate(special, v))
+      assert(got == special.mkString("\n"), s"variant $v: $got")
+    }
   }
 
   // Chapter-length paragraphs (>16 words): a standalone two-short-paragraph
