@@ -142,6 +142,13 @@ object DocFunctions {
       graft.extract.docx.DocxExtractor.extract(b))
     spark.udf.register("graft_extract", (b: Array[Byte]) =>
       Extractor.extractTextOrEmpty(b))
+    // refined container kind (docx/pptx/xlsx/odt/odp/ods/epub/...) — the
+    // content-level complement of graft_sniff_format's magic-byte token
+    spark.udf.register("graft_extract_kind", (b: Array[Byte]) => {
+      val bytes = if (b == null) Array.emptyByteArray else b
+      try Extractor.extractByFormat(Extractor.sniffFormat(bytes), bytes)._1
+      catch { case _: Throwable => "error" }
+    })
     spark.udf.register("graft_is_binary", (b: Array[Byte]) => isBinaryBytes(b))
     spark.udf.register("graft_simhash64", (t: String) =>
       graft.dedup.Dedup.simhash64(if (t == null) "" else t))

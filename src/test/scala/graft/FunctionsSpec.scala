@@ -74,6 +74,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0)
     val lang = spark.sql("SELECT graft_lang_id('the quick brown fox jumps over the lazy dog and this is english')").head().getString(0)
     assert(lang == "en")
+    // refined kind: content-level dispatch from SQL
+    Seq(
+      graft.fixtures.PptxWriter.generate(Vector("some slide words"), 0) -> "pptx",
+      graft.fixtures.OdfWriter.generate("ods", Vector("cell words"), 0) -> "ods",
+      graft.fixtures.RtfWriter.generate(Vector("rtf words"), 0) -> "rtf"
+    ).foreach { case (bytes, want) =>
+      val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("b")
+      df.createOrReplaceTempView("kind_probe")
+      assert(spark.sql("SELECT graft_extract_kind(b) FROM kind_probe").head().getString(0) == want)
+    }
     val sh = spark.sql("SELECT graft_simhash64('a b c'), graft_rolling_fp('a b c d e f g h i j')").head()
     assert(sh.getLong(0) == graft.dedup.Dedup.simhash64("a b c"))
   }
