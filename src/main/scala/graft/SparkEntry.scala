@@ -192,6 +192,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // flat-ODF single-file XML (.fodt/.fodp/.fods) — same content grammar,
+    // no zip; variant 2 omits office:mimetype to hit the body-element
+    // fallback. Byte-identity vs the source document, like extract_odf.
+    "extract_fodf" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val kind = Seq("odt", "odp", "ods")((id % 3).toInt)
+          val bytes = graft.fixtures.OdfWriter.generateFlat(
+            kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 3) % 3).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"fodf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
+    // EPUB with real OPF-spine ordering — variant 4's chapter files are
+    // publisher-named DESCENDING, so only parsing content.opf's <spine>
+    // (not any filename convention) reproduces the document
+    "extract_epub" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = graft.fixtures.EpubWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t),
+            (id % graft.fixtures.EpubWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"epub$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Dispatch containment: legacy CFB payloads (doc/xls/ppt + a bare
+    // container) must yield EXPLICIT failure rows with the refined kind —
+    // never a mojibake success — while flat-ODF and txt payloads extract
+    "extract_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes: Array[Byte] = (id % 6) match {
+            case 0 => graft.fixtures.CfbWriter.generate("doc")
+            case 1 => graft.fixtures.CfbWriter.generate("xls")
+            case 2 => graft.fixtures.CfbWriter.generate("ppt")
+            case 3 => graft.fixtures.CfbWriter.generate("raw")
+            case 4 => graft.fixtures.OdfWriter.generateFlat(
+              "odt", graft.fixtures.HtmlTemplates.paragraphize(t), 0)
+            case _ => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"disp$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '), r.error.nonEmpty)
+        }.toDF("doc_id", "format_from", "success", "text", "has_error")
+        .orderBy("doc_id")
+    }),
+
     // ---- structured-data conversion (K4, S5-S12, F1-F4, P1-P4) -------------
     "dc_v1_to_v2" -> ((s, dir) =>
       VersionMappers.mapVersion(v1FromCustomer(s, dir), "v1", "v2", keep = Seq("c_custkey"))
@@ -319,7 +376,7 @@ object SparkEntry {
       val payload = when(col("doc_id") % 2 === 0, col("text").cast("binary"))
         .otherwise(concat(badByte, col("text").cast("binary")))
       val mimePayload = when(col("doc_id") % 3 === 0, concat(lit("%PDF-"), col("text")).cast("binary"))
-        .when(col("doc_id") % 3 === 1, concat(lit("PK"), col("text")).cast("binary"))
+        .when(col("doc_id") % 3 === 1, concat(lit("{\\rtf1 "), col("text")).cast("binary"))
         .otherwise(concat(lit("plain "), col("text")).cast("binary"))
       val isBin = udf((b: Array[Byte]) => DocFunctions.isBinaryBytes(b))
       d.select(
@@ -346,6 +403,31 @@ object SparkEntry {
         .orderBy("direction", "ext")
     }),
 
+    // F10 content-refined mime: real container payloads (OOXML / ODF / EPUB
+    // / CFB / pdf / plain) must each report their own mime — the PK magic
+    // alone is ambiguous, refinement reads the package
+    "fn_mime" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
+          val bytes: Array[Byte] = (id % 8) match {
+            case 0 => graft.fixtures.DocxWriter.generate(paras, 0)
+            case 1 => graft.fixtures.PptxWriter.generate(paras, 0)
+            case 2 => graft.fixtures.XlsxWriter.generate(paras, 0)
+            case 3 => graft.fixtures.OdfWriter.generate(
+              Seq("odt", "odp", "ods")(((id / 8) % 3).toInt), paras, 0)
+            case 4 => graft.fixtures.EpubWriter.generate(paras, 0)
+            case 5 => graft.fixtures.CfbWriter.generate(
+              Seq("doc", "xls", "ppt")(((id / 8) % 3).toInt))
+            case 6 => ("%PDF-1.4 " + t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _ => ("plain " + t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, graft.functions.DocFunctions.mimeGuessBytes(bytes))
+        }.toDF("doc_id", "mime")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis (training-data tier) --------------------------------
     "ta_tokens" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"),
@@ -358,21 +440,18 @@ object SparkEntry {
       .orderBy("doc_id")),
     // The synthetic documents all draw from one English-ish vocabulary, so
     // the raw text carries no language signal for its random `lang` label.
-    // The query therefore marks each doc with its language's function words
-    // (a deterministic transform the oracle can express too) and scores the
-    // kernel's accuracy on that marked corpus: the oracle asserts 100%.
+    // The FIXTURE layer (graft.fixtures.LangMark) therefore weaves each
+    // language's function words through the text — realistically
+    // interleaved, not a prefix blob — and the kernel is scored on that
+    // corpus: the oracle asserts 100%.
     "ta_langid" -> ((s, dir) => {
       import s.implicits._
-      val latinMarker = when(col("lang") === "en", lit("the of and to in is "))
-        .when(col("lang") === "fr", lit("le la les des est dans "))
-        .when(col("lang") === "es", lit("el los las una es por "))
-        .otherwise(lit("der die das und ist nicht "))
-      val prefix = when(col("lang") === "zh", repeat(lit("文档内容 "), 50))
-        .otherwise(repeat(latinMarker, 6))
       docs(s, dir)
-        .select(col("lang"), concat(prefix, col("text")).as("marked"))
+        .select(col("lang"), col("text"))
         .as[(String, String)]
-        .map { case (lang, t) => (lang, LangId.detect(t)._1) }
+        .map { case (lang, t) =>
+          (lang, LangId.detect(graft.fixtures.LangMark.mark(lang, t))._1)
+        }
         .toDF("lang", "lang_pred")
         .groupBy("lang")
         .agg(count(lit(1)).cast("bigint").as("docs"),
@@ -442,16 +521,51 @@ object SparkEntry {
         "grp")
         .orderBy("grp")),
 
-    // ---- multimodal plumbing (stubbed codec) -------------------------------
-    "mm_decode_stub" -> ((s, dir) => {
+    // ---- multimodal: REAL pure-JVM decodes (BMP/PPM pixels, WAV PCM) -------
+    // pixel_sum requires a correct stride/padding walk over actual pixel
+    // bytes; the oracle recomputes it in closed form from the fixture
+    // parameters (constant fill (seed+y)%256 per row, seed+h < 256)
+    "mm_decode_bmp" -> ((s, dir) => {
       import s.implicits._
-      val media = Corpus.materialize(s, dir)
-        .select(regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long").as("doc_id"),
-          lit("").as("media_type"), col("html").as("payload"))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeFeatures(media).toDF()
-        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
-          col("height"), col("n_frames"))
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 3 + (id % 5).toInt
+          val seed = (id % 200).toInt
+          val bytes = (id % 4) match {
+            case 0 => graft.fixtures.MediaFixtures.bmp(w, h, 8, seed)
+            case 1 => graft.fixtures.MediaFixtures.bmp(w, h, 24, seed)
+            case 2 => graft.fixtures.MediaFixtures.bmp(w, h, 32, seed, topDown = true)
+            case _ => graft.fixtures.MediaFixtures.ppm(w, h, seed)
+          }
+          Multimodal.MediaRow(id, "", bytes)
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // WAV/RIFF header parse feeding the K6 duration algebra: channels /
+    // frame_rate / duration from real PCM bytes, then MediaOps.speedup
+    "mm_audio_wav" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val channels = 1 + (id % 2).toInt
+          val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+          val frames = 500 + (id % 7).toInt * 37
+          val bytes = graft.fixtures.MediaFixtures.wav(channels, rate, frames, (id % 100).toInt)
+          val m = graft.multimodal.MediaCodecs.parseWav(bytes)
+          (id, m.channels, m.frameRate, m.bitsPerSample, m.durationMs)
+        }.toDF("doc_id", "channels", "frame_rate", "bits_per_sample", "duration_ms")
+      graft.multimodal.MediaOps.speedup(
+          parsed.withColumn("orig_ms", col("duration_ms")), 2.0)
+        .select(col("doc_id"), col("channels").cast("int").as("channels"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("bits_per_sample").cast("int").as("bits_per_sample"),
+          col("orig_ms").cast("bigint").as("duration_ms"),
+          col("duration_ms").cast("bigint").as("duration_x2_ms"))
         .orderBy("doc_id")
     }),
 
@@ -623,6 +737,54 @@ object SparkEntry {
     "extract_xlsx" ->
       ("SELECT doc_id, 'xlsx' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
+    "extract_fodf" ->
+      ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'fodt' WHEN 1 THEN 'fodp' " +
+        "ELSE 'fods' END AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_epub" ->
+      ("SELECT doc_id, 'epub' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_dispatch" ->
+      ("SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
+        "WHEN 2 THEN 'ppt' WHEN 3 THEN 'cfb' WHEN 4 THEN 'fodt' ELSE 'txt' END AS format_from, " +
+        "(doc_id % 6 IN (4, 5)) AS success, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN text ELSE '' END AS text, " +
+        "(doc_id % 6 NOT IN (4, 5)) AS has_error " +
+        "FROM documents ORDER BY doc_id"),
+    "fn_mime" ->
+      ("SELECT doc_id, CASE doc_id % 8 " +
+        "WHEN 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document' " +
+        "WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation' " +
+        "WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet' " +
+        "WHEN 3 THEN (CASE (doc_id // 8) % 3 WHEN 0 THEN 'application/vnd.oasis.opendocument.text' " +
+        "WHEN 1 THEN 'application/vnd.oasis.opendocument.presentation' " +
+        "ELSE 'application/vnd.oasis.opendocument.spreadsheet' END) " +
+        "WHEN 4 THEN 'application/epub+zip' " +
+        "WHEN 5 THEN (CASE (doc_id // 8) % 3 WHEN 0 THEN 'application/msword' " +
+        "WHEN 1 THEN 'application/vnd.ms-excel' ELSE 'application/vnd.ms-powerpoint' END) " +
+        "WHEN 6 THEN 'application/pdf' " +
+        "ELSE 'application/octet-stream' END AS mime " +
+        "FROM documents ORDER BY doc_id"),
+    "mm_decode_bmp" ->
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'image/x-portable-pixmap' " +
+        "ELSE 'image/bmp' END AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'P' WHEN 1 THEN 'RGB' WHEN 2 THEN 'RGBA' " +
+        "ELSE 'RGB' END AS mode, " +
+        "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3 END) " +
+        "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_audio_wav" ->
+      ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +
+        "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 " +
+        "ELSE 44100 END AS rate, 500 + (doc_id % 7) * 37 AS frames FROM documents) " +
+        "SELECT doc_id, CAST(channels AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
+        "CAST(16 AS INT) AS bits_per_sample, " +
+        "CAST(frames * channels * 2 * 1000 // (rate * channels * 2) AS BIGINT) AS duration_ms, " +
+        "CAST((frames * channels * 2 * 1000 // (rate * channels * 2)) // 2 AS BIGINT) AS duration_x2_ms " +
+        "FROM p ORDER BY doc_id"),
     "dc_v1_to_v2" ->
       ("SELECT c_custkey, " +
         "trim('Cust' || ' ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS full_name, " +
@@ -694,7 +856,7 @@ object SparkEntry {
         "printf('%.2f MB', CAST(n_chars AS DOUBLE)) AS size_mb, " +
         "(doc_id % 2 = 1) AS is_binary, " +
         "CASE doc_id % 3 WHEN 0 THEN 'application/pdf' " +
-        "WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document' " +
+        "WHEN 1 THEN 'application/rtf' " +
         "ELSE 'application/octet-stream' END AS mime, " +
         "strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts " +
         "FROM documents ORDER BY doc_id"),

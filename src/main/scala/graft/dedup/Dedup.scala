@@ -189,6 +189,11 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // truncated propagation would return labels that are NOT the minimum
+    // reachable id — fail loudly instead of handing back wrong clusters
+    require(changed == 0,
+      s"nearDupClusters did not converge in $maxIters rounds (cluster diameter exceeds " +
+        s"the backstop); raise maxIters")
     labels
   }
 

@@ -19,8 +19,14 @@ object Extractor {
   /** Magic-prefix format sniffing (replaces file-extension routing):
     * `%PDF-` -> pdf; `PK\x03\x04` -> "docx" (the OOXML-container token —
     * magic bytes cannot tell docx/pptx/xlsx apart; extractOne refines the
-    * kind from package content); a '<' byte in the first 1024 bytes ->
-    * html; else txt. */
+    * kind from package content); `{\rtf` -> rtf; the CFB signature
+    * `D0 CF 11 E0 A1 B1 1A E1` -> doc/xls/ppt/cfb (refined by the
+    * characteristic directory stream name — these yield explicit failure
+    * rows downstream, never a mojibake "success"); an ASCII
+    * `<office:document` root in the first 1024 bytes -> fodf (flat ODF,
+    * checked BEFORE the generic '<' test or office markup would be
+    * boilerplate-classified as html); any other '<' in the first 1024
+    * bytes -> html; else txt. */
   def sniffFormat(bytes: Array[Byte]): String = {
     if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
@@ -28,13 +34,42 @@ object Extractor {
         bytes(2) == 3 && bytes(3) == 4) return "docx"
     if (bytes.length >= 5 && bytes(0) == '{' && bytes(1) == '\\' &&
         bytes(2) == 'r' && bytes(3) == 't' && bytes(4) == 'f') return "rtf"
+    if (graft.extract.cfb.CfbSniffer.isCfb(bytes))
+      return graft.extract.cfb.CfbSniffer.kindOf(bytes)
     val limit = math.min(bytes.length, 1024)
     var i = 0
     while (i < limit) {
-      if (bytes(i) == '<') return "html"
+      if (bytes(i) == '<') {
+        if (startsWithAscii(bytes, i, limit, flatOdfRoot)) return "fodf"
+        // scan on: the flat-ODF root may sit after an XML declaration /
+        // comment, each of which also begins with '<'
+        var j = i + 1
+        while (j < limit) {
+          if (bytes(j) == '<' && startsWithAscii(bytes, j, limit, flatOdfRoot)) return "fodf"
+          j += 1
+        }
+        return "html"
+      }
       i += 1
     }
     "txt"
+  }
+
+  private val flatOdfRoot: Array[Byte] =
+    "<office:document".getBytes(StandardCharsets.US_ASCII)
+
+  /** bytes[at..] starts with `pat` AND the next char ends the tag name
+    * (space or '>'), so `<office:document-content` does not match. */
+  private def startsWithAscii(bytes: Array[Byte], at: Int, limit: Int,
+                              pat: Array[Byte]): Boolean = {
+    if (at + pat.length >= limit) return false
+    var k = 0
+    while (k < pat.length) {
+      if (bytes(at + k) != pat(k)) return false
+      k += 1
+    }
+    val next = bytes(at + pat.length)
+    next == ' ' || next == '>' || next == '\t' || next == '\n' || next == '\r'
   }
 
   /** Per-document payload cap: documents above it yield a failure row
@@ -52,6 +87,12 @@ object Extractor {
     case "pdf" => ("pdf", PdfParser.extract(bytes))
     case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)
     case "rtf" => ("rtf", graft.extract.rtf.RtfExtractor.extract(bytes))
+    case "fodf" => graft.extract.ooxml.OdfExtractor.extractFlat(bytes)
+    case "doc" | "xls" | "ppt" | "cfb" =>
+      // reference whitelist inputs (document_converters.py:16-26) with no
+      // pure-JVM kernel: an explicit failure row, NEVER a mojibake success
+      throw new IllegalArgumentException(
+        s"legacy CFB ($fmt) unsupported — no pure-JVM kernel; convert to OOXML")
     case "html" => ("html", HtmlExtractor.extract(bytes))
     case other => (other, Charsets.decode(bytes))
   }

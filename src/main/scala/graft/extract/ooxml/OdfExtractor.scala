@@ -51,6 +51,37 @@ object OdfExtractor {
     }
   }
 
+  /** Flat-ODF (.fodt/.fodp/.fods — whitelisted inputs,
+    * /root/reference/src/converters/document_converters.py:21): the whole
+    * document is ONE XML file whose root `office:document` declares the
+    * package mimetype as an `office:mimetype` attribute, and whose body uses
+    * the exact content.xml grammar — so the same scanner runs over the whole
+    * payload. Returns (fodt|fodp|fods, text). */
+  def extractFlat(bytes: Array[Byte]): (String, String) = {
+    val xml = new String(bytes, StandardCharsets.UTF_8)
+    val kind = flatKind(xml).getOrElse(throw new IllegalArgumentException(
+      "flat-ODF payload has no recognized office:mimetype or body element"))
+    val text = if (kind == "fods") extractSpreadsheet(xml) else extractParagraphs(xml)
+    (kind, text)
+  }
+
+  /** Kind of a flat document: the office:mimetype root attribute, with a
+    * body-element fallback for files that omit it. */
+  def flatKind(xml: String): Option[String] = {
+    val rootAt = xml.indexOf("<office:document")
+    if (rootAt < 0) return None
+    val close = xml.indexOf('>', rootAt)
+    if (close < 0) return None
+    val tag = xml.substring(rootAt + 1, close)
+    attr(tag, "office:mimetype").flatMap(kinds.get).map("f" + _)
+      .orElse {
+        if (xml.contains("<office:spreadsheet")) Some("fods")
+        else if (xml.contains("<office:presentation")) Some("fodp")
+        else if (xml.contains("<office:text")) Some("fodt")
+        else None
+      }
+  }
+
   /** All `text:p` paragraphs in document order, joined by "\n". */
   def extractParagraphs(xml: String): String = {
     val out = new StringBuilder

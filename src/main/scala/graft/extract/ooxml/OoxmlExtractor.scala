@@ -110,7 +110,10 @@ object OoxmlExtractor {
 
   /** One worksheet: rows -> lines; cells -> tab-joined. Cell value is the
     * shared-string lookup for `t="s"`, the inline `<is><t>` text, or the
-    * raw `<v>` body otherwise (numbers stay as written). */
+    * raw `<v>` body otherwise (numbers stay as written). Valueless cells
+    * (`<c r="B2"/>` or `<c></c>` — how real spreadsheets encode blanks)
+    * contribute an EMPTY string, preserving the tab-join column alignment
+    * of later cells in the row. */
   def extractSheet(xml: String, shared: IndexedSeq[String]): String = {
     val rows = Vector.newBuilder[String]
     var i = 0
@@ -119,6 +122,7 @@ object OoxmlExtractor {
     var inRow = false
     var cellIsShared = false
     var cellIsInline = false
+    var cellEmitted = true // no cell open yet
     while (i < n) {
       val lt = xml.indexOf('<', i)
       if (lt < 0) { i = n }
@@ -131,9 +135,15 @@ object OoxmlExtractor {
           else if (tag == "/row") {
             if (inRow) rows += cells.result().mkString("\t")
             inRow = false
-          } else if (tag.startsWith("c ") || tag == "c" || tag == "c/") {
+          } else if (tag == "c/" || (tag.startsWith("c ") && tag.endsWith("/"))) {
+            if (inRow) cells += "" // self-closing blank cell
+          } else if (tag.startsWith("c ") || tag == "c") {
             cellIsShared = tag.contains("t=\"s\"")
             cellIsInline = tag.contains("t=\"inlineStr\"")
+            cellEmitted = false
+          } else if (tag == "/c") {
+            if (inRow && !cellEmitted) cells += "" // open/close pair, no value
+            cellEmitted = true
           } else if (tag.startsWith("v") && !tag.startsWith("v/") && tag.length <= 1) {
             val vEnd = xml.indexOf("</v>", close)
             if (vEnd > 0) {
@@ -143,6 +153,7 @@ object OoxmlExtractor {
                 require(idx >= 0 && idx < shared.length, s"shared string $idx out of range")
                 shared(idx)
               } else raw)
+              cellEmitted = true
               i = vEnd + 4
             }
           } else if (tag.startsWith("is") && (tag.length == 2 || !tag.charAt(2).isLetter)) {
@@ -150,6 +161,7 @@ object OoxmlExtractor {
             if (isEnd > 0 && cellIsInline) {
               cells += DocxExtractor.extractRuns(
                 xml.substring(close + 1, isEnd) + "</zz:never>", "zz:never", "t")
+              cellEmitted = true
               i = isEnd + 5
             }
           }

@@ -21,6 +21,15 @@ object RtfExtractor {
     "fonttbl", "colortbl", "stylesheet", "info", "pict",
     "header", "footer", "generator")
 
+  /** windows-1252 byte → char — the \ansi default code page `\'hh` escapes
+    * refer to. It matches Latin-1 on 0xA0-0xFF but maps 0x80-0x9F to smart
+    * quotes / dashes / € (the most common escaped bytes in real documents);
+    * a bare `.toChar` would decode those to C1 control characters. */
+  private val cp1252: Array[Char] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    (0 until 256).map(b => new String(Array(b.toByte), cs).charAt(0)).toArray
+  }
+
   def extract(bytes: Array[Byte]): String = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     require(s.startsWith("{\\rtf"), "not an RTF document")
@@ -52,7 +61,7 @@ object RtfExtractor {
             case '\\' | '{' | '}' => emit(s.charAt(i + 1)); i += 2
             case '\'' =>
               if (i + 3 < n) {
-                emit(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+                emit(cp1252(Integer.parseInt(s.substring(i + 2, i + 4), 16)))
                 i += 4
               } else i = n
             case '*' => i += 2 // handled at group open; ignore here

@@ -14,10 +14,13 @@ import graft.fixtures.OoxmlZip.xmlEscape
   *   2 — single chapter with boilerplate nav/footer around the article
   *       (the classifier must strip it), STORED archive
   *   3 — >10 chapters exercising numeric spine order
+  *   4 — publisher-named chapter files (`OEBPS/text/secNN.xhtml`, numbered
+  *       DESCENDING so filename order contradicts reading order) — only the
+  *       OPF `<spine>` yields the correct chapter sequence
   */
 object EpubWriter {
 
-  val numVariants = 4
+  val numVariants = 5
 
   private def chapterXhtml(paragraphs: Seq[String], boilerplate: Boolean): String = {
     val body = paragraphs.map(p => s"<p>${xmlEscape(p)}</p>").mkString
@@ -52,16 +55,25 @@ object EpubWriter {
 
   def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
     val groups: Seq[Seq[String]] = variant match {
-      case 0 | 3 => paragraphs.map(Seq(_))
+      case 0 | 3 | 4 => paragraphs.map(Seq(_))
       case 1 => paragraphs.grouped(2).toSeq
       case 2 => Seq(paragraphs)
       case _ => throw new IllegalArgumentException(s"variant $variant")
     }
+    // chapter i's href, relative to the OPF directory (OEBPS/): variant 4
+    // numbers files DESCENDING so only the spine gives reading order
+    def href(i: Int): String =
+      if (variant == 4) s"text/sec${(groups.size - i) * 7}.xhtml"
+      else s"chapter${i + 1}.xhtml"
     val opf =
       """<?xml version="1.0" encoding="UTF-8"?>""" +
         """<package xmlns="http://www.idpf.org/2007/opf" version="3.0"><manifest>""" +
+        (if (variant == 1)
+          """<item id="nav" href="nav.xhtml" media-type="application/xhtml+xml" properties="nav"/>""" +
+            """<item id="css" href="style.css" media-type="text/css"/>"""
+        else "") +
         groups.indices.map(i =>
-          s"""<item id="c${i + 1}" href="chapter${i + 1}.xhtml" media-type="application/xhtml+xml"/>""").mkString +
+          s"""<item id="c${i + 1}" href="${href(i)}" media-type="application/xhtml+xml"/>""").mkString +
         "</manifest><spine>" +
         groups.indices.map(i => s"""<itemref idref="c${i + 1}"/>""").mkString +
         "</spine></package>"
@@ -73,7 +85,7 @@ object EpubWriter {
           "OEBPS/style.css" -> "p { margin: 0; }")
         else Seq.empty) ++
         groups.zipWithIndex.map { case (g, i) =>
-          s"OEBPS/chapter${i + 1}.xhtml" -> chapterXhtml(g, boilerplate = variant == 2)
+          s"OEBPS/${href(i)}" -> chapterXhtml(g, boilerplate = variant == 2)
         }
     OoxmlZip.write(entries, store = variant == 2)
   }

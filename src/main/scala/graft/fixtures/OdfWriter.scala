@@ -46,16 +46,22 @@ object OdfWriter {
   private def textP(p: String, variant: Int): String =
     s"<text:p>${paraBody(p, variant)}</text:p>"
 
-  private def contentXml(kind: String, paragraphs: Seq[String], variant: Int): String = {
-    val head =
-      """<?xml version="1.0" encoding="UTF-8"?>""" +
-        "<office:document-content " +
-        "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
-        "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\" " +
-        "xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" " +
-        "xmlns:draw=\"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0\">" +
-        (if (variant == 3) "<office:automatic-styles><style:style style:name=\"P1\" xmlns:style=\"urn:oasis:names:tc:opendocument:xmlns:style:1.0\"/></office:automatic-styles>" else "") +
-        "<office:body>"
+  private val namespaces =
+    "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\" " +
+      "xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" " +
+      "xmlns:draw=\"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0\""
+
+  private def stylesXml(variant: Int): String =
+    if (variant == 3) "<office:automatic-styles><style:style style:name=\"P1\" xmlns:style=\"urn:oasis:names:tc:opendocument:xmlns:style:1.0\"/></office:automatic-styles>" else ""
+
+  private def contentXml(kind: String, paragraphs: Seq[String], variant: Int): String =
+    """<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"<office:document-content $namespaces>" + stylesXml(variant) +
+      "<office:body>" + bodyXml(kind, paragraphs, variant) +
+      "</office:body></office:document-content>"
+
+  private def bodyXml(kind: String, paragraphs: Seq[String], variant: Int): String = {
     val body = kind match {
       case "odt" =>
         "<office:text>" + paragraphs.map(textP(_, variant)).mkString + "</office:text>"
@@ -82,7 +88,7 @@ object OdfWriter {
         "<office:spreadsheet><table:table>" + rows.mkString + "</table:table></office:spreadsheet>"
       case _ => throw new IllegalArgumentException(kind)
     }
-    head + body + "</office:body></office:document-content>"
+    body
   }
 
   def generate(kind: String, paragraphs: Seq[String], variant: Int): Array[Byte] = {
@@ -91,6 +97,23 @@ object OdfWriter {
       "mimetype" -> mimetypeOf(kind),
       "content.xml" -> contentXml(kind, paragraphs, variant))
     OoxmlZip.write(entries, store = variant == 2)
+  }
+
+  /** Flat-ODF single-file XML (.fodt/.fodp/.fods): root `office:document`
+    * with the package mimetype as an attribute, body grammar identical to
+    * content.xml. Same variants as [[generate]]; [[expectedText]] holds
+    * unchanged. Variant 2 (the packaged STORED variant) here omits the
+    * office:mimetype attribute to exercise the extractor's body-element
+    * fallback. */
+  def generateFlat(kind: String, paragraphs: Seq[String], variant: Int): Array[Byte] = {
+    val mimeAttr =
+      if (variant == 2) "" else s""" office:mimetype="${mimetypeOf(kind)}""""
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        s"<office:document $namespaces$mimeAttr>" + stylesXml(variant) +
+        "<office:body>" + bodyXml(kind, paragraphs, variant) +
+        "</office:body></office:document>"
+    xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** The text OdfExtractor must produce for these inputs. */

@@ -19,6 +19,13 @@ object RtfWriter {
 
   val numVariants = 4
 
+  /** The cp1252 0x80-0x9F punctuation range (smart quotes, dashes, €, …) —
+    * real-world RTF escapes these as `\'hh`; the hex variant emits them so
+    * the extractor's windows-1252 decode is exercised. */
+  private val cp1252Punct: Map[Char, Int] = Map(
+    '€' -> 0x80, '…' -> 0x85, '‘' -> 0x91, '’' -> 0x92,
+    '“' -> 0x93, '”' -> 0x94, '–' -> 0x96, '—' -> 0x97)
+
   private def esc(s: String, hexNonAscii: Boolean): String = {
     val sb = new StringBuilder
     s.foreach {
@@ -26,6 +33,8 @@ object RtfWriter {
       case '{' => sb.append("\\{")
       case '}' => sb.append("\\}")
       case c if c > 0x7f && c <= 0xff && hexNonAscii => sb.append(f"\\'$c%02x")
+      case c if hexNonAscii && cp1252Punct.contains(c) =>
+        sb.append(f"\\'${cp1252Punct(c)}%02x")
       // chars beyond Latin-1 MUST escape in every variant — the writer
       // serializes as ISO-8859-1, which would otherwise corrupt them to '?'
       case c if c > 0xff => sb.append(s"\\u${c.toInt}?")

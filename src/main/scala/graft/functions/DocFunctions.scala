@@ -99,16 +99,51 @@ object DocFunctions {
 
   // ---- F10: mime guess (base_converter.py:45,56) ---------------------------
 
-  /** Magic-byte mime sniff over the binary payload (the engine's analog of
-    * mimetypes.guess_type + octet-stream fallback). */
-  def mimeGuess(bin: Column): Column = {
-    val prefix = substring(bin, 1, 256).cast("string")
-    when(startswith(prefix, lit("%PDF-")), "application/pdf")
-      .when(startswith(prefix, lit("PK")),
-        "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
-      .when(prefix.contains("<"), "text/html")
-      .otherwise("application/octet-stream")
+  private val ooxmlMimes = Map(
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+
+  private val cfbMimes = Map(
+    "doc" -> "application/msword",
+    "xls" -> "application/vnd.ms-excel",
+    "ppt" -> "application/vnd.ms-powerpoint")
+
+  /** Content-level mime sniff (the engine's analog of mimetypes.guess_type +
+    * octet-stream fallback, base_converter.py:45,56 — content-derived here
+    * because payloads carry no filename). Zip containers refine by PACKAGE
+    * CONTENT through the same machinery as extraction dispatch: OOXML per
+    * entry names, ODF/EPUB per their `mimetype` entry (returned verbatim);
+    * anything else PK-prefixed is plain application/zip. Legacy CFB refines
+    * doc/xls/ppt via the directory stream name. */
+  def mimeGuessBytes(b: Array[Byte]): String = {
+    val bytes = if (b == null) Array.emptyByteArray else b
+    Extractor.sniffFormat(bytes) match {
+      case "pdf" => "application/pdf"
+      case "rtf" => "application/rtf"
+      case "fodf" => "application/xml"
+      case k @ ("doc" | "xls" | "ppt") => cfbMimes(k)
+      case "cfb" => "application/x-ole-storage"
+      case "docx" => zipMime(bytes) // the PK sniff token: refine by content
+      case "html" => "text/html"
+      case _ => "application/octet-stream"
+    }
   }
+
+  private def zipMime(bytes: Array[Byte]): String =
+    try {
+      graft.extract.ooxml.OoxmlExtractor.sniffKind(bytes).map(ooxmlMimes)
+        .orElse(graft.extract.docx.DocxExtractor.readPart(bytes, "mimetype")
+          .map(m => new String(m, StandardCharsets.UTF_8).trim)
+          .filter(m => graft.extract.ooxml.OdfExtractor.kindOfMimetype(m).isDefined ||
+            m == graft.extract.epub.EpubExtractor.mimetype))
+        .getOrElse("application/zip")
+    } catch { case _: Throwable => "application/zip" }
+
+  /** Column wrapper over [[mimeGuessBytes]] (a kernel probe, not a prefix
+    * expression — container refinement needs the archive directory). */
+  def mimeGuess(bin: Column): Column =
+    udf((b: Array[Byte]) => mimeGuessBytes(b)).apply(bin)
 
   // ---- F11: ISO timestamps (base_converter.py:52-54,91) --------------------
 
@@ -150,6 +185,7 @@ object DocFunctions {
       catch { case _: Throwable => "error" }
     })
     spark.udf.register("graft_is_binary", (b: Array[Byte]) => isBinaryBytes(b))
+    spark.udf.register("graft_mime_guess", (b: Array[Byte]) => mimeGuessBytes(b))
     spark.udf.register("graft_simhash64", (t: String) =>
       graft.dedup.Dedup.simhash64(if (t == null) "" else t))
     spark.udf.register("graft_lang_id", (t: String) =>

@@ -21,13 +21,16 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, feature: Array[Float], error: String)
 
-  /** Magic-prefix media sniffing (PNG/JPEG/GIF/RIFF/PDF/HTML/other) — same
-    * pattern as the payload sniffer in [[graft.extract.Extractor]]. */
+  /** Magic-prefix media sniffing (PNG/JPEG/GIF/BMP/PPM/RIFF/PDF/HTML/other)
+    * — same pattern as the payload sniffer in [[graft.extract.Extractor]]. */
   def sniffMedia(bytes: Array[Byte]): String = {
     def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
     else if (at(0, 0xff) && at(1, 0xd8)) "image/jpeg"
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
+    else if (MediaCodecs.isBmp(bytes)) "image/bmp"
+    else if (MediaCodecs.isPpm(bytes)) "image/x-portable-pixmap"
+    else if (MediaCodecs.isWav(bytes)) "audio/wav"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
     else if (bytes.take(256).contains('<'.toByte)) "text/html"
@@ -51,7 +54,11 @@ object Multimodal {
 
   /** Batched decode + feature extraction: one kernel instantiation per
     * partition (amortized setup — the mapInPandas batch analog), per-row
-    * failure containment (error rows, never task failure). */
+    * failure containment (error rows, never task failure). BMP/PPM payloads
+    * go through the REAL pure-JVM decoder ([[MediaCodecs]]: actual
+    * width/height/pixels), WAV through the real RIFF parse (n_frames = PCM
+    * frame count, feature(0) = duration seconds); compressed codecs remain
+    * on the disclosed deterministic stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -60,13 +67,56 @@ object Multimodal {
       it.map { m =>
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
         try {
-          val (w, h, frames, feat) = fakeDecode(bytes)
-          MediaFeatures(m.doc_id, sniffMedia(bytes), bytes.length.toLong,
-            w, h, frames, feat, "")
+          val kind = sniffMedia(bytes)
+          MediaCodecs.decodeImage(bytes) match {
+            case Some(img) =>
+              val mean = if (img.width == 0 || img.height == 0) 0f
+                else img.pixelSum.toFloat / (img.width.toLong * img.height)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                img.width, img.height, 1, Array(mean / 255f), "")
+            case None if kind == "audio/wav" =>
+              val wav = MediaCodecs.parseWav(bytes)
+              val frames = (wav.dataBytes / (wav.channels * (wav.bitsPerSample / 8))).toInt
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                0, 0, frames, Array(wav.durationMs / 1000f), "")
+            case None =>
+              val (w, h, frames, feat) = fakeDecode(bytes)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong, w, h, frames, feat, "")
+          }
         } catch {
           case e: Throwable =>
             MediaFeatures(m.doc_id, "unknown", bytes.length.toLong, 0, 0, 0,
               Array.empty[Float], s"${e.getClass.getSimpleName}")
+        }
+      }
+    }
+  }
+
+  final case class ImageDecode(doc_id: Long, media_type: String, width: Int,
+                               height: Int, mode: String, pixel_sum: Long, error: String)
+
+  /** Real image decode as a typed batch kernel (same per-partition shape and
+    * failure containment as [[decodeFeatures]]); non-image payloads yield
+    * error rows. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        try {
+          MediaCodecs.decodeImage(bytes) match {
+            case Some(img) =>
+              ImageDecode(m.doc_id, sniffMedia(bytes), img.width, img.height,
+                img.mode, img.pixelSum, "")
+            case None =>
+              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
+                "no real decoder for this payload")
+          }
+        } catch {
+          case e: Throwable =>
+            ImageDecode(m.doc_id, "unknown", 0, 0, "", 0L,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
       }
     }

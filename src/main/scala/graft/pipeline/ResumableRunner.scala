@@ -50,7 +50,6 @@ object ResumableRunner {
   def run(spark: SparkSession, pages: Dataset[WebPage], outDir: String,
           runId: String, numBuckets: Int): RunSummary = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val manifestDir = s"$outDir/manifest"
     val resultsDir = s"$outDir/results"
@@ -89,7 +88,12 @@ object ResumableRunner {
         }
       }
 
-    results.write.mode(SaveMode.Overwrite).partitionBy("partition_id").parquet(resultsDir)
+    // per-WRITE dynamic overwrite (only the buckets this run produced are
+    // replaced) — scoped to this writer, not a session-wide conf mutation
+    // that would silently change overwrite semantics for caller code
+    results.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_id").parquet(resultsDir)
 
     // Post-commit lineage: read back ONLY the bucket dirs this run wrote
     // (incremental — finished buckets' output stays untouched on disk).

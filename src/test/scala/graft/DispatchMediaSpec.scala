@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Extractor
+import graft.extract.cfb.CfbSniffer
+import graft.extract.ooxml.OdfExtractor
+import graft.fixtures.{CfbWriter, EpubWriter, LangMark, MediaFixtures, OdfWriter}
+import graft.functions.DocFunctions
+import graft.multimodal.MediaCodecs
+
+/** Round-3 dispatch + media coverage: legacy CFB containment, flat-ODF,
+  * EPUB OPF spine, real BMP/PPM/WAV codecs, content-refined mime, langid
+  * fixture marking. */
+class DispatchMediaSpec extends AnyFunSuite {
+
+  private val paras = Vector(
+    "alpha bravo charlie delta echo foxtrot",
+    "golf hotel india juliet kilo",
+    "lima mike november oscar papa quebec romeo sierra")
+
+  private def page(bytes: Array[Byte]) =
+    graft.model.WebPage("u", new java.sql.Timestamp(0), bytes, "", "en")
+
+  // ---- legacy CFB: explicit failure rows, refined kind ----------------------
+
+  test("cfb payloads sniff to their legacy kind and FAIL with a clear error") {
+    for (kind <- Seq("doc", "xls", "ppt")) {
+      val bytes = CfbWriter.generate(kind)
+      assert(CfbSniffer.isCfb(bytes))
+      assert(Extractor.sniffFormat(bytes) == kind, s"sniff $kind")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(!r.success && r.format_from == kind && r.error.contains("legacy CFB"),
+        s"$kind: $r")
+      assert(Extractor.extractTextOrEmpty(bytes) == "")
+    }
+    val bare = CfbWriter.generate("unknown")
+    assert(Extractor.sniffFormat(bare) == "cfb")
+    val r = Extractor.extractOne(page(bare), 0)
+    assert(!r.success && r.format_from == "cfb")
+  }
+
+  test("cfb magic without the full signature is NOT classified cfb") {
+    // first 4 bytes of the magic only — falls through to the txt/html scan
+    val part = Array(0xd0, 0xcf, 0x11, 0xe0, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(!CfbSniffer.isCfb(part))
+  }
+
+  // ---- flat ODF -------------------------------------------------------------
+
+  test("flat-ODF round-trips every kind x variant with refined fodX kind") {
+    for (kind <- Seq("odt", "odp", "ods"); v <- 0 to 2) {
+      val bytes = OdfWriter.generateFlat(kind, paras, v)
+      assert(Extractor.sniffFormat(bytes) == "fodf", s"$kind v$v sniff")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(r.success && r.format_from == "f" + kind, s"$kind v$v: $r")
+      assert(r.text == OdfWriter.expectedText(kind, paras, v), s"$kind v$v text")
+    }
+  }
+
+  test("flat-ODF variant 2 (no office:mimetype attr) classifies via body element") {
+    val bytes = OdfWriter.generateFlat("ods", paras, 2)
+    assert(!new String(bytes, "UTF-8").contains("office:mimetype"))
+    assert(OdfExtractor.extractFlat(bytes)._1 == "fods")
+  }
+
+  test("flat-ODF sniff does not shadow html or packaged content.xml grammar") {
+    assert(Extractor.sniffFormat("<!DOCTYPE html><html><body>x</body></html>".getBytes) == "html")
+    // a raw office:document-content payload (not a flat doc) stays html-ish
+    assert(Extractor.sniffFormat("<office:document-content x=\"1\">".getBytes) == "html")
+  }
+
+  // ---- EPUB OPF spine -------------------------------------------------------
+
+  test("epub spine order wins over filename order (publisher-named variant)") {
+    val bytes = EpubWriter.generate(paras, 4)
+    val spine = graft.extract.epub.EpubExtractor.spinePaths(bytes).get
+    assert(spine.length == paras.length)
+    assert(spine.forall(_.startsWith("OEBPS/text/sec")), spine.toString)
+    // filenames are numbered descending: lexicographic order would reverse
+    assert(spine != spine.sorted, s"spine must not equal sorted names: $spine")
+    val r = Extractor.extractOne(page(bytes), 0)
+    assert(r.success && r.format_from == "epub")
+    assert(r.text == paras.mkString("\n"), r.text)
+  }
+
+  test("epub without container.xml falls back to the chapterN convention") {
+    val full = EpubWriter.generate(paras, 0)
+    // rebuild the archive minus META-INF/container.xml
+    val names = graft.extract.docx.DocxExtractor.entryNames(full)
+    val parts = graft.extract.docx.DocxExtractor.readParts(full,
+      n => n != "META-INF/container.xml")
+    val rebuilt = graft.fixtures.OoxmlZip.write(
+      parts.map { case (n, b) => n -> new String(b, "UTF-8") }, store = false)
+    assert(names.contains("META-INF/container.xml"))
+    val r = Extractor.extractOne(page(rebuilt), 0)
+    assert(r.success && r.text == paras.mkString("\n"), r.text)
+  }
+
+  // ---- real media codecs ----------------------------------------------------
+
+  private def rowSum(h: Int, seed: Int): Long =
+    (0 until h).map(y => (seed + y) % 256).sum.toLong
+
+  test("bmp decode: geometry, mode, and pixel sum across bpp and row order") {
+    for ((bpp, mode, ch) <- Seq((8, "P", 1), (24, "RGB", 3), (32, "RGBA", 4));
+         topDown <- Seq(false, true)) {
+      val (w, h, seed) = (7, 5, 190) // w=7: 24bpp stride padding in play
+      val meta = MediaCodecs.decodeBmp(MediaFixtures.bmp(w, h, bpp, seed, topDown))
+      assert(meta.width == w && meta.height == h && meta.mode == mode,
+        s"bpp=$bpp topDown=$topDown: $meta")
+      assert(meta.pixelSum == ch.toLong * w * rowSum(h, seed),
+        s"bpp=$bpp topDown=$topDown sum: $meta")
+    }
+  }
+
+  test("ppm decode handles comments and reports RGB sums") {
+    val meta = MediaCodecs.decodePpm(MediaFixtures.ppm(6, 4, 250)) // seed+h near wrap
+    assert(meta.width == 6 && meta.height == 4 && meta.mode == "RGB")
+    assert(meta.pixelSum == 3L * 6 * rowSum(4, 250))
+  }
+
+  test("wav parse: channels, rate, bits, floor-division duration") {
+    val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
+    val m = MediaCodecs.parseWav(bytes)
+    assert(m.channels == 2 && m.frameRate == 22050 && m.bitsPerSample == 16)
+    assert(m.dataBytes == 777L * 2 * 2)
+    assert(m.durationMs == m.dataBytes * 1000 / (22050 * 2 * 2))
+  }
+
+  test("garbage media payloads fail contained, not with task-killing throws") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = Seq(
+      graft.multimodal.Multimodal.MediaRow(1L, "", "BMnot-a-real-bmp".getBytes),
+      graft.multimodal.Multimodal.MediaRow(2L, "", Array[Byte](0, 1, 2)),
+      graft.multimodal.Multimodal.MediaRow(3L, "", MediaFixtures.bmp(4, 3, 24, 9)))
+    val out = graft.multimodal.Multimodal.decodeImages(rows.toDS()).collect()
+      .sortBy(_.doc_id)
+    assert(out(0).error.nonEmpty && out(1).error.nonEmpty)
+    assert(out(2).error.isEmpty && out(2).width == 4 && out(2).pixel_sum > 0)
+  }
+
+  // ---- content-refined mime -------------------------------------------------
+
+  test("mimeGuessBytes refines containers by package content") {
+    import graft.fixtures._
+    assert(DocFunctions.mimeGuessBytes(DocxWriter.generate(paras, 0)) ==
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+    assert(DocFunctions.mimeGuessBytes(PptxWriter.generate(paras, 0)) ==
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation")
+    assert(DocFunctions.mimeGuessBytes(XlsxWriter.generate(paras, 0)) ==
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+    assert(DocFunctions.mimeGuessBytes(OdfWriter.generate("odp", paras, 0)) ==
+      "application/vnd.oasis.opendocument.presentation")
+    assert(DocFunctions.mimeGuessBytes(EpubWriter.generate(paras, 0)) ==
+      "application/epub+zip")
+    assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("doc")) == "application/msword")
+    assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("xls")) == "application/vnd.ms-excel")
+    assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("ppt")) == "application/vnd.ms-powerpoint")
+    assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("zzz")) == "application/x-ole-storage")
+    // a zip that is none of the known containers
+    val plainZip = OoxmlZip.write(Seq("a.txt" -> "hello"), store = false)
+    assert(DocFunctions.mimeGuessBytes(plainZip) == "application/zip")
+    assert(DocFunctions.mimeGuessBytes("%PDF-1.4".getBytes) == "application/pdf")
+    assert(DocFunctions.mimeGuessBytes("{\\rtf1 x}".getBytes) == "application/rtf")
+    assert(DocFunctions.mimeGuessBytes("<html><body>x</body></html>".getBytes) == "text/html")
+    assert(DocFunctions.mimeGuessBytes("plain words".getBytes) == "application/octet-stream")
+    assert(DocFunctions.mimeGuessBytes(OdfWriter.generateFlat("odt", paras, 0)) ==
+      "application/xml")
+  }
+
+  // ---- langid fixture marking ----------------------------------------------
+
+  test("LangMark-woven corpus is classified 100% by the langid kernel") {
+    val sample = "key agg row scan slow fast table value part hash value table part " +
+      "a row fast merge batch part value fast spark a a the line sort table window"
+    for (lang <- Seq("en", "fr", "es", "de", "zh")) {
+      val marked = LangMark.mark(lang, sample)
+      assert(graft.textops.LangId.detect(marked)._1 == lang,
+        s"$lang misdetected on: $marked")
+    }
+  }
+}

@@ -38,6 +38,18 @@ class OoxmlSpec extends AnyFunSuite {
     assert(OoxmlExtractor.extractSheet(sheet, shared) == "aa\tbc\ninline text\n42.5")
   }
 
+  test("blank cells keep their column slot so later cells stay tab-aligned") {
+    val shared = IndexedSeq("x", "y")
+    // real spreadsheets encode blanks as <c r="B1"/> (self-closing, often
+    // with a style attr) or <c></c>; both must emit an EMPTY cell
+    val sheet = "<worksheet><sheetData>" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" s="2"/><c r="C1" t="s"><v>1</v></c></row>""" +
+      """<row r="2"><c r="A2"></c><c r="B2"><v>7</v></c></row>""" +
+      """<row r="3"><c/></row>""" +
+      "</sheetData></worksheet>"
+    assert(OoxmlExtractor.extractSheet(sheet, shared) == "x\t\ty\n\t7\n")
+  }
+
   test("pptx writer round-trip is byte-identical for every variant") {
     for (v <- 0 until PptxWriter.numVariants) {
       val bytes = PptxWriter.generate(paras, v)

@@ -74,6 +74,22 @@ class RtfEpubSpec extends AnyFunSuite {
     assert(r.success && r.text == many.mkString("\n"))
   }
 
+  test("hex escapes decode via windows-1252: 0x80-0x9F smart punctuation") {
+    // \'93…\'94 are cp1252 double quotes, \'97 em-dash, \'80 euro — a
+    // Latin-1 .toChar decode would produce C1 control characters here
+    val rtf = "{\\rtf1\\ansi q \\'93quoted\\'94 \\'97 \\'80cost \\'e9}"
+    val got = RtfExtractor.extract(rtf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(got == "q “quoted” — €cost é", got)
+  }
+
+  test("rtf writer emits cp1252 hex for smart punctuation in the hex variant") {
+    val special = Vector("smart “quotes” and — dash €")
+    val bytes = RtfWriter.generate(special, 2)
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("\\'93") && raw.contains("\\'97") && raw.contains("\\'80"), raw)
+    assert(RtfExtractor.extract(bytes) == special.mkString("\n"))
+  }
+
   test("degenerate rtf becomes a failure row") {
     val truncated = RtfWriter.generate(paras, 0).take(20).toArray
     val r = Extractor.extractOne(graft.model.WebPage("u", new java.sql.Timestamp(0),

@@ -56,7 +56,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Multimodal.sniffMedia(Array(0x89.toByte, 'P', 'N', 'G')) == "image/png")
     assert(Multimodal.sniffMedia(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) == "image/jpeg")
     assert(Multimodal.sniffMedia("GIF89a".getBytes) == "image/gif")
-    assert(Multimodal.sniffMedia("RIFFxxxxWAVE".getBytes) == "audio/riff")
+    assert(Multimodal.sniffMedia("RIFFxxxxWAVE".getBytes) == "audio/wav")
+    assert(Multimodal.sniffMedia("RIFFxxxxAVI ".getBytes) == "audio/riff")
+    assert(Multimodal.sniffMedia("BMxxxx".getBytes) == "image/bmp")
+    assert(Multimodal.sniffMedia("P6\n2 2\n255\n".getBytes) == "image/x-portable-pixmap")
     assert(Multimodal.sniffMedia("%PDF-1.4".getBytes) == "application/pdf")
     assert(Multimodal.sniffMedia("<!DOCTYPE html>".getBytes) == "text/html")
     assert(Multimodal.sniffMedia(Array[Byte](0, 1, 2, 3)) == "application/octet-stream")
