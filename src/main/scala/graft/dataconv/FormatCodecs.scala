@@ -78,12 +78,18 @@ object FormatCodecs {
     * OOMing the driver. */
   def headerUnion(df: DataFrame, mapCol: String, maxHeaders: Int = 100000): Seq[String] = {
     import df.sparkSession.implicits._
-    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
-      .distinct().orderBy("k").limit(maxHeaders + 1).as[String].collect()
+    val keys = headerUnionDF(df, mapCol).limit(maxHeaders + 1).as[String].collect()
     require(keys.length <= maxHeaders,
       s"headerUnion: more than $maxHeaders distinct keys — not a tabular corpus")
     keys.toSeq
   }
+
+  /** The distributed part of [[headerUnion]] (pre-collect): explode keys,
+    * distinct (partial agg map-side), sort. Exposed so plan tests can pin
+    * its shape without running the collect. */
+  def headerUnionDF(df: DataFrame, mapCol: String): DataFrame =
+    df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().orderBy("k")
 
   // ---- K7 deterministic sample (Ada/Alan) ----------------------------------
 

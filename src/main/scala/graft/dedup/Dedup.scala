@@ -167,6 +167,18 @@ object Dedup {
     * lineage is truncated per round (localCheckpoint) so the plan does not
     * grow with iterations — the standard Spark iterative-algorithm shape.
     * maxIters is a diameter backstop, not a tuning knob. */
+  /** One min-label propagation round: per node, min of its own label and
+    * all neighbor labels. Equi-joins + one hash aggregate only — the plan
+    * shape PlanSpec pins (no cartesian, partial agg before the exchange). */
+  private[graft] def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbr = edges
+      .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+      .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
+    labels.join(nbr, Seq("id"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+  }
+
   def nearDupClusters(ids: DataFrame, pairs: DataFrame,
                       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -177,13 +189,7 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbr = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dlabel").as("nlabel"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val updated = propagationRound(edges, labels).localCheckpoint(true)
       changed = updated.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).count()
       labels = updated

@@ -47,6 +47,21 @@ object ResumableRunner {
       bucket: Int, url: String, warc_ts: java.sql.Timestamp,
       html: Array[Byte], text: String, lang: String)
 
+  /** The resume anti-join: drop every page whose bucket the manifest marks
+    * done. The finished-bucket list is O(numBuckets) and BROADCAST — the
+    * corpus side never shuffles for the resume decision (PlanSpec asserts
+    * this shape). */
+  def remainingAfterManifest(bucketed: org.apache.spark.sql.DataFrame,
+                             doneBuckets: Set[Int]): org.apache.spark.sql.DataFrame = {
+    if (doneBuckets.isEmpty) bucketed
+    else {
+      val spark = bucketed.sparkSession
+      import spark.implicits._
+      bucketed.join(
+        doneBuckets.toSeq.toDF("bucket").hint("broadcast"), Seq("bucket"), "left_anti")
+    }
+  }
+
   def run(spark: SparkSession, pages: Dataset[WebPage], outDir: String,
           runId: String, numBuckets: Int): RunSummary = {
     import spark.implicits._
@@ -70,10 +85,7 @@ object ResumableRunner {
 
     val bucketUdf = udf((url: String) => bucketOf(url, numBuckets))
     val bucketed = pages.withColumn("bucket", bucketUdf(col("url")))
-    val remaining =
-      if (doneBuckets.isEmpty) bucketed
-      else bucketed.join(
-        doneBuckets.toSeq.toDF("bucket").hint("broadcast"), Seq("bucket"), "left_anti")
+    val remaining = remainingAfterManifest(bucketed, doneBuckets)
 
     // golden `text` is blanked before the shuffle — the kernel reads only
     // `html`; verification joins the source table by url afterwards

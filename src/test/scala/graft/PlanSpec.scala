@@ -95,6 +95,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // ---- component plans of the four eager-excluded queries ------------------
+  // (pipeline_resume / stream_metrics / dedup_clusters / dc_header_union
+  // EXECUTE at DataFrame-construction time, so the sweep above skips them;
+  // their heavy component DataFrames are pinned here without running them.)
+
+  test("resume anti-join broadcasts the finished-bucket list (corpus never shuffles to resume)") {
+    val pages = Corpus.materialize(spark, sfDir).toDF()
+      .withColumn("bucket", pmod(length(col("url")), lit(64)).cast("int"))
+    val df = graft.pipeline.ResumableRunner.remainingAfterManifest(pages, Set(1, 2, 3))
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+    assert(countShuffles(df) == 0, s) // broadcast only — no exchange of the corpus
+  }
+
+  test("streaming extraction kernel adds no shuffle over the source scan") {
+    val pages = Corpus.materialize(spark, sfDir)
+    val df = graft.streaming.StreamingExtraction.extractStream(pages).toDF()
+    assert(countShuffles(df) == 0, planString(df))
+  }
+
+  test("one cluster-propagation round: equi-joins + partial-agg min, no cartesian") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    val df = graft.dedup.Dedup.propagationRound(edges, labels)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("HashAggregate"), s) // partial min before the exchange
+  }
+
+  test("header-union distributed part: explode -> distinct with map-side partial agg") {
+    import spark.implicits._
+    val maps = Seq(Map("a" -> "1"), Map("b" -> "2")).toDF("m")
+    val df = graft.dataconv.FormatCodecs.headerUnionDF(maps, "m")
+    val s = planString(df)
+    assert(s.contains("HashAggregate") && s.contains("Generate"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // distinct (1 exchange) + the final sort (1 range exchange), nothing more
+    assert(countShuffles(df) <= 2, s)
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
