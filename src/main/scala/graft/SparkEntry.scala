@@ -226,9 +226,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Dispatch containment: legacy CFB payloads (doc/xls/ppt + a bare
-    // container) must yield EXPLICIT failure rows with the refined kind —
-    // never a mojibake success — while flat-ODF and txt payloads extract
+    // Legacy binary Office (.doc/.xls/.ppt in CFB): real piece-table /
+    // BIFF8 / record-tree kernels — per-document byte-identity like the
+    // OOXML family
+    "extract_doc" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = graft.fixtures.LegacyOfficeWriters.DocWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t),
+            (id % graft.fixtures.LegacyOfficeWriters.DocWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"doc$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+    "extract_xls" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          // variants 0 (latin shared strings) and 2 (wide): the
+          // paragraph-per-row layouts that reproduce the source verbatim
+          val bytes = graft.fixtures.LegacyOfficeWriters.XlsWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t), (id % 2).toInt * 2)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"xls$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+    "extract_ppt" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = graft.fixtures.LegacyOfficeWriters.PptWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t),
+            (id % graft.fixtures.LegacyOfficeWriters.PptWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"ppt$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Dispatch containment: HOLLOW legacy CFB containers (marker stream
+    // only / bare) must yield EXPLICIT failure rows with the refined kind —
+    // never a mojibake success — while flat-ODF and txt payloads extract.
+    // (Well-formed doc/xls/ppt succeed: extract_doc/extract_xls/extract_ppt.)
     "extract_dispatch" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -737,6 +782,15 @@ object SparkEntry {
     "extract_xlsx" ->
       ("SELECT doc_id, 'xlsx' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
+    "extract_doc" ->
+      ("SELECT doc_id, 'doc' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_xls" ->
+      ("SELECT doc_id, 'xls' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
+    "extract_ppt" ->
+      ("SELECT doc_id, 'ppt' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
     "extract_fodf" ->
       ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'fodt' WHEN 1 THEN 'fodp' " +
         "ELSE 'fods' END AS format_from, true AS success, text " +
@@ -844,7 +898,10 @@ object SparkEntry {
         "('output', '.html'), ('output', '.xml'), ('output', '.xls'), ('output', '.xlsx'), " +
         "('output', '.ods'), ('output', '.csv'), ('output', '.ppt'), ('output', '.pptx'), " +
         "('output', '.odp'), ('output', '.epub'), ('payload', 'html'), ('payload', 'pdf'), " +
-        "('payload', 'docx'), ('payload', 'txt')) AS t(direction, ext) " +
+        "('payload', 'txt'), ('payload', 'rtf'), ('payload', 'docx'), ('payload', 'pptx'), " +
+        "('payload', 'xlsx'), ('payload', 'odt'), ('payload', 'odp'), ('payload', 'ods'), " +
+        "('payload', 'fodt'), ('payload', 'fodp'), ('payload', 'fods'), ('payload', 'epub'), " +
+        "('payload', 'doc'), ('payload', 'xls'), ('payload', 'ppt')) AS t(direction, ext) " +
         "ORDER BY direction, ext"),
     "fn_surface" ->
       ("SELECT doc_id, " +

@@ -88,11 +88,14 @@ object Extractor {
     case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)
     case "rtf" => ("rtf", graft.extract.rtf.RtfExtractor.extract(bytes))
     case "fodf" => graft.extract.ooxml.OdfExtractor.extractFlat(bytes)
-    case "doc" | "xls" | "ppt" | "cfb" =>
-      // reference whitelist inputs (document_converters.py:16-26) with no
-      // pure-JVM kernel: an explicit failure row, NEVER a mojibake success
+    case "doc" => ("doc", graft.extract.cfb.DocExtractor.extract(bytes))
+    case "xls" => ("xls", graft.extract.cfb.XlsExtractor.extract(bytes))
+    case "ppt" => ("ppt", graft.extract.cfb.PptExtractor.extract(bytes))
+    case "cfb" =>
+      // a CFB container with none of the known Office streams: an explicit
+      // failure row, NEVER a mojibake success from the html/txt fallthrough
       throw new IllegalArgumentException(
-        s"legacy CFB ($fmt) unsupported — no pure-JVM kernel; convert to OOXML")
+        "CFB container has no WordDocument/Workbook/PowerPoint stream")
     case "html" => ("html", HtmlExtractor.extract(bytes))
     case other => (other, Charsets.decode(bytes))
   }

@@ -3,17 +3,18 @@ package graft.fixtures
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Minimal structurally-valid CFB (OLE2 compound file) generator — the
-  * container behind the reference whitelist's legacy .doc/.xls/.ppt inputs
-  * (/root/reference/src/converters/document_converters.py:16-26). The
-  * engine deliberately has NO kernel for these (SURVEY §2.7 K2b scope cut);
-  * fixtures exist to prove the dispatch contract: CFB payloads must yield
-  * explicit failure rows with the refined kind, never a mojibake success.
+/** Structurally-valid CFB (OLE2 compound file) generator — the container
+  * behind the reference whitelist's legacy .doc/.xls/.ppt inputs
+  * (/root/reference/src/converters/document_converters.py:16-26).
+  * [[write]] produces a complete v3 file (512-byte sectors) with real
+  * stream content: streams >= 4096 bytes go to regular FAT chains, smaller
+  * ones into the root's mini stream with a mini FAT ([MS-CFB] §2.6.1), so
+  * [[graft.extract.cfb.CfbParser]] exercises both paths. Directory sibling
+  * pointers use a flat right-chain (fixture-grade; the engine's parser
+  * scans entries linearly as many real-world readers do).
   *
-  * Layout ([MS-CFB]): 512-byte header (magic, v3, 512-byte sectors),
-  * sector 0 = FAT, sector 1 = directory with a Root Entry plus one named
-  * stream entry (the kind-defining name: "WordDocument" / "Workbook" /
-  * "PowerPoint Document").
+  * [[generate]] keeps the empty-stream marker files used by the dispatch
+  * fixtures (classification without extractable content).
   */
 object CfbWriter {
 
@@ -25,61 +26,144 @@ object CfbWriter {
   private val FREESECT = 0xffffffff
   private val ENDOFCHAIN = 0xfffffffe
   private val FATSECT = 0xfffffffd
+  private val NOSTREAM = 0xffffffff
+  private val S = 512
+  private val MINI = 64
+  private val CUTOFF = 4096
 
-  /** A CFB file whose directory names a `kind`-defining stream; any other
-    * kind string yields a bare container (classified "cfb"). */
-  def generate(kind: String): Array[Byte] = {
-    val buf = ByteBuffer.allocate(512 * 3).order(ByteOrder.LITTLE_ENDIAN)
+  /** A CFB file whose directory names a `kind`-defining stream with NO
+    * content; any other kind string yields a bare container ("cfb"). */
+  def generate(kind: String): Array[Byte] =
+    write(streamNameOf.get(kind).map(_ -> Array.emptyByteArray).toSeq)
 
-    // ---- header (sector -1) ----
+  /** Full container with the given named streams. */
+  def write(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    def sectorsOf(n: Int, unit: Int): Int = (n + unit - 1) / unit
+
+    // ---- mini stream layout (small streams, 64-byte mini sectors) ----
+    val small = streams.filter(_._2.length < CUTOFF)
+    val large = streams.filter(_._2.length >= CUTOFF)
+    val miniStarts = scala.collection.mutable.Map.empty[String, Int]
+    var miniSectors = 0
+    for ((name, data) <- small) {
+      miniStarts(name) = if (data.isEmpty) ENDOFCHAIN else miniSectors
+      miniSectors += sectorsOf(data.length, MINI)
+    }
+    val miniBytes = new Array[Byte](miniSectors * MINI)
+    var mo = 0
+    for ((_, data) <- small) {
+      System.arraycopy(data, 0, miniBytes, mo, data.length)
+      mo += sectorsOf(data.length, MINI) * MINI
+    }
+    // mini FAT: consecutive chains
+    val miniFat = ByteBuffer.allocate(sectorsOf(miniSectors * 4, S) * S max 0)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for ((_, data) <- small; k <- 0 until sectorsOf(data.length, MINI)) {
+      val isLast = k == sectorsOf(data.length, MINI) - 1
+      miniFat.putInt(if (isLast) ENDOFCHAIN else miniFat.position() / 4 + 1)
+    }
+    while (miniFat.position() < miniFat.capacity()) miniFat.putInt(FREESECT)
+
+    // ---- directory ----
+    val dirEntryCount = 1 + streams.length
+    val dirSectors = sectorsOf(dirEntryCount * 128, S)
+
+    // ---- regular sector plan: [FAT][dir][miniFAT][miniStream][large...] ----
+    val miniFatSectors = if (miniSectors == 0) 0 else sectorsOf(miniSectors * 4, S)
+    val miniDataSectors = sectorsOf(miniBytes.length, S)
+    val largeSectors = large.map { case (_, d) => sectorsOf(d.length, S) }
+    val dataSectors = dirSectors + miniFatSectors + miniDataSectors + largeSectors.sum
+    var numFat = 1
+    while (numFat * (S / 4) < numFat + dataSectors) numFat += 1
+
+    val dirStart = numFat
+    val miniFatStart = dirStart + dirSectors
+    val miniDataStart = miniFatStart + miniFatSectors
+    var next = miniDataStart + miniDataSectors
+    val largeStarts = large.map { case (name, d) =>
+      val s = next; next += sectorsOf(d.length, S); name -> s
+    }.toMap
+    val totalSectors = next
+
+    val buf = ByteBuffer.allocate(S + totalSectors * S).order(ByteOrder.LITTLE_ENDIAN)
+
+    // ---- header ----
     buf.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
     buf.position(24)
-    buf.putShort(0x3e.toShort) // minor version
-    buf.putShort(3)            // major version 3
-    buf.putShort(0xfffe.toShort) // little-endian byte order mark
-    buf.putShort(9)            // sector shift: 512-byte sectors
-    buf.putShort(6)            // mini sector shift
+    buf.putShort(0x3e.toShort); buf.putShort(3)
+    buf.putShort(0xfffe.toShort)
+    buf.putShort(9); buf.putShort(6)
     buf.position(44)
-    buf.putInt(1)              // number of FAT sectors
-    buf.putInt(1)              // first directory sector = sector 1
+    buf.putInt(numFat)
+    buf.putInt(dirStart)
     buf.position(56)
-    buf.putInt(4096)           // mini stream cutoff
-    buf.putInt(ENDOFCHAIN)     // first mini FAT sector
-    buf.putInt(0)              // number of mini FAT sectors
-    buf.putInt(ENDOFCHAIN)     // first DIFAT sector
-    buf.putInt(0)              // number of DIFAT sectors
-    buf.putInt(0)              // DIFAT[0]: FAT lives in sector 0
-    for (_ <- 1 until 109) buf.putInt(FREESECT)
+    buf.putInt(CUTOFF)
+    buf.putInt(if (miniFatSectors == 0) ENDOFCHAIN else miniFatStart)
+    buf.putInt(miniFatSectors)
+    buf.putInt(ENDOFCHAIN); buf.putInt(0) // no DIFAT chain (<= 109 FAT sectors)
+    require(numFat <= 109, "fixture files stay within the header DIFAT")
+    for (k <- 0 until 109) buf.putInt(if (k < numFat) k else FREESECT)
 
-    // ---- sector 0: the FAT ----
-    buf.position(512)
-    buf.putInt(FATSECT)        // sector 0 is the FAT itself
-    buf.putInt(ENDOFCHAIN)     // sector 1 (directory) ends its chain
-    for (_ <- 2 until 128) buf.putInt(FREESECT)
+    // ---- FAT ----
+    def fatPut(sector: Int, value: Int): Unit = {
+      buf.position(S + (sector / (S / 4)) * S + (sector % (S / 4)) * 4)
+      buf.putInt(value)
+    }
+    for (s <- 0 until totalSectors) fatPut(s, FREESECT)
+    for (s <- 0 until numFat) fatPut(s, FATSECT)
+    def chain(start: Int, count: Int): Unit =
+      for (k <- 0 until count) fatPut(start + k, if (k == count - 1) ENDOFCHAIN else start + k + 1)
+    chain(dirStart, dirSectors)
+    if (miniFatSectors > 0) chain(miniFatStart, miniFatSectors)
+    if (miniDataSectors > 0) chain(miniDataStart, miniDataSectors)
+    for ((name, d) <- large) chain(largeStarts(name), sectorsOf(d.length, S))
 
-    // ---- sector 1: the directory ----
-    writeDirEntry(buf, 1024, "Root Entry", entryType = 5, child = 1)
-    streamNameOf.get(kind).foreach { name =>
-      writeDirEntry(buf, 1024 + 128, name, entryType = 2, child = FREESECT)
+    // ---- directory entries ----
+    def dirEntry(idx: Int, name: String, tpe: Int, child: Int, right: Int,
+                 start: Int, size: Long): Unit = {
+      val at = S + dirStart * S + idx * 128
+      val u16name = name.getBytes(StandardCharsets.UTF_16LE)
+      require(u16name.length <= 62, name)
+      buf.position(at)
+      buf.put(u16name)
+      buf.position(at + 64)
+      buf.putShort((u16name.length + 2).toShort)
+      buf.put(tpe.toByte)
+      buf.put(1.toByte) // black
+      buf.putInt(NOSTREAM) // left
+      buf.putInt(right)
+      buf.putInt(child)
+      buf.position(at + 116)
+      buf.putInt(start)
+      buf.putInt(size.toInt)
+    }
+    dirEntry(0, "Root Entry", tpe = 5,
+      child = if (streams.isEmpty) NOSTREAM else 1, right = NOSTREAM,
+      start = if (miniDataSectors == 0) ENDOFCHAIN else miniDataStart,
+      size = miniBytes.length.toLong)
+    streams.zipWithIndex.foreach { case ((name, data), i) =>
+      val idx = i + 1
+      val right = if (idx == streams.length) NOSTREAM else idx + 1
+      val start =
+        if (data.length >= CUTOFF) largeStarts(name)
+        else miniStarts(name)
+      dirEntry(idx, name, tpe = 2, child = NOSTREAM, right = right,
+        start = start, size = data.length.toLong)
+    }
+
+    // ---- payload sectors ----
+    if (miniFatSectors > 0) {
+      buf.position(S + miniFatStart * S)
+      buf.put(miniFat.array(), 0, miniFatSectors * S)
+    }
+    if (miniDataSectors > 0) {
+      buf.position(S + miniDataStart * S)
+      buf.put(miniBytes)
+    }
+    for ((name, d) <- large) {
+      buf.position(S + largeStarts(name) * S)
+      buf.put(d)
     }
     buf.array()
-  }
-
-  private def writeDirEntry(buf: ByteBuffer, at: Int, name: String,
-                            entryType: Int, child: Int): Unit = {
-    val u16 = name.getBytes(StandardCharsets.UTF_16LE)
-    require(u16.length <= 62, name)
-    buf.position(at)
-    buf.put(u16)
-    buf.position(at + 64)
-    buf.putShort((u16.length + 2).toShort) // name length incl. UTF-16 NUL
-    buf.put(entryType.toByte)
-    buf.put(1.toByte)                      // color: black
-    buf.putInt(FREESECT)                   // left sibling
-    buf.putInt(FREESECT)                   // right sibling
-    buf.putInt(child)                      // child (root points at the stream)
-    buf.position(at + 116)
-    buf.putInt(ENDOFCHAIN)                 // start sector (stream is empty)
-    buf.putInt(0)                          // stream size low
   }
 }

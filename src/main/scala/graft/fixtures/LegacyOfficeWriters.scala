@@ -1,0 +1,177 @@
+package graft.fixtures
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Deterministic legacy binary Office generators (.doc/.xls/.ppt inside
+  * CFB) — the reference whitelist's legacy formats
+  * (/root/reference/src/converters/document_converters.py:16-26). Each
+  * writer emits the minimal REAL structure its extractor parses: Word's
+  * FIB + Clx/PlcPcd piece table, BIFF8's BOF/SST/LABELSST records, and
+  * PowerPoint's record tree with text atoms.
+  */
+object LegacyOfficeWriters {
+
+  private val cp1252 = Charset.forName("windows-1252")
+
+  /** Word 97 .doc: piece-table text.
+    * Variants: 0 — one cp1252 ("compressed") piece; 1 — one UTF-16LE piece;
+    * 2 — text split across TWO pieces (compressed + unicode);
+    * 3 — table stream named 0Table (fWhichTblStm = 0). */
+  object DocWriter {
+    val numVariants = 4
+
+    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
+      val text = paragraphs.mkString("\r") + "\r"
+      val wants: Seq[(String, Boolean)] = variant match {
+        case 1 => Seq((text, false))
+        case 2 =>
+          val mid = text.length / 2
+          Seq((text.take(mid), true), (text.drop(mid), false))
+        case _ => Seq((text, true))
+      }
+      // a "compressed" piece can only hold cp1252-encodable chars
+      val pieces = wants.map { case (t, comp) =>
+        (t, comp && t.forall(c => c <= 0x7f || cp1252.newEncoder().canEncode(c)))
+      }
+
+      val textStart = 1024
+      val encoded = pieces.map { case (t, comp) =>
+        if (comp) t.getBytes(cp1252) else t.getBytes(StandardCharsets.UTF_16LE)
+      }
+      val word = new Array[Byte](textStart + encoded.map(_.length).sum)
+      var off = textStart
+      val fcFields = pieces.zip(encoded).map { case ((_, comp), data) =>
+        val fc = if (comp) (off * 2) | 0x40000000 else off
+        System.arraycopy(data, 0, word, off, data.length)
+        off += data.length
+        fc
+      }
+
+      // Clx at a small offset inside the table stream
+      val clxOff = 16
+      val n = pieces.length
+      val lcbPlc = (n + 1) * 4 + n * 8
+      val table = ByteBuffer.allocate(clxOff + 5 + lcbPlc).order(ByteOrder.LITTLE_ENDIAN)
+      table.position(clxOff)
+      table.put(0x02.toByte) // Pcdt
+      table.putInt(lcbPlc)
+      var cp = 0
+      table.putInt(0)
+      for ((t, _) <- pieces) { cp += t.length; table.putInt(cp) }
+      for (fc <- fcFields) {
+        table.putShort(0) // PCD flags
+        table.putInt(fc)
+        table.putShort(0) // prm
+      }
+
+      val fib = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+      fib.putShort(0, 0xa5ec.toShort) // wIdent
+      fib.putShort(2, 0x00c1.toShort) // nFib: Word97
+      val whichTbl = if (variant == 3) 0 else 0x0200
+      fib.putShort(0x000a, whichTbl.toShort)
+      fib.putShort(32, 14) // csw
+      fib.putShort(62, 22) // cslw
+      fib.putInt(0x004c, cp) // ccpText
+      fib.putShort(152, 93) // cbRgFcLcb (Word97)
+      fib.putInt(0x01a2, clxOff)
+      fib.putInt(0x01a6, 5 + lcbPlc)
+
+      val tableName = if (variant == 3) "0Table" else "1Table"
+      CfbWriter.write(Seq("WordDocument" -> word, tableName -> table.array()))
+    }
+  }
+
+  /** Excel 97 .xls (BIFF8): BOF + SST + LABELSST cells + EOF.
+    * Variants: 0 — one string cell per row (a paragraph each);
+    * 1 — rows split into 4-word cells; 2 — UTF-16 ("wide") shared strings. */
+  object XlsWriter {
+    val numVariants = 3
+
+    def rowsOf(paragraphs: Seq[String], variant: Int): Seq[Seq[String]] =
+      if (variant == 1) paragraphs.map(_.split(' ').grouped(4).map(_.mkString(" ")).toSeq)
+      else paragraphs.map(Seq(_))
+
+    def expectedText(paragraphs: Seq[String], variant: Int): String =
+      rowsOf(paragraphs, variant).map(_.mkString("\t")).mkString("\n")
+
+    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
+      val rows = rowsOf(paragraphs, variant)
+      val cells = for ((row, r) <- rows.zipWithIndex; (v, c) <- row.zipWithIndex)
+        yield (r, c, v)
+      val strings = cells.map(_._3).distinct
+      val sstIndex = strings.zipWithIndex.toMap
+      val wide = variant == 2
+
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(tpe: Int, body: Array[Byte]): Unit = {
+        val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        h.putShort(tpe.toShort); h.putShort(body.length.toShort)
+        out.write(h.array()); out.write(body)
+      }
+      // BOF: BIFF8 workbook globals
+      val bof = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      bof.putShort(0x0600.toShort); bof.putShort(0x0005.toShort)
+      bof.putShort(0x0dbb.toShort); bof.putShort(0x07cc.toShort)
+      rec(0x0809, bof.array())
+      // SST
+      val sst = new java.io.ByteArrayOutputStream()
+      val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      head.putInt(cells.length); head.putInt(strings.length)
+      sst.write(head.array())
+      for (s <- strings) {
+        val isWide = wide || s.exists(_ > 0xff)
+        val sb = ByteBuffer.allocate(3).order(ByteOrder.LITTLE_ENDIAN)
+        sb.putShort(s.length.toShort); sb.put((if (isWide) 1 else 0).toByte)
+        sst.write(sb.array())
+        sst.write(if (isWide) s.getBytes(StandardCharsets.UTF_16LE)
+                  else s.getBytes(StandardCharsets.ISO_8859_1))
+      }
+      rec(0x00fc, sst.toByteArray)
+      // cells
+      for ((r, c, v) <- cells) {
+        val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(r.toShort); b.putShort(c.toShort); b.putShort(15)
+        b.putInt(sstIndex(v))
+        rec(0x00fd, b.array())
+      }
+      rec(0x000a, Array.emptyByteArray) // EOF
+      CfbWriter.write(Seq("Workbook" -> out.toByteArray))
+    }
+  }
+
+  /** PowerPoint 97 .ppt: a Document container (recVer 0xF) of text atoms.
+    * Variants: 0 — TextBytesAtom (cp1252) per slide paragraph;
+    * 1 — TextCharsAtom (UTF-16LE) per paragraph;
+    * 2 — ONE TextCharsAtom carrying all paragraphs `\r`-separated. */
+  object PptWriter {
+    val numVariants = 3
+
+    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
+      def atom(tpe: Int, body: Array[Byte]): Array[Byte] = {
+        val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(0x0000); b.putShort(tpe.toShort); b.putInt(body.length)
+        b.put(body)
+        b.array()
+      }
+      val atoms: Seq[Array[Byte]] = variant match {
+        case 1 => paragraphs.map(p => atom(0x0fa0, p.getBytes(StandardCharsets.UTF_16LE)))
+        case 2 => Seq(atom(0x0fa0,
+          paragraphs.mkString("\r").getBytes(StandardCharsets.UTF_16LE)))
+        case _ => paragraphs.map { p =>
+          // a bytes atom only holds cp1252-encodable text; else a chars atom
+          if (p.forall(c => c <= 0x7f || cp1252.newEncoder().canEncode(c)))
+            atom(0x0fa8, p.getBytes(cp1252))
+          else atom(0x0fa0, p.getBytes(StandardCharsets.UTF_16LE))
+        }
+      }
+      val bodyLen = atoms.map(_.length).sum
+      val doc = ByteBuffer.allocate(8 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+      doc.putShort(0x000f) // container recVer
+      doc.putShort(0x03e8.toShort) // Document container
+      doc.putInt(bodyLen)
+      atoms.foreach(doc.put)
+      CfbWriter.write(Seq("PowerPoint Document" -> doc.array()))
+    }
+  }
+}

@@ -25,7 +25,11 @@ object DocFunctions {
     * whitelists kept for API parity (callers gate batch inputs on these —
     * the Spark analog of `GET /api/formats/document`, server.py:31-33). */
   val supportedFormats: Map[String, Seq[String]] = Map(
-    "payload" -> Seq("html", "pdf", "docx", "txt"),
+    "payload" -> Seq(
+      "html", "pdf", "txt", "rtf",
+      "docx", "pptx", "xlsx", "odt", "odp", "ods",
+      "fodt", "fodp", "fods", "epub",
+      "doc", "xls", "ppt"),
     "input" -> Seq(
       ".txt", ".rtf", ".doc", ".docx", ".odt", ".ott", ".sxw",
       ".xls", ".xlsx", ".ods", ".ots", ".csv",

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Extractor
+import graft.extract.cfb.{CfbParser, DocExtractor, PptExtractor, XlsExtractor}
+import graft.fixtures.CfbWriter
+import graft.fixtures.LegacyOfficeWriters.{DocWriter, PptWriter, XlsWriter}
+
+/** Legacy binary Office kernels (.doc/.xls/.ppt): CFB container round-trip
+  * through both stream paths, piece-table / BIFF / record-tree extraction,
+  * dispatch refinement, failure containment. */
+class LegacyOfficeSpec extends AnyFunSuite {
+
+  private val paras = Vector(
+    "alpha bravo charlie delta echo foxtrot",
+    "golf hotel india juliet kilo",
+    "lima mike november oscar papa quebec romeo sierra")
+
+  private def page(bytes: Array[Byte]) =
+    graft.model.WebPage("u", new java.sql.Timestamp(0), bytes, "", "en")
+
+  // ---- the CFB container itself --------------------------------------------
+
+  test("cfb writer/parser round-trip: mini-stream AND regular-chain paths") {
+    val small = "small stream content".getBytes
+    val large = Array.tabulate(10000)(i => (i % 251).toByte) // >= 4096: regular FAT
+    val empty = Array.emptyByteArray
+    val bytes = CfbWriter.write(Seq("Small" -> small, "Large" -> large, "Empty" -> empty))
+    val p = new CfbParser(bytes)
+    assert(p.streamNames.toSet == Set("Small", "Large", "Empty"))
+    assert(p.stream("Small").get.sameElements(small))
+    assert(p.stream("Large").get.sameElements(large))
+    assert(p.stream("Empty").get.isEmpty)
+    assert(p.stream("Missing").isEmpty)
+  }
+
+  test("cfb parser rejects truncated containers instead of looping") {
+    val full = CfbWriter.write(Seq("S" -> "data".getBytes))
+    val truncated = full.take(600).toArray // header + partial FAT
+    intercept[Exception] { new CfbParser(truncated).stream("S") }
+  }
+
+  // ---- .doc ----------------------------------------------------------------
+
+  test("doc round-trips every variant with refined kind") {
+    for (v <- 0 until DocWriter.numVariants) {
+      val bytes = DocWriter.generate(paras, v)
+      assert(Extractor.sniffFormat(bytes) == "doc", s"variant $v sniff")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(r.success && r.format_from == "doc", s"variant $v: $r")
+      assert(r.text == paras.mkString("\n"),
+        s"variant $v:\n--- got ---\n${r.text}\n--- want ---\n${paras.mkString("\n")}")
+    }
+  }
+
+  test("doc piece table: split pieces re-concatenate in CP order") {
+    // variant 2 splits mid-text into a compressed + a unicode piece
+    val odd = Vector("one two three four five", "six seven eight")
+    assert(DocExtractor.extract(DocWriter.generate(odd, 2)) == odd.mkString("\n"))
+  }
+
+  test("doc with non-cp1252 characters falls back to unicode pieces") {
+    val special = Vector("café déjà vu", "with 中文 characters")
+    for (v <- 0 until DocWriter.numVariants) {
+      assert(DocExtractor.extract(DocWriter.generate(special, v)) ==
+        special.mkString("\n"), s"variant $v")
+    }
+  }
+
+  // ---- .xls ----------------------------------------------------------------
+
+  test("xls round-trips every variant against expectedText") {
+    for (v <- 0 until XlsWriter.numVariants) {
+      val bytes = XlsWriter.generate(paras, v)
+      assert(Extractor.sniffFormat(bytes) == "xls", s"variant $v sniff")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(r.success && r.format_from == "xls", s"variant $v: $r")
+      assert(r.text == XlsWriter.expectedText(paras, v), s"variant $v")
+    }
+  }
+
+  test("xls NUMBER and RK records decode as numeric cells") {
+    // hand-build a workbook with one LABELSST + NUMBER + RK cells in a row
+    import java.nio.{ByteBuffer, ByteOrder}
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(tpe: Int, body: Array[Byte]): Unit = {
+      val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(tpe.toShort); h.putShort(body.length.toShort)
+      out.write(h.array()); out.write(body)
+    }
+    rec(0x0809, new Array[Byte](16))
+    val sst = ByteBuffer.allocate(8 + 3 + 2).order(ByteOrder.LITTLE_ENDIAN)
+    sst.putInt(1).putInt(1).putShort(2).put(0.toByte).put("ab".getBytes)
+    rec(0x00fc, sst.array())
+    def cellHead(b: ByteBuffer, col: Int): Unit = {
+      b.putShort(0); b.putShort(col.toShort); b.putShort(15)
+    }
+    val lbl = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    cellHead(lbl, 0); lbl.putInt(0)
+    rec(0x00fd, lbl.array())
+    val num = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
+    cellHead(num, 1); num.putDouble(42.0)
+    rec(0x0203, num.array())
+    val rkRec = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    cellHead(rkRec, 2); rkRec.putInt((1234 << 2) | 0x2) // fInt
+    rec(0x027e, rkRec.array())
+    val rk100 = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    cellHead(rk100, 3); rk100.putInt((250 << 2) | 0x3) // fInt + fX100 -> 2.5
+    rec(0x027e, rk100.array())
+    rec(0x000a, Array.emptyByteArray)
+    val bytes = CfbWriter.write(Seq("Workbook" -> out.toByteArray))
+    assert(XlsExtractor.extract(bytes) == "ab\t42\t1234\t2.5")
+  }
+
+  // ---- .ppt ----------------------------------------------------------------
+
+  test("ppt round-trips every variant (bytes + chars atoms, nested containers)") {
+    for (v <- 0 until PptWriter.numVariants) {
+      val bytes = PptWriter.generate(paras, v)
+      assert(Extractor.sniffFormat(bytes) == "ppt", s"variant $v sniff")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(r.success && r.format_from == "ppt", s"variant $v: $r")
+      assert(r.text == paras.mkString("\n"), s"variant $v: ${r.text}")
+    }
+  }
+
+  test("ppt with non-ascii survives the cp1252/UTF-16 atom split") {
+    val special = Vector("café — “smart”", "中文 slide")
+    for (v <- 0 until PptWriter.numVariants) {
+      assert(PptExtractor.extract(PptWriter.generate(special, v)) ==
+        special.mkString("\n"), s"variant $v")
+    }
+  }
+
+  // ---- containment ---------------------------------------------------------
+
+  test("truncated legacy payloads become failure rows, never mojibake successes") {
+    for (gen <- Seq(DocWriter.generate(paras, 0), XlsWriter.generate(paras, 0),
+                    PptWriter.generate(paras, 0))) {
+      val r = Extractor.extractOne(page(gen.take(700).toArray), 0)
+      assert(!r.success && r.error.nonEmpty, r.toString)
+    }
+  }
+}
