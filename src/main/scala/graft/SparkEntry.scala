@@ -761,12 +761,10 @@ object SparkEntry {
     "extract_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "extract_formats" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
-        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from " +
+      ("SELECT doc_id, " + formatFromSql + " AS format_from " +
         "FROM documents ORDER BY doc_id"),
     "extract_metrics" ->
-      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
-        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
+      ("SELECT " + formatFromSql + " AS format_from, " +
         "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
         "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
     "extract_rtf" ->
@@ -935,8 +933,7 @@ object SparkEntry {
         "AS partition_id, CAST(count(*) AS BIGINT) AS docs " +
         "FROM urls GROUP BY 1 ORDER BY partition_id"),
     "stream_metrics" ->
-      ("SELECT CASE WHEN doc_id % 4 = 3 THEN 'pdf' " +
-        "WHEN doc_id % 4 = 1 THEN 'docx' ELSE 'html' END AS format_from, " +
+      ("SELECT " + formatFromSql + " AS format_from, " +
         "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
         "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from"),
     "ta_tokens" ->
@@ -1045,6 +1042,14 @@ object SparkEntry {
       ("SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS salt, " +
         "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt")
   )
+
+  /** The corpus payload-format wheel (Corpus.formatOf) in SQL — shared by
+    * the extract_formats / extract_metrics / stream_metrics oracles. */
+  private val formatFromSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE CASE doc_id % 24 " +
+      "WHEN 1 THEN 'docx' WHEN 3 THEN 'pdf' WHEN 5 THEN 'pptx' WHEN 7 THEN 'xlsx' " +
+      "WHEN 9 THEN 'odt' WHEN 11 THEN 'odp' WHEN 13 THEN 'ods' WHEN 15 THEN 'rtf' " +
+      "WHEN 17 THEN 'doc' WHEN 19 THEN 'xls' WHEN 21 THEN 'ppt' ELSE 'pdf' END END"
 
   /** Shared CTE body: the near-dup verification corpus and its exhaustive
     * word-3-gram Jaccard >= 4/5 pair set (integer cross-multiplication). */

@@ -13,9 +13,15 @@ import graft.model.WebPage
   * extraction (golden), derived by the same paragraphization the templates
   * use; replacing '\n' with ' ' in it recovers documents.text exactly.
   *
-  * Payload routing: doc_id % 4 == 3 -> PDF (variant (doc_id/4) % 4),
-  * doc_id % 4 == 1 -> DOCX (variant (doc_id/4) % 4),
-  * else HTML (template (doc_id/4) % 7, encoding (doc_id/24) % 6).
+  * Payload routing (doc_id % 24): EVEN ids -> HTML (50%, the web-scale
+  * majority; template (doc_id/2) % 7, encoding (doc_id/14) % 6); ODD ids
+  * rotate through the ELEVEN structural binary kernels
+  * docx, pdf, pptx, xlsx, odt, odp, ods, rtf, doc, xls, ppt (pdf twice),
+  * each with a variant rotation over its golden-preserving variants — so
+  * the flagship pipeline and the throughput bench exercise the FULL
+  * dispatch surface. EPUB and flat-ODF stay on their dedicated oracle
+  * queries: EPUB chapters run the boilerplate classifier, whose length
+  * thresholds the corpus length-sweep intentionally crosses.
   */
 object Corpus {
 
@@ -26,12 +32,18 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r3"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r4"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
-  def isPdf(docId: Long): Boolean = docId % 4 == 3
-  def isDocx(docId: Long): Boolean = docId % 4 == 1
+  /** Odd-slot format wheel: (doc_id % 24) odd -> formats(((doc_id%24)-1)/2).
+    * Mirrored EXACTLY by the extract_formats / extract_metrics /
+    * stream_metrics oracle SQL. */
+  val binaryFormats: IndexedSeq[String] = IndexedSeq(
+    "docx", "pdf", "pptx", "xlsx", "odt", "odp", "ods", "rtf", "doc", "xls", "ppt", "pdf")
+
+  def formatOf(docId: Long): String =
+    if (docId % 2 == 0) "html" else binaryFormats((((docId % 24) - 1) / 2).toInt)
 
   /** Pure builder: one document row -> one webpage row. */
   def buildPage(doc: Doc, skewHost: Boolean): WebPage = {
@@ -42,17 +54,26 @@ object Corpus {
     val ts = Timestamp.from(epoch.plusSeconds(doc.doc_id))
     val paragraphs = HtmlTemplates.paragraphize(doc.text)
     val golden = paragraphs.mkString("\n")
-    val payload: Array[Byte] =
-      if (isPdf(doc.doc_id)) {
-        PdfWriter.generate(paragraphs, ((doc.doc_id / 4) % 4).toInt)
-      } else if (isDocx(doc.doc_id)) {
-        DocxWriter.generate(paragraphs, ((doc.doc_id / 4) % DocxWriter.numVariants).toInt)
-      } else {
-        val tid = ((doc.doc_id / 4) % HtmlTemplates.numTemplates).toInt
-        val encId = ((doc.doc_id / 24) % HtmlTemplates.numEncodings).toInt
+    val r = (doc.doc_id / 24).toInt // variant rotation, independent of slot
+    import LegacyOfficeWriters.{DocWriter => LDoc, PptWriter => LPpt, XlsWriter => LXls}
+    val payload: Array[Byte] = formatOf(doc.doc_id) match {
+      case "html" =>
+        val tid = ((doc.doc_id / 2) % HtmlTemplates.numTemplates).toInt
+        val encId = ((doc.doc_id / 14) % HtmlTemplates.numEncodings).toInt
         HtmlTemplates.encode(encId, (meta, extra) =>
           HtmlTemplates.render(tid, doc.doc_id, paragraphs, meta, extra))
-      }
+      case "docx" => DocxWriter.generate(paragraphs, r % DocxWriter.numVariants)
+      case "pdf" => PdfWriter.generate(paragraphs, r % 4)
+      case "pptx" => PptxWriter.generate(paragraphs, r % PptxWriter.numVariants)
+      case "xlsx" => XlsxWriter.generate(paragraphs, (r % 2) * 2) // 0/2 preserve
+      case "odt" => OdfWriter.generate("odt", paragraphs, r % 3) // 0-2 preserve
+      case "odp" => OdfWriter.generate("odp", paragraphs, r % 3)
+      case "ods" => OdfWriter.generate("ods", paragraphs, r % 3)
+      case "rtf" => RtfWriter.generate(paragraphs, r % RtfWriter.numVariants)
+      case "doc" => LDoc.generate(paragraphs, r % LDoc.numVariants)
+      case "xls" => LXls.generate(paragraphs, (r % 2) * 2)
+      case "ppt" => LPpt.generate(paragraphs, r % LPpt.numVariants)
+    }
     WebPage(url, ts, payload, golden, doc.lang)
   }
 
