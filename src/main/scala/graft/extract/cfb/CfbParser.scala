@@ -14,17 +14,16 @@ import java.nio.charset.StandardCharsets
   * corrupt cyclic FAT terminates with an error instead of looping.
   */
 object CfbParser {
-  final case class DirEntry(name: String, entryType: Int, startSector: Int, size: Long)
+  final case class DirEntry(name: String, entryType: Int, startSector: Int, size: Long,
+                            left: Int, right: Int, child: Int)
 }
 
 final class CfbParser(bytes: Array[Byte]) {
 
   require(CfbSniffer.isCfb(bytes), "not a CFB container")
 
-  private def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
-  private def i32(i: Int): Int =
-    (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
-      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+  private def u16(i: Int): Int = graft.util.LittleEndian.u16(bytes, i)
+  private def i32(i: Int): Int = graft.util.LittleEndian.i32(bytes, i)
 
   private val sectorShift = u16(30)
   require(sectorShift == 9 || sectorShift == 12, s"bad sector shift $sectorShift")
@@ -36,7 +35,10 @@ final class CfbParser(bytes: Array[Byte]) {
   private val ENDOFCHAIN = 0xfffffffe
   private val FREESECT = 0xffffffff
 
-  private def sectorOffset(sector: Int): Int = 512 + sector * sectorSize
+  // sector 0 begins after ONE sector's worth of header ([MS-CFB] §2.2: the
+  // 512-byte header is zero-padded to the sector size in v4 files), so the
+  // offset is (sector+1)*sectorSize for both v3 and v4
+  private def sectorOffset(sector: Int): Int = (sector + 1) * sectorSize
 
   // ---- FAT (via the header DIFAT + any DIFAT chain sectors) ----------------
 
@@ -96,9 +98,11 @@ final class CfbParser(bytes: Array[Byte]) {
 
   import CfbParser.DirEntry
 
-  val entries: IndexedSeq[DirEntry] = {
+  /** Every directory slot by stream id (None = free slot) — ids are the
+    * sibling/child pointer space, so the raw indexing must be preserved. */
+  private val slots: IndexedSeq[Option[DirEntry]] = {
     val dirBytes = readChain(i32(48), -1L)
-    val out = IndexedSeq.newBuilder[DirEntry]
+    val out = IndexedSeq.newBuilder[Option[DirEntry]]
     var at = 0
     while (at + 128 <= dirBytes.length) {
       def du16(i: Int) = (dirBytes(at + i) & 0xff) | ((dirBytes(at + i + 1) & 0xff) << 8)
@@ -106,17 +110,44 @@ final class CfbParser(bytes: Array[Byte]) {
         ((dirBytes(at + i + 2) & 0xff) << 16) | ((dirBytes(at + i + 3) & 0xff) << 24)
       val nameLen = du16(64)
       val tpe = dirBytes(at + 66) & 0xff
-      if (tpe != 0 && nameLen >= 2 && nameLen <= 64) {
-        val name = new String(dirBytes, at, nameLen - 2, StandardCharsets.UTF_16LE)
-        out += DirEntry(name, tpe, di32(116), di32(120).toLong & 0xffffffffL)
-      }
+      out += (if (tpe != 0 && nameLen >= 2 && nameLen <= 64)
+        Some(DirEntry(new String(dirBytes, at, nameLen - 2, StandardCharsets.UTF_16LE),
+          tpe, di32(116), di32(120).toLong & 0xffffffffL,
+          di32(68), di32(72), di32(76)))
+      else None)
       at += 128
     }
     out.result()
   }
 
+  /** All live entries at any storage depth (diagnostics). */
+  val entries: IndexedSeq[DirEntry] = slots.flatten
+
   private val root: DirEntry = entries.find(_.entryType == 5)
     .getOrElse(throw new IllegalArgumentException("CFB has no root entry"))
+
+  /** Entries at the TOP LEVEL of the storage hierarchy: the sibling tree
+    * hanging off the root's child pointer, WITHOUT descending into embedded
+    * storages — so an OLE object embedded in a spreadsheet cannot shadow or
+    * impersonate the document's own streams. Cycle-guarded. */
+  val rootEntries: IndexedSeq[DirEntry] = {
+    val out = IndexedSeq.newBuilder[DirEntry]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val stack = scala.collection.mutable.Stack[Int](root.child)
+    while (stack.nonEmpty) {
+      val i = stack.pop()
+      if (i >= 0 && i < slots.length && seen.add(i)) {
+        slots(i).foreach { e =>
+          out += e
+          stack.push(e.left)
+          stack.push(e.right)
+          // e.child of a STORAGE entry leads into the embedded storage's
+          // members — deliberately not followed
+        }
+      }
+    }
+    out.result()
+  }
 
   // mini FAT + the root's mini stream (lazy: many files have none)
   private lazy val miniFat: Array[Byte] = readChain(i32(60), -1L)
@@ -147,13 +178,14 @@ final class CfbParser(bytes: Array[Byte]) {
     if (size < all.length) java.util.Arrays.copyOf(all, size.toInt) else all
   }
 
-  /** A named stream's bytes (streams below the 4096 cutoff live in the mini
-    * stream, larger ones in regular sectors — [MS-CFB] §2.6.1). */
+  /** A named TOP-LEVEL stream's bytes (streams below the 4096 cutoff live
+    * in the mini stream, larger ones in regular sectors — [MS-CFB] §2.6.1).
+    * Embedded storages' streams are not reachable here by design. */
   def stream(name: String): Option[Array[Byte]] =
-    entries.find(e => e.entryType == 2 && e.name == name).map { e =>
+    rootEntries.find(e => e.entryType == 2 && e.name == name).map { e =>
       if (e.size < miniCutoff) readMiniChain(e.startSector, e.size)
       else readChain(e.startSector, e.size)
     }
 
-  def streamNames: Seq[String] = entries.filter(_.entryType == 2).map(_.name)
+  def streamNames: Seq[String] = rootEntries.filter(_.entryType == 2).map(_.name)
 }

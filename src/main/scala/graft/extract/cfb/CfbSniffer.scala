@@ -1,7 +1,5 @@
 package graft.extract.cfb
 
-import java.nio.charset.StandardCharsets
-
 /** Legacy Microsoft Compound File Binary (CFB / OLE2) detection — the
   * container behind .doc/.xls/.ppt in the reference's input whitelist
   * (/root/reference/src/converters/document_converters.py:16-26). These
@@ -21,42 +19,20 @@ object CfbSniffer {
       (bytes(4) & 0xff) == 0xa1 && (bytes(5) & 0xff) == 0xb1 &&
       (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0xe1
 
-  /** Bound the classification scan — directory sectors of real Office files
-    * sit within the first few MB; past that the generic "cfb" label is fine. */
-  private val scanCap = 4 * 1024 * 1024
-
-  private def utf16le(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_16LE)
-
-  private val wordStream = utf16le("WordDocument")
-  private val xlsStream = utf16le("Workbook")
-  private val xlsStreamOld = utf16le("Book") ++ Array[Byte](0, 0) // trailing NUL: avoid matching "Workbook"
-  private val pptStream = utf16le("PowerPoint Document")
-
   /** Classify a CFB payload as doc / xls / ppt by the characteristic
-    * top-level stream name ("WordDocument", "Workbook"/"Book",
-    * "PowerPoint Document"); "cfb" when none is found. Directory entries
-    * store names verbatim UTF-16LE ([MS-CFB] §2.6.1), so a bounded byte scan
-    * for the encoded name is exact on well-formed files without walking the
-    * FAT chain. */
+    * TOP-LEVEL directory stream name ("WordDocument", "Workbook"/"Book",
+    * "PowerPoint Document"); "cfb" when none is found or the directory is
+    * unwalkable. Reading the actual directory tree (not a byte scan) means
+    * stream names appearing in CONTENT — or in an embedded OLE object's
+    * sub-storage — cannot misdispatch the document. */
   def kindOf(bytes: Array[Byte]): String = {
     if (!isCfb(bytes)) return "cfb"
-    val limit = math.min(bytes.length, scanCap)
-    if (contains(bytes, limit, wordStream)) "doc"
-    else if (contains(bytes, limit, xlsStream) || contains(bytes, limit, xlsStreamOld)) "xls"
-    else if (contains(bytes, limit, pptStream)) "ppt"
-    else "cfb"
-  }
-
-  private def contains(hay: Array[Byte], limit: Int, needle: Array[Byte]): Boolean = {
-    val n = needle.length
-    var i = 0
-    val end = limit - n
-    while (i <= end) {
-      var j = 0
-      while (j < n && hay(i + j) == needle(j)) j += 1
-      if (j == n) return true
-      i += 1
-    }
-    false
+    try {
+      val names = new CfbParser(bytes).streamNames.toSet
+      if (names.contains("WordDocument")) "doc"
+      else if (names.contains("Workbook") || names.contains("Book")) "xls"
+      else if (names.contains("PowerPoint Document")) "ppt"
+      else "cfb"
+    } catch { case _: Throwable => "cfb" }
   }
 }

@@ -3,6 +3,8 @@ package graft.extract.cfb
 import java.nio.charset.Charset
 import java.nio.charset.StandardCharsets
 
+import graft.util.LittleEndian.{i32, u16}
+
 /** Word 97-2003 binary (.doc) → text kernel — a reference whitelist input
   * (/root/reference/src/converters/document_converters.py:16-26) the
   * reference feeds through LibreOffice; here a direct pure-JVM parse of the
@@ -16,10 +18,6 @@ import java.nio.charset.StandardCharsets
 object DocExtractor {
 
   private val cp1252 = Charset.forName("windows-1252")
-
-  private def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   def extract(bytes: Array[Byte]): String = {
     val cfb = new CfbParser(bytes)

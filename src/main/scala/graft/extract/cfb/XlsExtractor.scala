@@ -2,6 +2,8 @@ package graft.extract.cfb
 
 import java.nio.charset.StandardCharsets
 
+import graft.util.LittleEndian.{i32, i64, u16}
+
 /** Excel 97-2003 binary (.xls, BIFF8) → text kernel — a reference whitelist
   * input (/root/reference/src/converters/document_converters.py:16-26). The
   * Workbook stream is a flat record sequence (u16 type, u16 length,
@@ -16,10 +18,6 @@ import java.nio.charset.StandardCharsets
   * past 8 KB of shared strings).
   */
 object XlsExtractor {
-
-  private def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   def extract(bytes: Array[Byte]): String = {
     val cfb = new CfbParser(bytes)
@@ -43,7 +41,7 @@ object XlsExtractor {
           cells += ((u16(wb, body), u16(wb, body + 2), sst(isst)))
         case 0x0203 => // NUMBER: row, col, ixfe, Xnum (f64)
           cells += ((u16(wb, body), u16(wb, body + 2),
-            formatNum(java.lang.Double.longBitsToDouble(longAt(wb, body + 6)))))
+            formatNum(java.lang.Double.longBitsToDouble(i64(wb, body + 6)))))
         case 0x027e => // RK: row, col, ixfe, RkNumber
           cells += ((u16(wb, body), u16(wb, body + 2), formatNum(rkValue(i32(wb, body + 6)))))
         case _ => ()
@@ -87,9 +85,6 @@ object XlsExtractor {
     }
     out.result()
   }
-
-  private def longAt(b: Array[Byte], i: Int): Long =
-    (i32(b, i).toLong & 0xffffffffL) | (i32(b, i + 4).toLong << 32)
 
   /** RkNumber: bit0 fX100 (value /100), bit1 fInt (30-bit signed int,
     * else the top 30 bits are the high bits of an IEEE double). */

@@ -3,6 +3,7 @@ package graft.extract.epub
 import java.nio.charset.StandardCharsets
 
 import graft.extract.docx.DocxExtractor
+import graft.util.XmlAttr.attr
 import graft.extract.html.HtmlExtractor
 
 /** EPUB → text kernel — the reference whitelist's .epub input
@@ -90,16 +91,6 @@ object EpubExtractor {
       i = xml.indexOf(open, after)
     }
     out.result()
-  }
-
-  private def attr(tag: String, name: String): Option[String] = {
-    val k = name + "=\""
-    val s = tag.indexOf(k)
-    if (s < 0) None
-    else {
-      val e = tag.indexOf('"', s + k.length)
-      if (e < 0) None else Some(tag.substring(s + k.length, e))
-    }
   }
 
   /** Resolve an href against the OPF's directory, normalizing `.`/`..`. */

@@ -3,6 +3,7 @@ package graft.extract.ooxml
 import java.nio.charset.StandardCharsets
 
 import graft.extract.docx.DocxExtractor
+import graft.util.XmlAttr.attr
 
 /** OpenDocument (ODF) text kernels — the reference whitelist's .odt/.odp/
   * .ods family (/root/reference/src/converters/document_converters.py:16-26).
@@ -169,16 +170,6 @@ object OdfExtractor {
 
   private def isNameChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == ':' || c == '-' || c == '_' || c == '.'
-
-  private def attr(tag: String, name: String): Option[String] = {
-    val k = name + "=\""
-    val s = tag.indexOf(k)
-    if (s < 0) None
-    else {
-      val e = tag.indexOf('"', s + k.length)
-      if (e < 0) None else Some(tag.substring(s + k.length, e))
-    }
-  }
 
   private def decodeEntity(name: String): String = name match {
     case "amp" => "&"

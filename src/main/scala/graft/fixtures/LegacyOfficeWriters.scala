@@ -26,7 +26,9 @@ object LegacyOfficeWriters {
       val wants: Seq[(String, Boolean)] = variant match {
         case 1 => Seq((text, false))
         case 2 =>
-          val mid = text.length / 2
+          // never bisect a surrogate pair: lone halves encode as '?'
+          var mid = text.length / 2
+          if (mid > 0 && mid < text.length && Character.isLowSurrogate(text(mid))) mid -= 1
           Seq((text.take(mid), true), (text.drop(mid), false))
         case _ => Seq((text, true))
       }
@@ -105,6 +107,10 @@ object LegacyOfficeWriters {
 
       val out = new java.io.ByteArrayOutputStream()
       def rec(tpe: Int, body: Array[Byte]): Unit = {
+        // BIFF record length is u16: fail loudly rather than truncate-wrap
+        // (an SST past 64 KB would need Continue records, which are out of
+        // the fixture scope)
+        require(body.length <= 0xffff, s"BIFF record body ${body.length} exceeds u16")
         val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         h.putShort(tpe.toShort); h.putShort(body.length.toShort)
         out.write(h.array()); out.write(body)
@@ -120,6 +126,7 @@ object LegacyOfficeWriters {
       head.putInt(cells.length); head.putInt(strings.length)
       sst.write(head.array())
       for (s <- strings) {
+        require(s.length <= 0xffff, s"SST string length ${s.length} exceeds u16 cch")
         val isWide = wide || s.exists(_ > 0xff)
         val sb = ByteBuffer.allocate(3).order(ByteOrder.LITTLE_ENDIAN)
         sb.putShort(s.length.toShort); sb.put((if (isWide) 1 else 0).toByte)

@@ -15,6 +15,8 @@ package graft.multimodal
   */
 object MediaCodecs {
 
+  import graft.util.LittleEndian.{i32, u16}
+
   final case class ImageMeta(format: String, width: Int, height: Int,
                              mode: String, pixelSum: Long)
   final case class WavMeta(channels: Int, frameRate: Int, bitsPerSample: Int,
@@ -29,11 +31,6 @@ object MediaCodecs {
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
-
-  private def u16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   /** Uncompressed (BI_RGB) 8/24/32-bpp BMP; 8-bpp is palette mode "P",
     * 24 "RGB", 32 "RGBA" (the Pillow mode names the reference reports).
@@ -124,6 +121,10 @@ object MediaCodecs {
     while (i + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
       val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = i32(bytes, i + 4)
+      // a crafted/corrupt negative size would advance the cursor by <= 0 and
+      // hang the executor task — fail contained instead (non-termination is
+      // the one thing the per-row try/catch cannot contain)
+      require(size >= 0, s"negative RIFF chunk size $size")
       if (id == "fmt " && i + 24 <= bytes.length) {
         val audioFormat = u16(bytes, i + 8)
         require(audioFormat == 1, s"unsupported WAV audio format $audioFormat (PCM only)")
