@@ -614,6 +614,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation composite: extract (all corpus formats) ->
+    // respace -> inject exact duplicates -> keep-first survivors -> token
+    // rollup per format. ONE query exercising the extraction tier and the
+    // dedup tier AS A PIPELINE — the training-data flow this engine exists
+    // for; the oracle recomputes everything from documents.text.
+    "pipeline_curate" -> ((s, dir) => {
+      val ex = extractDF(s, dir)
+        .filter(col("success"))
+        .select(col("doc_id"), col("format_from"),
+          regexp_replace(col("text"), "\n", " ").as("clean"))
+      val withDups = ex.select(col("doc_id").as("id"), col("format_from"), col("clean"))
+        .unionByName(ex.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("id"), col("format_from"), col("clean")))
+      Dedup.exactDupSurvivors(withDups, "id", "clean")
+        .join(withDups, "id")
+        .groupBy(col("format_from"))
+        .agg(count(lit(1)).cast("bigint").as("docs"),
+          sum(TextAnalysis.tokenCount(col("clean"))).cast("bigint").as("tokens"))
+        .orderBy("format_from")
+    }),
+
     // ---- resume manifest (S16 sink + J-a anti-join), oracled ---------------
     // Runs the resumable pipeline TWICE into a fresh dir; the second run
     // must be a no-op (asserted in-query), and the manifest's per-bucket doc
@@ -926,6 +947,12 @@ object SparkEntry {
       ("SELECT o_custkey % 100 AS grp, CAST(count(*) AS INT) AS n_files, " +
         "sum(o_orderkey % 10000) / 1000.0 AS total_duration " +
         "FROM orders GROUP BY 1 ORDER BY grp"),
+    "pipeline_curate" ->
+      ("WITH c AS (SELECT doc_id, text, " + formatFromSql + " AS format_from " +
+        "FROM documents) " +
+        "SELECT format_from, CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens " +
+        "FROM c GROUP BY 1 ORDER BY format_from"),
     "pipeline_resume" ->
       ("WITH urls AS (SELECT 'https://' || source || '.example.org/' || lang || '/doc' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM documents) " +

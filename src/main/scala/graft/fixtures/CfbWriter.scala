@@ -27,7 +27,6 @@ object CfbWriter {
   private val ENDOFCHAIN = 0xfffffffe
   private val FATSECT = 0xfffffffd
   private val NOSTREAM = 0xffffffff
-  private val S = 512
   private val MINI = 64
   private val CUTOFF = 4096
 
@@ -36,8 +35,14 @@ object CfbWriter {
   def generate(kind: String): Array[Byte] =
     write(streamNameOf.get(kind).map(_ -> Array.emptyByteArray).toSeq)
 
-  /** Full container with the given named streams. */
-  def write(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** Full container with the given named streams. `sectorShift` 9 writes
+    * the common v3 layout (512-byte sectors); 12 writes v4 (4096-byte
+    * sectors, header zero-padded to one sector) — both parse paths are
+    * exercised by LegacyOfficeSpec. */
+  def write(streams: Seq[(String, Array[Byte])], sectorShift: Int = 9): Array[Byte] = {
+    require(sectorShift == 9 || sectorShift == 12, s"sector shift $sectorShift")
+    val S = 1 << sectorShift
+    val major = if (sectorShift == 9) 3 else 4
     def sectorsOf(n: Int, unit: Int): Int = (n + unit - 1) / unit
 
     // ---- mini stream layout (small streams, 64-byte mini sectors) ----
@@ -86,14 +91,17 @@ object CfbWriter {
     val totalSectors = next
 
     val buf = ByteBuffer.allocate(S + totalSectors * S).order(ByteOrder.LITTLE_ENDIAN)
+    // (S + n*S: sector 0 starts after ONE sector's worth of header — the
+    // 512-byte header block is zero-padded to the sector size in v4)
 
     // ---- header ----
     buf.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
     buf.position(24)
-    buf.putShort(0x3e.toShort); buf.putShort(3)
+    buf.putShort(0x3e.toShort); buf.putShort(major.toShort)
     buf.putShort(0xfffe.toShort)
-    buf.putShort(9); buf.putShort(6)
-    buf.position(44)
+    buf.putShort(sectorShift.toShort); buf.putShort(6)
+    buf.position(40)
+    buf.putInt(if (major == 4) dirSectors else 0) // csectDir: 0 in v3
     buf.putInt(numFat)
     buf.putInt(dirStart)
     buf.position(56)

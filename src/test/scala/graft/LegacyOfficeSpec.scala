@@ -35,6 +35,25 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(p.stream("Missing").isEmpty)
   }
 
+  test("cfb v4 layout (4096-byte sectors) round-trips through both stream paths") {
+    val small = "v4 small stream".getBytes
+    val large = Array.tabulate(9000)(i => (i % 239).toByte)
+    val bytes = CfbWriter.write(Seq("Small" -> small, "Large" -> large), sectorShift = 12)
+    val p = new CfbParser(bytes)
+    assert(p.stream("Small").get.sameElements(small))
+    assert(p.stream("Large").get.sameElements(large))
+  }
+
+  test("doc inside a v4 container extracts identically") {
+    // rebuild the v3 doc fixture's streams into a v4 container
+    val v3 = DocWriter.generate(paras, 0)
+    val p = new CfbParser(v3)
+    val streams = p.streamNames.map(n => n -> p.stream(n).get)
+    val v4 = CfbWriter.write(streams, sectorShift = 12)
+    assert(Extractor.sniffFormat(v4) == "doc")
+    assert(DocExtractor.extract(v4) == paras.mkString("\n"))
+  }
+
   test("cfb parser rejects truncated containers instead of looping") {
     val full = CfbWriter.write(Seq("S" -> "data".getBytes))
     val truncated = full.take(600).toArray // header + partial FAT
