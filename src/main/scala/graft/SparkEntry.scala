@@ -246,10 +246,11 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          // variants 0 (latin shared strings) and 2 (wide): the
-          // paragraph-per-row layouts that reproduce the source verbatim
+          // variants 0 (latin shared strings), 2 (wide) and 3 (SST split
+          // across Continue records): the paragraph-per-row layouts that
+          // reproduce the source verbatim
           val bytes = graft.fixtures.LegacyOfficeWriters.XlsWriter.generate(
-            graft.fixtures.HtmlTemplates.paragraphize(t), (id % 2).toInt * 2)
+            graft.fixtures.HtmlTemplates.paragraphize(t), Seq(0, 2, 3)((id % 3).toInt))
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"xls$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))

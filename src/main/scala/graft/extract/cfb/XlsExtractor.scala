@@ -13,9 +13,13 @@ import graft.util.LittleEndian.{i32, i64, u16}
   * numerics. Cell grid semantics match the XLSX kernel: rows in order
   * joined by "\n", cells within a row by "\t" in column order.
   *
-  * Scope (pinned by the fixture writer): single-sheet streams whose SST
-  * fits one record (no Continue-record string splits — those appear only
-  * past 8 KB of shared strings).
+  * SSTs larger than one record are handled: Continue records (0x003C)
+  * splice into the SST parse, including the [MS-XLS] rule that character
+  * data resuming in a Continue record restarts with a fresh option-flags
+  * byte (the wide/compressed width may change per continuation), while
+  * rich-run / ExtRst payloads continue WITHOUT a flags byte. Splits are
+  * only valid at character boundaries (what Excel writes); a header or
+  * mid-character split fails contained.
   */
 object XlsExtractor {
 
@@ -23,32 +27,46 @@ object XlsExtractor {
     val cfb = new CfbParser(bytes)
     val wb = cfb.stream("Workbook").orElse(cfb.stream("Book"))
       .getOrElse(throw new IllegalArgumentException("CFB has no Workbook stream"))
-    var sst: IndexedSeq[String] = IndexedSeq.empty
-    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    // first pass: record directory (type, bodyStart, len)
+    val recs = Vector.newBuilder[(Int, Int, Int)]
     var at = 0
-    var sawBof = false
     while (at + 4 <= wb.length) {
       val recType = u16(wb, at)
       val len = u16(wb, at + 2)
-      val body = at + 4
-      require(body + len <= wb.length, s"BIFF record $recType overruns stream")
-      recType match {
-        case 0x0809 => sawBof = true
-        case 0x00fc => sst = parseSst(wb, body, len)
-        case 0x00fd => // LABELSST: row, col, ixfe, isst
-          val isst = i32(wb, body + 6)
-          require(isst >= 0 && isst < sst.length, s"SST index $isst out of range")
-          cells += ((u16(wb, body), u16(wb, body + 2), sst(isst)))
-        case 0x0203 => // NUMBER: row, col, ixfe, Xnum (f64)
-          cells += ((u16(wb, body), u16(wb, body + 2),
-            formatNum(java.lang.Double.longBitsToDouble(i64(wb, body + 6)))))
-        case 0x027e => // RK: row, col, ixfe, RkNumber
-          cells += ((u16(wb, body), u16(wb, body + 2), formatNum(rkValue(i32(wb, body + 6)))))
-        case _ => ()
-      }
-      at = body + len
+      require(at + 4 + len <= wb.length, s"BIFF record $recType overruns stream")
+      recs += ((recType, at + 4, len))
+      at = at + 4 + len
     }
-    require(sawBof, "stream has no BOF record — not BIFF")
+    val records = recs.result()
+    require(records.exists(_._1 == 0x0809), "stream has no BOF record — not BIFF")
+
+    var sst: IndexedSeq[String] = IndexedSeq.empty
+    records.indices.foreach { i =>
+      if (records(i)._1 == 0x00fc) {
+        val segs = Vector.newBuilder[(Int, Int)]
+        segs += ((records(i)._2, records(i)._3))
+        var j = i + 1
+        while (j < records.length && records(j)._1 == 0x003c) {
+          segs += ((records(j)._2, records(j)._3))
+          j += 1
+        }
+        sst = parseSst(wb, segs.result())
+      }
+    }
+
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    for ((recType, body, _) <- records) recType match {
+      case 0x00fd => // LABELSST: row, col, ixfe, isst
+        val isst = i32(wb, body + 6)
+        require(isst >= 0 && isst < sst.length, s"SST index $isst out of range")
+        cells += ((u16(wb, body), u16(wb, body + 2), sst(isst)))
+      case 0x0203 => // NUMBER: row, col, ixfe, Xnum (f64)
+        cells += ((u16(wb, body), u16(wb, body + 2),
+          formatNum(java.lang.Double.longBitsToDouble(i64(wb, body + 6)))))
+      case 0x027e => // RK: row, col, ixfe, RkNumber
+        cells += ((u16(wb, body), u16(wb, body + 2), formatNum(rkValue(i32(wb, body + 6)))))
+      case _ => ()
+    }
     cells.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rowCells) =>
         rowCells.sortBy(_._2).map(_._3).mkString("\t")
@@ -56,31 +74,69 @@ object XlsExtractor {
       .mkString("\n")
   }
 
-  /** SST payload: cstTotal, cstUnique, then XLUnicodeRichExtendedStrings
-    * (cch u16; flags u8: 0x01 fHighByte, 0x04 fExtSt, 0x08 fRichSt;
-    * optional cRun/cbExtRst; chars as Latin-1-compressed or UTF-16LE;
-    * trailing run/ext payloads skipped). */
-  private def parseSst(b: Array[Byte], body: Int, len: Int): IndexedSeq[String] = {
-    val unique = i32(b, body + 4)
+  /** SST payload over (start, len) record segments — segment 0 is the SST
+    * record body, the rest are Continue bodies. Grammar: cstTotal u32,
+    * cstUnique u32, then XLUnicodeRichExtendedStrings (cch u16; flags u8:
+    * 0x01 fHighByte, 0x04 fExtSt, 0x08 fRichSt; optional cRun u16 /
+    * cbExtRst u32; character data; rgRun/ExtRst skipped). */
+  private def parseSst(b: Array[Byte], segs: IndexedSeq[(Int, Int)]): IndexedSeq[String] = {
+    var si = 0
+    var pos = segs(0)._1
+    var end = segs(0)._1 + segs(0)._2
+    def nextSeg(): Unit = {
+      require(si + 1 < segs.length, "SST truncated mid-structure")
+      si += 1; pos = segs(si)._1; end = pos + segs(si)._2
+    }
+    // fixed-size fields never straddle a record boundary (Excel's own rule);
+    // advance to the next segment only when exactly at a boundary
+    def align(n: Int): Unit =
+      if (pos + n > end) {
+        require(pos == end, "SST header straddles a Continue boundary")
+        nextSeg()
+      }
+    def rdU16(): Int = { align(2); val v = u16(b, pos); pos += 2; v }
+    def rdU8(): Int = { align(1); val v = b(pos) & 0xff; pos += 1; v }
+    def rdI32(): Int = { align(4); val v = i32(b, pos); pos += 4; v }
+
+    rdI32() // cstTotal
+    val unique = rdI32()
     val out = IndexedSeq.newBuilder[String]
-    var at = body + 8
-    val end = body + len
     var k = 0
     while (k < unique) {
-      require(at + 3 <= end, "SST truncated (Continue records are out of scope)")
-      val cch = u16(b, at)
-      val flags = b(at + 2) & 0xff
-      at += 3
+      val cch = rdU16()
+      val flags = rdU8()
       val rich = (flags & 0x08) != 0
       val ext = (flags & 0x04) != 0
-      val cRun = if (rich) { val v = u16(b, at); at += 2; v } else 0
-      val cbExt = if (ext) { val v = i32(b, at); at += 4; v } else 0
-      val wide = (flags & 0x01) != 0
-      val nBytes = if (wide) cch * 2 else cch
-      require(at + nBytes <= end, "SST string overruns record")
-      out += (if (wide) new String(b, at, nBytes, StandardCharsets.UTF_16LE)
-              else new String(b, at, nBytes, StandardCharsets.ISO_8859_1))
-      at += nBytes + cRun * 4 + cbExt
+      val cRun = if (rich) rdU16() else 0
+      val cbExt = if (ext) rdI32() else 0
+      var wide = (flags & 0x01) != 0
+      val sb = new java.lang.StringBuilder(cch)
+      var remaining = cch
+      while (remaining > 0) {
+        if (pos >= end) {
+          // character data resuming in a Continue record carries a fresh
+          // option-flags byte — the width can CHANGE at the boundary
+          nextSeg()
+          wide = (b(pos) & 0x01) != 0
+          pos += 1
+        }
+        val width = if (wide) 2 else 1
+        val avail = (end - pos) / width
+        val take = math.min(avail, remaining)
+        require(take > 0, "SST continuation split mid-character")
+        sb.append(if (wide) new String(b, pos, take * 2, StandardCharsets.UTF_16LE)
+                  else new String(b, pos, take, StandardCharsets.ISO_8859_1))
+        pos += take * width
+        remaining -= take
+      }
+      // rgRun/ExtRst bytes continue across records WITHOUT a flags byte
+      var skip = cRun * 4 + cbExt
+      while (skip > 0) {
+        if (pos >= end) nextSeg()
+        val t = math.min(skip, end - pos)
+        pos += t; skip -= t
+      }
+      out += sb.toString
       k += 1
     }
     out.result()

@@ -32,7 +32,7 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r4"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r5"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
@@ -71,7 +71,7 @@ object Corpus {
       case "ods" => OdfWriter.generate("ods", paragraphs, r % 3)
       case "rtf" => RtfWriter.generate(paragraphs, r % RtfWriter.numVariants)
       case "doc" => LDoc.generate(paragraphs, r % LDoc.numVariants)
-      case "xls" => LXls.generate(paragraphs, (r % 2) * 2)
+      case "xls" => LXls.generate(paragraphs, Seq(0, 2, 3)(r % 3)) // 1 has tabs
       case "ppt" => LPpt.generate(paragraphs, r % LPpt.numVariants)
     }
     WebPage(url, ts, payload, golden, doc.lang)

@@ -84,11 +84,18 @@ object LegacyOfficeWriters {
     }
   }
 
-  /** Excel 97 .xls (BIFF8): BOF + SST + LABELSST cells + EOF.
+  /** Excel 97 .xls (BIFF8): BOF + SST (+Continue) + LABELSST cells + EOF.
     * Variants: 0 — one string cell per row (a paragraph each);
-    * 1 — rows split into 4-word cells; 2 — UTF-16 ("wide") shared strings. */
+    * 1 — rows split into 4-word cells; 2 — UTF-16 ("wide") shared strings;
+    * 3 — SST split across Continue records at a tiny 64-byte cap, so
+    * strings straddle record boundaries with fresh option-flags bytes
+    * (the [MS-XLS] continuation rule real Excel applies past 8 KB). */
   object XlsWriter {
-    val numVariants = 3
+    val numVariants = 4
+
+    /** Real Excel's record-body cap; variant 3 shrinks it to force splits
+      * on small fixtures. */
+    private val biffBodyCap = 8224
 
     def rowsOf(paragraphs: Seq[String], variant: Int): Seq[Seq[String]] =
       if (variant == 1) paragraphs.map(_.split(' ').grouped(4).map(_.mkString(" ")).toSeq)
@@ -97,6 +104,44 @@ object LegacyOfficeWriters {
     def expectedText(paragraphs: Seq[String], variant: Int): String =
       rowsOf(paragraphs, variant).map(_.mkString("\t")).mkString("\n")
 
+    /** SST body segments under `cap`: segment 0 is the SST record, the rest
+      * become Continue records. Splits only at character boundaries; a
+      * continuation that resumes character data leads with a fresh
+      * option-flags byte. */
+    private def sstSegments(nCells: Int, strings: Seq[String], wide: Boolean,
+                            cap: Int): Seq[Array[Byte]] = {
+      val segs = scala.collection.mutable.ArrayBuffer(new java.io.ByteArrayOutputStream())
+      def cur = segs.last
+      def newSeg(): Unit = segs += new java.io.ByteArrayOutputStream()
+      val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      head.putInt(nCells); head.putInt(strings.length)
+      cur.write(head.array())
+      for (s <- strings) {
+        require(s.length <= 0xffff, s"SST string length ${s.length} exceeds u16 cch")
+        val isWide = wide || s.exists(_ > 0xff)
+        val width = if (isWide) 2 else 1
+        if (cur.size + 3 + width > cap) newSeg() // header + >=1 char atomic
+        val hb = ByteBuffer.allocate(3).order(ByteOrder.LITTLE_ENDIAN)
+        hb.putShort(s.length.toShort); hb.put((if (isWide) 1 else 0).toByte)
+        cur.write(hb.array())
+        var idx = 0
+        while (idx < s.length) {
+          var avail = (cap - cur.size) / width
+          if (avail == 0) {
+            newSeg()
+            cur.write(if (isWide) 1 else 0) // continuation option-flags byte
+            avail = (cap - 1) / width
+          }
+          val take = math.min(avail, s.length - idx)
+          val chunk = s.substring(idx, idx + take)
+          cur.write(if (isWide) chunk.getBytes(StandardCharsets.UTF_16LE)
+                    else chunk.getBytes(StandardCharsets.ISO_8859_1))
+          idx += take
+        }
+      }
+      segs.map(_.toByteArray).toSeq
+    }
+
     def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
       val rows = rowsOf(paragraphs, variant)
       val cells = for ((row, r) <- rows.zipWithIndex; (v, c) <- row.zipWithIndex)
@@ -104,12 +149,12 @@ object LegacyOfficeWriters {
       val strings = cells.map(_._3).distinct
       val sstIndex = strings.zipWithIndex.toMap
       val wide = variant == 2
+      val cap = if (variant == 3) 64 else biffBodyCap
 
       val out = new java.io.ByteArrayOutputStream()
       def rec(tpe: Int, body: Array[Byte]): Unit = {
-        // BIFF record length is u16: fail loudly rather than truncate-wrap
-        // (an SST past 64 KB would need Continue records, which are out of
-        // the fixture scope)
+        // BIFF record length is u16: the segmenter keeps bodies under the
+        // cap, so overflow here is a writer bug — fail loudly
         require(body.length <= 0xffff, s"BIFF record body ${body.length} exceeds u16")
         val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         h.putShort(tpe.toShort); h.putShort(body.length.toShort)
@@ -120,21 +165,10 @@ object LegacyOfficeWriters {
       bof.putShort(0x0600.toShort); bof.putShort(0x0005.toShort)
       bof.putShort(0x0dbb.toShort); bof.putShort(0x07cc.toShort)
       rec(0x0809, bof.array())
-      // SST
-      val sst = new java.io.ByteArrayOutputStream()
-      val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      head.putInt(cells.length); head.putInt(strings.length)
-      sst.write(head.array())
-      for (s <- strings) {
-        require(s.length <= 0xffff, s"SST string length ${s.length} exceeds u16 cch")
-        val isWide = wide || s.exists(_ > 0xff)
-        val sb = ByteBuffer.allocate(3).order(ByteOrder.LITTLE_ENDIAN)
-        sb.putShort(s.length.toShort); sb.put((if (isWide) 1 else 0).toByte)
-        sst.write(sb.array())
-        sst.write(if (isWide) s.getBytes(StandardCharsets.UTF_16LE)
-                  else s.getBytes(StandardCharsets.ISO_8859_1))
-      }
-      rec(0x00fc, sst.toByteArray)
+      // SST + Continue tail
+      val segs = sstSegments(cells.length, strings, wide, cap)
+      rec(0x00fc, segs.head)
+      segs.tail.foreach(rec(0x003c, _))
       // cells
       for ((r, c, v) <- cells) {
         val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)

@@ -99,6 +99,18 @@ class LegacyOfficeSpec extends AnyFunSuite {
     }
   }
 
+  test("xls SST continues across records: wide strings, width change at boundary") {
+    // variant 3 uses a 64-byte record cap, so these paragraphs straddle
+    // several Continue records; mixing wide (CJK) and compressed strings
+    // exercises the per-continuation option-flags byte
+    val mixed = Vector(
+      "a plain latin paragraph long enough to split across record boundaries",
+      "中文内容也要跨越记录边界所以这里放了足够多的汉字字符来强制分段继续",
+      "and back to latin after the wide one")
+    val bytes = XlsWriter.generate(mixed, 3)
+    assert(XlsExtractor.extract(bytes) == XlsWriter.expectedText(mixed, 3))
+  }
+
   test("xls NUMBER and RK records decode as numeric cells") {
     // hand-build a workbook with one LABELSST + NUMBER + RK cells in a row
     import java.nio.{ByteBuffer, ByteOrder}
