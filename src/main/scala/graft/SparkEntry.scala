@@ -249,8 +249,9 @@ object SparkEntry {
           // variants 0 (latin shared strings), 2 (wide) and 3 (SST split
           // across Continue records): the paragraph-per-row layouts that
           // reproduce the source verbatim
+          val vv = graft.fixtures.LegacyOfficeWriters.XlsWriter.verbatimVariants
           val bytes = graft.fixtures.LegacyOfficeWriters.XlsWriter.generate(
-            graft.fixtures.HtmlTemplates.paragraphize(t), Seq(0, 2, 3)((id % 3).toInt))
+            graft.fixtures.HtmlTemplates.paragraphize(t), vv((id % vv.length).toInt))
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"xls$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -949,11 +950,14 @@ object SparkEntry {
         "sum(o_orderkey % 10000) / 1000.0 AS total_duration " +
         "FROM orders GROUP BY 1 ORDER BY grp"),
     "pipeline_curate" ->
-      ("WITH c AS (SELECT doc_id, text, " + formatFromSql + " AS format_from " +
-        "FROM documents) " +
+      // keep-first dedup mirrored: min(doc_id) per distinct text, format
+      // derived from the SURVIVOR id — correct even if two source docs
+      // happen to share a text
+      ("WITH s AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
+        "f AS (SELECT doc_id, text, " + formatFromSql + " AS format_from FROM s) " +
         "SELECT format_from, CAST(count(*) AS BIGINT) AS docs, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens " +
-        "FROM c GROUP BY 1 ORDER BY format_from"),
+        "FROM f GROUP BY 1 ORDER BY format_from"),
     "pipeline_resume" ->
       ("WITH urls AS (SELECT 'https://' || source || '.example.org/' || lang || '/doc' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM documents) " +

@@ -1,7 +1,5 @@
 package graft.extract.cfb
 
-import java.nio.charset.StandardCharsets
-
 import graft.util.LittleEndian.{i32, i64, u16}
 
 /** Excel 97-2003 binary (.xls, BIFF8) → text kernel — a reference whitelist
@@ -88,9 +86,11 @@ object XlsExtractor {
       si += 1; pos = segs(si)._1; end = pos + segs(si)._2
     }
     // fixed-size fields never straddle a record boundary (Excel's own rule);
-    // advance to the next segment only when exactly at a boundary
+    // advance past boundary (and any empty Continue bodies) until it fits —
+    // a field that truly straddles fails contained, never misreads into the
+    // next record's header bytes
     def align(n: Int): Unit =
-      if (pos + n > end) {
+      while (pos + n > end) {
         require(pos == end, "SST header straddles a Continue boundary")
         nextSeg()
       }
@@ -124,8 +124,15 @@ object XlsExtractor {
         val avail = (end - pos) / width
         val take = math.min(avail, remaining)
         require(take > 0, "SST continuation split mid-character")
-        sb.append(if (wide) new String(b, pos, take * 2, StandardCharsets.UTF_16LE)
-                  else new String(b, pos, take, StandardCharsets.ISO_8859_1))
+        // append raw UTF-16 code units (not a per-chunk String decode) so a
+        // surrogate pair split across Continue records still reassembles
+        var t = 0
+        while (t < take) {
+          sb.append(
+            if (wide) ((b(pos + 2 * t) & 0xff) | ((b(pos + 2 * t + 1) & 0xff) << 8)).toChar
+            else (b(pos + t) & 0xff).toChar)
+          t += 1
+        }
         pos += take * width
         remaining -= take
       }

@@ -71,7 +71,8 @@ object Corpus {
       case "ods" => OdfWriter.generate("ods", paragraphs, r % 3)
       case "rtf" => RtfWriter.generate(paragraphs, r % RtfWriter.numVariants)
       case "doc" => LDoc.generate(paragraphs, r % LDoc.numVariants)
-      case "xls" => LXls.generate(paragraphs, Seq(0, 2, 3)(r % 3)) // 1 has tabs
+      case "xls" =>
+        LXls.generate(paragraphs, LXls.verbatimVariants(r % LXls.verbatimVariants.length))
       case "ppt" => LPpt.generate(paragraphs, r % LPpt.numVariants)
     }
     WebPage(url, ts, payload, golden, doc.lang)

@@ -97,6 +97,11 @@ object LegacyOfficeWriters {
       * on small fixtures. */
     private val biffBodyCap = 8224
 
+    /** The variants whose extraction reproduces the source paragraphs
+      * verbatim (variant 1 tab-splits rows) — the rotation the byte-identity
+      * oracle, the corpus wheel, and the throughput probe all share. */
+    val verbatimVariants: IndexedSeq[Int] = IndexedSeq(0, 2, 3)
+
     def rowsOf(paragraphs: Seq[String], variant: Int): Seq[Seq[String]] =
       if (variant == 1) paragraphs.map(_.split(' ').grouped(4).map(_.mkString(" ")).toSeq)
       else paragraphs.map(Seq(_))
@@ -132,11 +137,20 @@ object LegacyOfficeWriters {
             cur.write(if (isWide) 1 else 0) // continuation option-flags byte
             avail = (cap - 1) / width
           }
-          val take = math.min(avail, s.length - idx)
-          val chunk = s.substring(idx, idx + take)
-          cur.write(if (isWide) chunk.getBytes(StandardCharsets.UTF_16LE)
-                    else chunk.getBytes(StandardCharsets.ISO_8859_1))
-          idx += take
+          var take = math.min(avail, s.length - idx)
+          // never bisect a surrogate pair across segments: lone halves
+          // encode as '?' and silently corrupt the payload
+          if (take > 0 && idx + take < s.length &&
+              Character.isHighSurrogate(s.charAt(idx + take - 1))) take -= 1
+          if (take == 0) {
+            newSeg()
+            cur.write(if (isWide) 1 else 0)
+          } else {
+            val chunk = s.substring(idx, idx + take)
+            cur.write(if (isWide) chunk.getBytes(StandardCharsets.UTF_16LE)
+                      else chunk.getBytes(StandardCharsets.ISO_8859_1))
+            idx += take
+          }
         }
       }
       segs.map(_.toByteArray).toSeq

@@ -38,7 +38,8 @@ object KernelThroughputProbe {
     probe("epub", i => EpubWriter.generate(parasOf(i), i % EpubWriter.numVariants))
     probe("fodt", i => OdfWriter.generateFlat("odt", parasOf(i), i % 3))
     probe("doc", i => DocWriter.generate(parasOf(i), i % DocWriter.numVariants))
-    probe("xls", i => XlsWriter.generate(parasOf(i), (i % 2) * 2))
+    probe("xls", i => XlsWriter.generate(parasOf(i),
+      XlsWriter.verbatimVariants(i % XlsWriter.verbatimVariants.length)))
     probe("ppt", i => PptWriter.generate(parasOf(i), i % PptWriter.numVariants))
   }
 }

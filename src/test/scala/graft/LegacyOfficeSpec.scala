@@ -106,7 +106,8 @@ class LegacyOfficeSpec extends AnyFunSuite {
     val mixed = Vector(
       "a plain latin paragraph long enough to split across record boundaries",
       "中文内容也要跨越记录边界所以这里放了足够多的汉字字符来强制分段继续",
-      "and back to latin after the wide one")
+      "🎵🎶 surrogate pairs 𝄞𝄢𝄫 sprinkled through a long enough line 🎸🎷🎺 to land on several boundaries 🎻",
+      "and back to latin after the wide ones")
     val bytes = XlsWriter.generate(mixed, 3)
     assert(XlsExtractor.extract(bytes) == XlsWriter.expectedText(mixed, 3))
   }
