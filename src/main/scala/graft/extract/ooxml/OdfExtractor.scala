@@ -46,11 +46,13 @@ object OdfExtractor {
     val xml = DocxExtractor.readPart(zipBytes, "content.xml")
       .map(new String(_, StandardCharsets.UTF_8))
       .getOrElse(throw new IllegalArgumentException("ODF package has no content.xml"))
-    kind match {
-      case "ods" => extractSpreadsheet(xml)
-      case _ => extractParagraphs(xml)
-    }
+    extractContent(xml, kind)
   }
+
+  /** Extraction over already-read content XML (the single-pass dispatcher
+    * hands the inflated bytes straight over — no second archive pass). */
+  def extractContent(xml: String, kind: String): String =
+    if (kind == "ods") extractSpreadsheet(xml) else extractParagraphs(xml)
 
   /** Flat-ODF (.fodt/.fodp/.fods — whitelisted inputs,
     * /root/reference/src/converters/document_converters.py:21): the whole

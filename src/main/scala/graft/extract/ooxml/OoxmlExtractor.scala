@@ -32,36 +32,62 @@ object OoxmlExtractor {
     else None
   }
 
+  /** Every part any container kind can need — the predicate of the ONE
+    * streaming pass [[extract]] makes. */
+  private def isDispatchPart(name: String): Boolean =
+    name == "mimetype" || name == "word/document.xml" ||
+      name == "ppt/presentation.xml" || name == "xl/workbook.xml" ||
+      name == "xl/sharedStrings.xml" || name == "content.xml" ||
+      slideName.pattern.matcher(name).matches() ||
+      sheetName.pattern.matcher(name).matches()
+
   /** Dispatch on package content; returns (kind, text). ODF packages
     * (odt/odp/ods) and EPUBs share the zip magic but declare themselves in
-    * a `mimetype` entry, read ONCE here and branched on. */
-  def extract(zipBytes: Array[Byte]): (String, String) = sniffKind(zipBytes) match {
-    case Some("docx") => ("docx", DocxExtractor.extract(zipBytes))
-    case Some("pptx") => ("pptx", extractPptx(zipBytes))
-    case Some("xlsx") => ("xlsx", extractXlsx(zipBytes))
-    case _ =>
-      val mime = DocxExtractor.readPart(zipBytes, "mimetype")
-        .map(b => new String(b, StandardCharsets.UTF_8).trim)
+    * a `mimetype` entry. Everything happens in ONE streaming pass over the
+    * archive: java.util.zip inflates every entry it merely skips, so a
+    * separate sniff/enumeration pass would DOUBLE the per-document
+    * inflation work (and Inflater churn) at scale — the kind decision is
+    * made from the collected parts instead. EPUB is the one exception
+    * (chapter names are only known after reading the OPF) and takes its
+    * own passes. */
+  def extract(zipBytes: Array[Byte]): (String, String) = {
+    val parts = DocxExtractor.readParts(zipBytes, isDispatchPart)
+    def part(name: String): Option[Array[Byte]] =
+      parts.collectFirst { case (n, b) if n == name => b }
+    if (part("word/document.xml").isDefined)
+      ("docx", DocxExtractor.extractDocumentXml(
+        new String(part("word/document.xml").get, StandardCharsets.UTF_8)))
+    else if (part("ppt/presentation.xml").isDefined) ("pptx", pptxFromParts(parts))
+    else if (part("xl/workbook.xml").isDefined) ("xlsx", xlsxFromParts(parts))
+    else {
+      val mime = part("mimetype").map(b => new String(b, StandardCharsets.UTF_8).trim)
       mime.flatMap(OdfExtractor.kindOfMimetype) match {
-        case Some(odfKind) => (odfKind, OdfExtractor.extractKind(zipBytes, odfKind))
+        case Some(odfKind) =>
+          val xml = part("content.xml")
+            .map(new String(_, StandardCharsets.UTF_8))
+            .getOrElse(throw new IllegalArgumentException("ODF package has no content.xml"))
+          (odfKind, OdfExtractor.extractContent(xml, odfKind))
         case None if mime.contains(graft.extract.epub.EpubExtractor.mimetype) =>
           ("epub", graft.extract.epub.EpubExtractor.extract(zipBytes))
         case _ => throw new IllegalArgumentException(
           "zip is not a recognized OOXML/ODF/EPUB package (no word/document.xml, " +
             "ppt/presentation.xml, xl/workbook.xml, or known mimetype)")
       }
+    }
   }
 
   private val slideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
 
-  def extractPptx(zipBytes: Array[Byte]): String = {
-    val slides = DocxExtractor.readParts(zipBytes,
-        name => slideName.pattern.matcher(name).matches())
-      .map { case (name, bytes) =>
+  def extractPptx(zipBytes: Array[Byte]): String =
+    pptxFromParts(DocxExtractor.readParts(zipBytes,
+      name => slideName.pattern.matcher(name).matches()))
+
+  private def pptxFromParts(parts: Seq[(String, Array[Byte])]): String = {
+    val slides = parts.collect {
+      case (name, bytes) if slideName.pattern.matcher(name).matches() =>
         val slideName(num) = name: @unchecked
         (num.toInt, new String(bytes, StandardCharsets.UTF_8))
-      }
-      .sortBy(_._1) // numeric slide order, not archive or lexicographic order
+    }.sortBy(_._1) // numeric slide order, not archive or lexicographic order
     require(slides.nonEmpty, "pptx has no ppt/slides/slideN.xml parts")
     slides.map { case (_, xml) => DocxExtractor.extractRuns(xml, "a:p", "a:t") }
       .filter(_.nonEmpty)
@@ -70,16 +96,18 @@ object OoxmlExtractor {
 
   private val sheetName = "^xl/worksheets/sheet([0-9]+)\\.xml$".r
 
-  def extractXlsx(zipBytes: Array[Byte]): String = {
-    val parts = DocxExtractor.readParts(zipBytes, name =>
+  def extractXlsx(zipBytes: Array[Byte]): String =
+    xlsxFromParts(DocxExtractor.readParts(zipBytes, name =>
       name == "xl/sharedStrings.xml" ||
-        sheetName.pattern.matcher(name).matches())
+        sheetName.pattern.matcher(name).matches()))
+
+  private def xlsxFromParts(parts: Seq[(String, Array[Byte])]): String = {
     val shared: IndexedSeq[String] = parts.collectFirst {
       case ("xl/sharedStrings.xml", bytes) =>
         parseSharedStrings(new String(bytes, StandardCharsets.UTF_8))
     }.getOrElse(IndexedSeq.empty)
     val sheets = parts.collect {
-      case (name, bytes) if name != "xl/sharedStrings.xml" =>
+      case (name, bytes) if sheetName.pattern.matcher(name).matches() =>
         val sheetName(num) = name: @unchecked
         (num.toInt, new String(bytes, StandardCharsets.UTF_8))
     }.sortBy(_._1)
