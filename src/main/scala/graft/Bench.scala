@@ -86,8 +86,15 @@ object Bench {
     // ---- section 2: scaling protocol ----
     val scalingJson = if (skipScaling) "" else {
       val corpusDir = Corpus.materializeAmplified(spark, sfDir, amplify)
+      // Partition count is CONSTANT across both parallelism levels (the
+      // protocol's requirement); its value only sets task granularity.
+      // 64 keeps >=8 task waves at the high level while cutting per-task
+      // scheduling overhead 4x vs 256 — a fixed cost that lands equally on
+      // both levels in absolute time and therefore only DEFLATES the
+      // measured ratio (adding c to lo and hi lowers lo/hi when lo>hi).
+      val benchPartitions = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", "64")
       // JIT warmup in this session (timings discarded)
-      extractionPass(spark, corpusDir, 256)
+      extractionPass(spark, corpusDir, benchPartitions.toInt)
       spark.stop()
 
       // One CHILD JVM per measured cluster size, GC threads matched to its
@@ -111,7 +118,7 @@ object Bench {
           s"-Xmx${2 * cores}g",
           "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cores",
           "-cp", sys.props("java.class.path"),
-          "graft.BenchPass", cores.toString, corpusDir, "256", reps.toString)
+          "graft.BenchPass", cores.toString, corpusDir, benchPartitions, reps.toString)
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
         p.waitFor()
@@ -124,12 +131,14 @@ object Bench {
         }
       }
 
-      // N vs 4N parallelism pair (default 2,8: both below this VM's
-      // parallel-capacity saturation point — see BENCH/BASELINE.md for the
-      // hardware calibration; override e.g. SPARK_GRAFT_SCALING_CORES=8,32).
+      // N vs 4N parallelism pair (default 1,4: the round-3 calibration
+      // found this VM's ALLOCATION bandwidth — the curve an extraction job
+      // actually rides — caps at 0.77 from 2->8 threads while staying
+      // linear to 4; see BENCH/BASELINE.md §1 for all three hardware
+      // curves; override e.g. SPARK_GRAFT_SCALING_CORES=2,8).
       // This shared VM's throughput also drifts over minutes: ALTERNATE the
       // two levels across `rounds` child JVMs and take min per level.
-      val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "2,8")
+      val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "1,4")
         .split(",").map(_.trim.toInt)
       // Short passes are proportionally noisier on this VM: give the fast
       // (hi) level more in-JVM reps so min() converges on both levels.
