@@ -192,6 +192,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ODF TEMPLATE kinds (.ott/.otp/.ots) and StarOffice .sxw — whitelisted
+    // inputs sharing the content.xml grammar: templates differ only in
+    // mimetype, sxw carries the legacy OOo-1.x namespace URIs. Variants 0-2
+    // preserve the paragraph layout for every kind (as in extract_odf).
+    "extract_odf_templates" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val kind = Seq("ott", "otp", "ots", "sxw")((id % 4).toInt)
+          val bytes = graft.fixtures.OdfWriter.generate(
+            kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 4) % 3).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"odft$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
     // flat-ODF single-file XML (.fodt/.fodp/.fods) — same content grammar,
     // no zip; variant 2 omits office:mimetype to hit the body-element
     // fallback. Byte-identity vs the source document, like extract_odf.
@@ -273,20 +291,22 @@ object SparkEntry {
     }),
 
     // Dispatch containment: HOLLOW legacy CFB containers (marker stream
-    // only / bare) must yield EXPLICIT failure rows with the refined kind —
-    // never a mojibake success — while flat-ODF and txt payloads extract.
+    // only / bare) and Publisher containers must yield EXPLICIT failure
+    // rows with the refined kind — never a mojibake success — while
+    // flat-ODF and txt payloads extract.
     // (Well-formed doc/xls/ppt succeed: extract_doc/extract_xls/extract_ppt.)
     "extract_dispatch" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes: Array[Byte] = (id % 6) match {
+          val bytes: Array[Byte] = (id % 7) match {
             case 0 => graft.fixtures.CfbWriter.generate("doc")
             case 1 => graft.fixtures.CfbWriter.generate("xls")
             case 2 => graft.fixtures.CfbWriter.generate("ppt")
             case 3 => graft.fixtures.CfbWriter.generate("raw")
             case 4 => graft.fixtures.OdfWriter.generateFlat(
               "odt", graft.fixtures.HtmlTemplates.paragraphize(t), 0)
+            case 5 => graft.fixtures.CfbWriter.generate("pub")
             case _ => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           }
           val r = graft.extract.Extractor.extractOne(
@@ -812,6 +832,10 @@ object SparkEntry {
     "extract_ppt" ->
       ("SELECT doc_id, 'ppt' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
+    "extract_odf_templates" ->
+      ("SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'ott' WHEN 1 THEN 'otp' " +
+        "WHEN 2 THEN 'ots' ELSE 'sxw' END AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
     "extract_fodf" ->
       ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'fodt' WHEN 1 THEN 'fodp' " +
         "ELSE 'fods' END AS format_from, true AS success, text " +
@@ -820,11 +844,12 @@ object SparkEntry {
       ("SELECT doc_id, 'epub' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
     "extract_dispatch" ->
-      ("SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
-        "WHEN 2 THEN 'ppt' WHEN 3 THEN 'cfb' WHEN 4 THEN 'fodt' ELSE 'txt' END AS format_from, " +
-        "(doc_id % 6 IN (4, 5)) AS success, " +
-        "CASE WHEN doc_id % 6 IN (4, 5) THEN text ELSE '' END AS text, " +
-        "(doc_id % 6 NOT IN (4, 5)) AS has_error " +
+      ("SELECT doc_id, CASE doc_id % 7 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
+        "WHEN 2 THEN 'ppt' WHEN 3 THEN 'cfb' WHEN 4 THEN 'fodt' WHEN 5 THEN 'pub' " +
+        "ELSE 'txt' END AS format_from, " +
+        "(doc_id % 7 IN (4, 6)) AS success, " +
+        "CASE WHEN doc_id % 7 IN (4, 6) THEN text ELSE '' END AS text, " +
+        "(doc_id % 7 NOT IN (4, 6)) AS has_error " +
         "FROM documents ORDER BY doc_id"),
     "fn_mime" ->
       ("SELECT doc_id, CASE doc_id % 8 " +

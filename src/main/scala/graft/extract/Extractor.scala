@@ -20,9 +20,10 @@ object Extractor {
     * `%PDF-` -> pdf; `PK\x03\x04` -> "docx" (the OOXML-container token —
     * magic bytes cannot tell docx/pptx/xlsx apart; extractOne refines the
     * kind from package content); `{\rtf` -> rtf; the CFB signature
-    * `D0 CF 11 E0 A1 B1 1A E1` -> doc/xls/ppt/cfb (refined by the
-    * characteristic directory stream name — these yield explicit failure
-    * rows downstream, never a mojibake "success"); an ASCII
+    * `D0 CF 11 E0 A1 B1 1A E1` -> doc/xls/ppt/pub/cfb (refined by the
+    * characteristic directory entry; doc/xls/ppt run their kernels,
+    * pub/cfb yield explicit failure rows, never a mojibake "success");
+    * an ASCII
     * `<office:document` root in the first 1024 bytes -> fodf (flat ODF,
     * checked BEFORE the generic '<' test or office markup would be
     * boilerplate-classified as html); any other '<' in the first 1024
@@ -91,6 +92,11 @@ object Extractor {
     case "doc" => ("doc", graft.extract.cfb.DocExtractor.extract(bytes))
     case "xls" => ("xls", graft.extract.cfb.XlsExtractor.extract(bytes))
     case "ppt" => ("ppt", graft.extract.cfb.PptExtractor.extract(bytes))
+    case "pub" =>
+      // whitelisted input (.pub) we recognize but do not parse: Publisher's
+      // Quill text store is undocumented — explicit failure, never mojibake
+      throw new IllegalArgumentException(
+        "Publisher (.pub) Quill text store unsupported")
     case "cfb" =>
       // a CFB container with none of the known Office streams: an explicit
       // failure row, NEVER a mojibake success from the html/txt fallthrough

@@ -20,10 +20,25 @@ import graft.util.XmlAttr.attr
   */
 object OdfExtractor {
 
-  private val kinds = Map(
+  /** The three base document kinds — also the only kinds the flat-ODF
+    * (.fodt/.fodp/.fods) whitelist can carry. */
+  private val baseKinds = Map(
     "application/vnd.oasis.opendocument.text" -> "odt",
     "application/vnd.oasis.opendocument.presentation" -> "odp",
     "application/vnd.oasis.opendocument.spreadsheet" -> "ods")
+
+  /** Full packaged-kind map. Beyond the base three, the reference whitelist
+    * (/root/reference/src/converters/document_converters.py:16-26) also
+    * admits the ODF TEMPLATE kinds (.ott/.otp/.ots — same content.xml
+    * grammar, template mimetype) and StarOffice/OpenOffice-1.x Writer
+    * (.sxw — same `text:p` element names under the legacy
+    * `http://openoffice.org/2000/...` namespace URIs; the scanner matches
+    * prefixes, not URIs, so the one kernel covers both generations). */
+  private val kinds = baseKinds ++ Map(
+    "application/vnd.oasis.opendocument.text-template" -> "ott",
+    "application/vnd.oasis.opendocument.presentation-template" -> "otp",
+    "application/vnd.oasis.opendocument.spreadsheet-template" -> "ots",
+    "application/vnd.sun.xml.writer" -> "sxw")
 
   def kindOfMimetype(mime: String): Option[String] = kinds.get(mime)
 
@@ -52,7 +67,8 @@ object OdfExtractor {
   /** Extraction over already-read content XML (the single-pass dispatcher
     * hands the inflated bytes straight over — no second archive pass). */
   def extractContent(xml: String, kind: String): String =
-    if (kind == "ods") extractSpreadsheet(xml) else extractParagraphs(xml)
+    if (kind == "ods" || kind == "ots") extractSpreadsheet(xml)
+    else extractParagraphs(xml)
 
   /** Flat-ODF (.fodt/.fodp/.fods — whitelisted inputs,
     * /root/reference/src/converters/document_converters.py:21): the whole
@@ -76,7 +92,7 @@ object OdfExtractor {
     val close = xml.indexOf('>', rootAt)
     if (close < 0) return None
     val tag = xml.substring(rootAt + 1, close)
-    attr(tag, "office:mimetype").flatMap(kinds.get).map("f" + _)
+    attr(tag, "office:mimetype").flatMap(baseKinds.get).map("f" + _)
       .orElse {
         if (xml.contains("<office:spreadsheet")) Some("fods")
         else if (xml.contains("<office:presentation")) Some("fodp")

@@ -31,15 +31,22 @@ object CfbWriter {
   private val CUTOFF = 4096
 
   /** A CFB file whose directory names a `kind`-defining stream with NO
-    * content; any other kind string yields a bare container ("cfb"). */
+    * content; "pub" yields Publisher's shape (a top-level "Quill" text
+    * STORAGE + empty "Contents" stream); any other kind string yields a
+    * bare container ("cfb"). */
   def generate(kind: String): Array[Byte] =
-    write(streamNameOf.get(kind).map(_ -> Array.emptyByteArray).toSeq)
+    if (kind == "pub")
+      write(Seq("Contents" -> Array.emptyByteArray), storages = Seq("Quill"))
+    else write(streamNameOf.get(kind).map(_ -> Array.emptyByteArray).toSeq)
 
-  /** Full container with the given named streams. `sectorShift` 9 writes
+  /** Full container with the given named streams (plus optional empty
+    * top-level STORAGE entries, directory type 1 — how Publisher carries
+    * its Quill text store). `sectorShift` 9 writes
     * the common v3 layout (512-byte sectors); 12 writes v4 (4096-byte
     * sectors, header zero-padded to one sector) — both parse paths are
     * exercised by LegacyOfficeSpec. */
-  def write(streams: Seq[(String, Array[Byte])], sectorShift: Int = 9): Array[Byte] = {
+  def write(streams: Seq[(String, Array[Byte])], sectorShift: Int = 9,
+            storages: Seq[String] = Seq.empty): Array[Byte] = {
     require(sectorShift == 9 || sectorShift == 12, s"sector shift $sectorShift")
     val S = 1 << sectorShift
     val major = if (sectorShift == 9) 3 else 4
@@ -70,7 +77,7 @@ object CfbWriter {
     while (miniFat.position() < miniFat.capacity()) miniFat.putInt(FREESECT)
 
     // ---- directory ----
-    val dirEntryCount = 1 + streams.length
+    val dirEntryCount = 1 + streams.length + storages.length
     val dirSectors = sectorsOf(dirEntryCount * 128, S)
 
     // ---- regular sector plan: [FAT][dir][miniFAT][miniStream][large...] ----
@@ -145,18 +152,25 @@ object CfbWriter {
       buf.putInt(start)
       buf.putInt(size.toInt)
     }
+    val lastIdx = streams.length + storages.length
     dirEntry(0, "Root Entry", tpe = 5,
-      child = if (streams.isEmpty) NOSTREAM else 1, right = NOSTREAM,
+      child = if (lastIdx == 0) NOSTREAM else 1, right = NOSTREAM,
       start = if (miniDataSectors == 0) ENDOFCHAIN else miniDataStart,
       size = miniBytes.length.toLong)
     streams.zipWithIndex.foreach { case ((name, data), i) =>
       val idx = i + 1
-      val right = if (idx == streams.length) NOSTREAM else idx + 1
+      val right = if (idx == lastIdx) NOSTREAM else idx + 1
       val start =
         if (data.length >= CUTOFF) largeStarts(name)
         else miniStarts(name)
       dirEntry(idx, name, tpe = 2, child = NOSTREAM, right = right,
         start = start, size = data.length.toLong)
+    }
+    storages.zipWithIndex.foreach { case (name, i) =>
+      val idx = streams.length + i + 1
+      val right = if (idx == lastIdx) NOSTREAM else idx + 1
+      dirEntry(idx, name, tpe = 1, child = NOSTREAM, right = right,
+        start = 0, size = 0L)
     }
 
     // ---- payload sectors ----

@@ -32,7 +32,7 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r5"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r6"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 

@@ -198,18 +198,37 @@ object LegacyOfficeWriters {
   /** PowerPoint 97 .ppt: a Document container (recVer 0xF) of text atoms.
     * Variants: 0 — TextBytesAtom (cp1252) per slide paragraph;
     * 1 — TextCharsAtom (UTF-16LE) per paragraph;
-    * 2 — ONE TextCharsAtom carrying all paragraphs `\r`-separated. */
+    * 2 — ONE TextCharsAtom carrying all paragraphs `\r`-separated;
+    * 3 — single-edit PERSISTED file: "Current User" stream →
+    *     UserEditAtom → PersistDirectoryAtom → document container;
+    * 4 — INCREMENTALLY-SAVED file: a STALE document container (marked
+    *     text that must never surface) superseded by a second edit whose
+    *     directory remaps the document id and adds a slide container
+    *     (referenced via SlidePersistAtom) holding the last paragraph.
+    *     Only persist-directory resolution reproduces the source; a naive
+    *     stream-order walk emits the stale text too. */
   object PptWriter {
-    val numVariants = 3
+    val numVariants = 5
 
-    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = {
-      def atom(tpe: Int, body: Array[Byte]): Array[Byte] = {
-        val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
-        b.putShort(0x0000); b.putShort(tpe.toShort); b.putInt(body.length)
-        b.put(body)
-        b.array()
-      }
-      val atoms: Seq[Array[Byte]] = variant match {
+    private def atom(tpe: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x0000); b.putShort(tpe.toShort); b.putInt(body.length)
+      b.put(body)
+      b.array()
+    }
+
+    private def container(tpe: Int, children: Seq[Array[Byte]]): Array[Byte] = {
+      val bodyLen = children.map(_.length).sum
+      val b = ByteBuffer.allocate(8 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x000f) // container recVer
+      b.putShort(tpe.toShort)
+      b.putInt(bodyLen)
+      children.foreach(b.put)
+      b.array()
+    }
+
+    private def textAtoms(paragraphs: Seq[String], variant: Int): Seq[Array[Byte]] =
+      variant match {
         case 1 => paragraphs.map(p => atom(0x0fa0, p.getBytes(StandardCharsets.UTF_16LE)))
         case 2 => Seq(atom(0x0fa0,
           paragraphs.mkString("\r").getBytes(StandardCharsets.UTF_16LE)))
@@ -220,13 +239,90 @@ object LegacyOfficeWriters {
           else atom(0x0fa0, p.getBytes(StandardCharsets.UTF_16LE))
         }
       }
-      val bodyLen = atoms.map(_.length).sum
-      val doc = ByteBuffer.allocate(8 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
-      doc.putShort(0x000f) // container recVer
-      doc.putShort(0x03e8.toShort) // Document container
-      doc.putInt(bodyLen)
-      atoms.foreach(doc.put)
-      CfbWriter.write(Seq("PowerPoint Document" -> doc.array()))
+
+    /** UserEditAtom ([MS-PPT] §2.3.3): 28-byte body. */
+    private def userEditAtom(offsetLastEdit: Int, offsetPersistDirectory: Int,
+                             docPersistIdRef: Int, persistIdSeed: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(256) // lastSlideIdRef
+      b.putShort(0); b.put(0.toByte); b.put(3.toByte) // version, minor, major
+      b.putInt(offsetLastEdit)
+      b.putInt(offsetPersistDirectory)
+      b.putInt(docPersistIdRef)
+      b.putInt(persistIdSeed)
+      b.putShort(1); b.putShort(0) // lastView, unused
+      atom(0x0ff5, b.array())
+    }
+
+    /** PersistDirectoryAtom: one run of consecutive ids per entry. */
+    private def persistDirectoryAtom(entries: Seq[(Int, Int)]): Array[Byte] = {
+      val b = ByteBuffer.allocate(entries.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for ((id, off) <- entries) {
+        b.putInt((1 << 20) | (id & 0xfffff)) // cPersist=1 run
+        b.putInt(off)
+      }
+      atom(0x1772, b.array())
+    }
+
+    /** CurrentUserAtom for the "Current User" stream. */
+    private def currentUserAtom(offsetToCurrentEdit: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(20) // size
+      b.putInt(0xe391c05f) // headerToken: plaintext document
+      b.putInt(offsetToCurrentEdit)
+      b.putShort(0) // lenUserName
+      b.putShort(0x03f4.toShort) // docFileVersion
+      b.put(3.toByte); b.put(0.toByte) // major, minor
+      b.putShort(0) // unused
+      atom(0x0ff6, b.array())
+    }
+
+    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] = variant match {
+      case 3 =>
+        // one edit: [doc][persistDir][userEdit]; directory {1 -> doc}
+        val doc = container(0x03e8, textAtoms(paragraphs, 0))
+        val pdOff = doc.length
+        val pd = persistDirectoryAtom(Seq(1 -> 0))
+        val editOff = pdOff + pd.length
+        val edit = userEditAtom(0, pdOff, 1, 2)
+        val stream = doc ++ pd ++ edit
+        CfbWriter.write(Seq(
+          "Current User" -> currentUserAtom(editOff),
+          "PowerPoint Document" -> stream))
+      case 4 =>
+        // two edits: [staleDoc][pd1][edit1][liveDoc][slide][pd2][edit2].
+        // pd2 remaps id 1 to the live doc and adds slide id 2; resolution
+        // from the newest edit must never surface the stale text.
+        val staleDoc = container(0x03e8,
+          textAtoms(paragraphs.map("STALE DRAFT " + _).reverse, 0))
+        val pd1Off = staleDoc.length
+        val pd1 = persistDirectoryAtom(Seq(1 -> 0))
+        val edit1Off = pd1Off + pd1.length
+        val edit1 = userEditAtom(0, pd1Off, 1, 2)
+        // live doc: all but the last paragraph inline + a SlidePersistAtom
+        // pointing at the slide container that carries the last paragraph
+        val slideRef = {
+          val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(2) // persistIdRef
+          b.putInt(0); b.putInt(1); b.putInt(256); b.putInt(0)
+          atom(0x03f3, b.array())
+        }
+        val liveDoc = container(0x03e8,
+          textAtoms(paragraphs.dropRight(1), 0) :+ slideRef)
+        val liveDocOff = edit1Off + edit1.length
+        val slide = container(0x03ee, textAtoms(paragraphs.takeRight(1), 0))
+        val slideOff = liveDocOff + liveDoc.length
+        val pd2Off = slideOff + slide.length
+        val pd2 = persistDirectoryAtom(Seq(1 -> liveDocOff, 2 -> slideOff))
+        val edit2Off = pd2Off + pd2.length
+        val edit2 = userEditAtom(edit1Off, pd2Off, 1, 3)
+        val stream = staleDoc ++ pd1 ++ edit1 ++ liveDoc ++ slide ++ pd2 ++ edit2
+        CfbWriter.write(Seq(
+          "Current User" -> currentUserAtom(edit2Off),
+          "PowerPoint Document" -> stream))
+      case v =>
+        val doc = container(0x03e8, textAtoms(paragraphs, v))
+        CfbWriter.write(Seq("PowerPoint Document" -> doc))
     }
   }
 }

@@ -2,8 +2,9 @@ package graft.fixtures
 
 import graft.fixtures.OoxmlZip.xmlEscape
 
-/** Minimal deterministic OpenDocument generator for odt / odp / ods —
-  * the reference whitelist's ODF family
+/** Minimal deterministic OpenDocument generator for odt / odp / ods, their
+  * template kinds ott / otp / ots, and StarOffice sxw — the reference
+  * whitelist's ODF family
   * (/root/reference/src/converters/document_converters.py:16-26).
   * content.xml carries `text:p` paragraphs (odt), `draw:page` slides with
   * text boxes (odp), or `table:table-row`/`table:table-cell` grids (ods);
@@ -31,7 +32,20 @@ object OdfWriter {
     case "odt" => "application/vnd.oasis.opendocument.text"
     case "odp" => "application/vnd.oasis.opendocument.presentation"
     case "ods" => "application/vnd.oasis.opendocument.spreadsheet"
+    case "ott" => "application/vnd.oasis.opendocument.text-template"
+    case "otp" => "application/vnd.oasis.opendocument.presentation-template"
+    case "ots" => "application/vnd.oasis.opendocument.spreadsheet-template"
+    case "sxw" => "application/vnd.sun.xml.writer"
     case _ => throw new IllegalArgumentException(kind)
+  }
+
+  /** Template kinds share the base kind's content grammar; sxw is the
+    * OOo-1.x Writer document (odt grammar under legacy namespaces). */
+  private def baseOf(kind: String): String = kind match {
+    case "ott" | "sxw" => "odt"
+    case "otp" => "odp"
+    case "ots" => "ods"
+    case k => k
   }
 
   /** Paragraph body with variant-dependent structure. */
@@ -52,14 +66,25 @@ object OdfWriter {
       "xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" " +
       "xmlns:draw=\"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0\""
 
+  /** StarOffice / OpenOffice.org 1.x declares the SAME element prefixes
+    * under pre-OASIS namespace URIs — real .sxw files look exactly like
+    * this, which is what makes the prefix-matching scanner cover them. */
+  private val sxwNamespaces =
+    "xmlns:office=\"http://openoffice.org/2000/office\" " +
+      "xmlns:text=\"http://openoffice.org/2000/text\" " +
+      "xmlns:table=\"http://openoffice.org/2000/table\" " +
+      "xmlns:draw=\"http://openoffice.org/2000/drawing\""
+
   private def stylesXml(variant: Int): String =
     if (variant == 3) "<office:automatic-styles><style:style style:name=\"P1\" xmlns:style=\"urn:oasis:names:tc:opendocument:xmlns:style:1.0\"/></office:automatic-styles>" else ""
 
-  private def contentXml(kind: String, paragraphs: Seq[String], variant: Int): String =
+  private def contentXml(kind: String, paragraphs: Seq[String], variant: Int): String = {
+    val ns = if (kind == "sxw") sxwNamespaces else namespaces
     """<?xml version="1.0" encoding="UTF-8"?>""" +
-      s"<office:document-content $namespaces>" + stylesXml(variant) +
-      "<office:body>" + bodyXml(kind, paragraphs, variant) +
+      s"<office:document-content $ns>" + stylesXml(variant) +
+      "<office:body>" + bodyXml(baseOf(kind), paragraphs, variant) +
       "</office:body></office:document-content>"
+  }
 
   private def bodyXml(kind: String, paragraphs: Seq[String], variant: Int): String = {
     val body = kind match {
@@ -118,7 +143,7 @@ object OdfWriter {
 
   /** The text OdfExtractor must produce for these inputs. */
   def expectedText(kind: String, paragraphs: Seq[String], variant: Int): String =
-    kind match {
+    baseOf(kind) match {
       case "ods" if variant == 3 =>
         paragraphs.map(_.split(' ').grouped(4).map(_.mkString(" ")).mkString("\t")).mkString("\n")
       case _ => paragraphs.mkString("\n")

@@ -127,6 +127,7 @@ object DocFunctions {
       case "rtf" => "application/rtf"
       case "fodf" => "application/xml"
       case k @ ("doc" | "xls" | "ppt") => cfbMimes(k)
+      case "pub" => "application/x-mspublisher"
       case "cfb" => "application/x-ole-storage"
       case "docx" => zipMime(bytes) // the PK sniff token: refine by content
       case "html" => "text/html"

@@ -42,6 +42,14 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(!r.success && r.format_from == "cfb")
   }
 
+  test("publisher containers (Quill storage) refine to pub and FAIL contained") {
+    val bytes = CfbWriter.generate("pub")
+    assert(Extractor.sniffFormat(bytes) == "pub")
+    val r = Extractor.extractOne(page(bytes), 0)
+    assert(!r.success && r.format_from == "pub" && r.error.contains("Quill"), s"$r")
+    assert(DocFunctions.mimeGuessBytes(bytes) == "application/x-mspublisher")
+  }
+
   test("cfb magic without the full signature is NOT classified cfb") {
     // first 4 bytes of the magic only — falls through to the txt/html scan
     val part = Array(0xd0, 0xcf, 0x11, 0xe0, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
@@ -162,6 +170,10 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("xls")) == "application/vnd.ms-excel")
     assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("ppt")) == "application/vnd.ms-powerpoint")
     assert(DocFunctions.mimeGuessBytes(CfbWriter.generate("zzz")) == "application/x-ole-storage")
+    assert(DocFunctions.mimeGuessBytes(OdfWriter.generate("ott", paras, 0)) ==
+      "application/vnd.oasis.opendocument.text-template")
+    assert(DocFunctions.mimeGuessBytes(OdfWriter.generate("sxw", paras, 0)) ==
+      "application/vnd.sun.xml.writer")
     // a zip that is none of the known containers
     val plainZip = OoxmlZip.write(Seq("a.txt" -> "hello"), store = false)
     assert(DocFunctions.mimeGuessBytes(plainZip) == "application/zip")

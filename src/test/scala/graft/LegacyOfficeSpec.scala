@@ -165,6 +165,30 @@ class LegacyOfficeSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementally-saved ppt resolves the persist directory, never stale text") {
+    val bytes = PptWriter.generate(paras, 4)
+    // the stale pre-edit document IS present in the stream...
+    val streamText = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(streamText.contains("STALE DRAFT"), "fixture must carry a stale copy")
+    // ...but resolution from the newest UserEditAtom never surfaces it
+    val got = PptExtractor.extract(bytes)
+    assert(got == paras.mkString("\n"), got)
+    assert(!got.contains("STALE"))
+  }
+
+  test("a present-but-malformed Current User stream is a failure row, not a fallback") {
+    // re-pack a valid document stream with a garbage Current User stream:
+    // silently stream-walking such a file could emit stale text on real
+    // incremental saves, so the kernel must refuse
+    val ppt = new graft.extract.cfb.CfbParser(PptWriter.generate(paras, 3))
+      .stream("PowerPoint Document").get
+    val bad = CfbWriter.write(Seq(
+      "Current User" -> Array[Byte](1, 2, 3, 4),
+      "PowerPoint Document" -> ppt))
+    val r = Extractor.extractOne(page(bad), 0)
+    assert(!r.success && r.error.nonEmpty, r.toString)
+  }
+
   // ---- containment ---------------------------------------------------------
 
   test("truncated legacy payloads become failure rows, never mojibake successes") {

@@ -34,8 +34,10 @@ class OdfSpec extends AnyFunSuite {
     assert(OdfExtractor.extractSpreadsheet(xml) == "a1\tc1\np1 p2")
   }
 
+  private val allKinds = Seq("odt", "odp", "ods", "ott", "otp", "ots", "sxw")
+
   test("writer round-trip matches expected text for every kind x variant") {
-    for (kind <- Seq("odt", "odp", "ods"); v <- 0 until OdfWriter.numVariants) {
+    for (kind <- allKinds; v <- 0 until OdfWriter.numVariants) {
       val bytes = OdfWriter.generate(kind, paras, v)
       assert(Extractor.sniffFormat(bytes) == "docx") // shared zip token
       val (k, got) = graft.extract.ooxml.OoxmlExtractor.extract(bytes)
@@ -46,12 +48,21 @@ class OdfSpec extends AnyFunSuite {
   }
 
   test("extractOne reports the refined ODF kind") {
-    for (kind <- Seq("odt", "odp", "ods")) {
+    for (kind <- allKinds) {
       val page = graft.model.WebPage(s"u-$kind", new java.sql.Timestamp(0),
         OdfWriter.generate(kind, paras, 0), "", "en")
       val r = Extractor.extractOne(page, 0)
       assert(r.success && r.format_from == kind, s"$kind: $r")
     }
+  }
+
+  test("the sxw fixture really carries the legacy OOo-1.x namespace URIs") {
+    val bytes = OdfWriter.generate("sxw", paras, 0)
+    val xml = new String(
+      graft.extract.docx.DocxExtractor.readPart(bytes, "content.xml").get,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(xml.contains("http://openoffice.org/2000/text"))
+    assert(!xml.contains("urn:oasis:names"))
   }
 
   test("unknown mimetype or missing content.xml becomes a failure row") {
