@@ -613,6 +613,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PNG: the first COMPRESSED format with a real decoder (Inflater +
+    // full None/Sub/Up/Average/Paeth unfiltering). Fixtures cycle the
+    // filter type per scanline, so pixel_sum only matches the closed-form
+    // oracle if filter reconstruction is byte-exact.
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 3 + (id % 5).toInt
+          val seed = (id % 200).toInt
+          val colorType = Seq(0, 2, 3, 6)((id % 4).toInt)
+          Multimodal.MediaRow(id, "",
+            graft.fixtures.MediaFixtures.png(w, h, colorType, seed))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
@@ -874,6 +895,16 @@ object SparkEntry {
         "CASE doc_id % 4 WHEN 0 THEN 'P' WHEN 1 THEN 'RGB' WHEN 2 THEN 'RGBA' " +
         "ELSE 'RGB' END AS mode, " +
         "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3 END) " +
+        "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_decode_png" ->
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, 'image/png' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB' WHEN 2 THEN 'P' " +
+        "ELSE 'RGBA' END AS mode, " +
+        "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 4 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_audio_wav" ->

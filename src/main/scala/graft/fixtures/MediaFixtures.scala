@@ -66,6 +66,87 @@ object MediaFixtures {
     out
   }
 
+  /** PNG, 8-bit depth, interlace 0. colorType ∈ {0 gray, 2 RGB,
+    * 3 palette (grayscale PLTE), 6 RGBA}. Scanline filters CYCLE through
+    * all five types (`y % 5`) before DEFLATE, so a decoder only
+    * reproduces the `(seed + y) % 256` pixel bytes — and the closed-form
+    * pixel sum — if its unfiltering (Sub/Up/Average/Paeth) is correct. */
+  def png(width: Int, height: Int, colorType: Int, seed: Int): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+      case o => throw new IllegalArgumentException(s"color type $o")
+    }
+    val rowBytes = width * channels
+    // raw scanlines with per-row filter byte
+    val filtered = new Array[Byte]((1 + rowBytes) * height)
+    val prev = new Array[Int](rowBytes)
+    var y = 0
+    while (y < height) {
+      val v = (seed + y) % 256
+      val base = y * (1 + rowBytes)
+      val filter = y % 5
+      filtered(base) = filter.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val a = if (x >= channels) v else 0 // left (rows are constant-valued)
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val enc = filter match {
+          case 0 => v
+          case 1 => (v - a) & 0xff
+          case 2 => (v - b) & 0xff
+          case 3 => (v - ((a + b) >> 1)) & 0xff
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (v - pred) & 0xff
+        }
+        filtered(base + 1 + x) = enc.toByte
+        x += 1
+      }
+      java.util.Arrays.fill(prev, v)
+      y += 1
+    }
+    // deflate
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zipped.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val body = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height) // big-endian by default
+    ihdr.put(8.toByte).put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3) {
+      val plte = new Array[Byte](256 * 3)
+      for (v <- 0 until 256; ch <- 0 until 3) plte(v * 3 + ch) = v.toByte
+      chunk("PLTE", plte)
+    }
+    // split the stream across two IDAT chunks: decoders must concatenate
+    val z = zipped.toByteArray
+    val cut = z.length / 2
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** 16-bit PCM, canonical 44-byte header + `frames` frames of deterministic
     * little-endian samples. */
   def wav(channels: Int, sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {

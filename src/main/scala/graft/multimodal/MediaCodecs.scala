@@ -1,13 +1,14 @@
 package graft.multimodal
 
 /** Real pure-JVM media codecs (no external media libraries needed): BMP and
-  * binary PPM image headers+pixels, and WAV/RIFF PCM headers. These give the
+  * binary PPM image headers+pixels, PNG (DEFLATE-compressed, full scanline
+  * unfiltering), and WAV/RIFF PCM headers. These give the
   * multimodal tier genuinely decoded inputs — the reference decodes pixels
   * via Pillow (/root/reference/src/converters/image_converters.py:75-145)
   * and samples via pydub (/root/reference/src/converters/audio_converters.py:
-  * 67-125); here the uncompressed container formats get real decoders while
-  * compressed codecs stay behind the disclosed [[Multimodal.fakeDecode]]
-  * stub.
+  * 67-125); here these formats get real decoders while the remaining
+  * compressed codecs (JPEG/GIF/WebP...) stay behind the disclosed
+  * [[Multimodal.fakeDecode]] stub.
   *
   * `pixelSum` is the sum of all decoded pixel channel bytes — it requires a
   * correct stride/padding walk (BMP rows pad to 4 bytes; a wrong stride
@@ -31,6 +32,11 @@ object MediaCodecs {
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
 
   /** Uncompressed (BI_RGB) 8/24/32-bpp BMP; 8-bpp is palette mode "P",
     * 24 "RGB", 32 "RGBA" (the Pillow mode names the reference reports).
@@ -101,10 +107,118 @@ object MediaCodecs {
     ImageMeta("ppm", width, height, "RGB", sum)
   }
 
+  /** PNG, the first COMPRESSED codec with a real decoder: chunk walk with
+    * CRC-32 verification, IDAT streams concatenated and inflated
+    * (`java.util.zip.Inflater` — zlib, the same DEFLATE the format
+    * specifies), then per-scanline unfiltering (all five filter types:
+    * None/Sub/Up/Average/Paeth). Supported: 8-bit depth, interlace 0,
+    * color types 0 (gray → "L"), 2 ("RGB"), 3 (palette → "P", pixelSum
+    * over indices like 8-bpp BMP), 6 ("RGBA"). pixelSum is over the
+    * UNFILTERED bytes, so a wrong filter reconstruction (the part
+    * uncompressed formats never exercise) is caught arithmetically. */
+  def decodePng(bytes: Array[Byte]): ImageMeta = {
+    require(isPng(bytes), "not a PNG payload")
+    val crc = new java.util.zip.CRC32
+    var i = 8
+    var width = 0
+    var height = 0
+    var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= bytes.length) {
+      val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      require(len >= 0 && i + 12L + len <= bytes.length, "PNG chunk overruns payload")
+      val tpe = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      crc.reset()
+      crc.update(bytes, i + 4, 4 + len)
+      val want = ((bytes(i + 8 + len) & 0xffL) << 24) | ((bytes(i + 9 + len) & 0xffL) << 16) |
+        ((bytes(i + 10 + len) & 0xffL) << 8) | (bytes(i + 11 + len) & 0xffL)
+      require(crc.getValue == want, s"PNG $tpe chunk CRC mismatch")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          width = ((bytes(i + 8) & 0xff) << 24) | ((bytes(i + 9) & 0xff) << 16) |
+            ((bytes(i + 10) & 0xff) << 8) | (bytes(i + 11) & 0xff)
+          height = ((bytes(i + 12) & 0xff) << 24) | ((bytes(i + 13) & 0xff) << 16) |
+            ((bytes(i + 14) & 0xff) << 8) | (bytes(i + 15) & 0xff)
+          val bitDepth = bytes(i + 16) & 0xff
+          colorType = bytes(i + 17) & 0xff
+          val interlace = bytes(i + 20) & 0xff
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth")
+          require(interlace == 0, "interlaced PNG unsupported")
+          require(width > 0 && height > 0, s"bad PNG geometry ${width}x$height")
+        case "IDAT" => idat.write(bytes, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // PLTE/ancillary: indices sum directly, palette unused
+      }
+      i += 12 + len
+    }
+    require(sawEnd, "PNG has no IEND chunk")
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 6 => 4
+      case o => throw new IllegalArgumentException(s"unsupported PNG color type $o")
+    }
+    val mode = colorType match {
+      case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 6 => "RGBA"
+    }
+    // inflate the filtered scanlines: height rows of [filterByte][row bytes]
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished(), "PNG IDAT stream truncated or needs dictionary")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"PNG pixel data short: $got of ${raw.length}")
+    // unfilter in place into `cur`, summing reconstructed bytes
+    val prev = new Array[Int](rowBytes) // previous reconstructed row
+    val cur = new Array[Int](rowBytes)
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + rowBytes)
+      val filter = raw(base) & 0xff
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(base + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0 // left
+        val b = prev(x) // up
+        val c = if (x >= channels) prev(x - channels) else 0 // up-left
+        val recon = filter match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (f + pred) & 0xff
+          case o => throw new IllegalArgumentException(s"bad PNG filter type $o")
+        }
+        cur(x) = recon
+        sum += recon
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    ImageMeta("png", width, height, mode, sum)
+  }
+
   /** Dispatch by magic; None for formats without a real decoder here. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
+    else if (isPng(bytes)) Some(decodePng(bytes))
     else None
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

@@ -130,6 +130,31 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(meta.pixelSum == 3L * 6 * rowSum(4, 250))
   }
 
+  test("png decode: all five scanline filters reconstruct across color types") {
+    for ((ct, mode, ch) <- Seq((0, "L", 1), (2, "RGB", 3), (3, "P", 1), (6, "RGBA", 4))) {
+      val (w, h, seed) = (6, 7, 180) // h=7: every filter type 0..4 appears
+      val meta = MediaCodecs.decodePng(MediaFixtures.png(w, h, ct, seed))
+      assert(meta.width == w && meta.height == h && meta.mode == mode,
+        s"colorType=$ct: $meta")
+      assert(meta.pixelSum == ch.toLong * w * rowSum(h, seed),
+        s"colorType=$ct sum: $meta")
+    }
+  }
+
+  test("png decode rejects corrupt chunks instead of emitting wrong pixels") {
+    val good = MediaFixtures.png(5, 4, 2, 33)
+    // flip a byte inside the first IDAT payload -> CRC must catch it
+    val idatAt = { // locate "IDAT" tag
+      val tag = "IDAT".getBytes("US-ASCII")
+      (8 until good.length - 4).find(i => good.slice(i, i + 4).sameElements(tag)).get
+    }
+    val corrupt = good.clone(); corrupt(idatAt + 5) = (corrupt(idatAt + 5) ^ 0x40).toByte
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(corrupt))
+    // truncation (no IEND) must also fail, not return partial sums
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(java.util.Arrays.copyOfRange(good, 0, good.length - 16)))
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)
