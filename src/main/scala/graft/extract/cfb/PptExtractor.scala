@@ -67,6 +67,12 @@ object PptExtractor {
     require(cuType == CurrentUserAtom && cuLen >= 12,
       s"Current User stream leads with record $cuType/$cuLen, not a CurrentUserAtom")
     // body: size(4) headerToken(4) offsetToCurrentEdit(4) ...
+    // headerToken 0xE391C05F = plaintext; 0xF3D1C4DF = encrypted ([MS-PPT]
+    // §2.3.2) — the edit chain itself is stored unencrypted, so without
+    // this check an encrypted deck would "resolve" into ciphertext text.
+    val headerToken = i32(cu, 12) & 0xffffffffL
+    require(headerToken == 0xE391C05FL,
+      f"encrypted or unknown .ppt variant (CurrentUserAtom headerToken 0x$headerToken%08X)")
     var editOff = i32(cu, 16)
     val persist = scala.collection.mutable.HashMap.empty[Long, Int]
     var docPersistIdRef = -1L
@@ -110,8 +116,11 @@ object PptExtractor {
     val slideRefs = Vector.newBuilder[Long]
     walkRecord(ppt, docOff, texts, slideRefs)
     val noRefs = Vector.newBuilder[Long]
-    for (ref <- slideRefs.result(); off <- persist.get(ref))
+    for (ref <- slideRefs.result()) {
+      val off = persist.getOrElse(ref, throw new IllegalArgumentException(
+        s"persist directory has no slide entry $ref"))
       walkRecord(ppt, off, texts, noRefs)
+    }
     render(texts.result())
   }
 
@@ -125,8 +134,13 @@ object PptExtractor {
     if ((verInst & 0xf) == 0xf) {
       var p = body
       while (p + 8 <= body + len) {
+        // children must END inside this container too — a corrupt child
+        // length must not read into stale post-container stream regions
+        val childLen = i32(ppt, p + 4)
+        require(childLen >= 0 && p + 8 + childLen <= body + len,
+          s"PPT child record at $p overruns its container")
         walkRecord(ppt, p, texts, refs)
-        p = p + 8 + i32(ppt, p + 4)
+        p = p + 8 + childLen
       }
     } else if (recType == TextCharsAtom) {
       texts += new String(ppt, body, len, StandardCharsets.UTF_16LE)

@@ -165,6 +165,11 @@ object MediaCodecs {
     val mode = colorType match {
       case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 6 => "RGBA"
     }
+    // decompression-bomb guard: IHDR geometry is attacker-controlled and a
+    // tiny compressed payload can declare huge dimensions — cap the DECODED
+    // size (64 MiB) before allocating, with overflow-safe Long arithmetic
+    require(height <= (1L << 26) / (1L + width.toLong * channels),
+      s"PNG decode size ${width}x$height x$channels exceeds 64 MiB cap")
     // inflate the filtered scanlines: height rows of [filterByte][row bytes]
     val rowBytes = width * channels
     val raw = new Array[Byte]((1 + rowBytes) * height)

@@ -155,6 +155,22 @@ class DispatchMediaSpec extends AnyFunSuite {
       MediaCodecs.decodePng(java.util.Arrays.copyOfRange(good, 0, good.length - 16)))
   }
 
+  test("png decompression bomb: huge declared geometry rejected before allocation") {
+    val good = MediaFixtures.png(5, 4, 6, 33)
+    // rewrite IHDR width to 50M (chunk data starts at offset 16), re-CRC
+    val bomb = good.clone()
+    val w = 50 * 1000 * 1000
+    bomb(16) = (w >>> 24).toByte; bomb(17) = (w >>> 16).toByte
+    bomb(18) = (w >>> 8).toByte; bomb(19) = w.toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(bomb, 12, 4 + 13) // tag + IHDR body
+    val v = crc.getValue
+    bomb(29) = (v >>> 24).toByte; bomb(30) = (v >>> 16).toByte
+    bomb(31) = (v >>> 8).toByte; bomb(32) = v.toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodePng(bomb))
+    assert(e.getMessage.contains("64 MiB"), e.getMessage)
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)

@@ -189,6 +189,20 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(!r.success && r.error.nonEmpty, r.toString)
   }
 
+  test("encrypted ppt headerToken is refused, never decoded as ciphertext text") {
+    val full = PptWriter.generate(paras, 4)
+    val cfb = new graft.extract.cfb.CfbParser(full)
+    val cu = cfb.stream("Current User").get.clone()
+    // headerToken lives at body offset 4 (stream offset 12): set the
+    // [MS-PPT] encrypted marker 0xF3D1C4DF (little-endian)
+    cu(12) = 0xdf.toByte; cu(13) = 0xc4.toByte; cu(14) = 0xd1.toByte; cu(15) = 0xf3.toByte
+    val bad = CfbWriter.write(Seq(
+      "Current User" -> cu,
+      "PowerPoint Document" -> cfb.stream("PowerPoint Document").get))
+    val r = Extractor.extractOne(page(bad), 0)
+    assert(!r.success && r.error.contains("encrypted"), r.toString)
+  }
+
   // ---- containment ---------------------------------------------------------
 
   test("truncated legacy payloads become failure rows, never mojibake successes") {
