@@ -634,6 +634,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GIF: second compressed format, decompressor-distinct from PNG —
+    // variable-width LSB-first LZW. Geometry sized so most payloads add
+    // >253 dictionary entries (~rows x sqrt(2w) codes for constant rows)
+    // and cross the 9->10-bit width boundary under the oracle; the unit
+    // spec covers the deeper 1024/2048/4096+clear boundaries.
+    "mm_decode_gif" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 30 + (id % 25).toInt
+          val h = 20 + (id % 17).toInt
+          val seed = (id % 200).toInt
+          Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.gif(w, h, seed))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
@@ -906,6 +926,13 @@ object SparkEntry {
         "ELSE 'RGBA' END AS mode, " +
         "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 4 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_decode_gif" ->
+      ("WITH p AS (SELECT doc_id, 30 + doc_id % 25 AS w, 20 + doc_id % 17 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, 'image/gif' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'P' AS mode, " +
+        "CAST(w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +

@@ -147,6 +147,86 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** GIF87a, 256-entry grayscale global color table, one image, REAL LZW
+    * compression (greedy dictionary build, variable code width 9→12 bits,
+    * LSB-first packing, clear-code reset at 4096, data split into ≤255-byte
+    * sub-blocks). Pixels are palette indices `(seed + y) % 256` per row, so
+    * the decoded index sum has the same closed form as the other image
+    * fixtures — but only a correct LZW decode (including width growth at
+    * 512/1024/2048 and post-clear resync) reproduces it. */
+  def gif(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val pixels = new Array[Int](width * height)
+    var i = 0
+    while (i < pixels.length) { pixels(i) = (seed + i / width) % 256; i += 1 }
+
+    // ---- LZW encode (minCodeSize 8: clear=256, eoi=257, first dict 258)
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCount = 0
+    def putCode(code: Int, width0: Int): Unit = {
+      bitBuf |= code.toLong << bitCount
+      bitCount += width0
+      while (bitCount >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCount -= 8 }
+    }
+    val Clear = 256
+    val Eoi = 257
+    var codeWidth = 9
+    var nextCode = 258
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int] // (prefixCode, byte) -> code
+    putCode(Clear, codeWidth)
+    var prefix = pixels(0)
+    i = 1
+    while (i < pixels.length) {
+      val c = pixels(i)
+      dict.get((prefix, c)) match {
+        case Some(code) => prefix = code
+        case None =>
+          putCode(prefix, codeWidth)
+          if (nextCode < 4096) {
+            dict((prefix, c)) = nextCode
+            nextCode += 1
+            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          } else { // dictionary full: clear and restart
+            putCode(Clear, codeWidth)
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = 258
+            codeWidth = 9
+          }
+          prefix = c
+      }
+      i += 1
+    }
+    putCode(prefix, codeWidth)
+    // the decoder adds a dictionary entry for this flush code too and may
+    // grow its code width on it — mirror that so Eoi reads at the same width
+    if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+    putCode(Eoi, codeWidth)
+    if (bitCount > 0) out.write((bitBuf & 0xff).toInt)
+    val lzw = out.toByteArray
+
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def u16le(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >>> 8) & 0xff) }
+    u16le(width); u16le(height)
+    buf.write(0xf7) // GCT present, color res 8, GCT size 256
+    buf.write(0); buf.write(0)
+    for (v <- 0 until 256; _ <- 0 until 3) buf.write(v) // grayscale palette
+    buf.write(0x2c) // image descriptor
+    u16le(0); u16le(0); u16le(width); u16le(height)
+    buf.write(0) // no local table, no interlace
+    buf.write(8) // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      buf.write(n)
+      buf.write(lzw, off, n)
+      off += n
+    }
+    buf.write(0) // block terminator
+    buf.write(0x3b) // trailer
+    buf.toByteArray
+  }
+
   /** 16-bit PCM, canonical 44-byte header + `frames` frames of deterministic
     * little-endian samples. */
   def wav(channels: Int, sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {

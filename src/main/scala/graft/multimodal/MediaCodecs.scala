@@ -219,11 +219,149 @@ object MediaCodecs {
     ImageMeta("png", width, height, mode, sum)
   }
 
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** GIF87a/89a, the second compressed codec with a real decoder — and a
+    * completely different decompressor than PNG's DEFLATE: variable-width
+    * LSB-first LZW (9→12 bits, clear-code reset, KwKwK self-reference).
+    * The decoder's dictionary lags the encoder's by one entry, so the code
+    * width grows at `nextCode == (1 << width) - 1` — the classic off-by-one
+    * that a roundtrip across the 512/1024/2048 boundaries catches
+    * arithmetically via pixelSum. First image frame only; palette indices
+    * sum directly (mode "P", like 8-bpp BMP / PNG color type 3); 89a
+    * extension blocks (0x21) are skipped; interlace unsupported. */
+  def decodeGif(bytes: Array[Byte]): ImageMeta = {
+    require(isGif(bytes), "not a GIF payload")
+    def u16le(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    require(bytes.length >= 13, "GIF truncated before logical screen descriptor")
+    val packed = bytes(10) & 0xff
+    var i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // global color table
+    // walk blocks to the first image descriptor
+    var width = 0
+    var height = 0
+    var minCodeSize = 0
+    var found = false
+    while (!found) {
+      require(i < bytes.length, "GIF ends before any image descriptor")
+      (bytes(i) & 0xff) match {
+        case 0x2c => // image descriptor
+          require(i + 10 <= bytes.length, "GIF image descriptor truncated")
+          width = u16le(i + 5); height = u16le(i + 7)
+          val ipacked = bytes(i + 9) & 0xff
+          require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+          i += 10
+          if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 7) + 1)) // local table
+          require(i < bytes.length, "GIF truncated before LZW data")
+          minCodeSize = bytes(i) & 0xff
+          require(minCodeSize >= 2 && minCodeSize <= 8, s"bad LZW min code size $minCodeSize")
+          i += 1
+          found = true
+        case 0x21 => // 89a extension: label byte then sub-blocks
+          i += 2
+          while ({ require(i < bytes.length, "GIF extension truncated"); (bytes(i) & 0xff) != 0 }) {
+            i += 1 + (bytes(i) & 0xff)
+          }
+          i += 1
+        case 0x3b => throw new IllegalArgumentException("GIF trailer before any image")
+        case o => throw new IllegalArgumentException(f"unknown GIF block 0x$o%02x")
+      }
+    }
+    require(width > 0 && height > 0, s"bad GIF geometry ${width}x$height")
+    require(width.toLong * height <= (1L << 26), // decompression-bomb guard
+      s"GIF decode size ${width}x$height exceeds 64 MiB cap")
+    // concatenate data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while ({ require(i < bytes.length, "GIF data sub-blocks truncated"); (bytes(i) & 0xff) != 0 }) {
+      val n = bytes(i) & 0xff
+      require(i + 1 + n <= bytes.length, "GIF sub-block overruns payload")
+      data.write(bytes, i + 1, n)
+      i += 1 + n
+    }
+    val lzw = data.toByteArray
+
+    // ---- LZW decode
+    val Clear = 1 << minCodeSize
+    val Eoi = Clear + 1
+    val total = width * height
+    val pixels = new Array[Byte](total)
+    var out = 0
+    var sum = 0L
+    // dictionary as (prefix link, last byte); codes < Clear are literals
+    val prefixOf = new Array[Int](4096)
+    val lastOf = new Array[Byte](4096)
+    var nextCode = Eoi + 1
+    var codeWidth = minCodeSize + 1
+    var bitPos = 0
+    def readCode(): Int = {
+      var v = 0
+      var got = 0
+      while (got < codeWidth) {
+        val byteAt = bitPos >>> 3
+        require(byteAt < lzw.length, "LZW stream exhausted mid-code")
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, codeWidth - got)
+        val chunk = ((lzw(byteAt) & 0xff) >>> (bitPos & 7)) & ((1 << take) - 1)
+        v |= chunk << got
+        got += take
+        bitPos += take
+      }
+      v
+    }
+    // expand `code` into pixels (reversed chain), return its FIRST byte
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Byte = {
+      var c = code
+      var depth = 0
+      while (c >= Clear + 2) { stack(depth) = lastOf(c); depth += 1; c = prefixOf(c) }
+      require(c < Clear, s"LZW code chain ends in control code $c")
+      val first = c.toByte
+      require(out + depth + 1 <= total, "LZW output exceeds declared pixel count")
+      pixels(out) = first; sum += c; out += 1
+      while (depth > 0) { depth -= 1; pixels(out) = stack(depth); sum += stack(depth) & 0xff; out += 1 }
+      first
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) { nextCode = Eoi + 1; codeWidth = minCodeSize + 1; prev = -1 }
+      else if (prev < 0) { // first code after clear: must be a literal
+        require(code < Clear, s"first LZW code $code is not a literal")
+        emit(code)
+        prev = code
+      } else {
+        require(code <= nextCode, s"LZW code $code ahead of dictionary")
+        val first =
+          if (code == nextCode) { // KwKwK: entry = seq(prev) + firstByte(prev)
+            val f = emit(prev)
+            require(out < total, "LZW output exceeds declared pixel count")
+            pixels(out) = f; sum += f & 0xff; out += 1
+            f
+          } else emit(code)
+        if (nextCode < 4096) {
+          prefixOf(nextCode) = prev
+          lastOf(nextCode) = first
+          nextCode += 1
+          // decoder lags the encoder by one entry: grow at (1<<width)-1
+          if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    require(out == total, s"GIF pixel data short: $out of $total")
+    ImageMeta("gif", width, height, "P", sum)
+  }
+
   /** Dispatch by magic; None for formats without a real decoder here. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
     else if (isPng(bytes)) Some(decodePng(bytes))
+    else if (isGif(bytes)) Some(decodeGif(bytes))
     else None
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

@@ -171,6 +171,28 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("64 MiB"), e.getMessage)
   }
 
+  test("gif decode: real LZW across all code-width boundaries and a clear reset") {
+    // small: same closed form as the other palette formats
+    val small = MediaCodecs.decodeGif(MediaFixtures.gif(6, 7, 180))
+    assert(small.width == 6 && small.height == 7 && small.mode == "P")
+    assert(small.pixelSum == 6L * rowSum(7, 180))
+    // large: dictionary crosses 512/1024/2048 widths AND the 4096 full-reset
+    // (clear code mid-stream) — any off-by-one in width growth breaks the sum
+    val big = MediaCodecs.decodeGif(MediaFixtures.gif(200, 400, 7))
+    assert(big.width == 200 && big.height == 400 && big.mode == "P")
+    assert(big.pixelSum == 200L * rowSum(400, 7))
+  }
+
+  test("gif decode skips 89a extension blocks to reach the image descriptor") {
+    val base = MediaFixtures.gif(9, 5, 44)
+    val gctEnd = 13 + 256 * 3 // header + LSD + global color table
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) // graphic control
+    val spliced = base.take(gctEnd) ++ ext ++ base.drop(gctEnd)
+    spliced(4) = '9' // GIF89a
+    val meta = MediaCodecs.decodeGif(spliced)
+    assert(meta.width == 9 && meta.height == 5 && meta.pixelSum == 9L * rowSum(5, 44))
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)
