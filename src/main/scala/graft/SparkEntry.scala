@@ -665,15 +665,18 @@ object SparkEntry {
           val frames = 500 + (id % 7).toInt * 37
           val bytes = graft.fixtures.MediaFixtures.wav(channels, rate, frames, (id % 100).toInt)
           val m = graft.multimodal.MediaCodecs.parseWav(bytes)
-          (id, m.channels, m.frameRate, m.bitsPerSample, m.durationMs)
-        }.toDF("doc_id", "channels", "frame_rate", "bits_per_sample", "duration_ms")
+          val sampleSum = graft.multimodal.MediaCodecs.wavSampleSum(bytes)
+          (id, m.channels, m.frameRate, m.bitsPerSample, m.durationMs, sampleSum)
+        }.toDF("doc_id", "channels", "frame_rate", "bits_per_sample", "duration_ms",
+          "sample_sum")
       graft.multimodal.MediaOps.speedup(
           parsed.withColumn("orig_ms", col("duration_ms")), 2.0)
         .select(col("doc_id"), col("channels").cast("int").as("channels"),
           col("frame_rate").cast("int").as("frame_rate"),
           col("bits_per_sample").cast("int").as("bits_per_sample"),
           col("orig_ms").cast("bigint").as("duration_ms"),
-          col("duration_ms").cast("bigint").as("duration_x2_ms"))
+          col("duration_ms").cast("bigint").as("duration_x2_ms"),
+          col("sample_sum").cast("bigint").as("sample_sum"))
         .orderBy("doc_id")
     }),
 
@@ -941,7 +944,11 @@ object SparkEntry {
         "SELECT doc_id, CAST(channels AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
         "CAST(16 AS INT) AS bits_per_sample, " +
         "CAST(frames * channels * 2 * 1000 // (rate * channels * 2) AS BIGINT) AS duration_ms, " +
-        "CAST((frames * channels * 2 * 1000 // (rate * channels * 2)) // 2 AS BIGINT) AS duration_x2_ms " +
+        "CAST((frames * channels * 2 * 1000 // (rate * channels * 2)) // 2 AS BIGINT) AS duration_x2_ms, " +
+        // samples are ((seed+f)%4096)-2048 for f in [0, frames*channels);
+        // seed<100 and n<4096 so the modulo never wraps -> arithmetic series
+        "CAST(frames * channels * ((doc_id % 100) - 2048) " +
+        "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
         "FROM p ORDER BY doc_id"),
     "dc_v1_to_v2" ->
       ("SELECT c_custkey, " +

@@ -398,4 +398,31 @@ object MediaCodecs {
     require(dataBytes >= 0, "WAV has no data chunk")
     WavMeta(channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate)
   }
+
+  /** Sum of the decoded 16-bit PCM samples (signed, little-endian) in the
+    * `data` chunk — the audio analog of `pixelSum`: it is only right if the
+    * chunk walk, 2-byte alignment, and LE int16 decode are all correct. */
+  def wavSampleSum(bytes: Array[Byte]): Long = {
+    val meta = parseWav(bytes) // validates fmt (PCM) and data presence
+    require(meta.bitsPerSample == 16, s"sample decode supports 16-bit PCM only")
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32(bytes, i + 4)
+      require(size >= 0, s"negative RIFF chunk size $size")
+      if (id == "data") {
+        require(i + 8 + size <= bytes.length, "WAV data chunk overruns payload")
+        var sum = 0L
+        var p = i + 8
+        val end = i + 8 + size - 1
+        while (p < end) {
+          sum += ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
+          p += 2
+        }
+        return sum
+      }
+      i += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("WAV has no data chunk")
+  }
 }

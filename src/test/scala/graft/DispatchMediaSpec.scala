@@ -199,6 +199,9 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(m.channels == 2 && m.frameRate == 22050 && m.bitsPerSample == 16)
     assert(m.dataBytes == 777L * 2 * 2)
     assert(m.durationMs == m.dataBytes * 1000 / (22050 * 2 * 2))
+    // real sample decode: arithmetic series (seed+f)%4096 - 2048, no wrap
+    val n = 777L * 2
+    assert(MediaCodecs.wavSampleSum(bytes) == n * (3 - 2048) + n * (n - 1) / 2)
   }
 
   test("garbage media payloads fail contained, not with task-killing throws") {
