@@ -654,6 +654,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JPEG: third compressed format — Huffman + dequant + IDCT. Content is
+    // band-constant (flat 8x8 blocks -> DC-only at quant step 8), the one
+    // shape a LOSSY codec round-trips exactly, enabling a closed-form
+    // oracle; geometry includes non-multiple-of-8 dims (MCU padding + crop).
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 10 + (id % 23).toInt
+          val h = 9 + (id % 20).toInt
+          val seed = (id % 200).toInt
+          Multimodal.MediaRow(id, "", graft.fixtures.JpegWriter.generate(w, h, seed))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
@@ -936,6 +955,16 @@ object SparkEntry {
         "SELECT doc_id, 'image/gif' AS media_type, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'P' AS mode, " +
         "CAST(w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_decode_jpeg" ->
+      // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);
+      // sum_y (y//8) for h = 8q+r is 4q(q-1) + rq
+      ("WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 20 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, 'image/jpeg' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'L' AS mode, " +
+        "CAST(w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
+        "AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +

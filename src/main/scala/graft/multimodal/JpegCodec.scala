@@ -1,0 +1,340 @@
+package graft.multimodal
+
+/** Baseline-sequential JPEG (ITU T.81) decoder, pure JVM — the third
+  * compressed image codec with a real decoder and again a different
+  * decompression stack than PNG (DEFLATE) or GIF (LZW): canonical Huffman
+  * tables built from the transmitted DHT segments, an MSB-first bit reader
+  * with 0xFF00 byte-unstuffing, zigzag run-length AC decoding (EOB/ZRL,
+  * one's-complement negative extends), dequantization against the
+  * transmitted DQT, and a full 64-coefficient 2D IDCT. The reference
+  * decodes JPEG via Pillow (/root/reference/src/converters/
+  * image_converters.py:75-145); mode "L" mirrors Pillow's name for 8-bit
+  * grayscale.
+  *
+  * Supported: SOF0 baseline, 8-bit, single component (grayscale), no
+  * restart intervals. Progressive (SOF2), multi-component color, and DRI
+  * are explicit errors — never silent wrong pixels.
+  */
+object JpegCodec {
+
+  /** zigzag index -> natural (row-major) index */
+  val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ---- canonical Huffman (T.81 annex C) ------------------------------------
+
+  /** Decode table: per code length 1..16, the smallest/largest code of that
+    * length and the index of its first symbol in `vals`. */
+  final class HuffTable(counts: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length, s"DHT counts ($k) disagree with value list (${vals.length})")
+    }
+  }
+
+  /** Encode side (fixtures/tests): symbol -> (code, bit length), assigned in
+    * canonical order — byte-identical to what `HuffTable` decodes. */
+  def encodeTable(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0
+    var i = 0
+    for (l <- 1 to 16) {
+      var c = 0
+      while (c < counts(l - 1)) { out += vals(i) -> (code, l); code += 1; i += 1; c += 1 }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Standard luminance tables (T.81 annex K.3 — the tables every baseline
+    * encoder ships). Fixtures transmit these in DHT; the decoder only ever
+    * uses what DHT carries. */
+  val StdDcCounts: Array[Int] = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val StdDcVals: Array[Int] = (0 to 11).toArray
+  val StdAcCounts: Array[Int] = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  val StdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // ---- entropy-coded-segment bit reader ------------------------------------
+
+  /** MSB-first reader over the entropy stream with 0xFF00 unstuffing; a
+    * 0xFF followed by anything else is a marker — an error mid-scan here
+    * (restart intervals are unsupported and declared so). */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def readBit(): Int = {
+      if (cnt == 0) {
+        require(pos < bytes.length, "JPEG entropy stream exhausted")
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length && bytes(pos) == 0,
+            "marker inside entropy-coded segment (restart intervals unsupported)")
+          pos += 1 // stuffed 0x00
+        }
+        buf = b
+        cnt = 8
+      }
+      cnt -= 1
+      (buf >>> cnt) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = readBit()
+      var l = 1
+      while (code > t.maxCode(l) || t.maxCode(l) < 0) {
+        l += 1
+        require(l <= 16, "invalid Huffman code in entropy stream")
+        code = (code << 1) | readBit()
+      }
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: `v` read as `size` magnitude bits. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  // ---- parsed stream -------------------------------------------------------
+
+  final case class JpegParsed(width: Int, height: Int,
+                              quant: Array[Int], // natural order
+                              blocks: Array[Array[Int]]) // QUANTIZED, natural order
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Segment walk + entropy decode to QUANTIZED coefficient blocks in MCU
+    * (row-major block) order — separated from reconstruction so the entropy
+    * layer is testable coefficient-exactly, with no IDCT in the loop. */
+  def parse(bytes: Array[Byte]): JpegParsed = {
+    require(isJpeg(bytes), "not a JPEG payload")
+    var i = 2
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0
+    var height = 0
+    var compQuant = -1
+    var sosDc = -1
+    var sosAc = -1
+    var scanAt = -1
+    while (scanAt < 0) {
+      require(i + 2 <= bytes.length, "JPEG truncated before SOS")
+      require((bytes(i) & 0xff) == 0xff, f"expected marker at $i, got 0x${bytes(i) & 0xff}%02x")
+      var m = bytes(i + 1) & 0xff
+      i += 2
+      while (m == 0xff) { m = bytes(i) & 0xff; i += 1 } // fill bytes
+      m match {
+        case 0xd8 => // SOI again (tolerated)
+        case 0xd9 => throw new IllegalArgumentException("EOI before any scan")
+        case 0xc0 | 0xc1 => // baseline / extended-sequential SOF
+          val len = u16be(bytes, i)
+          require(bytes(i + 2) == 8, "only 8-bit precision supported")
+          height = u16be(bytes, i + 3)
+          width = u16be(bytes, i + 5)
+          val nf = bytes(i + 7) & 0xff
+          require(nf == 1, s"only single-component (grayscale) JPEG supported, got $nf")
+          require((bytes(i + 9) & 0xff) == 0x11, "subsampling on a 1-component scan")
+          compQuant = bytes(i + 10) & 0xff
+          i += len
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case 0xc4 => // DHT: one or more tables
+          val len = u16be(bytes, i)
+          var p = i + 2
+          while (p < i + len) {
+            val tcTh = bytes(p) & 0xff
+            val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+            val n = counts.sum
+            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+            val t = new HuffTable(counts, vals)
+            if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
+            p += 17 + n
+          }
+          i += len
+        case 0xdb => // DQT: entries arrive in zigzag order
+          val len = u16be(bytes, i)
+          var p = i + 2
+          while (p < i + len) {
+            val pqTq = bytes(p) & 0xff
+            require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+            quantTables(pqTq & 0xf) = q
+            p += 65
+          }
+          i += len
+        case 0xdd => throw new IllegalArgumentException("restart intervals (DRI) unsupported")
+        case 0xda => // SOS
+          val len = u16be(bytes, i)
+          require((bytes(i + 2) & 0xff) == 1, "SOS must carry exactly one component")
+          val tdTa = bytes(i + 4) & 0xff
+          sosDc = tdTa >>> 4
+          sosAc = tdTa & 0xf
+          scanAt = i + len
+          i += len
+        case x if x >= 0xe0 && x <= 0xef => i += u16be(bytes, i) // APPn
+        case 0xfe => i += u16be(bytes, i) // COM
+        case o => throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$o%02x")
+      }
+    }
+    require(width > 0 && height > 0, "JPEG has no SOF before SOS")
+    require(width.toLong * height <= (1L << 26), // decompression-bomb guard
+      s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
+    val quant = quantTables(compQuant)
+    require(quant != null, s"SOF references missing quant table $compQuant")
+    val dcT = dcTables(sosDc)
+    val acT = acTables(sosAc)
+    require(dcT != null && acT != null, "SOS references missing Huffman tables")
+
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val blocks = new Array[Array[Int]](bx * by)
+    val r = new BitReader(bytes, scanAt)
+    var pred = 0
+    var b = 0
+    while (b < blocks.length) {
+      val coef = new Array[Int](64)
+      val t = r.decode(dcT)
+      require(t <= 11, s"DC category $t out of range")
+      pred += extend(r.readBits(t), t)
+      coef(0) = pred
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = r.decode(acT)
+        val run = rs >>> 4
+        val size = rs & 0xf
+        if (size == 0) {
+          if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
+          else eob = true // EOB
+        } else {
+          k += run
+          require(k < 64, "AC run past end of block")
+          coef(ZigZag(k)) = extend(r.readBits(size), size)
+          k += 1
+        }
+      }
+      blocks(b) = coef
+      b += 1
+    }
+    JpegParsed(width, height, quant, blocks)
+  }
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8) // t(x*8+u) = cos((2x+1) u pi / 16)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+    t
+  }
+
+  /** Dequantize + full 2D IDCT (T.81 A.3.3) + level shift, one 8x8 block. */
+  def reconstruct(coefQ: Array[Int], quant: Array[Int]): Array[Int] = {
+    val f = new Array[Double](64)
+    var k = 0
+    while (k < 64) { f(k) = coefQ(k).toDouble * quant(k); k += 1 }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.70710678118654752440 else 1.0
+            val cv = if (v == 0) 0.70710678118654752440 else 1.0
+            acc += cu * cv * f(v * 8 + u) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.round(acc / 4.0).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Full decode to [[MediaCodecs.ImageMeta]]: pixelSum over the w x h crop
+    * of the reconstructed MCU grid (padding pixels are decoded, not summed). */
+  def decode(bytes: Array[Byte]): MediaCodecs.ImageMeta = {
+    val p = parse(bytes)
+    val bx = (p.width + 7) / 8
+    var sum = 0L
+    var b = 0
+    while (b < p.blocks.length) {
+      val px = reconstruct(p.blocks(b), p.quant)
+      val x0 = (b % bx) * 8
+      val y0 = (b / bx) * 8
+      var y = 0
+      while (y < 8 && y0 + y < p.height) {
+        var x = 0
+        while (x < 8 && x0 + x < p.width) {
+          sum += px(y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    MediaCodecs.ImageMeta("jpeg", p.width, p.height, "L", sum)
+  }
+}

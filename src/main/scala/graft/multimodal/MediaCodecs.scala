@@ -362,6 +362,7 @@ object MediaCodecs {
     else if (isPpm(bytes)) Some(decodePpm(bytes))
     else if (isPng(bytes)) Some(decodePng(bytes))
     else if (isGif(bytes)) Some(decodeGif(bytes))
+    else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else None
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.extract.Extractor
 import graft.extract.cfb.CfbSniffer
 import graft.extract.ooxml.OdfExtractor
-import graft.fixtures.{CfbWriter, EpubWriter, LangMark, MediaFixtures, OdfWriter}
+import graft.fixtures.{CfbWriter, EpubWriter, JpegWriter, LangMark, MediaFixtures, OdfWriter}
 import graft.functions.DocFunctions
 import graft.multimodal.MediaCodecs
 
@@ -191,6 +191,50 @@ class DispatchMediaSpec extends AnyFunSuite {
     spliced(4) = '9' // GIF89a
     val meta = MediaCodecs.decodeGif(spliced)
     assert(meta.width == 9 && meta.height == 5 && meta.pixelSum == 9L * rowSum(5, 44))
+  }
+
+  // per-row value for band-constant jpeg content: row y holds (seed + y/8)%256
+  private def jpegSum(w: Int, h: Int, seed: Int): Long =
+    (0 until h).map(y => (seed + y / 8) % 256).sum.toLong * w
+
+  test("jpeg decode: DC-only band-constant content round-trips losslessly") {
+    // non-multiple-of-8 dims: edge blocks decode padded, sum crops
+    for ((w, h, seed) <- Seq((16, 24, 50), (13, 21, 100), (8, 8, 0), (20, 19, 247))) {
+      val meta = graft.multimodal.JpegCodec.decode(JpegWriter.generate(w, h, seed))
+      assert(meta.width == w && meta.height == h && meta.mode == "L", s"${(w, h, seed)}: $meta")
+      // seed 247 wraps (247+2)%256 mid-image: negative DC diff of -255,
+      // category 8, one's-complement magnitude bits — all exercised
+      assert(meta.pixelSum == jpegSum(w, h, seed), s"${(w, h, seed)}: $meta")
+    }
+  }
+
+  test("jpeg entropy layer is coefficient-exact: AC runs, ZRL, negatives") {
+    import graft.multimodal.JpegCodec
+    val b0 = new Array[Int](64)
+    b0(0) = -70 // DC
+    b0(JpegCodec.ZigZag(1)) = 5 // run 0
+    b0(JpegCodec.ZigZag(7)) = -3 // run 5: run/size symbol 0x52
+    b0(JpegCodec.ZigZag(30)) = 127 // run 22: ZRL + run 6, category 7
+    b0(JpegCodec.ZigZag(63)) = 1 // last coefficient: block ends with NO EOB
+    val b1 = new Array[Int](64)
+    b1(0) = -70 // DC diff 0 after b0
+    b1(JpegCodec.ZigZag(40)) = -1 // 39 zeros: ZRL x2 + run 7
+    val parsed = JpegCodec.parse(JpegWriter.fromCoeffs(16, 8, Array(b0, b1)))
+    assert(parsed.width == 16 && parsed.height == 8)
+    assert(parsed.blocks(0).sameElements(b0), parsed.blocks(0).mkString(","))
+    assert(parsed.blocks(1).sameElements(b1), parsed.blocks(1).mkString(","))
+    assert(parsed.quant.forall(_ == 8))
+  }
+
+  test("jpeg unsupported shapes fail contained: progressive marker rejected") {
+    val good = JpegWriter.generate(8, 8, 10)
+    // rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive must be an error,
+    // not silently-wrong pixels
+    val idx = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val prog = good.clone(); prog(idx + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](graft.multimodal.JpegCodec.decode(prog))
+    assert(e.getMessage.contains("progressive"), e.getMessage)
   }
 
   test("wav parse: channels, rate, bits, floor-division duration") {
