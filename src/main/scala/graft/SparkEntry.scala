@@ -673,6 +673,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TIFF: endian-parameterized IFD walk (II and MM payloads interleaved),
+    // external LONG strip arrays, gray + RGB — uncompressed, so the sum is
+    // the same closed form as BMP/PPM.
+    "mm_decode_tiff" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 3 + (id % 5).toInt
+          val seed = (id % 200).toInt
+          Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.tiff(
+            w, h, rgb = id % 2 == 1, bigEndian = id % 4 >= 2, seed))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
@@ -955,6 +974,15 @@ object SparkEntry {
         "SELECT doc_id, 'image/gif' AS media_type, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'P' AS mode, " +
         "CAST(w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_decode_tiff" ->
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, 'image/tiff' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE WHEN doc_id % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode, " +
+        "CAST((CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END) " +
+        "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_jpeg" ->
       // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);

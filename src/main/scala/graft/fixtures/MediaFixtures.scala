@@ -227,6 +227,63 @@ object MediaFixtures {
     buf.toByteArray
   }
 
+  /** Baseline TIFF 6.0, uncompressed, in EITHER byte order: pixel rows hold
+    * the constant `(seed + y) % 256` per sample (1 sample gray, 3 RGB), split
+    * across TWO strips so StripOffsets/StripByteCounts are external LONG
+    * arrays (the out-of-field IFD value path); RGB also externalizes the
+    * 3-SHORT BitsPerSample array while grayscale keeps it in-field. */
+  def tiff(width: Int, height: Int, rgb: Boolean, bigEndian: Boolean, seed: Int): Array[Byte] = {
+    val spp = if (rgb) 3 else 1
+    val rowBytes = width * spp
+    val rows0 = (height + 1) / 2 // first strip
+    val strip0 = rows0 * rowBytes
+    val strip1 = (height - rows0) * rowBytes
+    val extraBps = if (rgb) 6 else 0
+    val nEntries = 9
+    val arraysAt = 8 + strip0 + strip1
+    val ifdAt = arraysAt + 16 + extraBps
+    val buf = ByteBuffer.allocate(ifdAt + 2 + nEntries * 12 + 4)
+      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (bigEndian) "MM" else "II").getBytes)
+    buf.putShort(42)
+    buf.putInt(ifdAt)
+    var y = 0
+    while (y < height) {
+      val v = ((seed + y) % 256).toByte
+      var x = 0
+      while (x < rowBytes) { buf.put(v); x += 1 }
+      y += 1
+    }
+    buf.putInt(8) // strip 0 offset
+    buf.putInt(8 + strip0) // strip 1 offset
+    buf.putInt(strip0)
+    buf.putInt(strip1)
+    if (rgb) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
+    buf.putShort(nEntries.toShort)
+    // entry helper: SHORT values sit in the FIRST two bytes of the field
+    def entryShort(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(3); buf.putInt(1)
+      buf.putShort(v.toShort); buf.putShort(0)
+    }
+    def entryLong(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(4); buf.putInt(1); buf.putInt(v)
+    }
+    def entryArray(tag: Int, tpe: Int, count: Int, off: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(tpe.toShort); buf.putInt(count); buf.putInt(off)
+    }
+    entryLong(256, width)
+    entryLong(257, height)
+    if (rgb) entryArray(258, 3, 3, arraysAt + 16) else entryShort(258, 8)
+    entryShort(259, 1) // no compression
+    entryShort(262, if (rgb) 2 else 1) // RGB / min-is-black
+    entryArray(273, 4, 2, arraysAt) // strip offsets
+    entryShort(277, spp)
+    entryLong(278, rows0) // rows per strip
+    entryArray(279, 4, 2, arraysAt + 8) // strip byte counts
+    buf.putInt(0) // no next IFD
+    buf.array()
+  }
+
   /** 16-bit PCM, canonical 44-byte header + `frames` frames of deterministic
     * little-endian samples. */
   def wav(channels: Int, sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {

@@ -356,6 +356,102 @@ object MediaCodecs {
     ImageMeta("gif", width, height, "P", sum)
   }
 
+  def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  /** Baseline TIFF 6.0, uncompressed: BOTH byte orders (II little / MM big —
+    * the one format here whose integer decode is endian-parameterized), IFD
+    * entry walk with SHORT/LONG values resolved in-field or via offset,
+    * multi-strip pixel layout (StripOffsets/StripByteCounts arrays), 8-bit
+    * grayscale (PhotometricInterpretation 1 → "L") or RGB (2 → "RGB").
+    * Compression must be 1 (none) — LZW/packbits TIFF is an explicit error. */
+  def decodeTiff(bytes: Array[Byte]): ImageMeta = {
+    require(isTiff(bytes), "not a TIFF payload")
+    val le = bytes(0) == 'I'
+    def u16at(i: Int): Int = {
+      require(i >= 0 && i + 2 <= bytes.length, s"TIFF read at $i out of bounds")
+      if (le) (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    }
+    def u32at(i: Int): Long = {
+      require(i >= 0 && i + 4 <= bytes.length, s"TIFF read at $i out of bounds")
+      if (le) (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      else ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    }
+    val ifdAt = u32at(4)
+    require(ifdAt >= 8 && ifdAt + 2 <= bytes.length, s"TIFF IFD offset $ifdAt out of bounds")
+    val n = u16at(ifdAt.toInt)
+    // tag -> (type, count, value-field offset)
+    var width = 0L
+    var height = 0L
+    var bps = 8L
+    var compression = 1L
+    var photometric = -1L
+    var spp = 1L
+    var stripOffsets: IndexedSeq[Long] = IndexedSeq.empty
+    var stripCounts: IndexedSeq[Long] = IndexedSeq.empty
+    var e = 0
+    while (e < n) {
+      val at = ifdAt.toInt + 2 + e * 12
+      val tag = u16at(at)
+      val tpe = u16at(at + 2)
+      val count = u32at(at + 4)
+      require(count >= 1 && count <= 65536, s"TIFF tag $tag count $count unsupported")
+      val elemSize = tpe match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case _ => -1
+      }
+      def values(): IndexedSeq[Long] =
+        if (elemSize < 0) IndexedSeq.empty
+        else {
+          // values fit in the 4-byte field or live at an offset
+          val base = if (elemSize * count <= 4) at + 8 else u32at(at + 8).toInt
+          (0 until count.toInt).map { k =>
+            if (elemSize == 2) u16at(base + 2 * k).toLong else u32at(base + 4 * k)
+          }
+        }
+      tag match {
+        case 256 => width = values().head
+        case 257 => height = values().head
+        case 258 => values().foreach(v => require(v == 8, s"TIFF bits-per-sample $v unsupported"))
+        case 259 => compression = values().head
+        case 262 => photometric = values().head
+        case 273 => stripOffsets = values()
+        case 277 => spp = values().head
+        case 279 => stripCounts = values()
+        case _ => () // RowsPerStrip, resolution, etc: not needed for the sum
+      }
+      e += 1
+    }
+    require(compression == 1, s"compressed TIFF (scheme $compression) unsupported")
+    require(photometric == 1 || photometric == 2,
+      s"TIFF photometric $photometric unsupported (min-is-black or RGB only)")
+    val mode = if (photometric == 2) "RGB" else "L"
+    require(if (photometric == 2) spp == 3 else spp == 1,
+      s"TIFF samples-per-pixel $spp inconsistent with photometric $photometric")
+    require(width > 0 && height > 0 && width * height <= (1L << 26),
+      s"bad TIFF geometry ${width}x$height")
+    require(stripOffsets.nonEmpty && stripOffsets.length == stripCounts.length,
+      "TIFF strip offsets/counts missing or mismatched")
+    val expected = width * height * spp
+    require(stripCounts.sum == expected,
+      s"TIFF strip bytes ${stripCounts.sum} != geometry $expected")
+    var sum = 0L
+    stripOffsets.indices.foreach { s =>
+      val off = stripOffsets(s)
+      val cnt = stripCounts(s)
+      require(off >= 0 && off + cnt <= bytes.length, s"TIFF strip $s overruns payload")
+      var i = off.toInt
+      val end = (off + cnt).toInt
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+    }
+    ImageMeta("tiff", width.toInt, height.toInt, mode, sum)
+  }
+
   /** Dispatch by magic; None for formats without a real decoder here. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
@@ -363,6 +459,7 @@ object MediaCodecs {
     else if (isPng(bytes)) Some(decodePng(bytes))
     else if (isGif(bytes)) Some(decodeGif(bytes))
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
+    else if (isTiff(bytes)) Some(decodeTiff(bytes))
     else None
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

@@ -28,6 +28,7 @@ object Multimodal {
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
     else if (at(0, 0xff) && at(1, 0xd8)) "image/jpeg"
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
+    else if (MediaCodecs.isTiff(bytes)) "image/tiff"
     else if (MediaCodecs.isBmp(bytes)) "image/bmp"
     else if (MediaCodecs.isPpm(bytes)) "image/x-portable-pixmap"
     else if (MediaCodecs.isWav(bytes)) "audio/wav"

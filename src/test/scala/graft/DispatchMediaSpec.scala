@@ -237,6 +237,31 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("progressive"), e.getMessage)
   }
 
+  test("tiff decode: both byte orders, multi-strip, gray and RGB") {
+    for (bigEndian <- Seq(false, true); rgb <- Seq(false, true)) {
+      val (w, h, seed) = (9, 7, 200) // odd height: unequal strip split
+      val meta = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, bigEndian, seed))
+      val ch = if (rgb) 3 else 1
+      assert(meta.width == w && meta.height == h &&
+        meta.mode == (if (rgb) "RGB" else "L"), s"be=$bigEndian rgb=$rgb: $meta")
+      assert(meta.pixelSum == ch.toLong * w * rowSum(h, seed), s"be=$bigEndian rgb=$rgb: $meta")
+    }
+  }
+
+  test("compressed tiff is an explicit error, not garbage pixels") {
+    val good = MediaFixtures.tiff(6, 4, rgb = false, bigEndian = false, 9)
+    // compression entry (tag 259) value: flip 1 -> 5 (LZW) in the IFD
+    val ifdAt = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
+    val bad = good.clone()
+    val n = (bad(ifdAt) & 0xff) | ((bad(ifdAt + 1) & 0xff) << 8)
+    val entries = (0 until n).map(e => ifdAt + 2 + e * 12)
+    val compAt = entries.find(at => ((bad(at) & 0xff) | ((bad(at + 1) & 0xff) << 8)) == 259).get
+    bad(compAt + 8) = 5
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeTiff(bad))
+    assert(e.getMessage.contains("compressed TIFF"), e.getMessage)
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)
