@@ -665,7 +665,10 @@ object SparkEntry {
           val w = 10 + (id % 23).toInt
           val h = 9 + (id % 20).toInt
           val seed = (id % 200).toInt
-          Multimodal.MediaRow(id, "", graft.fixtures.JpegWriter.generate(w, h, seed))
+          val bytes =
+            if (id % 3 == 0) graft.fixtures.JpegWriter.generateColor(w, h, seed)
+            else graft.fixtures.JpegWriter.generate(w, h, seed)
+          Multimodal.MediaRow(id, "", bytes)
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
@@ -990,8 +993,10 @@ object SparkEntry {
       ("WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 20 AS h, " +
         "doc_id % 200 AS seed FROM documents) " +
         "SELECT doc_id, 'image/jpeg' AS media_type, " +
-        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'L' AS mode, " +
-        "CAST(w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'RGB' ELSE 'L' END AS mode, " +
+        "CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END) " +
+        "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_audio_wav" ->

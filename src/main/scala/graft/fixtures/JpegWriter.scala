@@ -38,11 +38,32 @@ object JpegWriter {
     fromCoeffs(width, height, blocks)
   }
 
-  /** Serialize QUANTIZED coefficient blocks (natural order, MCU row-major)
-    * into a complete JFIF baseline stream with a flat quant table of 8. */
-  def fromCoeffs(width: Int, height: Int, blocks: Array[Array[Int]]): Array[Byte] = {
-    require(blocks.length == ((width + 7) / 8) * ((height + 7) / 8),
-      s"${blocks.length} blocks for ${width}x$height")
+  /** 3-component YCbCr 4:4:4 with the same band-constant luma and NEUTRAL
+    * chroma (Cb=Cr=128 → level-shifted coefficients all zero): the color
+    * transform collapses to R=G=B=Y exactly, so even the color path has a
+    * closed-form sum of 3x the grayscale one. */
+  def generateColor(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val blocks = Array.tabulate(bx * by * 3) { i =>
+      val coef = new Array[Int](64)
+      if (i % 3 == 0) { // Y plane; Cb/Cr stay all-zero (=128 after shift)
+        val band = (i / 3) / bx
+        coef(0) = (seed + band) % 256 - 128
+      }
+      coef
+    }
+    fromCoeffs(width, height, blocks, comps = 3)
+  }
+
+  /** Serialize QUANTIZED coefficient blocks (natural order; for `comps` > 1
+    * interleaved one-block-per-component-per-MCU, row-major MCUs) into a
+    * complete JFIF baseline stream with a flat quant table of 8 shared by
+    * all components. */
+  def fromCoeffs(width: Int, height: Int, blocks: Array[Array[Int]],
+                 comps: Int = 1): Array[Byte] = {
+    require(blocks.length == ((width + 7) / 8) * ((height + 7) / 8) * comps,
+      s"${blocks.length} blocks for ${width}x$height x$comps")
     val out = new java.io.ByteArrayOutputStream()
     def u16be(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -62,12 +83,12 @@ object JpegWriter {
     out.write(0x00)
     for (_ <- 0 until 64) out.write(QuantStep)
 
-    marker(0xc0) // SOF0: 8-bit, 1 component, no subsampling
-    u16be(2 + 6 + 3)
+    marker(0xc0) // SOF0: 8-bit, no subsampling (4:4:4)
+    u16be(2 + 6 + 3 * comps)
     out.write(8)
     u16be(height); u16be(width)
-    out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
+    out.write(comps)
+    for (c <- 1 to comps) { out.write(c); out.write(0x11); out.write(0) }
 
     def dht(tcTh: Int, counts: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4)
@@ -79,10 +100,10 @@ object JpegWriter {
     dht(0x00, JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
     dht(0x10, JpegCodec.StdAcCounts, JpegCodec.StdAcVals)
 
-    marker(0xda) // SOS
-    u16be(2 + 1 + 2 + 3)
-    out.write(1)
-    out.write(1); out.write(0x00) // component 1 -> DC 0 / AC 0
+    marker(0xda) // SOS: all components, each on DC 0 / AC 0
+    u16be(2 + 1 + 2 * comps + 3)
+    out.write(comps)
+    for (c <- 1 to comps) { out.write(c); out.write(0x00) }
     out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
 
     // ---- entropy-coded segment
@@ -111,10 +132,12 @@ object JpegWriter {
     def putMagnitude(v: Int, cat: Int): Unit =
       if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
 
-    var pred = 0
+    val preds = new Array[Int](comps) // per-component DC predictors
+    var bi = 0
     for (coef <- blocks) {
-      val diff = coef(0) - pred
-      pred = coef(0)
+      val diff = coef(0) - preds(bi % comps)
+      preds(bi % comps) = coef(0)
+      bi += 1
       val cat = category(diff)
       require(cat <= 11, s"DC diff $diff out of baseline range")
       putSymbol(dcCodes, cat)

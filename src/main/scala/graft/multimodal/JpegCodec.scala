@@ -146,9 +146,14 @@ object JpegCodec {
 
   // ---- parsed stream -------------------------------------------------------
 
-  final case class JpegParsed(width: Int, height: Int,
-                              quant: Array[Int], // natural order
-                              blocks: Array[Array[Int]]) // QUANTIZED, natural order
+  /** `blocks` are QUANTIZED coefficients in natural order, one per component
+    * per MCU, interleaved `[mcu0: c0 c1 c2, mcu1: ...]` (4:4:4 — one block
+    * per component per MCU). `quants` is indexed by component. */
+  final case class JpegParsed(width: Int, height: Int, comps: Int,
+                              quants: Array[Array[Int]],
+                              blocks: Array[Array[Int]]) {
+    def quant: Array[Int] = quants(0)
+  }
 
   private def u16be(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -168,9 +173,11 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var width = 0
     var height = 0
-    var compQuant = -1
-    var sosDc = -1
-    var sosAc = -1
+    var nComps = 0
+    var compIds: Array[Int] = null
+    var compQuant: Array[Int] = null
+    var sosDc: Array[Int] = null
+    var sosAc: Array[Int] = null
     var scanAt = -1
     while (scanAt < 0) {
       require(i + 2 <= bytes.length, "JPEG truncated before SOS")
@@ -187,9 +194,19 @@ object JpegCodec {
           height = u16be(bytes, i + 3)
           width = u16be(bytes, i + 5)
           val nf = bytes(i + 7) & 0xff
-          require(nf == 1, s"only single-component (grayscale) JPEG supported, got $nf")
-          require((bytes(i + 9) & 0xff) == 0x11, "subsampling on a 1-component scan")
-          compQuant = bytes(i + 10) & 0xff
+          require(nf == 1 || nf == 3,
+            s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
+          nComps = nf
+          compIds = new Array[Int](nf)
+          compQuant = new Array[Int](nf)
+          var c = 0
+          while (c < nf) {
+            compIds(c) = bytes(i + 8 + 3 * c) & 0xff
+            require((bytes(i + 9 + 3 * c) & 0xff) == 0x11,
+              "chroma subsampling unsupported (4:4:4 only)")
+            compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
+            c += 1
+          }
           i += len
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
         case 0xc4 => // DHT: one or more tables
@@ -219,12 +236,22 @@ object JpegCodec {
           }
           i += len
         case 0xdd => throw new IllegalArgumentException("restart intervals (DRI) unsupported")
-        case 0xda => // SOS
+        case 0xda => // SOS: interleaved scan over all SOF components, in order
           val len = u16be(bytes, i)
-          require((bytes(i + 2) & 0xff) == 1, "SOS must carry exactly one component")
-          val tdTa = bytes(i + 4) & 0xff
-          sosDc = tdTa >>> 4
-          sosAc = tdTa & 0xf
+          val ns = bytes(i + 2) & 0xff
+          require(nComps > 0, "SOS before SOF")
+          require(ns == nComps, s"SOS carries $ns of $nComps components (non-interleaved scans unsupported)")
+          sosDc = new Array[Int](ns)
+          sosAc = new Array[Int](ns)
+          var c = 0
+          while (c < ns) {
+            require((bytes(i + 3 + 2 * c) & 0xff) == compIds(c),
+              "SOS component order must match SOF")
+            val tdTa = bytes(i + 4 + 2 * c) & 0xff
+            sosDc(c) = tdTa >>> 4
+            sosAc(c) = tdTa & 0xf
+            c += 1
+          }
           scanAt = i + len
           i += len
         case x if x >= 0xe0 && x <= 0xef => i += u16be(bytes, i) // APPn
@@ -235,28 +262,35 @@ object JpegCodec {
     require(width > 0 && height > 0, "JPEG has no SOF before SOS")
     require(width.toLong * height <= (1L << 26), // decompression-bomb guard
       s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
-    val quant = quantTables(compQuant)
-    require(quant != null, s"SOF references missing quant table $compQuant")
-    val dcT = dcTables(sosDc)
-    val acT = acTables(sosAc)
-    require(dcT != null && acT != null, "SOS references missing Huffman tables")
+    val quants = Array.tabulate(nComps) { c =>
+      val q = quantTables(compQuant(c))
+      require(q != null, s"SOF references missing quant table ${compQuant(c)}")
+      q
+    }
+    val dcTs = Array.tabulate(nComps) { c =>
+      val t = dcTables(sosDc(c)); require(t != null, "SOS references missing DC table"); t
+    }
+    val acTs = Array.tabulate(nComps) { c =>
+      val t = acTables(sosAc(c)); require(t != null, "SOS references missing AC table"); t
+    }
 
     val bx = (width + 7) / 8
     val by = (height + 7) / 8
-    val blocks = new Array[Array[Int]](bx * by)
+    val blocks = new Array[Array[Int]](bx * by * nComps)
     val r = new BitReader(bytes, scanAt)
-    var pred = 0
+    val pred = new Array[Int](nComps) // per-component DC predictor
     var b = 0
     while (b < blocks.length) {
+      val c = b % nComps // 4:4:4 interleave: one block per component per MCU
       val coef = new Array[Int](64)
-      val t = r.decode(dcT)
+      val t = r.decode(dcTs(c))
       require(t <= 11, s"DC category $t out of range")
-      pred += extend(r.readBits(t), t)
-      coef(0) = pred
+      pred(c) += extend(r.readBits(t), t)
+      coef(0) = pred(c)
       var k = 1
       var eob = false
       while (k < 64 && !eob) {
-        val rs = r.decode(acT)
+        val rs = r.decode(acTs(c))
         val run = rs >>> 4
         val size = rs & 0xf
         if (size == 0) {
@@ -272,7 +306,7 @@ object JpegCodec {
       blocks(b) = coef
       b += 1
     }
-    JpegParsed(width, height, quant, blocks)
+    JpegParsed(width, height, nComps, quants, blocks)
   }
 
   private val CosTable: Array[Double] = {
@@ -319,22 +353,36 @@ object JpegCodec {
     val p = parse(bytes)
     val bx = (p.width + 7) / 8
     var sum = 0L
-    var b = 0
-    while (b < p.blocks.length) {
-      val px = reconstruct(p.blocks(b), p.quant)
-      val x0 = (b % bx) * 8
-      val y0 = (b / bx) * 8
+    var mcu = 0
+    val mcus = p.blocks.length / p.comps
+    while (mcu < mcus) {
+      val planes = Array.tabulate(p.comps)(c =>
+        reconstruct(p.blocks(mcu * p.comps + c), p.quants(c)))
+      val x0 = (mcu % bx) * 8
+      val y0 = (mcu / bx) * 8
       var y = 0
       while (y < 8 && y0 + y < p.height) {
         var x = 0
         while (x < 8 && x0 + x < p.width) {
-          sum += px(y * 8 + x)
+          val at = y * 8 + x
+          if (p.comps == 1) sum += planes(0)(at)
+          else {
+            // JFIF YCbCr -> RGB, rounded and clamped per channel
+            val yy = planes(0)(at).toDouble
+            val cb = planes(1)(at) - 128.0
+            val cr = planes(2)(at) - 128.0
+            def clamp(v: Double): Int =
+              math.max(0, math.min(255, math.round(v).toInt))
+            sum += clamp(yy + 1.402 * cr)
+            sum += clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            sum += clamp(yy + 1.772 * cb)
+          }
           x += 1
         }
         y += 1
       }
-      b += 1
+      mcu += 1
     }
-    MediaCodecs.ImageMeta("jpeg", p.width, p.height, "L", sum)
+    MediaCodecs.ImageMeta("jpeg", p.width, p.height, if (p.comps == 1) "L" else "RGB", sum)
   }
 }

@@ -208,6 +208,14 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg color (YCbCr 4:4:4): neutral chroma collapses to R=G=B=Y exactly") {
+    for ((w, h, seed) <- Seq((16, 16, 30), (11, 18, 190))) {
+      val meta = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor(w, h, seed))
+      assert(meta.width == w && meta.height == h && meta.mode == "RGB", s"${(w, h)}: $meta")
+      assert(meta.pixelSum == 3L * jpegSum(w, h, seed), s"${(w, h)}: $meta")
+    }
+  }
+
   test("jpeg entropy layer is coefficient-exact: AC runs, ZRL, negatives") {
     import graft.multimodal.JpegCodec
     val b0 = new Array[Int](64)
