@@ -11,9 +11,10 @@ package graft.multimodal
   * image_converters.py:75-145); mode "L" mirrors Pillow's name for 8-bit
   * grayscale.
   *
-  * Supported: SOF0 baseline, 8-bit, single component (grayscale), no
-  * restart intervals. Progressive (SOF2), multi-component color, and DRI
-  * are explicit errors — never silent wrong pixels.
+  * Supported: SOF0/SOF1, 8-bit, grayscale or 3-component YCbCr 4:4:4
+  * interleaved (per-component quant tables and DC predictors, JFIF color
+  * transform on decode), no restart intervals. Progressive (SOF2), chroma
+  * subsampling, and DRI are explicit errors — never silent wrong pixels.
   */
 object JpegCodec {
 
@@ -158,6 +159,16 @@ object JpegCodec {
   private def u16be(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
+  /** Segment length field, validated against the payload: every marker
+    * segment must carry its 2-byte length and fit inside the byte array —
+    * truncated streams fail with a named error, not AIOOBE. */
+  private def segLen(bytes: Array[Byte], i: Int): Int = {
+    require(i + 2 <= bytes.length, "JPEG truncated in segment header")
+    val len = u16be(bytes, i)
+    require(len >= 2 && i + len <= bytes.length, "JPEG segment overruns payload")
+    len
+  }
+
   def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
@@ -184,18 +195,24 @@ object JpegCodec {
       require((bytes(i) & 0xff) == 0xff, f"expected marker at $i, got 0x${bytes(i) & 0xff}%02x")
       var m = bytes(i + 1) & 0xff
       i += 2
-      while (m == 0xff) { m = bytes(i) & 0xff; i += 1 } // fill bytes
+      while (m == 0xff) { // fill bytes
+        require(i < bytes.length, "JPEG truncated in marker fill bytes")
+        m = bytes(i) & 0xff
+        i += 1
+      }
       m match {
         case 0xd8 => // SOI again (tolerated)
         case 0xd9 => throw new IllegalArgumentException("EOI before any scan")
         case 0xc0 | 0xc1 => // baseline / extended-sequential SOF
-          val len = u16be(bytes, i)
+          val len = segLen(bytes, i)
+          require(len >= 8, "SOF segment truncated")
           require(bytes(i + 2) == 8, "only 8-bit precision supported")
           height = u16be(bytes, i + 3)
           width = u16be(bytes, i + 5)
           val nf = bytes(i + 7) & 0xff
           require(nf == 1 || nf == 3,
             s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
+          require(len >= 8 + 3 * nf, "SOF component list truncated")
           nComps = nf
           compIds = new Array[Int](nf)
           compQuant = new Array[Int](nf)
@@ -210,12 +227,14 @@ object JpegCodec {
           i += len
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
         case 0xc4 => // DHT: one or more tables
-          val len = u16be(bytes, i)
+          val len = segLen(bytes, i)
           var p = i + 2
           while (p < i + len) {
+            require(p + 17 <= i + len, "DHT table header overruns segment")
             val tcTh = bytes(p) & 0xff
             val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
             val n = counts.sum
+            require(p + 17 + n <= i + len, "DHT value list overruns segment")
             val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
             val t = new HuffTable(counts, vals)
             if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
@@ -223,9 +242,10 @@ object JpegCodec {
           }
           i += len
         case 0xdb => // DQT: entries arrive in zigzag order
-          val len = u16be(bytes, i)
+          val len = segLen(bytes, i)
           var p = i + 2
           while (p < i + len) {
+            require(p + 65 <= i + len, "DQT table overruns segment")
             val pqTq = bytes(p) & 0xff
             require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
             val q = new Array[Int](64)
@@ -237,10 +257,12 @@ object JpegCodec {
           i += len
         case 0xdd => throw new IllegalArgumentException("restart intervals (DRI) unsupported")
         case 0xda => // SOS: interleaved scan over all SOF components, in order
-          val len = u16be(bytes, i)
+          val len = segLen(bytes, i)
+          require(len >= 3, "SOS segment truncated")
           val ns = bytes(i + 2) & 0xff
           require(nComps > 0, "SOS before SOF")
           require(ns == nComps, s"SOS carries $ns of $nComps components (non-interleaved scans unsupported)")
+          require(len >= 6 + 2 * ns, "SOS component list truncated")
           sosDc = new Array[Int](ns)
           sosAc = new Array[Int](ns)
           var c = 0
@@ -254,8 +276,8 @@ object JpegCodec {
           }
           scanAt = i + len
           i += len
-        case x if x >= 0xe0 && x <= 0xef => i += u16be(bytes, i) // APPn
-        case 0xfe => i += u16be(bytes, i) // COM
+        case x if x >= 0xe0 && x <= 0xef => i += segLen(bytes, i) // APPn
+        case 0xfe => i += segLen(bytes, i) // COM
         case o => throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$o%02x")
       }
     }
@@ -294,8 +316,15 @@ object JpegCodec {
         val run = rs >>> 4
         val size = rs & 0xf
         if (size == 0) {
-          if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
-          else eob = true // EOB
+          if (rs == 0xf0) { // ZRL: sixteen zeros
+            k += 16
+            require(k <= 64, "ZRL past end of block")
+          } else {
+            // T.81 defines only 0x00 (EOB) and 0xF0 (ZRL) among size-0
+            // symbols; anything else is a corrupt stream, not an EOB
+            require(rs == 0x00, f"invalid AC symbol 0x$rs%02x in entropy stream")
+            eob = true
+          }
         } else {
           k += run
           require(k < 64, "AC run past end of block")

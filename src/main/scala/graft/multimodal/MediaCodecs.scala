@@ -1,14 +1,15 @@
 package graft.multimodal
 
 /** Real pure-JVM media codecs (no external media libraries needed): BMP and
-  * binary PPM image headers+pixels, PNG (DEFLATE-compressed, full scanline
-  * unfiltering), and WAV/RIFF PCM headers. These give the
-  * multimodal tier genuinely decoded inputs — the reference decodes pixels
-  * via Pillow (/root/reference/src/converters/image_converters.py:75-145)
-  * and samples via pydub (/root/reference/src/converters/audio_converters.py:
-  * 67-125); here these formats get real decoders while the remaining
-  * compressed codecs (JPEG/GIF/WebP...) stay behind the disclosed
-  * [[Multimodal.fakeDecode]] stub.
+  * binary PPM image headers+pixels, PNG (DEFLATE + full scanline
+  * unfiltering), GIF87a/89a (LZW), uncompressed baseline TIFF (both byte
+  * orders), baseline JPEG ([[JpegCodec]]), and WAV/RIFF PCM headers +
+  * 16-bit samples. These give the multimodal tier genuinely decoded
+  * inputs — the reference decodes pixels via Pillow
+  * (/root/reference/src/converters/image_converters.py:75-145) and samples
+  * via pydub (/root/reference/src/converters/audio_converters.py:67-125);
+  * only formats no decoder here claims (WebP, video containers, ...) stay
+  * behind the disclosed [[Multimodal.fakeDecode]] stub.
   *
   * `pixelSum` is the sum of all decoded pixel channel bytes — it requires a
   * correct stride/padding walk (BMP rows pad to 4 bytes; a wrong stride
@@ -21,7 +22,7 @@ object MediaCodecs {
   final case class ImageMeta(format: String, width: Int, height: Int,
                              mode: String, pixelSum: Long)
   final case class WavMeta(channels: Int, frameRate: Int, bitsPerSample: Int,
-                           dataBytes: Long, durationMs: Long)
+                           dataBytes: Long, durationMs: Long, dataOffset: Long)
 
   def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
@@ -387,7 +388,6 @@ object MediaCodecs {
     // tag -> (type, count, value-field offset)
     var width = 0L
     var height = 0L
-    var bps = 8L
     var compression = 1L
     var photometric = -1L
     var spp = 1L
@@ -399,31 +399,33 @@ object MediaCodecs {
       val tag = u16at(at)
       val tpe = u16at(at + 2)
       val count = u32at(at + 4)
-      require(count >= 1 && count <= 65536, s"TIFF tag $tag count $count unsupported")
       val elemSize = tpe match {
         case 3 => 2 // SHORT
         case 4 => 4 // LONG
         case _ => -1
       }
-      def values(): IndexedSeq[Long] =
-        if (elemSize < 0) IndexedSeq.empty
-        else {
-          // values fit in the 4-byte field or live at an offset
-          val base = if (elemSize * count <= 4) at + 8 else u32at(at + 8).toInt
-          (0 until count.toInt).map { k =>
-            if (elemSize == 2) u16at(base + 2 * k).toLong else u32at(base + 4 * k)
-          }
+      // count/type constraints apply only to tags this decoder consumes —
+      // ignored tags (ICC profiles, XMP, descriptions) may carry any payload
+      def values(): IndexedSeq[Long] = {
+        require(count >= 1 && count <= 65536, s"TIFF tag $tag count $count unsupported")
+        require(elemSize > 0, s"TIFF tag $tag type $tpe unsupported (SHORT/LONG only)")
+        // values fit in the 4-byte field or live at an offset
+        val base = if (elemSize * count <= 4) at + 8 else u32at(at + 8).toInt
+        (0 until count.toInt).map { k =>
+          if (elemSize == 2) u16at(base + 2 * k).toLong else u32at(base + 4 * k)
         }
+      }
+      def scalar(): Long = values().head
       tag match {
-        case 256 => width = values().head
-        case 257 => height = values().head
+        case 256 => width = scalar()
+        case 257 => height = scalar()
         case 258 => values().foreach(v => require(v == 8, s"TIFF bits-per-sample $v unsupported"))
-        case 259 => compression = values().head
-        case 262 => photometric = values().head
+        case 259 => compression = scalar()
+        case 262 => photometric = scalar()
         case 273 => stripOffsets = values()
-        case 277 => spp = values().head
+        case 277 => spp = scalar()
         case 279 => stripCounts = values()
-        case _ => () // RowsPerStrip, resolution, etc: not needed for the sum
+        case _ => () // RowsPerStrip, resolution, ICC, etc: not needed for the sum
       }
       e += 1
     }
@@ -473,6 +475,7 @@ object MediaCodecs {
     var bits = 0
     var byteRate = 0
     var dataBytes = -1L
+    var dataOffset = -1L
     while (i + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
       val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = i32(bytes, i + 4)
@@ -488,39 +491,32 @@ object MediaCodecs {
         byteRate = i32(bytes, i + 16)
         bits = u16(bytes, i + 22)
       } else if (id == "data") {
-        dataBytes = size.toLong & 0xffffffffL
+        require(i + 8 + size <= bytes.length, "WAV data chunk overruns payload")
+        dataBytes = size.toLong
+        dataOffset = i + 8L
       }
       i += 8 + size + (size & 1) // chunks are 2-byte aligned
     }
     require(channels > 0 && rate > 0 && byteRate > 0, "WAV has no fmt chunk")
     require(dataBytes >= 0, "WAV has no data chunk")
-    WavMeta(channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate)
+    WavMeta(channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate, dataOffset)
   }
 
   /** Sum of the decoded 16-bit PCM samples (signed, little-endian) in the
     * `data` chunk — the audio analog of `pixelSum`: it is only right if the
-    * chunk walk, 2-byte alignment, and LE int16 decode are all correct. */
+    * chunk walk, 2-byte alignment, and LE int16 decode are all correct.
+    * Reuses [[parseWav]]'s chunk walk (single source of truth for chunk
+    * location and containment). */
   def wavSampleSum(bytes: Array[Byte]): Long = {
-    val meta = parseWav(bytes) // validates fmt (PCM) and data presence
+    val meta = parseWav(bytes) // validates fmt (PCM), data presence, containment
     require(meta.bitsPerSample == 16, s"sample decode supports 16-bit PCM only")
-    var i = 12
-    while (i + 8 <= bytes.length) {
-      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = i32(bytes, i + 4)
-      require(size >= 0, s"negative RIFF chunk size $size")
-      if (id == "data") {
-        require(i + 8 + size <= bytes.length, "WAV data chunk overruns payload")
-        var sum = 0L
-        var p = i + 8
-        val end = i + 8 + size - 1
-        while (p < end) {
-          sum += ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
-          p += 2
-        }
-        return sum
-      }
-      i += 8 + size + (size & 1)
+    var sum = 0L
+    var p = meta.dataOffset.toInt
+    val end = p + meta.dataBytes.toInt - 1
+    while (p < end) {
+      sum += ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
+      p += 2
     }
-    throw new IllegalArgumentException("WAV has no data chunk")
+    sum
   }
 }

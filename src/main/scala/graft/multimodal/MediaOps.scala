@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Image/audio conversion semantics (SURVEY §2.7 K5/K6) over media METADATA
   * columns — the observable contract of the reference's Pillow/pydub paths
   * (dimension geometry, duration accounting, parameter validation, result
-  * records) as pure column expressions; the pixel/sample codecs themselves
-  * stay behind the [[Multimodal]] stub (no media libraries in this
-  * container; a real deployment swaps the stub, these semantics stay).
+  * records) as pure column expressions; the metadata inputs can come from
+  * the real [[MediaCodecs]] decoders (BMP/PPM/PNG/GIF/JPEG/TIFF/WAV) or any
+  * other source — these semantics are codec-independent.
   *
   * Reference: /root/reference/src/converters/image_converters.py:78-110
   * (resize/crop/rotate/flip/grayscale order), :111-115 + :138 (quality,

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * feature-extract run as batched per-partition kernels (the Scala analog of
   * `mapInPandas` batches).
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries): `fakeDecode` derives pixel-stats
-  * from payload bytes reproducibly. The Spark-side plumbing — schema,
-  * size-aware repartitioning, batch iteration, failure containment — is real
-  * and is what the tests assert.
+  * Image formats with a real pure-JVM decoder (BMP, PPM, PNG, GIF, baseline
+  * JPEG, uncompressed TIFF — [[MediaCodecs]]/[[JpegCodec]]) and RIFF/WAVE
+  * PCM decode for real; a payload in one of those families but outside the
+  * supported profile (progressive JPEG, LZW TIFF, ...) yields a CONTAINED
+  * error row, never fake numbers. Only payloads no real decoder claims
+  * (video-ish/opaque binaries) fall back to the deterministic `fakeDecode`
+  * stub — disclosed, this container has no media libraries. The Spark-side
+  * plumbing — schema, size-aware repartitioning, batch iteration, failure
+  * containment — is real and is what the tests assert.
   */
 object Multimodal {
 
@@ -55,11 +59,13 @@ object Multimodal {
 
   /** Batched decode + feature extraction: one kernel instantiation per
     * partition (amortized setup — the mapInPandas batch analog), per-row
-    * failure containment (error rows, never task failure). BMP/PPM payloads
-    * go through the REAL pure-JVM decoder ([[MediaCodecs]]: actual
-    * width/height/pixels), WAV through the real RIFF parse (n_frames = PCM
-    * frame count, feature(0) = duration seconds); compressed codecs remain
-    * on the disclosed deterministic stub. */
+    * failure containment (error rows, never task failure). Image payloads
+    * [[MediaCodecs.decodeImage]] recognizes (BMP/PPM/PNG/GIF/JPEG/TIFF) get
+    * REAL width/height/pixel-mean; a recognized format outside the supported
+    * profile (progressive JPEG, compressed TIFF, ...) becomes an error row.
+    * WAV goes through the real RIFF parse (n_frames = PCM frame count,
+    * feature(0) = duration seconds). Only unclaimed payloads fall back to
+    * the disclosed deterministic stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._

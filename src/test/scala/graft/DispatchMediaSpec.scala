@@ -245,6 +245,63 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("progressive"), e.getMessage)
   }
 
+  test("truncated jpeg fails with a named error at every cut point, not AIOOBE") {
+    val good = JpegWriter.generate(10, 9, 42)
+    // cut inside every segment family: header, DQT, SOF, DHT, SOS, entropy
+    for (cut <- Seq(3, 5, 25, 90, good.length - 40, good.length - 3)) {
+      val e = intercept[IllegalArgumentException](
+        graft.multimodal.JpegCodec.decode(java.util.Arrays.copyOf(good, cut)))
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"cut=$cut")
+    }
+  }
+
+  test("tiff with a large ignored ancillary tag (ICC-style) still decodes") {
+    val good = MediaFixtures.tiff(6, 4, rgb = false, bigEndian = false, 9)
+    // append an IFD entry for tag 34675 (ICC profile), type UNDEFINED (7),
+    // count > 65536 — the decoder must skip it, not reject the file
+    val ifdAt = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
+    val n = (good(ifdAt) & 0xff) | ((good(ifdAt + 1) & 0xff) << 8)
+    val out = new Array[Byte](good.length + 12)
+    // fixture layout: strip data + external arrays all sit BEFORE the IFD,
+    // so inserting an entry inside the IFD shifts no referenced offsets
+    val entriesEnd = ifdAt + 2 + n * 12
+    System.arraycopy(good, 0, out, 0, entriesEnd)
+    System.arraycopy(good, entriesEnd, out, entriesEnd + 12, good.length - entriesEnd)
+    out(ifdAt) = ((n + 1) & 0xff).toByte
+    out(ifdAt + 1) = (((n + 1) >> 8) & 0xff).toByte
+    val at = entriesEnd
+    out(at) = (34675 & 0xff).toByte; out(at + 1) = ((34675 >> 8) & 0xff).toByte
+    out(at + 2) = 7; out(at + 3) = 0 // type UNDEFINED
+    val bigCount = 200000L
+    out(at + 4) = (bigCount & 0xff).toByte
+    out(at + 5) = ((bigCount >> 8) & 0xff).toByte
+    out(at + 6) = ((bigCount >> 16) & 0xff).toByte
+    out(at + 7) = ((bigCount >> 24) & 0xff).toByte
+    // offset field: bogus, must never be dereferenced for an ignored tag
+    out(at + 8) = 0x7f.toByte
+    val orig = MediaCodecs.decodeTiff(good)
+    val meta =
+      try MediaCodecs.decodeTiff(out)
+      catch { case e: IllegalArgumentException =>
+        fail(s"ignored-tag TIFF rejected: ${e.getMessage}") }
+    assert(meta.width == orig.width && meta.height == orig.height &&
+      meta.pixelSum == orig.pixelSum)
+  }
+
+  test("tiff geometry tag with a non-SHORT/LONG type fails with a named error") {
+    val good = MediaFixtures.tiff(6, 4, rgb = false, bigEndian = false, 9)
+    val ifdAt = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
+    val n = (good(ifdAt) & 0xff) | ((good(ifdAt + 1) & 0xff) << 8)
+    val widthAt = (0 until n).map(e => ifdAt + 2 + e * 12)
+      .find(at => ((good(at) & 0xff) | ((good(at + 1) & 0xff) << 8)) == 256).get
+    val bad = good.clone()
+    bad(widthAt + 2) = 1; bad(widthAt + 3) = 0 // type BYTE
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeTiff(bad))
+    assert(e.getMessage.contains("type"), e.getMessage)
+  }
+
   test("tiff decode: both byte orders, multi-strip, gray and RGB") {
     for (bigEndian <- Seq(false, true); rgb <- Seq(false, true)) {
       val (w, h, seed) = (9, 7, 200) // odd height: unequal strip split
