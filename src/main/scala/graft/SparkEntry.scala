@@ -665,9 +665,14 @@ object SparkEntry {
           val w = 10 + (id % 23).toInt
           val h = 9 + (id % 20).toInt
           val seed = (id % 200).toInt
+          // every fifth payload carries DRI + RSTn markers (interval 1-3),
+          // and half the color payloads are 4:2:0-subsampled: identical
+          // pixels in all variants, so the closed-form oracle is unchanged
+          val ri = if (id % 5 == 0) 1 + (id % 3).toInt else 0
           val bytes =
-            if (id % 3 == 0) graft.fixtures.JpegWriter.generateColor(w, h, seed)
-            else graft.fixtures.JpegWriter.generate(w, h, seed)
+            if (id % 6 == 0) graft.fixtures.JpegWriter.generateColor420(w, h, seed, ri)
+            else if (id % 3 == 0) graft.fixtures.JpegWriter.generateColor(w, h, seed, ri)
+            else graft.fixtures.JpegWriter.generate(w, h, seed, ri)
           Multimodal.MediaRow(id, "", bytes)
         }
       Multimodal.decodeImages(media).toDF()
@@ -686,8 +691,11 @@ object SparkEntry {
           val w = 5 + (id % 9).toInt
           val h = 3 + (id % 5).toInt
           val seed = (id % 200).toInt
+          // every third payload PackBits-compressed: same pixel content,
+          // so the closed-form oracle sum is unchanged
           Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.tiff(
-            w, h, rgb = id % 2 == 1, bigEndian = id % 4 >= 2, seed))
+            w, h, rgb = id % 2 == 1, bigEndian = id % 4 >= 2, seed,
+            packBits = id % 3 == 0))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),

@@ -227,17 +227,50 @@ object MediaFixtures {
     buf.toByteArray
   }
 
-  /** Baseline TIFF 6.0, uncompressed, in EITHER byte order: pixel rows hold
-    * the constant `(seed + y) % 256` per sample (1 sample gray, 3 RGB), split
-    * across TWO strips so StripOffsets/StripByteCounts are external LONG
-    * arrays (the out-of-field IFD value path); RGB also externalizes the
-    * 3-SHORT BitsPerSample array while grayscale keeps it in-field. */
-  def tiff(width: Int, height: Int, rgb: Boolean, bigEndian: Boolean, seed: Int): Array[Byte] = {
+  /** Baseline TIFF 6.0, in EITHER byte order: pixel rows hold the constant
+    * `(seed + y) % 256` per sample (1 sample gray, 3 RGB), split across TWO
+    * strips so StripOffsets/StripByteCounts are external LONG arrays (the
+    * out-of-field IFD value path); RGB also externalizes the 3-SHORT
+    * BitsPerSample array while grayscale keeps it in-field. `packBits`
+    * compresses each strip with PackBits RLE (even rows as replicate runs,
+    * odd rows as literal runs, a -128 no-op leading strip 1) — the pixel
+    * content and therefore the closed-form sum stay identical. */
+  def tiff(width: Int, height: Int, rgb: Boolean, bigEndian: Boolean, seed: Int,
+           packBits: Boolean = false): Array[Byte] = {
     val spp = if (rgb) 3 else 1
     val rowBytes = width * spp
     val rows0 = (height + 1) / 2 // first strip
-    val strip0 = rows0 * rowBytes
-    val strip1 = (height - rows0) * rowBytes
+    def stripPayload(yFrom: Int, yUntil: Int, leadNoOp: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (packBits && leadNoOp) out.write(-128 & 0xff)
+      var y = yFrom
+      while (y < yUntil) {
+        val v = ((seed + y) % 256).toByte
+        if (!packBits) {
+          var x = 0
+          while (x < rowBytes) { out.write(v); x += 1 }
+        } else {
+          var rem = rowBytes
+          while (rem > 0) {
+            val chunk = math.min(128, rem)
+            if (y % 2 == 0 && chunk >= 2) { // replicate run: 1-n control
+              out.write((1 - chunk) & 0xff); out.write(v)
+            } else { // literal run of chunk bytes: n-1 control
+              out.write(chunk - 1)
+              var k = 0
+              while (k < chunk) { out.write(v); k += 1 }
+            }
+            rem -= chunk
+          }
+        }
+        y += 1
+      }
+      out.toByteArray
+    }
+    val payload0 = stripPayload(0, rows0, leadNoOp = false)
+    val payload1 = stripPayload(rows0, height, leadNoOp = true)
+    val strip0 = payload0.length
+    val strip1 = payload1.length
     val extraBps = if (rgb) 6 else 0
     val nEntries = 9
     val arraysAt = 8 + strip0 + strip1
@@ -247,13 +280,8 @@ object MediaFixtures {
     buf.put((if (bigEndian) "MM" else "II").getBytes)
     buf.putShort(42)
     buf.putInt(ifdAt)
-    var y = 0
-    while (y < height) {
-      val v = ((seed + y) % 256).toByte
-      var x = 0
-      while (x < rowBytes) { buf.put(v); x += 1 }
-      y += 1
-    }
+    buf.put(payload0)
+    buf.put(payload1)
     buf.putInt(8) // strip 0 offset
     buf.putInt(8 + strip0) // strip 1 offset
     buf.putInt(strip0)
@@ -274,7 +302,7 @@ object MediaFixtures {
     entryLong(256, width)
     entryLong(257, height)
     if (rgb) entryArray(258, 3, 3, arraysAt + 16) else entryShort(258, 8)
-    entryShort(259, 1) // no compression
+    entryShort(259, if (packBits) 32773 else 1)
     entryShort(262, if (rgb) 2 else 1) // RGB / min-is-black
     entryArray(273, 4, 2, arraysAt) // strip offsets
     entryShort(277, spp)

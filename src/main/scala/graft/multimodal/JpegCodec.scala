@@ -11,10 +11,12 @@ package graft.multimodal
   * image_converters.py:75-145); mode "L" mirrors Pillow's name for 8-bit
   * grayscale.
   *
-  * Supported: SOF0/SOF1, 8-bit, grayscale or 3-component YCbCr 4:4:4
-  * interleaved (per-component quant tables and DC predictors, JFIF color
-  * transform on decode), no restart intervals. Progressive (SOF2), chroma
-  * subsampling, and DRI are explicit errors — never silent wrong pixels.
+  * Supported: SOF0/SOF1, 8-bit, grayscale or 3-component YCbCr in 4:4:4 or
+  * 4:2:0 interleaved scans (per-component quant tables, sampling factors,
+  * and DC predictors; JFIF color transform + replication chroma upsampling
+  * on decode), restart intervals (DRI + RST0-7 with per-interval predictor
+  * reset and marker-sequence checking). Progressive (SOF2) and other
+  * sampling layouts are explicit errors — never silent wrong pixels.
   */
 object JpegCodec {
 
@@ -100,8 +102,9 @@ object JpegCodec {
   // ---- entropy-coded-segment bit reader ------------------------------------
 
   /** MSB-first reader over the entropy stream with 0xFF00 unstuffing; a
-    * 0xFF followed by anything else is a marker — an error mid-scan here
-    * (restart intervals are unsupported and declared so). */
+    * 0xFF followed by anything but 0x00 mid-bits is a marker and an error —
+    * restart markers are consumed only at interval boundaries via
+    * [[restart]]. */
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var buf = 0
     private var cnt = 0
@@ -112,7 +115,7 @@ object JpegCodec {
         pos += 1
         if (b == 0xff) {
           require(pos < bytes.length && bytes(pos) == 0,
-            "marker inside entropy-coded segment (restart intervals unsupported)")
+            "unexpected marker inside entropy-coded segment")
           pos += 1 // stuffed 0x00
         }
         buf = b
@@ -120,6 +123,27 @@ object JpegCodec {
       }
       cnt -= 1
       (buf >>> cnt) & 1
+    }
+    /** Consume the RSTn marker at an interval boundary (T.81 B.2.1.2):
+      * discard fill bits to the byte boundary, skip stuffed-fill (FF00) and
+      * fill-0xFF bytes, then require RST(expected mod 8) in sequence. */
+    def restart(expected: Int): Unit = {
+      cnt = 0
+      var found = false
+      while (!found) {
+        require(pos + 2 <= bytes.length, "JPEG truncated at restart marker")
+        val b0 = bytes(pos) & 0xff
+        val b1 = bytes(pos + 1) & 0xff
+        require(b0 == 0xff, f"expected restart marker, got data byte 0x$b0%02x")
+        if (b1 == 0x00) pos += 2      // stuffed fill byte of the closed interval
+        else if (b1 == 0xff) pos += 1 // 0xFF fill before the marker
+        else {
+          require(b1 == 0xd0 + expected,
+            f"restart marker out of sequence: got 0x$b1%02x, want 0x${0xd0 + expected}%02x")
+          pos += 2
+          found = true
+        }
+      }
     }
     def readBits(n: Int): Int = {
       var v = 0
@@ -147,11 +171,14 @@ object JpegCodec {
 
   // ---- parsed stream -------------------------------------------------------
 
-  /** `blocks` are QUANTIZED coefficients in natural order, one per component
-    * per MCU, interleaved `[mcu0: c0 c1 c2, mcu1: ...]` (4:4:4 — one block
-    * per component per MCU). `quants` is indexed by component. */
+  /** `blocks` are QUANTIZED coefficients in natural order, in T.81
+    * interleaved scan order: per MCU, each component contributes its
+    * `hSamp(c) * vSamp(c)` blocks (raster within the MCU) — one block per
+    * component for 4:4:4/grayscale, `[Y0 Y1 Y2 Y3 Cb Cr]` for 4:2:0.
+    * `quants`/`hSamp`/`vSamp` are indexed by component. */
   final case class JpegParsed(width: Int, height: Int, comps: Int,
                               quants: Array[Array[Int]],
+                              hSamp: Array[Int], vSamp: Array[Int],
                               blocks: Array[Array[Int]]) {
     def quant: Array[Int] = quants(0)
   }
@@ -187,8 +214,11 @@ object JpegCodec {
     var nComps = 0
     var compIds: Array[Int] = null
     var compQuant: Array[Int] = null
+    var hSamp: Array[Int] = null
+    var vSamp: Array[Int] = null
     var sosDc: Array[Int] = null
     var sosAc: Array[Int] = null
+    var restartInterval = 0
     var scanAt = -1
     while (scanAt < 0) {
       require(i + 2 <= bytes.length, "JPEG truncated before SOS")
@@ -216,14 +246,22 @@ object JpegCodec {
           nComps = nf
           compIds = new Array[Int](nf)
           compQuant = new Array[Int](nf)
+          hSamp = new Array[Int](nf)
+          vSamp = new Array[Int](nf)
           var c = 0
           while (c < nf) {
             compIds(c) = bytes(i + 8 + 3 * c) & 0xff
-            require((bytes(i + 9 + 3 * c) & 0xff) == 0x11,
-              "chroma subsampling unsupported (4:4:4 only)")
+            val sampling = bytes(i + 9 + 3 * c) & 0xff
+            hSamp(c) = sampling >>> 4
+            vSamp(c) = sampling & 0xf
             compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
             c += 1
           }
+          val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
+          val is420 = nf == 3 && hSamp(0) == 2 && vSamp(0) == 2 &&
+            hSamp(1) == 1 && vSamp(1) == 1 && hSamp(2) == 1 && vSamp(2) == 1
+          require(all11 || is420,
+            s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
           i += len
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
         case 0xc4 => // DHT: one or more tables
@@ -255,7 +293,11 @@ object JpegCodec {
             p += 65
           }
           i += len
-        case 0xdd => throw new IllegalArgumentException("restart intervals (DRI) unsupported")
+        case 0xdd => // DRI: MCUs between restart markers (0 disables)
+          val len = segLen(bytes, i)
+          require(len >= 4, "DRI segment truncated")
+          restartInterval = u16be(bytes, i + 2)
+          i += len
         case 0xda => // SOS: interleaved scan over all SOF components, in order
           val len = segLen(bytes, i)
           require(len >= 3, "SOS segment truncated")
@@ -296,14 +338,28 @@ object JpegCodec {
       val t = acTables(sosAc(c)); require(t != null, "SOS references missing AC table"); t
     }
 
-    val bx = (width + 7) / 8
-    val by = (height + 7) / 8
-    val blocks = new Array[Array[Int]](bx * by * nComps)
+    val maxH = hSamp.max
+    val maxV = vSamp.max
+    val mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
+    // component of the j-th block within an MCU: e.g. [0] gray, [0,1,2]
+    // 4:4:4, [0,0,0,0,1,2] 4:2:0
+    val compOfBlock = (0 until nComps)
+      .flatMap(c => Seq.fill(hSamp(c) * vSamp(c))(c)).toArray
+    val blocksPerMcu = compOfBlock.length
+    val blocks = new Array[Array[Int]](mcuCols * mcuRows * blocksPerMcu)
     val r = new BitReader(bytes, scanAt)
     val pred = new Array[Int](nComps) // per-component DC predictor
     var b = 0
     while (b < blocks.length) {
-      val c = b % nComps // 4:4:4 interleave: one block per component per MCU
+      val c = compOfBlock(b % blocksPerMcu)
+      if (restartInterval > 0 && b % blocksPerMcu == 0) {
+        val mcuIdx = b / blocksPerMcu
+        if (mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          r.restart((mcuIdx / restartInterval - 1) % 8)
+          java.util.Arrays.fill(pred, 0) // predictors reset per interval
+        }
+      }
       val coef = new Array[Int](64)
       val t = r.decode(dcTs(c))
       require(t <= 11, s"DC category $t out of range")
@@ -335,7 +391,7 @@ object JpegCodec {
       blocks(b) = coef
       b += 1
     }
-    JpegParsed(width, height, nComps, quants, blocks)
+    JpegParsed(width, height, nComps, quants, hSamp, vSamp, blocks)
   }
 
   private val CosTable: Array[Double] = {
@@ -377,29 +433,49 @@ object JpegCodec {
   }
 
   /** Full decode to [[MediaCodecs.ImageMeta]]: pixelSum over the w x h crop
-    * of the reconstructed MCU grid (padding pixels are decoded, not summed). */
+    * of the reconstructed MCU grid (padding pixels are decoded, not summed).
+    * 4:2:0 chroma is upsampled by sample replication (each chroma sample
+    * covers a 2x2 luma neighborhood); with the JFIF transform applied per
+    * pixel, rounded and clamped per channel. */
   def decode(bytes: Array[Byte]): MediaCodecs.ImageMeta = {
     val p = parse(bytes)
-    val bx = (p.width + 7) / 8
+    val maxH = p.hSamp.max
+    val maxV = p.vSamp.max
+    val mcuPixW = 8 * maxH
+    val mcuPixH = 8 * maxV
+    val mcuCols = (p.width + mcuPixW - 1) / mcuPixW
+    // start of component c's blocks within an MCU (prefix sum of h*v)
+    val compOff = new Array[Int](p.comps)
+    var off = 0
+    for (c <- 0 until p.comps) { compOff(c) = off; off += p.hSamp(c) * p.vSamp(c) }
+    val blocksPerMcu = off
     var sum = 0L
     var mcu = 0
-    val mcus = p.blocks.length / p.comps
+    val mcus = p.blocks.length / blocksPerMcu
     while (mcu < mcus) {
-      val planes = Array.tabulate(p.comps)(c =>
-        reconstruct(p.blocks(mcu * p.comps + c), p.quants(c)))
-      val x0 = (mcu % bx) * 8
-      val y0 = (mcu / bx) * 8
+      val recon = Array.tabulate(blocksPerMcu) { j =>
+        val c = (0 until p.comps).lastIndexWhere(compOff(_) <= j)
+        reconstruct(p.blocks(mcu * blocksPerMcu + j), p.quants(c))
+      }
+      // component c's sample at MCU-relative luma coordinate (x, y):
+      // scale to the component grid, then index its raster of 8x8 blocks
+      def samp(c: Int, x: Int, y: Int): Int = {
+        val sx = x * p.hSamp(c) / maxH
+        val sy = y * p.vSamp(c) / maxV
+        recon(compOff(c) + (sy >> 3) * p.hSamp(c) + (sx >> 3))((sy & 7) * 8 + (sx & 7))
+      }
+      val x0 = (mcu % mcuCols) * mcuPixW
+      val y0 = (mcu / mcuCols) * mcuPixH
       var y = 0
-      while (y < 8 && y0 + y < p.height) {
+      while (y < mcuPixH && y0 + y < p.height) {
         var x = 0
-        while (x < 8 && x0 + x < p.width) {
-          val at = y * 8 + x
-          if (p.comps == 1) sum += planes(0)(at)
+        while (x < mcuPixW && x0 + x < p.width) {
+          if (p.comps == 1) sum += samp(0, x, y)
           else {
             // JFIF YCbCr -> RGB, rounded and clamped per channel
-            val yy = planes(0)(at).toDouble
-            val cb = planes(1)(at) - 128.0
-            val cr = planes(2)(at) - 128.0
+            val yy = samp(0, x, y).toDouble
+            val cb = samp(1, x, y) - 128.0
+            val cr = samp(2, x, y) - 128.0
             def clamp(v: Double): Int =
               math.max(0, math.min(255, math.round(v).toInt))
             sum += clamp(yy + 1.402 * cr)

@@ -361,12 +361,14 @@ object MediaCodecs {
     b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
 
-  /** Baseline TIFF 6.0, uncompressed: BOTH byte orders (II little / MM big —
-    * the one format here whose integer decode is endian-parameterized), IFD
-    * entry walk with SHORT/LONG values resolved in-field or via offset,
+  /** Baseline TIFF 6.0: BOTH byte orders (II little / MM big — the one
+    * format here whose integer decode is endian-parameterized), IFD entry
+    * walk with SHORT/LONG values resolved in-field or via offset,
     * multi-strip pixel layout (StripOffsets/StripByteCounts arrays), 8-bit
     * grayscale (PhotometricInterpretation 1 → "L") or RGB (2 → "RGB").
-    * Compression must be 1 (none) — LZW/packbits TIFF is an explicit error. */
+    * Compression 1 (none) or 32773 (PackBits RLE, TIFF 6.0 §9, decoded
+    * per strip with output bounded by the geometry) — LZW/JPEG-in-TIFF
+    * are explicit errors. */
   def decodeTiff(bytes: Array[Byte]): ImageMeta = {
     require(isTiff(bytes), "not a TIFF payload")
     val le = bytes(0) == 'I'
@@ -429,7 +431,8 @@ object MediaCodecs {
       }
       e += 1
     }
-    require(compression == 1, s"compressed TIFF (scheme $compression) unsupported")
+    require(compression == 1 || compression == 32773,
+      s"compressed TIFF (scheme $compression) unsupported (none or PackBits only)")
     require(photometric == 1 || photometric == 2,
       s"TIFF photometric $photometric unsupported (min-is-black or RGB only)")
     val mode = if (photometric == 2) "RGB" else "L"
@@ -440,17 +443,39 @@ object MediaCodecs {
     require(stripOffsets.nonEmpty && stripOffsets.length == stripCounts.length,
       "TIFF strip offsets/counts missing or mismatched")
     val expected = width * height * spp
-    require(stripCounts.sum == expected,
-      s"TIFF strip bytes ${stripCounts.sum} != geometry $expected")
     var sum = 0L
+    var decoded = 0L
     stripOffsets.indices.foreach { s =>
       val off = stripOffsets(s)
       val cnt = stripCounts(s)
       require(off >= 0 && off + cnt <= bytes.length, s"TIFF strip $s overruns payload")
       var i = off.toInt
       val end = (off + cnt).toInt
-      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      if (compression == 1) {
+        while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+        decoded += cnt
+      } else { // PackBits (TIFF 6.0 §9): each strip decoded independently
+        while (i < end) {
+          val n = bytes(i)
+          i += 1
+          if (n >= 0) { // literal run of n+1 bytes
+            require(i + n + 1 <= end, s"TIFF PackBits literal overruns strip $s")
+            var k = 0
+            while (k <= n) { sum += bytes(i + k) & 0xff; k += 1 }
+            i += n + 1
+            decoded += n + 1
+          } else if (n != -128) { // replicate the next byte 1-n times
+            require(i < end, s"TIFF PackBits replicate overruns strip $s")
+            val reps = 1 - n
+            sum += (bytes(i) & 0xff).toLong * reps
+            i += 1
+            decoded += reps
+          } // -128 is a spec'd no-op
+          require(decoded <= expected, "TIFF PackBits output exceeds geometry")
+        }
+      }
     }
+    require(decoded == expected, s"TIFF decoded bytes $decoded != geometry $expected")
     ImageMeta("tiff", width.toInt, height.toInt, mode, sum)
   }
 

@@ -216,6 +216,54 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg 4:2:0: subsampled stream decodes identically to the 4:4:4 one") {
+    // dims cross 16-pixel MCU boundaries every way: exact, partial-right,
+    // partial-bottom (lower Y block row fully cropped), both
+    for ((w, h, seed) <- Seq((32, 32, 30), (17, 18, 190), (24, 9, 77), (33, 31, 5))) {
+      val plain = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor(w, h, seed))
+      val sub = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor420(w, h, seed))
+      assert(sub == plain, s"${(w, h)}: $sub vs $plain")
+    }
+    // and composed with restart intervals (6-block MCUs, predictor resets)
+    val plainR = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor(33, 31, 5))
+    val subR = graft.multimodal.JpegCodec.decode(
+      JpegWriter.generateColor420(33, 31, 5, restartInterval = 2))
+    assert(subR == plainR, s"$subR vs $plainR")
+  }
+
+  test("jpeg 4:2:2 and other sampling layouts are explicit errors") {
+    val good = JpegWriter.generateColor420(16, 16, 30)
+    // SOF0 component 1 sampling byte 0x22 -> 0x21 (4:2:2)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val bad = good.clone(); bad(sofAt + 11) = 0x21.toByte
+    val e = intercept[IllegalArgumentException](graft.multimodal.JpegCodec.decode(bad))
+    assert(e.getMessage.contains("sampling"), e.getMessage)
+  }
+
+  test("jpeg restart intervals: RSTn stream decodes identically to plain") {
+    // interval 1 maximizes marker traffic; 3 exercises mid-row resets;
+    // color triples the blocks per MCU (predictor reset must hit all three)
+    for ((w, h, seed, ri) <- Seq((24, 17, 30, 1), (30, 25, 190, 3), (16, 16, 77, 2))) {
+      val plain = graft.multimodal.JpegCodec.decode(JpegWriter.generate(w, h, seed))
+      val rst = graft.multimodal.JpegCodec.decode(JpegWriter.generate(w, h, seed, ri))
+      assert(rst == plain, s"gray ri=$ri: $rst vs $plain")
+      val plainC = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor(w, h, seed))
+      val rstC = graft.multimodal.JpegCodec.decode(JpegWriter.generateColor(w, h, seed, ri))
+      assert(rstC == plainC, s"color ri=$ri: $rstC vs $plainC")
+    }
+  }
+
+  test("jpeg restart marker out of sequence is rejected, not resynced silently") {
+    val good = JpegWriter.generate(24, 17, 30, restartInterval = 1)
+    // find the first RST marker (FF D0) in the entropy stream and bump it
+    val idx = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xd0).get
+    val bad = good.clone(); bad(idx + 1) = 0xd5.toByte
+    val e = intercept[IllegalArgumentException](graft.multimodal.JpegCodec.decode(bad))
+    assert(e.getMessage.contains("out of sequence"), e.getMessage)
+  }
+
   test("jpeg entropy layer is coefficient-exact: AC runs, ZRL, negatives") {
     import graft.multimodal.JpegCodec
     val b0 = new Array[Int](64)
@@ -310,6 +358,16 @@ class DispatchMediaSpec extends AnyFunSuite {
       assert(meta.width == w && meta.height == h &&
         meta.mode == (if (rgb) "RGB" else "L"), s"be=$bigEndian rgb=$rgb: $meta")
       assert(meta.pixelSum == ch.toLong * w * rowSum(h, seed), s"be=$bigEndian rgb=$rgb: $meta")
+    }
+  }
+
+  test("tiff PackBits strips decode identically to uncompressed") {
+    for (bigEndian <- Seq(false, true); rgb <- Seq(false, true)) {
+      val (w, h, seed) = (150, 7, 200) // rowBytes > 128: runs cross the chunk cap
+      val plain = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, bigEndian, seed))
+      val packed = MediaCodecs.decodeTiff(
+        MediaFixtures.tiff(w, h, rgb, bigEndian, seed, packBits = true))
+      assert(packed == plain, s"be=$bigEndian rgb=$rgb")
     }
   }
 
