@@ -625,8 +625,11 @@ object SparkEntry {
           val h = 3 + (id % 5).toInt
           val seed = (id % 200).toInt
           val colorType = Seq(0, 2, 3, 6)((id % 4).toInt)
+          // every third payload Adam7-interlaced: the passes partition the
+          // pixels, so the closed-form oracle sum is unchanged
           Multimodal.MediaRow(id, "",
-            graft.fixtures.MediaFixtures.png(w, h, colorType, seed))
+            graft.fixtures.MediaFixtures.png(w, h, colorType, seed,
+              adam7 = id % 3 == 0))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
@@ -646,7 +649,10 @@ object SparkEntry {
           val w = 30 + (id % 25).toInt
           val h = 20 + (id % 17).toInt
           val seed = (id % 200).toInt
-          Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.gif(w, h, seed))
+          // every third frame interlaced: different LZW stream, same
+          // index multiset, so the closed-form oracle sum is unchanged
+          Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.gif(
+            w, h, seed, interlace = id % 3 == 0))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),

@@ -66,51 +66,63 @@ object MediaFixtures {
     out
   }
 
-  /** PNG, 8-bit depth, interlace 0. colorType ∈ {0 gray, 2 RGB,
+  /** PNG, 8-bit depth, interlace 0 or Adam7. colorType ∈ {0 gray, 2 RGB,
     * 3 palette (grayscale PLTE), 6 RGBA}. Scanline filters CYCLE through
-    * all five types (`y % 5`) before DEFLATE, so a decoder only
-    * reproduces the `(seed + y) % 256` pixel bytes — and the closed-form
-    * pixel sum — if its unfiltering (Sub/Up/Average/Paeth) is correct. */
-  def png(width: Int, height: Int, colorType: Int, seed: Int): Array[Byte] = {
+    * all five types (`y % 5` within each pass) before DEFLATE, so a
+    * decoder only reproduces the `(seed + y) % 256` pixel bytes — and the
+    * closed-form pixel sum — if its unfiltering (Sub/Up/Average/Paeth) is
+    * correct; `adam7` re-slices the same rows into the 7 independently
+    * filtered passes, leaving the pixel multiset (and sum) unchanged. */
+  def png(width: Int, height: Int, colorType: Int, seed: Int,
+          adam7: Boolean = false): Array[Byte] = {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
       case o => throw new IllegalArgumentException(s"color type $o")
     }
-    val rowBytes = width * channels
-    // raw scanlines with per-row filter byte
-    val filtered = new Array[Byte]((1 + rowBytes) * height)
-    val prev = new Array[Int](rowBytes)
-    var y = 0
-    while (y < height) {
-      val v = (seed + y) % 256
-      val base = y * (1 + rowBytes)
-      val filter = y % 5
-      filtered(base) = filter.toByte
-      var x = 0
-      while (x < rowBytes) {
-        val a = if (x >= channels) v else 0 // left (rows are constant-valued)
-        val b = prev(x)
-        val c = if (x >= channels) prev(x - channels) else 0
-        val enc = filter match {
-          case 0 => v
-          case 1 => (v - a) & 0xff
-          case 2 => (v - b) & 0xff
-          case 3 => (v - ((a + b) >> 1)) & 0xff
-          case _ =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            (v - pred) & 0xff
+    // pass sub-images: (imageRowOf(passRow), passWidth) per pass; the
+    // whole image is the single pass of the non-interlaced layout
+    val passes: Seq[(Int => Int, Int, Int)] =
+      if (!adam7) Seq(((y: Int) => y, width, height))
+      else graft.multimodal.MediaCodecs.Adam7Passes.map { case (x0, y0, dx, dy) =>
+        val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        ((k: Int) => y0 + k * dy, pw, ph)
+      }.filter(p => p._2 > 0 && p._3 > 0)
+    val filtered = new java.io.ByteArrayOutputStream()
+    for ((rowOf, pw, ph) <- passes) {
+      val rowBytes = pw * channels
+      val prev = new Array[Int](rowBytes)
+      var y = 0
+      while (y < ph) {
+        val v = (seed + rowOf(y)) % 256
+        val filter = y % 5
+        filtered.write(filter)
+        var x = 0
+        while (x < rowBytes) {
+          val a = if (x >= channels) v else 0 // left (rows are constant-valued)
+          val b = prev(x)
+          val c = if (x >= channels) prev(x - channels) else 0
+          val enc = filter match {
+            case 0 => v
+            case 1 => (v - a) & 0xff
+            case 2 => (v - b) & 0xff
+            case 3 => (v - ((a + b) >> 1)) & 0xff
+            case _ =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              (v - pred) & 0xff
+          }
+          filtered.write(enc)
+          x += 1
         }
-        filtered(base + 1 + x) = enc.toByte
-        x += 1
+        java.util.Arrays.fill(prev, v)
+        y += 1
       }
-      java.util.Arrays.fill(prev, v)
-      y += 1
     }
     // deflate
     val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered); defl.finish()
+    defl.setInput(filtered.toByteArray); defl.finish()
     val zipped = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](4096)
     while (!defl.finished()) zipped.write(tmp, 0, defl.deflate(tmp))
@@ -131,7 +143,8 @@ object MediaFixtures {
     val ihdr = ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height) // big-endian by default
     ihdr.put(8.toByte).put(colorType.toByte)
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(0.toByte).put(0.toByte) // compression, filter method
+    ihdr.put(if (adam7) 1.toByte else 0.toByte)
     chunk("IHDR", ihdr.array())
     if (colorType == 3) {
       val plte = new Array[Byte](256 * 3)
@@ -154,10 +167,18 @@ object MediaFixtures {
     * the decoded index sum has the same closed form as the other image
     * fixtures — but only a correct LZW decode (including width growth at
     * 512/1024/2048 and post-clear resync) reproduces it. */
-  def gif(width: Int, height: Int, seed: Int): Array[Byte] = {
+  def gif(width: Int, height: Int, seed: Int,
+          interlace: Boolean = false): Array[Byte] = {
+    // row y holds (seed + y) % 256; interlaced frames store rows in the
+    // GIF 4-pass order (0,8,.. / 4,12,.. / 2,6,.. / 1,3,..) — a genuinely
+    // different LZW stream whose decoded index sum must be unchanged
+    val rowOrder: Seq[Int] =
+      if (!interlace) 0 until height
+      else (0 until height by 8) ++ (4 until height by 8) ++
+        (2 until height by 4) ++ (1 until height by 2)
     val pixels = new Array[Int](width * height)
     var i = 0
-    while (i < pixels.length) { pixels(i) = (seed + i / width) % 256; i += 1 }
+    for (y <- rowOrder; _ <- 0 until width) { pixels(i) = (seed + y) % 256; i += 1 }
 
     // ---- LZW encode (minCodeSize 8: clear=256, eoi=257, first dict 258)
     val out = new java.io.ByteArrayOutputStream()
@@ -213,7 +234,7 @@ object MediaFixtures {
     for (v <- 0 until 256; _ <- 0 until 3) buf.write(v) // grayscale palette
     buf.write(0x2c) // image descriptor
     u16le(0); u16le(0); u16le(width); u16le(height)
-    buf.write(0) // no local table, no interlace
+    buf.write(if (interlace) 0x40 else 0) // no local table
     buf.write(8) // LZW min code size
     var off = 0
     while (off < lzw.length) {

@@ -112,11 +112,19 @@ object MediaCodecs {
     * CRC-32 verification, IDAT streams concatenated and inflated
     * (`java.util.zip.Inflater` — zlib, the same DEFLATE the format
     * specifies), then per-scanline unfiltering (all five filter types:
-    * None/Sub/Up/Average/Paeth). Supported: 8-bit depth, interlace 0,
-    * color types 0 (gray → "L"), 2 ("RGB"), 3 (palette → "P", pixelSum
-    * over indices like 8-bpp BMP), 6 ("RGBA"). pixelSum is over the
-    * UNFILTERED bytes, so a wrong filter reconstruction (the part
-    * uncompressed formats never exercise) is caught arithmetically. */
+    * None/Sub/Up/Average/Paeth). Supported: 8-bit depth, interlace 0 or
+    * Adam7 (each of the 7 passes is an independently-filtered sub-image;
+    * the passes partition the pixels, so summing reconstructed pass bytes
+    * IS the image pixelSum), color types 0 (gray → "L"), 2 ("RGB"),
+    * 3 (palette → "P", pixelSum over indices like 8-bpp BMP), 6 ("RGBA").
+    * pixelSum is over the UNFILTERED bytes, so a wrong filter
+    * reconstruction (the part uncompressed formats never exercise) is
+    * caught arithmetically. */
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
+  val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   def decodePng(bytes: Array[Byte]): ImageMeta = {
     require(isPng(bytes), "not a PNG payload")
     val crc = new java.util.zip.CRC32
@@ -124,6 +132,7 @@ object MediaCodecs {
     var width = 0
     var height = 0
     var colorType = -1
+    var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && i + 8 <= bytes.length) {
@@ -145,9 +154,9 @@ object MediaCodecs {
             ((bytes(i + 14) & 0xff) << 8) | (bytes(i + 15) & 0xff)
           val bitDepth = bytes(i + 16) & 0xff
           colorType = bytes(i + 17) & 0xff
-          val interlace = bytes(i + 20) & 0xff
+          interlace = bytes(i + 20) & 0xff
           require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth")
-          require(interlace == 0, "interlaced PNG unsupported")
+          require(interlace == 0 || interlace == 1, s"bad PNG interlace method $interlace")
           require(width > 0 && height > 0, s"bad PNG geometry ${width}x$height")
         case "IDAT" => idat.write(bytes, i + 8, len)
         case "IEND" => sawEnd = true
@@ -171,9 +180,18 @@ object MediaCodecs {
     // size (64 MiB) before allocating, with overflow-safe Long arithmetic
     require(height <= (1L << 26) / (1L + width.toLong * channels),
       s"PNG decode size ${width}x$height x$channels exceeds 64 MiB cap")
-    // inflate the filtered scanlines: height rows of [filterByte][row bytes]
-    val rowBytes = width * channels
-    val raw = new Array[Byte]((1 + rowBytes) * height)
+    // pass geometry: the whole image for interlace 0; the 7 non-empty
+    // Adam7 sub-images otherwise (empty passes contribute no bytes at all)
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((width, height))
+      else Adam7Passes.map { case (x0, y0, dx, dy) =>
+        (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+         if (height > y0) (height - y0 + dy - 1) / dy else 0)
+      }.filter(p => p._1 > 0 && p._2 > 0)
+    val rawLen = passes.map { case (pw, ph) => (1L + pw.toLong * channels) * ph }.sum
+    require(rawLen <= (1L << 27), s"PNG filtered stream $rawLen exceeds cap")
+    // inflate the filtered scanlines: per pass, rows of [filterByte][bytes]
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -184,38 +202,43 @@ object MediaCodecs {
     }
     inf.end()
     require(got == raw.length, s"PNG pixel data short: $got of ${raw.length}")
-    // unfilter in place into `cur`, summing reconstructed bytes
-    val prev = new Array[Int](rowBytes) // previous reconstructed row
-    val cur = new Array[Int](rowBytes)
+    // unfilter each pass independently, summing reconstructed bytes
     var sum = 0L
-    var y = 0
-    while (y < height) {
-      val base = y * (1 + rowBytes)
-      val filter = raw(base) & 0xff
-      var x = 0
-      while (x < rowBytes) {
-        val f = raw(base + 1 + x) & 0xff
-        val a = if (x >= channels) cur(x - channels) else 0 // left
-        val b = prev(x) // up
-        val c = if (x >= channels) prev(x - channels) else 0 // up-left
-        val recon = filter match {
-          case 0 => f
-          case 1 => (f + a) & 0xff
-          case 2 => (f + b) & 0xff
-          case 3 => (f + ((a + b) >> 1)) & 0xff
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            (f + pred) & 0xff
-          case o => throw new IllegalArgumentException(s"bad PNG filter type $o")
+    var off = 0
+    for ((pw, ph) <- passes) {
+      val rowBytes = pw * channels
+      val prev = new Array[Int](rowBytes) // previous reconstructed row
+      val cur = new Array[Int](rowBytes)
+      var y = 0
+      while (y < ph) {
+        val base = off + y * (1 + rowBytes)
+        val filter = raw(base) & 0xff
+        var x = 0
+        while (x < rowBytes) {
+          val f = raw(base + 1 + x) & 0xff
+          val a = if (x >= channels) cur(x - channels) else 0 // left
+          val b = prev(x) // up
+          val c = if (x >= channels) prev(x - channels) else 0 // up-left
+          val recon = filter match {
+            case 0 => f
+            case 1 => (f + a) & 0xff
+            case 2 => (f + b) & 0xff
+            case 3 => (f + ((a + b) >> 1)) & 0xff
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              (f + pred) & 0xff
+            case o => throw new IllegalArgumentException(s"bad PNG filter type $o")
+          }
+          cur(x) = recon
+          sum += recon
+          x += 1
         }
-        cur(x) = recon
-        sum += recon
-        x += 1
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
       }
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      y += 1
+      off += ph * (1 + rowBytes)
     }
     ImageMeta("png", width, height, mode, sum)
   }
@@ -232,7 +255,10 @@ object MediaCodecs {
     * that a roundtrip across the 512/1024/2048 boundaries catches
     * arithmetically via pixelSum. First image frame only; palette indices
     * sum directly (mode "P", like 8-bpp BMP / PNG color type 3); 89a
-    * extension blocks (0x21) are skipped; interlace unsupported. */
+    * extension blocks (0x21) are skipped. Interlaced frames decode the
+    * same LZW stream — the 4-pass row permutation reorders rows without
+    * changing the index multiset, so the "P"-mode pixelSum is exact
+    * without materializing the de-permuted raster. */
   def decodeGif(bytes: Array[Byte]): ImageMeta = {
     require(isGif(bytes), "not a GIF payload")
     def u16le(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
@@ -251,8 +277,7 @@ object MediaCodecs {
         case 0x2c => // image descriptor
           require(i + 10 <= bytes.length, "GIF image descriptor truncated")
           width = u16le(i + 5); height = u16le(i + 7)
-          val ipacked = bytes(i + 9) & 0xff
-          require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+          val ipacked = bytes(i + 9) & 0xff // bit 0x40 (interlace) is fine: see doc
           i += 10
           if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 7) + 1)) // local table
           require(i < bytes.length, "GIF truncated before LZW data")

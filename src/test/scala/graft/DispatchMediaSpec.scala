@@ -141,6 +141,16 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("png Adam7 interlace: 7 filtered passes decode to the plain sum") {
+    // dims exercise empty passes (w or h < pass origin) and ragged strides
+    for ((w, h) <- Seq((16, 16), (7, 3), (1, 1), (9, 20), (2, 2));
+         colorType <- Seq(0, 2, 6)) {
+      val plain = MediaCodecs.decodePng(MediaFixtures.png(w, h, colorType, 77))
+      val inter = MediaCodecs.decodePng(MediaFixtures.png(w, h, colorType, 77, adam7 = true))
+      assert(inter == plain, s"${(w, h, colorType)}: $inter vs $plain")
+    }
+  }
+
   test("png decode rejects corrupt chunks instead of emitting wrong pixels") {
     val good = MediaFixtures.png(5, 4, 2, 33)
     // flip a byte inside the first IDAT payload -> CRC must catch it
@@ -181,6 +191,14 @@ class DispatchMediaSpec extends AnyFunSuite {
     val big = MediaCodecs.decodeGif(MediaFixtures.gif(200, 400, 7))
     assert(big.width == 200 && big.height == 400 && big.mode == "P")
     assert(big.pixelSum == 200L * rowSum(400, 7))
+  }
+
+  test("gif interlaced frame (different LZW stream) decodes to the same sum") {
+    for ((w, h, seed) <- Seq((40, 30, 5), (13, 9, 250))) {
+      val plain = MediaCodecs.decodeGif(MediaFixtures.gif(w, h, seed))
+      val inter = MediaCodecs.decodeGif(MediaFixtures.gif(w, h, seed, interlace = true))
+      assert(inter == plain, s"${(w, h)}: $inter vs $plain")
+    }
   }
 
   test("gif decode skips 89a extension blocks to reach the image descriptor") {
