@@ -175,10 +175,12 @@ object JpegCodec {
     * interleaved scan order: per MCU, each component contributes its
     * `hSamp(c) * vSamp(c)` blocks (raster within the MCU) — one block per
     * component for 4:4:4/grayscale, `[Y0 Y1 Y2 Y3 Cb Cr]` for 4:2:0.
-    * `quants`/`hSamp`/`vSamp` are indexed by component. */
+    * `quants`/`hSamp`/`vSamp` are indexed by component; `compOfBlock` maps
+    * a block's position within its MCU to its component. */
   final case class JpegParsed(width: Int, height: Int, comps: Int,
                               quants: Array[Array[Int]],
                               hSamp: Array[Int], vSamp: Array[Int],
+                              compOfBlock: Array[Int],
                               blocks: Array[Array[Int]]) {
     def quant: Array[Int] = quants(0)
   }
@@ -255,6 +257,7 @@ object JpegCodec {
             hSamp(c) = sampling >>> 4
             vSamp(c) = sampling & 0xf
             compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
+            require(compQuant(c) <= 3, s"SOF quant table id ${compQuant(c)} out of range")
             c += 1
           }
           val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
@@ -270,6 +273,7 @@ object JpegCodec {
           while (p < i + len) {
             require(p + 17 <= i + len, "DHT table header overruns segment")
             val tcTh = bytes(p) & 0xff
+            require((tcTh & 0xf) <= 3, s"DHT table id ${tcTh & 0xf} out of range")
             val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
             val n = counts.sum
             require(p + 17 + n <= i + len, "DHT value list overruns segment")
@@ -286,6 +290,7 @@ object JpegCodec {
             require(p + 65 <= i + len, "DQT table overruns segment")
             val pqTq = bytes(p) & 0xff
             require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
+            require((pqTq & 0xf) <= 3, s"DQT table id ${pqTq & 0xf} out of range")
             val q = new Array[Int](64)
             var k = 0
             while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
@@ -314,6 +319,8 @@ object JpegCodec {
             val tdTa = bytes(i + 4 + 2 * c) & 0xff
             sosDc(c) = tdTa >>> 4
             sosAc(c) = tdTa & 0xf
+            require(sosDc(c) <= 3 && sosAc(c) <= 3,
+              s"SOS Huffman table ids ${sosDc(c)}/${sosAc(c)} out of range")
             c += 1
           }
           scanAt = i + len
@@ -391,7 +398,7 @@ object JpegCodec {
       blocks(b) = coef
       b += 1
     }
-    JpegParsed(width, height, nComps, quants, hSamp, vSamp, blocks)
+    JpegParsed(width, height, nComps, quants, hSamp, vSamp, compOfBlock, blocks)
   }
 
   private val CosTable: Array[Double] = {
@@ -454,8 +461,7 @@ object JpegCodec {
     val mcus = p.blocks.length / blocksPerMcu
     while (mcu < mcus) {
       val recon = Array.tabulate(blocksPerMcu) { j =>
-        val c = (0 until p.comps).lastIndexWhere(compOff(_) <= j)
-        reconstruct(p.blocks(mcu * blocksPerMcu + j), p.quants(c))
+        reconstruct(p.blocks(mcu * blocksPerMcu + j), p.quants(p.compOfBlock(j)))
       }
       // component c's sample at MCU-relative luma coordinate (x, y):
       // scale to the component grid, then index its raster of 8x8 blocks

@@ -108,6 +108,11 @@ object MediaCodecs {
     ImageMeta("ppm", width, height, "RGB", sum)
   }
 
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
+  val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** PNG, the first COMPRESSED codec with a real decoder: chunk walk with
     * CRC-32 verification, IDAT streams concatenated and inflated
     * (`java.util.zip.Inflater` — zlib, the same DEFLATE the format
@@ -120,11 +125,6 @@ object MediaCodecs {
     * pixelSum is over the UNFILTERED bytes, so a wrong filter
     * reconstruction (the part uncompressed formats never exercise) is
     * caught arithmetically. */
-  /** Adam7 pass grid: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
-  val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-
   def decodePng(bytes: Array[Byte]): ImageMeta = {
     require(isPng(bytes), "not a PNG payload")
     val crc = new java.util.zip.CRC32
@@ -519,7 +519,9 @@ object MediaCodecs {
     * len(audio) contract (audio_converters.py:114). */
   def parseWav(bytes: Array[Byte]): WavMeta = {
     require(isWav(bytes), "not a RIFF/WAVE payload")
-    var i = 12
+    // Long cursor: a size field near Int.MaxValue must not wrap the
+    // containment check or the cursor advance into accepted-but-wrong state
+    var i = 12L
     var channels = 0
     var rate = 0
     var bits = 0
@@ -527,25 +529,26 @@ object MediaCodecs {
     var dataBytes = -1L
     var dataOffset = -1L
     while (i + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
-      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = i32(bytes, i + 4)
+      val at = i.toInt
+      val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32(bytes, at + 4)
       // a crafted/corrupt negative size would advance the cursor by <= 0 and
       // hang the executor task — fail contained instead (non-termination is
       // the one thing the per-row try/catch cannot contain)
       require(size >= 0, s"negative RIFF chunk size $size")
       if (id == "fmt " && i + 24 <= bytes.length) {
-        val audioFormat = u16(bytes, i + 8)
+        val audioFormat = u16(bytes, at + 8)
         require(audioFormat == 1, s"unsupported WAV audio format $audioFormat (PCM only)")
-        channels = u16(bytes, i + 10)
-        rate = i32(bytes, i + 12)
-        byteRate = i32(bytes, i + 16)
-        bits = u16(bytes, i + 22)
+        channels = u16(bytes, at + 10)
+        rate = i32(bytes, at + 12)
+        byteRate = i32(bytes, at + 16)
+        bits = u16(bytes, at + 22)
       } else if (id == "data") {
-        require(i + 8 + size <= bytes.length, "WAV data chunk overruns payload")
+        require(i + 8 + size.toLong <= bytes.length, "WAV data chunk overruns payload")
         dataBytes = size.toLong
-        dataOffset = i + 8L
+        dataOffset = i + 8
       }
-      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+      i += 8L + size + (size & 1) // chunks are 2-byte aligned
     }
     require(channels > 0 && rate > 0 && byteRate > 0, "WAV has no fmt chunk")
     require(dataBytes >= 0, "WAV has no data chunk")

@@ -414,6 +414,24 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(MediaCodecs.wavSampleSum(bytes) == n * (3 - 2048) + n * (n - 1) / 2)
   }
 
+  test("wav with a near-Int.MaxValue data size fails contained, not wrong") {
+    val bad = MediaFixtures.wav(channels = 1, sampleRate = 8000, frames = 4, seed = 3).clone()
+    // canonical layout: 'data' id at 36, its size field at 40 -> 0x7ffffff0
+    // (large enough that a 32-bit `i + 8 + size` containment check wraps)
+    bad(40) = 0xf0.toByte; bad(41) = 0xff.toByte; bad(42) = 0xff.toByte; bad(43) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWav(bad))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
+
+  test("jpeg out-of-range table ids fail with named errors, not AIOOBE") {
+    val good = JpegWriter.generate(8, 8, 10)
+    val dqtAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xdb).get
+    val bad = good.clone(); bad(dqtAt + 4) = 0x05 // Pq=0, Tq=5
+    val e = intercept[IllegalArgumentException](graft.multimodal.JpegCodec.decode(bad))
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
+
   test("garbage media payloads fail contained, not with task-killing throws") {
     import org.apache.spark.sql.functions._
     val spark = SparkTestSession.spark
