@@ -599,11 +599,15 @@ object SparkEntry {
           val w = 5 + (id % 9).toInt
           val h = 3 + (id % 5).toInt
           val seed = (id % 200).toInt
+          // wheel sub-splits: half the 8-bpp payloads are BI_RLE8 (same
+          // index sum), half the PNM payloads are P5 gray (1 channel, 'L')
           val bytes = (id % 4) match {
-            case 0 => graft.fixtures.MediaFixtures.bmp(w, h, 8, seed)
+            case 0 =>
+              if (id % 8 == 0) graft.fixtures.MediaFixtures.bmpRle8(w, h, seed)
+              else graft.fixtures.MediaFixtures.bmp(w, h, 8, seed)
             case 1 => graft.fixtures.MediaFixtures.bmp(w, h, 24, seed)
             case 2 => graft.fixtures.MediaFixtures.bmp(w, h, 32, seed, topDown = true)
-            case _ => graft.fixtures.MediaFixtures.ppm(w, h, seed)
+            case _ => graft.fixtures.MediaFixtures.ppm(w, h, seed, gray = id % 8 == 7)
           }
           Multimodal.MediaRow(id, "", bytes)
         }
@@ -717,8 +721,12 @@ object SparkEntry {
         .map { id =>
           val channels = 1 + (id % 2).toInt
           val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
-          val frames = 500 + (id % 7).toInt * 37
-          val bytes = graft.fixtures.MediaFixtures.wav(channels, rate, frames, (id % 100).toInt)
+          // every fifth payload is 8-bit PCM with wrap-free sample params
+          // (n <= 200 and seed + n < 256 keep the oracle an arithmetic series)
+          val bits = if (id % 5 == 0) 8 else 16
+          val frames = if (bits == 8) 100 else 500 + (id % 7).toInt * 37
+          val seed = if (bits == 8) (id % 50).toInt else (id % 100).toInt
+          val bytes = graft.fixtures.MediaFixtures.wav(channels, rate, frames, seed, bits)
           val m = graft.multimodal.MediaCodecs.parseWav(bytes)
           val sampleSum = graft.multimodal.MediaCodecs.wavSampleSum(bytes)
           (id, m.channels, m.frameRate, m.bitsPerSample, m.durationMs, sampleSum)
@@ -971,8 +979,9 @@ object SparkEntry {
         "ELSE 'image/bmp' END AS media_type, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CASE doc_id % 4 WHEN 0 THEN 'P' WHEN 1 THEN 'RGB' WHEN 2 THEN 'RGBA' " +
-        "ELSE 'RGB' END AS mode, " +
-        "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 3 END) " +
+        "ELSE (CASE WHEN doc_id % 8 = 7 THEN 'L' ELSE 'RGB' END) END AS mode, " +
+        "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 " +
+        "ELSE (CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 3 END) END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_png" ->
@@ -1016,14 +1025,20 @@ object SparkEntry {
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +
         "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 " +
-        "ELSE 44100 END AS rate, 500 + (doc_id % 7) * 37 AS frames FROM documents) " +
+        "ELSE 44100 END AS rate, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 100 ELSE 500 + (doc_id % 7) * 37 END AS frames, " +
+        "CASE WHEN doc_id % 5 = 0 THEN doc_id % 50 ELSE doc_id % 100 END AS seed " +
+        "FROM documents) " +
         "SELECT doc_id, CAST(channels AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
-        "CAST(16 AS INT) AS bits_per_sample, " +
-        "CAST(frames * channels * 2 * 1000 // (rate * channels * 2) AS BIGINT) AS duration_ms, " +
-        "CAST((frames * channels * 2 * 1000 // (rate * channels * 2)) // 2 AS BIGINT) AS duration_x2_ms, " +
-        // samples are ((seed+f)%4096)-2048 for f in [0, frames*channels);
-        // seed<100 and n<4096 so the modulo never wraps -> arithmetic series
-        "CAST(frames * channels * ((doc_id % 100) - 2048) " +
+        "CAST(bits AS INT) AS bits_per_sample, " +
+        // duration = dataBytes*1000/byteRate = frames*1000/rate at any depth
+        "CAST(frames * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST((frames * 1000 // rate) // 2 AS BIGINT) AS duration_x2_ms, " +
+        // 16-bit samples are ((seed+f)%4096)-2048 with n<4096 (no wrap);
+        // 8-bit are ((seed+f)%256)-128 with seed+n<256 (no wrap) -> both
+        // arithmetic series with the depth's bias
+        "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
         "FROM p ORDER BY doc_id"),
     "dc_v1_to_v2" ->

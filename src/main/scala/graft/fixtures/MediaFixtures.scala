@@ -3,11 +3,14 @@ package graft.fixtures
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Deterministic media payload generators for the real pure-JVM codecs
-  * ([[graft.multimodal.MediaCodecs]]): BMP (8/24/32 bpp, BI_RGB), binary
-  * PPM (P6), and canonical RIFF/WAVE PCM. Pixel bytes follow
-  * `(seed + y) % 256` per image row y — the pixel-sum a correct decode must
-  * report is `channels * width * Σ_y (seed + y) % 256`, which stays
-  * SQL-recomputable (closed form when seed + height <= 256).
+  * ([[graft.multimodal.MediaCodecs]]): BMP (8/24/32 bpp BI_RGB, or 8-bpp
+  * BI_RLE8), binary PNM (P6 RGB / P5 gray), PNG (plain or Adam7), GIF
+  * (plain or interlaced), TIFF (raw or PackBits strips), and canonical
+  * RIFF/WAVE PCM (16- or 8-bit). Pixel bytes follow `(seed + y) % 256`
+  * per image row y — the pixel-sum a correct decode must report is
+  * `channels * width * Σ_y (seed + y) % 256`, which stays SQL-recomputable
+  * (closed form when seed + height <= 256), and every compressed/encoded
+  * variant carries the SAME pixel content as its plain counterpart.
   */
 object MediaFixtures {
 
@@ -50,17 +53,73 @@ object MediaFixtures {
     buf.array()
   }
 
-  def ppm(width: Int, height: Int, seed: Int): Array[Byte] = {
-    val header = s"P6\n# graft fixture\n$width $height\n255\n"
+  /** 8-bpp BI_RLE8 BMP with the same per-row content as `bmp(w, h, 8, seed)`:
+    * even rows as encoded runs, odd rows (width >= 3) as one absolute run
+    * (word-padded), an EOL escape after every row and EOB at the end — the
+    * decoded index sum must equal the uncompressed 8-bpp variant's. */
+  def bmpRle8(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val px = new java.io.ByteArrayOutputStream()
+    for (y <- (height - 1) to 0 by -1) { // bottom-up like the plain writer
+      val v = (seed + y) % 256
+      if (y % 2 == 0 || width < 3) { // encoded runs of up to 255
+        var rem = width
+        while (rem > 0) {
+          val n = math.min(255, rem)
+          px.write(n); px.write(v)
+          rem -= n
+        }
+      } else { // absolute mode: k in 3..255, padded to a word boundary
+        var rem = width
+        while (rem > 0) {
+          val k = math.min(255, rem)
+          if (k < 3) { px.write(k); px.write(v) } // tail too short for absolute
+          else {
+            px.write(0); px.write(k)
+            for (_ <- 0 until k) px.write(v)
+            if ((k & 1) == 1) px.write(0) // pad
+          }
+          rem -= k
+        }
+      }
+      px.write(0); px.write(0) // end of line
+    }
+    px.write(0); px.write(1) // end of bitmap
+    val pixels = px.toByteArray
+    val dataOffset = 14 + 40 + 256 * 4
+    val buf = ByteBuffer.allocate(dataOffset + pixels.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(buf.capacity())
+    buf.putInt(0)
+    buf.putInt(dataOffset)
+    buf.putInt(40)
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)
+    buf.putShort(8)
+    buf.putInt(1) // BI_RLE8
+    buf.putInt(pixels.length)
+    buf.putInt(2835).putInt(2835)
+    buf.putInt(256)
+    buf.putInt(0)
+    for (v <- 0 until 256) buf.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte)
+    buf.put(pixels)
+    buf.array()
+  }
+
+  /** P6 (RGB) or, with `gray`, P5 (PGM) binary raster. */
+  def ppm(width: Int, height: Int, seed: Int, gray: Boolean = false): Array[Byte] = {
+    val channels = if (gray) 1 else 3
+    val magic = if (gray) "P5" else "P6"
+    val header = s"$magic\n# graft fixture\n$width $height\n255\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val out = new Array[Byte](header.length + width * height * 3)
+    val out = new Array[Byte](header.length + width * height * channels)
     System.arraycopy(header, 0, out, 0, header.length)
     var y = 0
     var k = header.length
     while (y < height) {
       val v = ((seed + y) % 256).toByte
       var x = 0
-      while (x < width * 3) { out(k) = v; k += 1; x += 1 }
+      while (x < width * channels) { out(k) = v; k += 1; x += 1 }
       y += 1
     }
     out
@@ -333,10 +392,14 @@ object MediaFixtures {
     buf.array()
   }
 
-  /** 16-bit PCM, canonical 44-byte header + `frames` frames of deterministic
-    * little-endian samples. */
-  def wav(channels: Int, sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {
-    val dataBytes = frames * channels * 2
+  /** PCM, canonical 44-byte header + `frames` frames of deterministic
+    * samples: 16-bit LE `(seed + f) % 4096 - 2048`, or with `bits = 8`
+    * unsigned `(seed + f) % 256` (decoded sample = value - 128). */
+  def wav(channels: Int, sampleRate: Int, frames: Int, seed: Int,
+          bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits $bits")
+    val bytesPer = bits / 8
+    val dataBytes = frames * channels * bytesPer
     val buf = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes)
     buf.putInt(36 + dataBytes)
@@ -346,14 +409,15 @@ object MediaFixtures {
     buf.putShort(1) // PCM
     buf.putShort(channels.toShort)
     buf.putInt(sampleRate)
-    buf.putInt(sampleRate * channels * 2) // byte rate
-    buf.putShort((channels * 2).toShort)  // block align
-    buf.putShort(16)                      // bits per sample
+    buf.putInt(sampleRate * channels * bytesPer) // byte rate
+    buf.putShort((channels * bytesPer).toShort)  // block align
+    buf.putShort(bits.toShort)
     buf.put("data".getBytes)
     buf.putInt(dataBytes)
     var f = 0
     while (f < frames * channels) {
-      buf.putShort((((seed + f) % 4096) - 2048).toShort)
+      if (bits == 16) buf.putShort((((seed + f) % 4096) - 2048).toShort)
+      else buf.put(((seed + f) % 256).toByte)
       f += 1
     }
     buf.array()

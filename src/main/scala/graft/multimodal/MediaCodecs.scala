@@ -28,7 +28,8 @@ object MediaCodecs {
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
 
   def isPpm(b: Array[Byte]): Boolean =
-    b.length >= 3 && b(0) == 'P' && b(1) == '6' && Character.isWhitespace(b(2))
+    b.length >= 3 && b(0) == 'P' && (b(1) == '5' || b(1) == '6') &&
+      Character.isWhitespace(b(2))
 
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -39,10 +40,12 @@ object MediaCodecs {
       b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
       (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
 
-  /** Uncompressed (BI_RGB) 8/24/32-bpp BMP; 8-bpp is palette mode "P",
-    * 24 "RGB", 32 "RGBA" (the Pillow mode names the reference reports).
-    * Negative stored height = top-down row order (handled; pixelSum is
-    * row-order invariant but the walk honors |height|). */
+  /** Uncompressed (BI_RGB) 8/24/32-bpp BMP, or BI_RLE8 (compression 1,
+    * 8-bpp only: encoded runs, absolute mode with word padding, EOL/EOB/
+    * delta escapes — skipped pixels count as index 0); 8-bpp is palette
+    * mode "P", 24 "RGB", 32 "RGBA" (the Pillow mode names the reference
+    * reports). Negative stored height = top-down row order (handled;
+    * pixelSum is row-order invariant but the walk honors |height|). */
   def decodeBmp(bytes: Array[Byte]): ImageMeta = {
     require(isBmp(bytes) && bytes.length >= 54, "not a BMP payload")
     val dataOffset = i32(bytes, 10)
@@ -50,7 +53,8 @@ object MediaCodecs {
     val height = math.abs(i32(bytes, 22))
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
-    require(compression == 0, s"unsupported BMP compression $compression")
+    require(compression == 0 || (compression == 1 && bpp == 8),
+      s"unsupported BMP compression $compression at $bpp bpp (BI_RGB or 8-bpp BI_RLE8)")
     require(width > 0 && height > 0, s"bad BMP geometry ${width}x$height")
     val mode = bpp match {
       case 8 => "P"
@@ -58,6 +62,7 @@ object MediaCodecs {
       case 32 => "RGBA"
       case o => throw new IllegalArgumentException(s"unsupported BMP bpp $o")
     }
+    if (compression == 1) return decodeBmpRle8(bytes, dataOffset, width, height)
     val rowBytes = width * (bpp / 8)
     val stride = (rowBytes + 3) & ~3
     require(dataOffset.toLong + stride.toLong * height <= bytes.length,
@@ -73,9 +78,60 @@ object MediaCodecs {
     ImageMeta("bmp", width, height, mode, sum)
   }
 
+  /** BI_RLE8 pixel stream (MS BMP spec): [n>0, v] paints n copies of index
+    * v; [0, 0] end of line, [0, 1] end of bitmap, [0, 2, dx, dy] delta
+    * (skipped pixels are index 0 — they contribute nothing to the sum),
+    * [0, k>=3] absolute run of k literal indices padded to a 16-bit
+    * boundary. Runs may not cross a row; row order is irrelevant to the
+    * sum, so only per-row x and total row count are tracked. */
+  private def decodeBmpRle8(bytes: Array[Byte], dataOffset: Int,
+                            width: Int, height: Int): ImageMeta = {
+    var i = dataOffset
+    var x = 0
+    var rows = 0
+    var sum = 0L
+    var done = false
+    while (!done) {
+      require(i + 2 <= bytes.length, "BMP RLE8 stream truncated")
+      val n = bytes(i) & 0xff
+      val v = bytes(i + 1) & 0xff
+      i += 2
+      if (n > 0) { // encoded run
+        require(x + n <= width, s"BMP RLE8 run crosses row boundary at x=$x")
+        require(rows < height, "BMP RLE8 paints past the last row")
+        sum += n.toLong * v
+        x += n
+      } else v match {
+        case 0 => // end of line
+          x = 0
+          rows += 1
+          require(rows <= height, "BMP RLE8 has more rows than the header")
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: skip (dx, dy) pixels/rows, left as index 0
+          require(i + 2 <= bytes.length, "BMP RLE8 delta truncated")
+          val dx = bytes(i) & 0xff
+          val dy = bytes(i + 1) & 0xff
+          i += 2
+          x += dx
+          rows += dy
+          require(x <= width && rows <= height, "BMP RLE8 delta out of bounds")
+        case k => // absolute mode: k literal indices, word-aligned
+          require(i + k + (k & 1) <= bytes.length, "BMP RLE8 absolute run truncated")
+          require(x + k <= width, s"BMP RLE8 absolute run crosses row at x=$x")
+          require(rows < height, "BMP RLE8 paints past the last row")
+          var j = 0
+          while (j < k) { sum += bytes(i + j) & 0xff; j += 1 }
+          i += k + (k & 1)
+          x += k
+      }
+    }
+    ImageMeta("bmp", width, height, "P", sum)
+  }
+
   /** Binary PPM (P6), maxval <= 255: always 3-channel RGB, no row padding. */
   def decodePpm(bytes: Array[Byte]): ImageMeta = {
-    require(isPpm(bytes), "not a P6 PPM payload")
+    require(isPpm(bytes), "not a P5/P6 PNM payload")
+    val channels = if (bytes(1) == '5') 1 else 3 // P5 gray (PGM) / P6 RGB
     var i = 2
     def skipWs(): Unit = {
       var go = true
@@ -97,15 +153,16 @@ object MediaCodecs {
     val width = readInt()
     val height = readInt()
     val maxval = readInt()
-    require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
+    require(width > 0 && height > 0, s"bad PNM geometry ${width}x$height")
+    require(maxval > 0 && maxval <= 255, s"unsupported PNM maxval $maxval")
     i += 1 // single whitespace byte after maxval, then raster
-    val n = width.toLong * height * 3
-    require(i + n <= bytes.length, "PPM raster truncated")
+    val n = width.toLong * height * channels
+    require(i + n <= bytes.length, "PNM raster truncated")
     var sum = 0L
     var k = i
     val end = i + n.toInt
     while (k < end) { sum += bytes(k) & 0xff; k += 1 }
-    ImageMeta("ppm", width, height, "RGB", sum)
+    ImageMeta("ppm", width, height, if (channels == 1) "L" else "RGB", sum)
   }
 
   /** Adam7 pass grid: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
@@ -555,20 +612,28 @@ object MediaCodecs {
     WavMeta(channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate, dataOffset)
   }
 
-  /** Sum of the decoded 16-bit PCM samples (signed, little-endian) in the
-    * `data` chunk — the audio analog of `pixelSum`: it is only right if the
-    * chunk walk, 2-byte alignment, and LE int16 decode are all correct.
-    * Reuses [[parseWav]]'s chunk walk (single source of truth for chunk
-    * location and containment). */
+  /** Sum of the decoded PCM samples in the `data` chunk — the audio analog
+    * of `pixelSum`: it is only right if the chunk walk, 2-byte alignment,
+    * and sample decode are all correct. 16-bit samples are signed
+    * little-endian int16; 8-bit samples are unsigned with a 128 bias
+    * (both per the WAV PCM convention). Reuses [[parseWav]]'s chunk walk
+    * (single source of truth for chunk location and containment). */
   def wavSampleSum(bytes: Array[Byte]): Long = {
     val meta = parseWav(bytes) // validates fmt (PCM), data presence, containment
-    require(meta.bitsPerSample == 16, s"sample decode supports 16-bit PCM only")
     var sum = 0L
     var p = meta.dataOffset.toInt
-    val end = p + meta.dataBytes.toInt - 1
-    while (p < end) {
-      sum += ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
-      p += 2
+    meta.bitsPerSample match {
+      case 16 =>
+        val end = p + meta.dataBytes.toInt - 1
+        while (p < end) {
+          sum += ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
+          p += 2
+        }
+      case 8 =>
+        val end = p + meta.dataBytes.toInt
+        while (p < end) { sum += (bytes(p) & 0xff) - 128; p += 1 }
+      case o => throw new IllegalArgumentException(
+        s"sample decode supports 8/16-bit PCM only, got $o")
     }
     sum
   }

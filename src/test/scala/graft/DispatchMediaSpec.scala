@@ -124,6 +124,38 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("bmp RLE8 decodes to the same index sum as uncompressed 8-bpp") {
+    // width > 255 crosses the run-length cap; odd width pads absolute runs
+    for ((w, h, seed) <- Seq((300, 5, 9), (7, 4, 100), (2, 3, 50))) {
+      val plain = MediaCodecs.decodeBmp(MediaFixtures.bmp(w, h, 8, seed))
+      val rle = MediaCodecs.decodeBmp(MediaFixtures.bmpRle8(w, h, seed))
+      assert(rle == plain, s"${(w, h)}: $rle vs $plain")
+    }
+  }
+
+  test("bmp RLE8 run crossing a row boundary is rejected") {
+    val good = MediaFixtures.bmpRle8(4, 3, 10)
+    val dataOffset = 14 + 40 + 256 * 4
+    val bad = good.clone(); bad(dataOffset) = 5 // first run: 5 pixels on a 4-wide row
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(bad))
+    assert(e.getMessage.contains("row boundary"), e.getMessage)
+  }
+
+  test("pgm (P5) decodes as mode L with a single-channel sum") {
+    val meta = MediaCodecs.decodePpm(MediaFixtures.ppm(6, 4, 40, gray = true))
+    assert(meta.width == 6 && meta.height == 4 && meta.mode == "L")
+    assert(meta.pixelSum == 6L * (4 * 40 + 0 + 1 + 2 + 3))
+  }
+
+  test("wav 8-bit PCM samples decode with the unsigned-128 bias") {
+    val bytes = MediaFixtures.wav(channels = 2, sampleRate = 8000, frames = 50,
+      seed = 3, bits = 8)
+    val m = MediaCodecs.parseWav(bytes)
+    assert(m.bitsPerSample == 8 && m.dataBytes == 100L)
+    val n = 100L // samples (seed + f) % 256 for f < 100: no wrap at seed 3
+    assert(MediaCodecs.wavSampleSum(bytes) == n * (3 - 128) + n * (n - 1) / 2)
+  }
+
   test("ppm decode handles comments and reports RGB sums") {
     val meta = MediaCodecs.decodePpm(MediaFixtures.ppm(6, 4, 250)) // seed+h near wrap
     assert(meta.width == 6 && meta.height == 4 && meta.mode == "RGB")
