@@ -975,7 +975,8 @@ object SparkEntry {
     "mm_decode_bmp" ->
       ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
         "doc_id % 200 AS seed FROM documents) " +
-        "SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'image/x-portable-pixmap' " +
+        "SELECT doc_id, CASE WHEN doc_id % 8 = 7 THEN 'image/x-portable-graymap' " +
+        "WHEN doc_id % 4 = 3 THEN 'image/x-portable-pixmap' " +
         "ELSE 'image/bmp' END AS media_type, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CASE doc_id % 4 WHEN 0 THEN 'P' WHEN 1 THEN 'RGB' WHEN 2 THEN 'RGBA' " +

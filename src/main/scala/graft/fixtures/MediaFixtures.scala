@@ -14,6 +14,29 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaFixtures {
 
+  /** Shared BMP file header + BITMAPINFOHEADER (+ grayscale palette at
+    * 8 bpp) — the one header layout both BMP writers emit. */
+  private def bmpHeader(buf: ByteBuffer, width: Int, storedHeight: Int,
+                        bpp: Int, compression: Int, imageSize: Int): Unit = {
+    val paletteEntries = if (bpp == 8) 256 else 0
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(buf.capacity())
+    buf.putInt(0)
+    buf.putInt(14 + 40 + paletteEntries * 4) // pixel data offset
+    buf.putInt(40)
+    buf.putInt(width)
+    buf.putInt(storedHeight)
+    buf.putShort(1) // planes
+    buf.putShort(bpp.toShort)
+    buf.putInt(compression)
+    buf.putInt(imageSize)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(paletteEntries)
+    buf.putInt(0)
+    for (v <- 0 until paletteEntries) // grayscale palette
+      buf.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte)
+  }
+
   /** bpp ∈ {8, 24, 32}; topDown stores a negative height (row order flips
     * on disk, pixel content per image row y is unchanged). */
   def bmp(width: Int, height: Int, bpp: Int, seed: Int, topDown: Boolean = false): Array[Byte] = {
@@ -23,26 +46,8 @@ object MediaFixtures {
     val stride = (rowBytes + 3) & ~3
     val dataOffset = 14 + 40 + paletteSize
     val buf = ByteBuffer.allocate(dataOffset + stride * height).order(ByteOrder.LITTLE_ENDIAN)
-    // file header
-    buf.put('B'.toByte).put('M'.toByte)
-    buf.putInt(buf.capacity())
-    buf.putInt(0)
-    buf.putInt(dataOffset)
-    // BITMAPINFOHEADER
-    buf.putInt(40)
-    buf.putInt(width)
-    buf.putInt(if (topDown) -height else height)
-    buf.putShort(1) // planes
-    buf.putShort(bpp.toShort)
-    buf.putInt(0) // BI_RGB
-    buf.putInt(stride * height)
-    buf.putInt(2835).putInt(2835) // 72 dpi
-    buf.putInt(if (bpp == 8) 256 else 0)
-    buf.putInt(0)
-    // grayscale palette for 8bpp
-    if (bpp == 8) for (v <- 0 until 256) {
-      buf.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte)
-    }
+    bmpHeader(buf, width, if (topDown) -height else height, bpp,
+      compression = 0, imageSize = stride * height)
     // pixel rows: bottom-up unless topDown
     val rows = if (topDown) 0 until height else (height - 1) to 0 by -1
     for (y <- rows) {
@@ -87,21 +92,7 @@ object MediaFixtures {
     val pixels = px.toByteArray
     val dataOffset = 14 + 40 + 256 * 4
     val buf = ByteBuffer.allocate(dataOffset + pixels.length).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte)
-    buf.putInt(buf.capacity())
-    buf.putInt(0)
-    buf.putInt(dataOffset)
-    buf.putInt(40)
-    buf.putInt(width)
-    buf.putInt(height)
-    buf.putShort(1)
-    buf.putShort(8)
-    buf.putInt(1) // BI_RLE8
-    buf.putInt(pixels.length)
-    buf.putInt(2835).putInt(2835)
-    buf.putInt(256)
-    buf.putInt(0)
-    for (v <- 0 until 256) buf.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte)
+    bmpHeader(buf, width, height, bpp = 8, compression = 1, imageSize = pixels.length)
     buf.put(pixels)
     buf.array()
   }

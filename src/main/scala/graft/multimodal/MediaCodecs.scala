@@ -56,6 +56,10 @@ object MediaCodecs {
     require(compression == 0 || (compression == 1 && bpp == 8),
       s"unsupported BMP compression $compression at $bpp bpp (BI_RGB or 8-bpp BI_RLE8)")
     require(width > 0 && height > 0, s"bad BMP geometry ${width}x$height")
+    // the offset field is attacker-controlled: a negative or huge value
+    // must fail named here, not surface as a raw-index AIOOBE in the walk
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP pixel data offset $dataOffset out of bounds")
     val mode = bpp match {
       case 8 => "P"
       case 24 => "RGB"

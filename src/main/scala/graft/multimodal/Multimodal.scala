@@ -34,7 +34,9 @@ object Multimodal {
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
     else if (MediaCodecs.isTiff(bytes)) "image/tiff"
     else if (MediaCodecs.isBmp(bytes)) "image/bmp"
-    else if (MediaCodecs.isPpm(bytes)) "image/x-portable-pixmap"
+    else if (MediaCodecs.isPpm(bytes))
+      // P5 is a graymap, P6 a pixmap — distinct mimes by convention
+      (if (bytes(1) == '5') "image/x-portable-graymap" else "image/x-portable-pixmap")
     else if (MediaCodecs.isWav(bytes)) "audio/wav"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"

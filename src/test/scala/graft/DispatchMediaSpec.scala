@@ -133,6 +133,37 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("bmp RLE8 delta escape skips pixels as index 0 within bounds") {
+    // 4x3 stream: run(2,7), delta(+2,+1), EOL, run(4,9), EOL, EOB
+    // painted: 2 pixels of 7 and 4 of 9; everything skipped counts 0
+    val base = MediaFixtures.bmpRle8(4, 3, 0)
+    val dataOffset = 14 + 40 + 256 * 4
+    val stream = Array[Byte](2, 7, 0, 2, 2, 1, 0, 0, 4, 9, 0, 0, 0, 1)
+    val crafted = base.take(dataOffset) ++ stream
+    val meta = MediaCodecs.decodeBmp(crafted)
+    assert(meta == graft.multimodal.MediaCodecs.ImageMeta("bmp", 4, 3, "P", 2 * 7 + 4 * 9), meta)
+    // out-of-bounds delta must be a named error
+    val bad = base.take(dataOffset) ++ Array[Byte](0, 2, 5, 0, 0, 1)
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(bad))
+    assert(e.getMessage.contains("delta"), e.getMessage)
+  }
+
+  test("bmp with a negative or huge pixel-data offset fails named, not AIOOBE") {
+    for (off <- Seq(-8, Int.MaxValue - 1)) {
+      val bad = MediaFixtures.bmpRle8(4, 3, 10).clone()
+      val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(10, off)
+      val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(bad))
+      assert(e.getMessage.contains("offset"), e.getMessage)
+    }
+  }
+
+  test("pnm mimes distinguish P5 graymaps from P6 pixmaps") {
+    import graft.multimodal.Multimodal.sniffMedia
+    assert(sniffMedia(MediaFixtures.ppm(4, 3, 9)) == "image/x-portable-pixmap")
+    assert(sniffMedia(MediaFixtures.ppm(4, 3, 9, gray = true)) == "image/x-portable-graymap")
+  }
+
   test("bmp RLE8 run crossing a row boundary is rejected") {
     val good = MediaFixtures.bmpRle8(4, 3, 10)
     val dataOffset = 14 + 40 + 256 * 4
