@@ -701,11 +701,11 @@ object SparkEntry {
           val w = 5 + (id % 9).toInt
           val h = 3 + (id % 5).toInt
           val seed = (id % 200).toInt
-          // every third payload PackBits-compressed: same pixel content,
-          // so the closed-form oracle sum is unchanged
+          // compression wheel (PackBits / LZW / raw by id % 3): same pixel
+          // content in every arm, so the closed-form oracle is unchanged
           Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.tiff(
             w, h, rgb = id % 2 == 1, bigEndian = id % 4 >= 2, seed,
-            packBits = id % 3 == 0))
+            packBits = id % 3 == 0, lzw = id % 3 == 1))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),

@@ -97,6 +97,61 @@ object MediaFixtures {
     buf.array()
   }
 
+  /** TIFF §13 LZW encoder (MSB-first bit packing, EarlyChange: the code
+    * width grows at nextCode == (1<<w)-1, one code before the GIF
+    * convention; a Clear is emitted at 4092 with safety margin, and the
+    * final flush mirrors the decoder's lagging dictionary so EOI is
+    * written at the width the decoder will read it with). */
+  def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty, "empty LZW input")
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val Clear = 256
+    val Eoi = 257
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258
+    put(Clear)
+    var prefix = data(0) & 0xff
+    var k = 1
+    while (k < data.length) {
+      val c = data(k) & 0xff
+      dict.get((prefix, c)) match {
+        case Some(code) => prefix = code
+        case None =>
+          put(prefix)
+          if (nextCode >= 4092) { // clear before the 12-bit table fills
+            put(Clear)
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = 258
+            width = 9
+          } else {
+            dict((prefix, c)) = nextCode
+            nextCode += 1
+            if (nextCode == (1 << width) - 1 && width < 12) width += 1 // EarlyChange
+          }
+          prefix = c
+      }
+      k += 1
+    }
+    put(prefix)
+    // the decoder adds an entry for this flush code too and (with its
+    // one-earlier threshold) may grow its width on it — mirror that
+    if (nextCode == (1 << width) - 2 && width < 12) width += 1
+    put(Eoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** P6 (RGB) or, with `gray`, P5 (PGM) binary raster. */
   def ppm(width: Int, height: Int, seed: Int, gray: Boolean = false): Array[Byte] = {
     val channels = if (gray) 1 else 3
@@ -304,14 +359,27 @@ object MediaFixtures {
     * out-of-field IFD value path); RGB also externalizes the 3-SHORT
     * BitsPerSample array while grayscale keeps it in-field. `packBits`
     * compresses each strip with PackBits RLE (even rows as replicate runs,
-    * odd rows as literal runs, a -128 no-op leading strip 1) — the pixel
-    * content and therefore the closed-form sum stay identical. */
+    * odd rows as literal runs, a -128 no-op leading strip 1); `lzw`
+    * compresses each strip with TIFF §13 LZW (MSB-first, EarlyChange) —
+    * either way the pixel content and closed-form sum stay identical. */
   def tiff(width: Int, height: Int, rgb: Boolean, bigEndian: Boolean, seed: Int,
-           packBits: Boolean = false): Array[Byte] = {
+           packBits: Boolean = false, lzw: Boolean = false): Array[Byte] = {
+    require(!(packBits && lzw), "pick one compression")
     val spp = if (rgb) 3 else 1
     val rowBytes = width * spp
     val rows0 = (height + 1) / 2 // first strip
     def stripPayload(yFrom: Int, yUntil: Int, leadNoOp: Boolean): Array[Byte] = {
+      if (lzw) {
+        val raw = new java.io.ByteArrayOutputStream()
+        var y = yFrom
+        while (y < yUntil) {
+          val v = ((seed + y) % 256).toByte
+          var x = 0
+          while (x < rowBytes) { raw.write(v); x += 1 }
+          y += 1
+        }
+        return tiffLzwEncode(raw.toByteArray)
+      }
       val out = new java.io.ByteArrayOutputStream()
       if (packBits && leadNoOp) out.write(-128 & 0xff)
       var y = yFrom
@@ -373,7 +441,7 @@ object MediaFixtures {
     entryLong(256, width)
     entryLong(257, height)
     if (rgb) entryArray(258, 3, 3, arraysAt + 16) else entryShort(258, 8)
-    entryShort(259, if (packBits) 32773 else 1)
+    entryShort(259, if (packBits) 32773 else if (lzw) 5 else 1)
     entryShort(262, if (rgb) 2 else 1) // RGB / min-is-black
     entryArray(273, 4, 2, arraysAt) // strip offsets
     entryShort(277, spp)

@@ -447,14 +447,91 @@ object MediaCodecs {
     b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
 
+  /** TIFF §13 LZW strip decode (MSB-first bit packing, EarlyChange):
+    * 9→12-bit codes, Clear=256, EOI=257. The ONLY differences from the
+    * GIF LZW in [[decodeGif]] are the bit order and the one-code-earlier
+    * width growth: the encoder grows at (1<<w)-1, so this decoder —
+    * lagging the encoder's dictionary by one entry — grows at (1<<w)-2.
+    * Returns (byteSum, byteCount) of the strip, bounded by `maxOut`. */
+  private[graft] def tiffLzwStrip(bytes: Array[Byte], from: Int, until: Int,
+                                  maxOut: Long): (Long, Long) = {
+    val Clear = 256
+    val Eoi = 257
+    val prefixOf = new Array[Int](4096)
+    val lastOf = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var nextCode = Eoi + 1
+    var width = 9
+    var bitPos = from.toLong * 8
+    val bitEnd = until.toLong * 8
+    def readCode(): Int = {
+      require(bitPos + width <= bitEnd, "TIFF LZW stream exhausted mid-code")
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteAt = (bitPos >>> 3).toInt
+        val avail = 8 - (bitPos & 7).toInt
+        val take = math.min(avail, width - got)
+        val chunk = ((bytes(byteAt) & 0xff) >>> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        got += take
+        bitPos += take
+      }
+      v
+    }
+    var sum = 0L
+    var out = 0L
+    // expand `code` (reversed chain), return its FIRST byte
+    def emit(code: Int): Byte = {
+      var c = code
+      var depth = 0
+      while (c >= Clear + 2) { stack(depth) = lastOf(c); depth += 1; c = prefixOf(c) }
+      require(c < Clear, s"TIFF LZW code chain ends in control code $c")
+      require(out + depth + 1 <= maxOut, "TIFF LZW output exceeds geometry")
+      sum += c; out += 1
+      while (depth > 0) { depth -= 1; sum += stack(depth) & 0xff; out += 1 }
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) { nextCode = Eoi + 1; width = 9; prev = -1 }
+      else if (prev < 0) { // first code after clear: must be a literal
+        require(code < Clear, s"first TIFF LZW code $code is not a literal")
+        emit(code)
+        prev = code
+      } else {
+        require(code <= nextCode, s"TIFF LZW code $code ahead of dictionary")
+        val first =
+          if (code == nextCode) { // KwKwK
+            val f = emit(prev)
+            require(out < maxOut, "TIFF LZW output exceeds geometry")
+            sum += f & 0xff; out += 1
+            f
+          } else emit(code)
+        if (nextCode < 4096) {
+          prefixOf(nextCode) = prev
+          lastOf(nextCode) = first
+          nextCode += 1
+          // EarlyChange: one earlier than the GIF decoder's (1<<w)-1
+          if (nextCode == (1 << width) - 2 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    (sum, out)
+  }
+
   /** Baseline TIFF 6.0: BOTH byte orders (II little / MM big — the one
     * format here whose integer decode is endian-parameterized), IFD entry
     * walk with SHORT/LONG values resolved in-field or via offset,
     * multi-strip pixel layout (StripOffsets/StripByteCounts arrays), 8-bit
     * grayscale (PhotometricInterpretation 1 → "L") or RGB (2 → "RGB").
-    * Compression 1 (none) or 32773 (PackBits RLE, TIFF 6.0 §9, decoded
-    * per strip with output bounded by the geometry) — LZW/JPEG-in-TIFF
-    * are explicit errors. */
+    * Compression 1 (none), 5 (LZW, [[tiffLzwStrip]]), or 32773 (PackBits
+    * RLE, TIFF 6.0 §9) — each strip decoded independently with output
+    * bounded by the geometry; JPEG-in-TIFF etc. are explicit errors. */
   def decodeTiff(bytes: Array[Byte]): ImageMeta = {
     require(isTiff(bytes), "not a TIFF payload")
     val le = bytes(0) == 'I'
@@ -517,8 +594,8 @@ object MediaCodecs {
       }
       e += 1
     }
-    require(compression == 1 || compression == 32773,
-      s"compressed TIFF (scheme $compression) unsupported (none or PackBits only)")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"compressed TIFF (scheme $compression) unsupported (none, LZW, or PackBits)")
     require(photometric == 1 || photometric == 2,
       s"TIFF photometric $photometric unsupported (min-is-black or RGB only)")
     val mode = if (photometric == 2) "RGB" else "L"
@@ -540,6 +617,10 @@ object MediaCodecs {
       if (compression == 1) {
         while (i < end) { sum += bytes(i) & 0xff; i += 1 }
         decoded += cnt
+      } else if (compression == 5) { // LZW, per strip
+        val (s2, n2) = tiffLzwStrip(bytes, i, end, expected - decoded)
+        sum += s2
+        decoded += n2
       } else { // PackBits (TIFF 6.0 §9): each strip decoded independently
         while (i < end) {
           val n = bytes(i)

@@ -442,6 +442,32 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff LZW known vector: MSB packing, 9-bit codes, KwKwK, EOI") {
+    // encode [7,7,7,8]: Clear, 7, 258 (KwKwK on decode), 8, EOI — all 9-bit
+    val codes = Seq(256, 7, 258, 8, 257)
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var buf = 0L; var cnt = 0
+    for (c <- codes) {
+      buf = (buf << 9) | c; cnt += 9
+      while (cnt >= 8) { bs += ((buf >>> (cnt - 8)) & 0xff).toByte; cnt -= 8 }
+    }
+    if (cnt > 0) bs += ((buf << (8 - cnt)) & 0xff).toByte
+    val packed: Array[Byte] = bs.toArray
+    assert(MediaFixtures.tiffLzwEncode(Array[Byte](7, 7, 7, 8)).toSeq == packed.toSeq,
+      "encoder does not match the hand-packed stream")
+    val (sum, n) = MediaCodecs.tiffLzwStrip(packed, 0, packed.length, 100)
+    assert(sum == 29 && n == 4, s"($sum, $n)")
+  }
+
+  test("tiff LZW strips decode identically to uncompressed across width growth") {
+    // sizes push the dictionary past the 510 and 1022 EarlyChange points
+    for ((w, h, rgb, be) <- Seq((200, 60, false, false), (100, 40, true, true))) {
+      val plain = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, be, 190))
+      val z = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, be, 190, lzw = true))
+      assert(z == plain, s"${(w, h, rgb, be)}: $z vs $plain")
+    }
+  }
+
   test("tiff PackBits strips decode identically to uncompressed") {
     for (bigEndian <- Seq(false, true); rgb <- Seq(false, true)) {
       val (w, h, seed) = (150, 7, 200) // rowBytes > 128: runs cross the chunk cap
@@ -452,16 +478,16 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
-  test("compressed tiff is an explicit error, not garbage pixels") {
+  test("unsupported tiff compression is an explicit error, not garbage pixels") {
     val good = MediaFixtures.tiff(6, 4, rgb = false, bigEndian = false, 9)
-    // compression entry (tag 259) value: flip 1 -> 5 (LZW) in the IFD
+    // compression entry (tag 259) value: flip 1 -> 7 (JPEG-in-TIFF) in the IFD
     val ifdAt = ((good(4) & 0xff) | ((good(5) & 0xff) << 8) |
       ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24))
     val bad = good.clone()
     val n = (bad(ifdAt) & 0xff) | ((bad(ifdAt + 1) & 0xff) << 8)
     val entries = (0 until n).map(e => ifdAt + 2 + e * 12)
     val compAt = entries.find(at => ((bad(at) & 0xff) | ((bad(at + 1) & 0xff) << 8)) == 259).get
-    bad(compAt + 8) = 5
+    bad(compAt + 8) = 7
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeTiff(bad))
     assert(e.getMessage.contains("compressed TIFF"), e.getMessage)
   }
