@@ -273,7 +273,7 @@ object MediaFixtures {
     * fixtures — but only a correct LZW decode (including width growth at
     * 512/1024/2048 and post-clear resync) reproduces it. */
   def gif(width: Int, height: Int, seed: Int,
-          interlace: Boolean = false): Array[Byte] = {
+          interlace: Boolean = false, frames: Int = 1): Array[Byte] = {
     // row y holds (seed + y) % 256; interlaced frames store rows in the
     // GIF 4-pass order (0,8,.. / 4,12,.. / 2,6,.. / 1,3,..) — a genuinely
     // different LZW stream whose decoded index sum must be unchanged
@@ -337,18 +337,20 @@ object MediaFixtures {
     buf.write(0xf7) // GCT present, color res 8, GCT size 256
     buf.write(0); buf.write(0)
     for (v <- 0 until 256; _ <- 0 until 3) buf.write(v) // grayscale palette
-    buf.write(0x2c) // image descriptor
-    u16le(0); u16le(0); u16le(width); u16le(height)
-    buf.write(if (interlace) 0x40 else 0) // no local table
-    buf.write(8) // LZW min code size
-    var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      buf.write(n)
-      buf.write(lzw, off, n)
-      off += n
+    for (_ <- 0 until frames) { // extra frames repeat the same payload
+      buf.write(0x2c) // image descriptor
+      u16le(0); u16le(0); u16le(width); u16le(height)
+      buf.write(if (interlace) 0x40 else 0) // no local table
+      buf.write(8) // LZW min code size
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        buf.write(n)
+        buf.write(lzw, off, n)
+        off += n
+      }
+      buf.write(0) // block terminator
     }
-    buf.write(0) // block terminator
     buf.write(0x3b) // trailer
     buf.toByteArray
   }

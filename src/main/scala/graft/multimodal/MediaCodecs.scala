@@ -19,8 +19,10 @@ object MediaCodecs {
 
   import graft.util.LittleEndian.{i32, u16}
 
+  /** `frames` > 1 only for animated GIF; `pixelSum` always covers the
+    * FIRST frame (the Pillow convert-current-frame contract). */
   final case class ImageMeta(format: String, width: Int, height: Int,
-                             mode: String, pixelSum: Long)
+                             mode: String, pixelSum: Long, frames: Int = 1)
   final case class WavMeta(channels: Int, frameRate: Int, bitsPerSample: Int,
                            dataBytes: Long, durationMs: Long, dataOffset: Long)
 
@@ -440,7 +442,38 @@ object MediaCodecs {
       }
     }
     require(out == total, s"GIF pixel data short: $out of $total")
-    ImageMeta("gif", width, height, "P", sum)
+
+    // count remaining frames (animated GIF): walk descriptors to the
+    // trailer, skipping local tables, LZW sub-blocks, and extensions
+    var frames = 1
+    i += 1 // the first frame's sub-block terminator
+    var atEnd = false
+    while (!atEnd) {
+      require(i < bytes.length, "GIF ends without a trailer")
+      (bytes(i) & 0xff) match {
+        case 0x3b => atEnd = true
+        case 0x2c =>
+          frames += 1
+          require(i + 10 <= bytes.length, "GIF frame descriptor truncated")
+          val fpacked = bytes(i + 9) & 0xff
+          i += 10
+          if ((fpacked & 0x80) != 0) i += 3 * (1 << ((fpacked & 7) + 1))
+          require(i < bytes.length, "GIF frame truncated before LZW data")
+          i += 1 // min code size
+          while ({ require(i < bytes.length, "GIF frame data truncated"); (bytes(i) & 0xff) != 0 }) {
+            i += 1 + (bytes(i) & 0xff)
+          }
+          i += 1
+        case 0x21 =>
+          i += 2
+          while ({ require(i < bytes.length, "GIF extension truncated"); (bytes(i) & 0xff) != 0 }) {
+            i += 1 + (bytes(i) & 0xff)
+          }
+          i += 1
+        case o => throw new IllegalArgumentException(f"unknown GIF block 0x$o%02x after frame")
+      }
+    }
+    ImageMeta("gif", width, height, "P", sum, frames)
   }
 
   def isTiff(b: Array[Byte]): Boolean =

@@ -82,7 +82,7 @@ object Multimodal {
               val mean = if (img.width == 0 || img.height == 0) 0f
                 else img.pixelSum.toFloat / (img.width.toLong * img.height)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
-                img.width, img.height, 1, Array(mean / 255f), "")
+                img.width, img.height, img.frames, Array(mean / 255f), "")
             case None if kind == "audio/wav" =>
               val wav = MediaCodecs.parseWav(bytes)
               val frames = (wav.dataBytes / (wav.channels * (wav.bitsPerSample / 8))).toInt

@@ -264,6 +264,20 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("gif animated frames are counted; pixelSum stays first-frame") {
+    val single = MediaCodecs.decodeGif(MediaFixtures.gif(9, 7, 20))
+    val multi = MediaCodecs.decodeGif(MediaFixtures.gif(9, 7, 20, frames = 3))
+    assert(multi.frames == 3 && single.frames == 1)
+    assert(multi.pixelSum == single.pixelSum && multi.width == single.width)
+    // and the batch kernel surfaces the count as n_frames
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val row = graft.multimodal.Multimodal.decodeFeatures(
+      Seq(graft.multimodal.Multimodal.MediaRow(1L, "",
+        MediaFixtures.gif(9, 7, 20, frames = 3))).toDS()).collect().head
+    assert(row.n_frames == 3 && row.error.isEmpty, row)
+  }
+
   test("gif decode skips 89a extension blocks to reach the image descriptor") {
     val base = MediaFixtures.gif(9, 5, 44)
     val gctEnd = 13 + 256 * 3 // header + LSD + global color table
