@@ -103,7 +103,6 @@ object MediaFixtures {
     * final flush mirrors the decoder's lagging dictionary so EOI is
     * written at the width the decoder will read it with). */
   def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
-    require(data.nonEmpty, "empty LZW input")
     val out = new java.io.ByteArrayOutputStream()
     var bitBuf = 0L
     var bitCnt = 0
@@ -118,6 +117,11 @@ object MediaFixtures {
     }
     val Clear = 256
     val Eoi = 257
+    if (data.isEmpty) { // empty strip (odd-height second strip): Clear + EOI
+      put(Clear); put(Eoi)
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      return out.toByteArray
+    }
     var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
     var nextCode = 258
     put(Clear)

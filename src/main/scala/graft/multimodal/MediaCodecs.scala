@@ -306,6 +306,14 @@ object MediaCodecs {
     ImageMeta("png", width, height, mode, sum)
   }
 
+  /** Skip GIF `[len][data]...0` sub-blocks starting at the first length
+    * byte; returns the index after the terminator, or -1 on truncation. */
+  private def skipSubBlocks(bytes: Array[Byte], at: Int): Int = {
+    var i = at
+    while (i < bytes.length && (bytes(i) & 0xff) != 0) i += 1 + (bytes(i) & 0xff)
+    if (i < bytes.length) i + 1 else -1
+  }
+
   def isGif(b: Array[Byte]): Boolean =
     b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a'
@@ -349,11 +357,9 @@ object MediaCodecs {
           i += 1
           found = true
         case 0x21 => // 89a extension: label byte then sub-blocks
-          i += 2
-          while ({ require(i < bytes.length, "GIF extension truncated"); (bytes(i) & 0xff) != 0 }) {
-            i += 1 + (bytes(i) & 0xff)
-          }
-          i += 1
+          val next = skipSubBlocks(bytes, i + 2)
+          require(next >= 0, "GIF extension truncated")
+          i = next
         case 0x3b => throw new IllegalArgumentException("GIF trailer before any image")
         case o => throw new IllegalArgumentException(f"unknown GIF block 0x$o%02x")
       }
@@ -444,33 +450,28 @@ object MediaCodecs {
     require(out == total, s"GIF pixel data short: $out of $total")
 
     // count remaining frames (animated GIF): walk descriptors to the
-    // trailer, skipping local tables, LZW sub-blocks, and extensions
+    // trailer. BEST-EFFORT — a stream truncated or corrupt AFTER a fully
+    // decoded first frame keeps its pixels (Pillow reads frame 0 of such
+    // files); a frame is counted only if fully skippable, and counting
+    // simply stops at the first anomaly
     var frames = 1
     i += 1 // the first frame's sub-block terminator
-    var atEnd = false
-    while (!atEnd) {
-      require(i < bytes.length, "GIF ends without a trailer")
+    var walking = true
+    while (walking && i < bytes.length) {
       (bytes(i) & 0xff) match {
-        case 0x3b => atEnd = true
-        case 0x2c =>
-          frames += 1
-          require(i + 10 <= bytes.length, "GIF frame descriptor truncated")
+        case 0x3b => walking = false // trailer
+        case 0x2c if i + 10 <= bytes.length =>
           val fpacked = bytes(i + 9) & 0xff
-          i += 10
-          if ((fpacked & 0x80) != 0) i += 3 * (1 << ((fpacked & 7) + 1))
-          require(i < bytes.length, "GIF frame truncated before LZW data")
-          i += 1 // min code size
-          while ({ require(i < bytes.length, "GIF frame data truncated"); (bytes(i) & 0xff) != 0 }) {
-            i += 1 + (bytes(i) & 0xff)
-          }
-          i += 1
+          var j = i + 10
+          if ((fpacked & 0x80) != 0) j += 3 * (1 << ((fpacked & 7) + 1)) // local table
+          // j = min-code-size byte; sub-blocks follow it
+          val next = if (j < bytes.length) skipSubBlocks(bytes, j + 1) else -1
+          if (next < 0) walking = false
+          else { frames += 1; i = next }
         case 0x21 =>
-          i += 2
-          while ({ require(i < bytes.length, "GIF extension truncated"); (bytes(i) & 0xff) != 0 }) {
-            i += 1 + (bytes(i) & 0xff)
-          }
-          i += 1
-        case o => throw new IllegalArgumentException(f"unknown GIF block 0x$o%02x after frame")
+          val next = skipSubBlocks(bytes, i + 2)
+          if (next < 0) walking = false else i = next
+        case _ => walking = false // truncated descriptor or unknown block
       }
     }
     ImageMeta("gif", width, height, "P", sum, frames)

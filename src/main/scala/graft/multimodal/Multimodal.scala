@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extract run as batched per-partition kernels (the Scala analog of
   * `mapInPandas` batches).
   *
-  * Image formats with a real pure-JVM decoder (BMP, PPM, PNG, GIF, baseline
-  * JPEG, uncompressed TIFF — [[MediaCodecs]]/[[JpegCodec]]) and RIFF/WAVE
-  * PCM decode for real; a payload in one of those families but outside the
-  * supported profile (progressive JPEG, LZW TIFF, ...) yields a CONTAINED
-  * error row, never fake numbers. Only payloads no real decoder claims
+  * Image formats with a real pure-JVM decoder (BMP incl. RLE8, PNM, PNG
+  * incl. Adam7, GIF incl. interlace/animation, baseline JPEG incl. 4:2:0 +
+  * DRI, TIFF incl. PackBits/LZW — [[MediaCodecs]]/[[JpegCodec]]) and
+  * RIFF/WAVE PCM decode for real; a payload in one of those families but
+  * outside the supported profile (progressive JPEG, JPEG-in-TIFF, ...)
+  * yields a CONTAINED error row, never fake numbers. Only payloads no real decoder claims
   * (video-ish/opaque binaries) fall back to the deterministic `fakeDecode`
   * stub — disclosed, this container has no media libraries. The Spark-side
   * plumbing — schema, size-aware repartitioning, batch iteration, failure
@@ -62,9 +63,10 @@ object Multimodal {
   /** Batched decode + feature extraction: one kernel instantiation per
     * partition (amortized setup — the mapInPandas batch analog), per-row
     * failure containment (error rows, never task failure). Image payloads
-    * [[MediaCodecs.decodeImage]] recognizes (BMP/PPM/PNG/GIF/JPEG/TIFF) get
-    * REAL width/height/pixel-mean; a recognized format outside the supported
-    * profile (progressive JPEG, compressed TIFF, ...) becomes an error row.
+    * [[MediaCodecs.decodeImage]] recognizes (BMP/PNM/PNG/GIF/JPEG/TIFF) get
+    * REAL width/height/pixel-mean/frame-count; a recognized format outside
+    * the supported profile (progressive JPEG, JPEG-in-TIFF, ...) becomes an
+    * error row.
     * WAV goes through the real RIFF parse (n_frames = PCM frame count,
     * feature(0) = duration seconds). Only unclaimed payloads fall back to
     * the disclosed deterministic stub. */

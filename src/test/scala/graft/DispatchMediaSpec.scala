@@ -278,6 +278,18 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(row.n_frames == 3 && row.error.isEmpty, row)
   }
 
+  test("gif truncated after a complete first frame keeps its pixels (best-effort count)") {
+    val full = MediaCodecs.decodeGif(MediaFixtures.gif(9, 7, 20))
+    // drop the trailer byte: frame 0 is intact, so decode must succeed
+    val noTrailer = MediaFixtures.gif(9, 7, 20).dropRight(1)
+    assert(MediaCodecs.decodeGif(noTrailer) == full)
+    // cut mid-3rd-frame of an animation: only fully-skippable frames count
+    val anim = MediaFixtures.gif(9, 7, 20, frames = 3)
+    val cut = java.util.Arrays.copyOf(anim, anim.length - 5)
+    val meta = MediaCodecs.decodeGif(cut)
+    assert(meta.frames == 2 && meta.pixelSum == full.pixelSum, meta)
+  }
+
   test("gif decode skips 89a extension blocks to reach the image descriptor") {
     val base = MediaFixtures.gif(9, 5, 44)
     val gctEnd = 13 + 256 * 3 // header + LSD + global color table
@@ -474,12 +486,30 @@ class DispatchMediaSpec extends AnyFunSuite {
   }
 
   test("tiff LZW strips decode identically to uncompressed across width growth") {
-    // sizes push the dictionary past the 510 and 1022 EarlyChange points
+    // run-heavy strips push the dictionary past the 510 (9->10 bit)
+    // EarlyChange point; deeper boundaries are covered by the LCG test below
     for ((w, h, rgb, be) <- Seq((200, 60, false, false), (100, 40, true, true))) {
       val plain = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, be, 190))
       val z = MediaCodecs.decodeTiff(MediaFixtures.tiff(w, h, rgb, be, 190, lzw = true))
       assert(z == plain, s"${(w, h, rgb, be)}: $z vs $plain")
     }
+    // h=1 leaves the second strip empty: the Clear+EOI-only stream must decode
+    val one = MediaCodecs.decodeTiff(
+      MediaFixtures.tiff(5, 1, rgb = false, bigEndian = false, 9, lzw = true))
+    assert(one == MediaCodecs.decodeTiff(
+      MediaFixtures.tiff(5, 1, rgb = false, bigEndian = false, 9)))
+  }
+
+  test("tiff LZW round-trips incompressible data across 1022/2046 and the 4092 clear") {
+    // deterministic LCG bytes barely compress, so the dictionary adds ~one
+    // entry per code: 9000 bytes crosses every width boundary and forces
+    // the mid-stream Clear at 4092 with dictionary resync
+    var s = 12345
+    val data = Array.tabulate(9000) { _ => s = s * 1103515245 + 12345; (s >>> 16).toByte }
+    val enc = MediaFixtures.tiffLzwEncode(data)
+    val (sum, n) = MediaCodecs.tiffLzwStrip(enc, 0, enc.length, data.length)
+    assert(n == data.length, s"decoded $n of ${data.length}")
+    assert(sum == data.map(b => (b & 0xff).toLong).sum)
   }
 
   test("tiff PackBits strips decode identically to uncompressed") {
