@@ -95,9 +95,10 @@ object Multimodal {
               MediaFeatures(m.doc_id, kind, bytes.length.toLong, w, h, frames, feat, "")
           }
         } catch {
-          case e: Throwable =>
+          case e: Throwable => // surface the named require message, not just the class
             MediaFeatures(m.doc_id, "unknown", bytes.length.toLong, 0, 0, 0,
-              Array.empty[Float], s"${e.getClass.getSimpleName}")
+              Array.empty[Float],
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
       }
     }
