@@ -71,7 +71,11 @@ object Bench {
         // absorb first-stage JIT + parquet-reader init in its timing
         spark.range(100000).selectExpr("sum(id)").collect()
         spark.read.parquet(s"$sfDir/customer.parquet").limit(16).count()
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // SPARK_GRAFT_ONLY=a,b,c restricts the suite (isolation / iteration)
+        val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) => only.forall(_.contains(name)) }
+          .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
