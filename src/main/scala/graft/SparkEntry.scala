@@ -715,6 +715,25 @@ object SparkEntry {
 
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
+    // MP4/ISO-BMFF container metadata as a batch kernel: real mvhd/tkhd
+    // parse (v0 + v1 box layouts, both timescales) with a closed-form
+    // duration/geometry oracle — the video tier's structural layer is
+    // real even though sample decode stays behind the codec stub.
+    "mm_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 160 + (id % 8).toInt * 16
+          val h = 90 + (id % 6).toInt * 18
+          val timescale = if (id % 2 == 0) 1000 else 600
+          val units = (1 + id % 240) * 300
+          val m = graft.multimodal.MediaCodecs.parseMp4(
+            graft.fixtures.MediaFixtures.mp4(w, h, units, timescale, v1 = id % 3 == 0))
+          (id, "video/mp4", m.width, m.height, m.durationMs, m.tracks)
+        }.toDF("doc_id", "media_type", "width", "height", "duration_ms", "tracks")
+        .orderBy("doc_id")
+    }),
+
     "mm_audio_wav" -> ((s, dir) => {
       import s.implicits._
       val parsed = docs(s, dir).select(col("doc_id")).as[Long]
@@ -1023,6 +1042,15 @@ object SparkEntry {
         "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
+    "mm_video_meta" ->
+      ("WITH p AS (SELECT doc_id, 160 + (doc_id % 8) * 16 AS w, " +
+        "90 + (doc_id % 6) * 18 AS h, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 600 END AS ts, " +
+        "(1 + doc_id % 240) * 300 AS units FROM documents) " +
+        "SELECT doc_id, 'video/mp4' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(units * 1000 // ts AS BIGINT) AS duration_ms, " +
+        "CAST(1 AS INT) AS tracks FROM p ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +
         "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 " +

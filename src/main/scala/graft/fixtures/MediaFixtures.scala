@@ -156,6 +156,46 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Minimal ISO-BMFF movie: ftyp + moov(mvhd + trak(tkhd)) + empty mdat.
+    * `v1` uses the 64-bit (version 1) mvhd/tkhd layouts; width/height are
+    * written 16.16 fixed-point as the spec requires. */
+  def mp4(width: Int, height: Int, durationUnits: Long, timescale: Int,
+          v1: Boolean = false): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(8 + payload.length)
+      buf.put(tpe.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      buf.put(payload)
+      buf.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes ++ Array[Byte](0, 0, 2, 0))
+    val mvhd = {
+      val buf = ByteBuffer.allocate(if (v1) 112 else 100).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(if (v1) 0x01000000 else 0) // version + flags
+      if (v1) { buf.putLong(0L).putLong(0L); buf.putInt(timescale); buf.putLong(durationUnits) }
+      else { buf.putInt(0).putInt(0); buf.putInt(timescale); buf.putInt(durationUnits.toInt) }
+      buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      buf.putLong(0L) // reserved
+      for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(m)
+      for (_ <- 0 until 6) buf.putInt(0) // pre_defined
+      buf.putInt(2) // next_track_ID
+      buf.array()
+    }
+    val tkhd = {
+      val buf = ByteBuffer.allocate(if (v1) 96 else 84).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(if (v1) 0x01000007 else 0x00000007) // version + enabled flags
+      if (v1) { buf.putLong(0L).putLong(0L); buf.putInt(1); buf.putInt(0); buf.putLong(durationUnits) }
+      else { buf.putInt(0).putInt(0); buf.putInt(1); buf.putInt(0); buf.putInt(durationUnits.toInt) }
+      buf.putLong(0L) // reserved
+      buf.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) buf.putInt(m)
+      buf.putInt(width << 16).putInt(height << 16) // 16.16
+      buf.array()
+    }
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
+  }
+
   /** P6 (RGB) or, with `gray`, P5 (PGM) binary raster. */
   def ppm(width: Int, height: Int, seed: Int, gray: Boolean = false): Array[Byte] = {
     val channels = if (gray) 1 else 3

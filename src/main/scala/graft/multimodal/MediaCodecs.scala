@@ -690,6 +690,74 @@ object MediaCodecs {
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
     else None
 
+  /** MP4/ISO-BMFF container metadata: movie duration/timescale (mvhd) and
+    * the first nonzero track dimensions (tkhd, 16.16 fixed point). */
+  final case class Mp4Meta(durationMs: Long, timescale: Long,
+                           width: Int, height: Int, tracks: Int)
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** ISO-BMFF box walk (ISO 14496-12): size+fourcc headers with 64-bit
+    * largesize and to-end-of-enclosure (size 0) forms, `moov` → `mvhd`
+    * (movie duration/timescale, version 0 and 1 layouts) and `trak` →
+    * `tkhd` (16.16 fixed-point presentation dimensions). Container
+    * METADATA only — sample decode would need the actual video codecs. */
+  def parseMp4(bytes: Array[Byte]): Mp4Meta = {
+    require(isMp4(bytes), "not an ISO-BMFF payload")
+    def u32(i: Int): Long = {
+      require(i >= 0 && i + 4 <= bytes.length, s"MP4 read at $i out of bounds")
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    }
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        var size = u32(i)
+        val tpe = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8L
+        if (size == 1) { size = u64(i + 8); hdr = 16 }
+        else if (size == 0) size = until - i // box extends to the enclosure end
+        require(size >= hdr && i + size <= until, s"MP4 box $tpe overruns enclosure")
+        f(tpe, (i + hdr).toInt, (i + size).toInt)
+        i += size.toInt
+      }
+    }
+    var timescale = 0L
+    var duration = -1L
+    var w = 0
+    var h = 0
+    var tracks = 0
+    walk(0, bytes.length) {
+      case ("moov", s, e) => walk(s, e) {
+        case ("mvhd", ms, _) =>
+          val ver = bytes(ms) & 0xff
+          require(ver <= 1, s"mvhd version $ver unsupported")
+          if (ver == 1) { timescale = u32(ms + 20); duration = u64(ms + 24) }
+          else { timescale = u32(ms + 12); duration = u32(ms + 16) }
+        case ("trak", ts, te) =>
+          tracks += 1
+          walk(ts, te) {
+            case ("tkhd", ks, _) =>
+              val ver = bytes(ks) & 0xff
+              require(ver <= 1, s"tkhd version $ver unsupported")
+              // payload: version/flags, times/id/duration, reserved+layer+
+              // volume block (16), matrix (36), then 16.16 width/height
+              val at = ks + 4 + (if (ver == 1) 32 else 20) + 16 + 36
+              val tw = (u32(at) >>> 16).toInt
+              val th = (u32(at + 4) >>> 16).toInt
+              if (w == 0 && tw > 0 && th > 0) { w = tw; h = th }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      case _ => () // ftyp, mdat, free, ...
+    }
+    require(timescale > 0 && duration >= 0, "MP4 has no mvhd (not a movie)")
+    Mp4Meta(duration * 1000L / timescale, timescale, w, h, tracks)
+  }
+
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;
     * duration_ms = floor(dataBytes * 1000 / byteRate) — the pydub
     * len(audio) contract (audio_converters.py:114). */

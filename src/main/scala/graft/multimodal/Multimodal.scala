@@ -40,6 +40,7 @@ object Multimodal {
       (if (bytes(1) == '5') "image/x-portable-graymap" else "image/x-portable-pixmap")
     else if (MediaCodecs.isWav(bytes)) "audio/wav"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
+    else if (MediaCodecs.isMp4(bytes)) "video/mp4"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
     else if (bytes.take(256).contains('<'.toByte)) "text/html"
     else "application/octet-stream"
@@ -90,6 +91,11 @@ object Multimodal {
               val frames = (wav.dataBytes / (wav.channels * (wav.bitsPerSample / 8))).toInt
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 0, 0, frames, Array(wav.durationMs / 1000f), "")
+            case None if kind == "video/mp4" =>
+              // real container metadata; sample decode would need the codec
+              val v = MediaCodecs.parseMp4(bytes)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                v.width, v.height, 0, Array(v.durationMs / 1000f), "")
             case None =>
               val (w, h, frames, feat) = fakeDecode(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong, w, h, frames, feat, "")

@@ -536,6 +536,25 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compressed TIFF"), e.getMessage)
   }
 
+  test("mp4 box walk: mvhd duration/timescale and tkhd 16.16 dimensions, v0 and v1") {
+    for (v1 <- Seq(false, true)) {
+      val m = MediaCodecs.parseMp4(MediaFixtures.mp4(640, 360, 90000, 600, v1))
+      assert(m.durationMs == 90000L * 1000 / 600 && m.timescale == 600, s"v1=$v1: $m")
+      assert(m.width == 640 && m.height == 360 && m.tracks == 1, s"v1=$v1: $m")
+    }
+    // sniff + batch kernel: real duration seconds, contained truncation
+    import graft.multimodal.Multimodal
+    assert(Multimodal.sniffMedia(MediaFixtures.mp4(64, 48, 5000, 1000)) == "video/mp4")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRow(1L, "", MediaFixtures.mp4(64, 48, 5000, 1000)),
+      Multimodal.MediaRow(2L, "", java.util.Arrays.copyOf(
+        MediaFixtures.mp4(64, 48, 5000, 1000), 40))).toDS()).collect().sortBy(_.doc_id)
+    assert(rows(0).width == 64 && rows(0).feature(0) == 5.0f && rows(0).error.isEmpty, rows(0))
+    assert(rows(1).error.nonEmpty, rows(1))
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)
