@@ -72,7 +72,10 @@ object Bench {
         spark.range(100000).selectExpr("sum(id)").collect()
         spark.read.parquet(s"$sfDir/customer.parquet").limit(16).count()
         // SPARK_GRAFT_ONLY=a,b,c restricts the suite (isolation / iteration)
-        val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+        val only = sys.env.get("SPARK_GRAFT_ONLY")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+          System.err.println(s"[bench] SPARK_GRAFT_ONLY names unknown query: $n")))
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) => only.forall(_.contains(name)) }
           .map { case (name, fn) =>

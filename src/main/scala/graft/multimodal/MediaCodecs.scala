@@ -695,8 +695,16 @@ object MediaCodecs {
   final case class Mp4Meta(durationMs: Long, timescale: Long,
                            width: Int, height: Int, tracks: Int)
 
-  def isMp4(b: Array[Byte]): Boolean =
-    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+  /** `ftyp` fourcc at offset 4 AND a sane leading box size — text that
+    * happens to spell "ftyp" at offset 4 has a garbage size field and must
+    * not be claimed (it would turn a stub-decodable row into an error). */
+  def isMp4(b: Array[Byte]): Boolean = {
+    if (b.length < 12 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p')
+      return false
+    val size = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    size >= 12 && size <= b.length
+  }
 
   /** ISO-BMFF box walk (ISO 14496-12): size+fourcc headers with 64-bit
     * largesize and to-end-of-enclosure (size 0) forms, `moov` → `mvhd`
@@ -731,20 +739,24 @@ object MediaCodecs {
     var tracks = 0
     walk(0, bytes.length) {
       case ("moov", s, e) => walk(s, e) {
-        case ("mvhd", ms, _) =>
+        case ("mvhd", ms, me) =>
           val ver = bytes(ms) & 0xff
           require(ver <= 1, s"mvhd version $ver unsupported")
+          // field reads must stay inside the DECLARED box, not just the
+          // payload — a short box must fail, not read sibling bytes
+          require(me - ms >= (if (ver == 1) 32 else 20), "mvhd box too short")
           if (ver == 1) { timescale = u32(ms + 20); duration = u64(ms + 24) }
           else { timescale = u32(ms + 12); duration = u32(ms + 16) }
         case ("trak", ts, te) =>
           tracks += 1
           walk(ts, te) {
-            case ("tkhd", ks, _) =>
+            case ("tkhd", ks, ke) =>
               val ver = bytes(ks) & 0xff
               require(ver <= 1, s"tkhd version $ver unsupported")
               // payload: version/flags, times/id/duration, reserved+layer+
               // volume block (16), matrix (36), then 16.16 width/height
               val at = ks + 4 + (if (ver == 1) 32 else 20) + 16 + 36
+              require(at + 8 <= ke, "tkhd box too short")
               val tw = (u32(at) >>> 16).toInt
               val th = (u32(at + 4) >>> 16).toInt
               if (w == 0 && tw > 0 && th > 0) { w = tw; h = th }

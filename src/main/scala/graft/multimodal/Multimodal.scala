@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * DRI, TIFF incl. PackBits/LZW — [[MediaCodecs]]/[[JpegCodec]]) and
   * RIFF/WAVE PCM decode for real; a payload in one of those families but
   * outside the supported profile (progressive JPEG, JPEG-in-TIFF, ...)
-  * yields a CONTAINED error row, never fake numbers. Only payloads no real decoder claims
-  * (video-ish/opaque binaries) fall back to the deterministic `fakeDecode`
-  * stub — disclosed, this container has no media libraries. The Spark-side
+  * yields a CONTAINED error row, never fake numbers. MP4 payloads get real
+  * container metadata (duration/dimensions, [[MediaCodecs.parseMp4]]); only
+  * payloads no real parser claims (other video containers, opaque binaries)
+  * fall back to the deterministic `fakeDecode` stub — disclosed, this
+  * container has no media libraries. The Spark-side
   * plumbing — schema, size-aware repartitioning, batch iteration, failure
   * containment — is real and is what the tests assert.
   */
@@ -144,6 +146,9 @@ object Multimodal {
     * index — pure metadata op (the real frame grab is behind the stub). */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features.select(col("doc_id"), col("n_frames"),
-      filter(sequence(lit(0), col("n_frames") - 1),
-        i => i % stride === 0).as("sampled_frames"))
+      // guard n_frames <= 0 (e.g. mp4 metadata rows): sequence(0, -1)
+      // would count DOWN and sample a phantom frame
+      when(col("n_frames") <= 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % stride === 0)).as("sampled_frames"))
 }

@@ -555,6 +555,30 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(rows(1).error.nonEmpty, rows(1))
   }
 
+  test("mp4 hostile shapes: ftyp impostor unclaimed, short boxes fail named") {
+    // text spelling 'ftyp' at offset 4 has a garbage size field: not mp4
+    assert(!MediaCodecs.isMp4("<h1>ftyp hello world</h1>".getBytes))
+    // an mvhd declaring size 12 (payload = version/flags only) must fail
+    // contained, not read the following box's bytes as timescale/duration
+    val good = MediaFixtures.mp4(64, 48, 5000, 1000)
+    val moovAt = good.indexOfSlice("moov".getBytes) - 4
+    val mvhdAt = good.indexOfSlice("mvhd".getBytes) - 4
+    val bad = good.clone()
+    bad(mvhdAt + 3) = 12 // shrink the declared mvhd size
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseMp4(bad))
+    assert(e.getMessage.contains("too short"), s"moovAt=$moovAt: ${e.getMessage}")
+  }
+
+  test("sampleFrames yields an empty plan for zero-frame (mp4 metadata) rows") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val feats = Seq((1L, 0), (2L, 5)).toDF("doc_id", "n_frames")
+    val out = graft.multimodal.Multimodal.sampleFrames(feats, stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(out(1L).isEmpty, out(1L))
+    assert(out(2L) == Seq(0, 2, 4), out(2L))
+  }
+
   test("wav parse: channels, rate, bits, floor-division duration") {
     val bytes = MediaFixtures.wav(channels = 2, sampleRate = 22050, frames = 777, seed = 3)
     val m = MediaCodecs.parseWav(bytes)
