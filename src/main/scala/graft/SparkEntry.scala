@@ -715,6 +715,41 @@ object SparkEntry {
 
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
+    // Real tag containers feeding the K6 mutagen-normalization layer:
+    // FLAC (STREAMINFO bit unpacking + vorbis comments) on even ids, mp3
+    // ID3v2 text frames (v2.4 syncsafe / v2.3 plain sizes) on odd ids,
+    // both normalized by MediaOps.audioMetadata — title/artist/album/
+    // sample_rate/duration all recomputed in closed form by the oracle.
+    "mm_audio_tags" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          if (id % 2 == 0) {
+            val rate = Seq(44100, 48000, 96000)((id % 3).toInt)
+            val samples = (1 + id % 100) * rate / 4
+            val m = graft.multimodal.MediaCodecs.parseFlac(
+              graft.fixtures.MediaFixtures.flac(rate, 1 + (id % 8).toInt, 16, samples,
+                Seq("TITLE" -> s"T$id", "ARTIST" -> s"A$id", "album" -> s"L$id")))
+            (id, ".flac", m.tags, 0, m.sampleRate, m.bitsPerSample, m.durationMs)
+          } else {
+            val tags = graft.multimodal.MediaCodecs.parseId3v2(
+              graft.fixtures.MediaFixtures.mp3Id3(
+                Seq("TIT2" -> s"T$id", "TPE1" -> s"A$id", "TALB" -> s"L$id"),
+                v24 = id % 4 == 1))
+            (id, ".mp3", tags, 128000 + (id % 5).toInt * 32000, 44100, 0, 0L)
+          }
+        }.toDF("doc_id", "fmt", "tags", "bitrate", "sample_rate",
+          "bits_per_sample", "duration_ms")
+      graft.multimodal.MediaOps.audioMetadata(parsed, "fmt", "tags")
+        .select(col("doc_id"),
+          element_at(col("metadata"), "title").as("title"),
+          element_at(col("metadata"), "artist").as("artist"),
+          element_at(col("metadata"), "album").as("album"),
+          element_at(col("metadata"), "sample_rate").as("sample_rate_str"),
+          col("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // MP4/ISO-BMFF container metadata as a batch kernel: real mvhd/tkhd
     // parse (v0 + v1 box layouts, both timescales) with a closed-form
     // duration/geometry oracle — the video tier's structural layer is
@@ -1041,6 +1076,16 @@ object SparkEntry {
         "CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END) " +
         "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_audio_tags" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 96000 END AS rate, " +
+        "1 + doc_id % 100 AS q FROM documents) " +
+        "SELECT doc_id, 'T' || doc_id AS title, 'A' || doc_id AS artist, " +
+        "'L' || doc_id AS album, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN rate ELSE 44100 END AS VARCHAR) AS sample_rate_str, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN (q * rate // 4) * 1000 // rate " +
+        "ELSE 0 END AS BIGINT) AS duration_ms " +
         "FROM p ORDER BY doc_id"),
     "mm_video_meta" ->
       ("WITH p AS (SELECT doc_id, 160 + (doc_id % 8) * 16 AS w, " +

@@ -196,6 +196,81 @@ object MediaFixtures {
     ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
   }
 
+  /** FLAC container: STREAMINFO (packed 20/3/5/36-bit audio parameters) +
+    * VORBIS_COMMENT (little-endian lengths, KEY=value entries) + a padding
+    * block flagged last; no audio frames (metadata-only fixture). */
+  def flac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+           totalSamples: Long, tags: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    def block(tpe: Int, last: Boolean, body: Array[Byte]): Unit = {
+      out.write((if (last) 0x80 else 0) | tpe)
+      out.write((body.length >>> 16) & 0xff)
+      out.write((body.length >>> 8) & 0xff)
+      out.write(body.length & 0xff)
+      out.write(body)
+    }
+    val si = ByteBuffer.allocate(34).order(ByteOrder.BIG_ENDIAN)
+    si.putShort(4096).putShort(4096) // block size bounds
+    si.put(Array[Byte](0, 0, 0, 0, 0, 0)) // frame size bounds (unknown)
+    var packed = sampleRate.toLong << 44
+    packed |= (channels - 1).toLong << 41
+    packed |= (bitsPerSample - 1).toLong << 36
+    packed |= totalSamples & ((1L << 36) - 1)
+    si.putLong(packed)
+    si.put(new Array[Byte](16)) // md5 of unencoded audio (zero here)
+    block(0, last = false, si.array())
+    val vc = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Unit = {
+      vc.write(v & 0xff); vc.write((v >>> 8) & 0xff)
+      vc.write((v >>> 16) & 0xff); vc.write((v >>> 24) & 0xff)
+    }
+    val vendor = "graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    u32le(vendor.length); vc.write(vendor)
+    u32le(tags.length)
+    for ((k, v) <- tags) {
+      val entry = s"$k=$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32le(entry.length); vc.write(entry)
+    }
+    block(4, last = false, vc.toByteArray)
+    block(1, last = true, new Array[Byte](8)) // padding
+    out.toByteArray
+  }
+
+  /** ID3v2.3 or v2.4 tag with text frames (encoding 3, UTF-8): v2.4 uses
+    * syncsafe frame sizes, v2.3 plain big-endian — the divergence the
+    * parser must get right. */
+  def mp3Id3(frames: Seq[(String, String)], v24: Boolean = true): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    for ((id, text) <- frames) {
+      require(id.length == 4, s"frame id $id")
+      body.write(id.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val size = payload.length + 1 // encoding byte
+      if (v24) {
+        body.write((size >>> 21) & 0x7f); body.write((size >>> 14) & 0x7f)
+        body.write((size >>> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >>> 24) & 0xff); body.write((size >>> 16) & 0xff)
+        body.write((size >>> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(3) // UTF-8
+      body.write(payload)
+    }
+    body.write(new Array[Byte](16)) // padding
+    val frameBytes = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes)
+    out.write(if (v24) 4 else 3); out.write(0) // version, revision
+    out.write(0) // flags
+    val sz = frameBytes.length
+    out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
+    out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(frameBytes)
+    out.toByteArray
+  }
+
   /** P6 (RGB) or, with `gray`, P5 (PGM) binary raster. */
   def ppm(width: Int, height: Int, seed: Int, gray: Boolean = false): Array[Byte] = {
     val channels = if (gray) 1 else 3

@@ -690,6 +690,129 @@ object MediaCodecs {
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
     else None
 
+  /** FLAC container metadata: STREAMINFO audio parameters and the raw
+    * VORBIS_COMMENT tag map (the inputs the K6 mutagen-normalization
+    * layer, [[MediaOps.audioMetadata]], expects). */
+  final case class FlacMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            totalSamples: Long, durationMs: Long,
+                            tags: Map[String, String])
+
+  def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** FLAC metadata-block walk: STREAMINFO (type 0 — sample rate 20 bits,
+    * channels-1 3 bits, bits-per-sample-1 5 bits, total samples 36 bits,
+    * packed big-endian) and VORBIS_COMMENT (type 4 — LITTLE-endian length
+    * prefixes, `KEY=value` entries, keys case-insensitive per spec and
+    * lowercased here the way mutagen exposes them). Frame data (the actual
+    * compressed audio) is not decoded. */
+  def parseFlac(bytes: Array[Byte]): FlacMeta = {
+    require(isFlac(bytes), "not a FLAC payload")
+    def u24be(i: Int): Int = {
+      require(i + 3 <= bytes.length, s"FLAC read at $i out of bounds")
+      ((bytes(i) & 0xff) << 16) | ((bytes(i + 1) & 0xff) << 8) | (bytes(i + 2) & 0xff)
+    }
+    def u32le(i: Int): Int = {
+      require(i + 4 <= bytes.length, s"FLAC read at $i out of bounds")
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    }
+    var i = 4
+    var sampleRate = 0
+    var channels = 0
+    var bps = 0
+    var totalSamples = 0L
+    var sawStreamInfo = false
+    var tags = Map.empty[String, String]
+    var last = false
+    while (!last) {
+      require(i + 4 <= bytes.length, "FLAC truncated in block header")
+      val hdr = bytes(i) & 0xff
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7f
+      val len = u24be(i + 1)
+      val body = i + 4
+      require(body + len <= bytes.length, s"FLAC block $tpe overruns payload")
+      tpe match {
+        case 0 => // STREAMINFO: fixed 34 bytes
+          require(len >= 34, "STREAMINFO too short")
+          val at = body + 10 // skip block/frame size bounds
+          // 64 bits: rate(20) | chan-1(3) | bps-1(5) | totalSamples(36)
+          var v = 0L
+          for (k <- 0 until 8) v = (v << 8) | (bytes(at + k) & 0xffL)
+          sampleRate = (v >>> 44).toInt
+          channels = ((v >>> 41) & 0x7).toInt + 1
+          bps = ((v >>> 36) & 0x1f).toInt + 1
+          totalSamples = v & ((1L << 36) - 1)
+          sawStreamInfo = true
+        case 4 => // VORBIS_COMMENT
+          var p = body
+          val vendorLen = u32le(p); p += 4 + vendorLen
+          require(p + 4 <= body + len, "vorbis comment header overruns block")
+          val n = u32le(p); p += 4
+          var k = 0
+          while (k < n) {
+            val entryLen = u32le(p); p += 4
+            require(p + entryLen <= body + len, "vorbis comment entry overruns block")
+            val entry = new String(bytes, p, entryLen, java.nio.charset.StandardCharsets.UTF_8)
+            p += entryLen
+            val eq = entry.indexOf('=')
+            require(eq > 0, s"malformed vorbis comment '$entry'")
+            tags += entry.substring(0, eq).toLowerCase -> entry.substring(eq + 1)
+            k += 1
+          }
+        case _ => () // padding, seektable, cuesheet, picture: skipped
+      }
+      i = body + len
+    }
+    require(sawStreamInfo && sampleRate > 0, "FLAC has no STREAMINFO")
+    FlacMeta(sampleRate, channels, bps, totalSamples,
+      totalSamples * 1000L / sampleRate, tags)
+  }
+
+  def isId3v2(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+      (b(3) == 3 || b(3) == 4) && b(4) == 0
+
+  /** ID3v2.3/2.4 text frames to a raw tag map (frame id -> decoded text),
+    * the shape [[MediaOps.audioMetadata]]'s mp3 arm keys on (TIT2/TPE1/
+    * TALB/...). v2.4 frame sizes are syncsafe, v2.3 plain big-endian —
+    * the classic divergence; text encodings 0 (latin-1) and 3 (utf-8). */
+  def parseId3v2(bytes: Array[Byte]): Map[String, String] = {
+    require(isId3v2(bytes), "not an ID3v2.3/2.4 payload")
+    val v24 = bytes(3) == 4
+    def syncsafe(i: Int): Int =
+      ((bytes(i) & 0x7f) << 21) | ((bytes(i + 1) & 0x7f) << 14) |
+        ((bytes(i + 2) & 0x7f) << 7) | (bytes(i + 3) & 0x7f)
+    def u32be(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    val tagEnd = 10 + syncsafe(6)
+    require(tagEnd <= bytes.length, "ID3v2 size field overruns payload")
+    var tags = Map.empty[String, String]
+    var i = 10
+    var done = false
+    while (!done && i + 10 <= tagEnd) {
+      if (bytes(i) == 0) done = true // padding reached
+      else {
+        val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = if (v24) syncsafe(i + 4).toLong else u32be(i + 4)
+        require(size >= 0 && i + 10 + size <= tagEnd, s"ID3 frame $id overruns tag")
+        if (id.startsWith("T") && size >= 1) { // text frame: encoding + text
+          val enc = bytes(i + 10) & 0xff
+          require(enc == 0 || enc == 3, s"ID3 text encoding $enc unsupported")
+          val cs = if (enc == 0) java.nio.charset.StandardCharsets.ISO_8859_1
+            else java.nio.charset.StandardCharsets.UTF_8
+          val text = new String(bytes, i + 11, size.toInt - 1, cs)
+            .stripSuffix("\u0000")
+          tags += id -> text
+        }
+        i += 10 + size.toInt
+      }
+    }
+    tags
+  }
+
   /** MP4/ISO-BMFF container metadata: movie duration/timescale (mvhd) and
     * the first nonzero track dimensions (tkhd, 16.16 fixed point). */
   final case class Mp4Meta(durationMs: Long, timescale: Long,

@@ -536,6 +536,32 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compressed TIFF"), e.getMessage)
   }
 
+  test("flac metadata: STREAMINFO bit unpacking and vorbis comments") {
+    val m = MediaCodecs.parseFlac(MediaFixtures.flac(44100, 2, 16,
+      44100L * 7 + 22050, Seq("TITLE" -> "Song A", "artist" -> "Band B")))
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitsPerSample == 16, m)
+    assert(m.durationMs == (44100L * 7 + 22050) * 1000 / 44100, m)
+    assert(m.tags == Map("title" -> "Song A", "artist" -> "Band B"), m.tags)
+    // 36-bit total-samples field: a value above 2^32 must survive packing
+    val big = MediaCodecs.parseFlac(MediaFixtures.flac(96000, 8, 24, (1L << 35) + 5, Nil))
+    assert(big.totalSamples == (1L << 35) + 5 && big.channels == 8 &&
+      big.bitsPerSample == 24, big)
+  }
+
+  test("id3v2 text frames parse in both v2.3 and v2.4 size conventions") {
+    for (v24 <- Seq(true, false)) {
+      val tags = MediaCodecs.parseId3v2(MediaFixtures.mp3Id3(
+        Seq("TIT2" -> "Título", "TPE1" -> "Artist", "TALB" -> "LP"), v24))
+      assert(tags == Map("TIT2" -> "Título", "TPE1" -> "Artist", "TALB" -> "LP"),
+        s"v24=$v24: $tags")
+      // frame > 127 bytes: syncsafe and plain sizes actually diverge there
+      val long = "x" * 200
+      val t2 = MediaCodecs.parseId3v2(MediaFixtures.mp3Id3(
+        Seq("TIT2" -> long, "TALB" -> "B"), v24))
+      assert(t2("TIT2") == long && t2("TALB") == "B", s"v24=$v24")
+    }
+  }
+
   test("mp4 box walk: mvhd duration/timescale and tkhd 16.16 dimensions, v0 and v1") {
     for (v1 <- Seq(false, true)) {
       val m = MediaCodecs.parseMp4(MediaFixtures.mp4(640, 360, 90000, 600, v1))
