@@ -713,8 +713,6 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // WAV/RIFF header parse feeding the K6 duration algebra: channels /
-    // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     // Real tag containers feeding the K6 mutagen-normalization layer:
     // FLAC (STREAMINFO bit unpacking + vorbis comments) on even ids, mp3
     // ID3v2 text frames (v2.4 syncsafe / v2.3 plain sizes) on odd ids,
@@ -769,6 +767,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WAV/RIFF header parse feeding the K6 duration algebra: channels /
+    // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
       import s.implicits._
       val parsed = docs(s, dir).select(col("doc_id")).as[Long]

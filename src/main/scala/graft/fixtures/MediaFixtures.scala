@@ -237,15 +237,18 @@ object MediaFixtures {
     out.toByteArray
   }
 
-  /** ID3v2.3 or v2.4 tag with text frames (encoding 3, UTF-8): v2.4 uses
-    * syncsafe frame sizes, v2.3 plain big-endian — the divergence the
-    * parser must get right. */
+  /** ID3v2.3 or v2.4 tag with text frames: v2.4 uses syncsafe frame sizes
+    * and UTF-8 (encoding 3); v2.3 plain big-endian sizes and ISO-8859-1
+    * (encoding 0, the only single-byte encoding v2.3 defines) — BOTH
+    * divergences the parser must get right. */
   def mp3Id3(frames: Seq[(String, String)], v24: Boolean = true): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     for ((id, text) <- frames) {
       require(id.length == 4, s"frame id $id")
       body.write(id.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val payload = text.getBytes(
+        if (v24) java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.StandardCharsets.ISO_8859_1)
       val size = payload.length + 1 // encoding byte
       if (v24) {
         body.write((size >>> 21) & 0x7f); body.write((size >>> 14) & 0x7f)
@@ -255,7 +258,7 @@ object MediaFixtures {
         body.write((size >>> 8) & 0xff); body.write(size & 0xff)
       }
       body.write(0); body.write(0) // frame flags
-      body.write(3) // UTF-8
+      body.write(if (v24) 3 else 0) // UTF-8 / ISO-8859-1
       body.write(payload)
     }
     body.write(new Array[Byte](16)) // padding

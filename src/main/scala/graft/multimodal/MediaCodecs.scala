@@ -746,14 +746,28 @@ object MediaCodecs {
           totalSamples = v & ((1L << 36) - 1)
           sawStreamInfo = true
         case 4 => // VORBIS_COMMENT
+          val end = body + len
           var p = body
-          val vendorLen = u32le(p); p += 4 + vendorLen
-          require(p + 4 <= body + len, "vorbis comment header overruns block")
+          // length fields are attacker-controlled u32s read as signed Int:
+          // validate sign AND containment before use, or a negative value
+          // walks the cursor backward past every downstream bounds check
+          def readLen(what: String): Int = {
+            require(p + 4 <= end, s"vorbis $what length overruns block")
+            val v = u32le(p)
+            require(v >= 0 && v <= end - (p + 4), s"vorbis $what length $v out of bounds")
+            p += 4
+            v
+          }
+          // NOT `p += readLen(...)`: that reads p before readLen's own
+          // advance and silently discards it
+          val vendorLen = readLen("vendor")
+          p += vendorLen
+          require(p + 4 <= end, "vorbis comment count overruns block")
           val n = u32le(p); p += 4
+          require(n >= 0, s"negative vorbis comment count $n")
           var k = 0
           while (k < n) {
-            val entryLen = u32le(p); p += 4
-            require(p + entryLen <= body + len, "vorbis comment entry overruns block")
+            val entryLen = readLen("entry")
             val entry = new String(bytes, p, entryLen, java.nio.charset.StandardCharsets.UTF_8)
             p += entryLen
             val eq = entry.indexOf('=')
@@ -772,7 +786,7 @@ object MediaCodecs {
 
   def isId3v2(b: Array[Byte]): Boolean =
     b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
-      (b(3) == 3 || b(3) == 4) && b(4) == 0
+      (b(3) == 3 || b(3) == 4) && (b(4) & 0xff) != 0xff // any revision is compatible
 
   /** ID3v2.3/2.4 text frames to a raw tag map (frame id -> decoded text),
     * the shape [[MediaOps.audioMetadata]]'s mp3 arm keys on (TIT2/TPE1/
@@ -780,6 +794,8 @@ object MediaCodecs {
     * the classic divergence; text encodings 0 (latin-1) and 3 (utf-8). */
   def parseId3v2(bytes: Array[Byte]): Map[String, String] = {
     require(isId3v2(bytes), "not an ID3v2.3/2.4 payload")
+    require(bytes(5) == 0,
+      "ID3v2 header flags unsupported (unsynchronisation/extended header)")
     val v24 = bytes(3) == 4
     def syncsafe(i: Int): Int =
       ((bytes(i) & 0x7f) << 21) | ((bytes(i + 1) & 0x7f) << 14) |
@@ -798,7 +814,12 @@ object MediaCodecs {
         val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
         val size = if (v24) syncsafe(i + 4).toLong else u32be(i + 4)
         require(size >= 0 && i + 10 + size <= tagEnd, s"ID3 frame $id overruns tag")
-        if (id.startsWith("T") && size >= 1) { // text frame: encoding + text
+        // TXXX has its own layout (description NUL value) — not a plain
+        // text frame; multi-value v2.4 frames keep their interior NUL
+        // separators, matching what mutagen's str() reports
+        if (id.startsWith("T") && id != "TXXX" && size >= 1) {
+          require(bytes(i + 8) == 0 && bytes(i + 9) == 0,
+            s"ID3 frame $id format flags unsupported (compression/encryption/DLI)")
           val enc = bytes(i + 10) & 0xff
           require(enc == 0 || enc == 3, s"ID3 text encoding $enc unsupported")
           val cs = if (enc == 0) java.nio.charset.StandardCharsets.ISO_8859_1

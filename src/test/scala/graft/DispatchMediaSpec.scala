@@ -562,6 +562,31 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("flac/id3 hostile shapes fail named; TXXX and header flags handled") {
+    // negative vorbis vendor length must not walk the cursor backwards
+    val good = MediaFixtures.flac(44100, 2, 16, 44100, Seq("TITLE" -> "x"))
+    val vcAt = {
+      // VORBIS_COMMENT block: header byte 0x04 after the 38-byte STREAMINFO
+      val at = 4 + 4 + 34
+      assert((good(at) & 0x7f) == 4, s"block at $at: ${good(at)}")
+      at + 4 // body start = vendor length field
+    }
+    val bad = good.clone()
+    bad(vcAt) = 0xfc.toByte; bad(vcAt + 1) = 0xff.toByte
+    bad(vcAt + 2) = 0xff.toByte; bad(vcAt + 3) = 0xff.toByte // -4 as u32le
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseFlac(bad))
+    assert(e.getMessage.contains("out of bounds"), e.getMessage)
+    // ID3 extended-header flag: refused, not silently parsed as padding
+    val id3 = MediaFixtures.mp3Id3(Seq("TIT2" -> "t"))
+    val flagged = id3.clone(); flagged(5) = 0x40
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.parseId3v2(flagged))
+    assert(e2.getMessage.contains("flags unsupported"), e2.getMessage)
+    // TXXX (description NUL value layout) is skipped, not misparsed
+    val withTxxx = MediaCodecs.parseId3v2(MediaFixtures.mp3Id3(
+      Seq("TXXX" -> "k v", "TIT2" -> "real")))
+    assert(withTxxx == Map("TIT2" -> "real"), withTxxx)
+  }
+
   test("mp4 box walk: mvhd duration/timescale and tkhd 16.16 dimensions, v0 and v1") {
     for (v1 <- Seq(false, true)) {
       val m = MediaCodecs.parseMp4(MediaFixtures.mp4(640, 360, 90000, 600, v1))
