@@ -715,8 +715,9 @@ object SparkEntry {
 
     // Real tag containers feeding the K6 mutagen-normalization layer:
     // FLAC (STREAMINFO bit unpacking + vorbis comments) on even ids, mp3
-    // ID3v2 text frames (v2.4 syncsafe / v2.3 plain sizes) on odd ids,
-    // both normalized by MediaOps.audioMetadata — title/artist/album/
+    // ID3v2 text frames (v2.4 syncsafe / v2.3 plain sizes) on ids % 4 == 1,
+    // Ogg Vorbis (page walk + identification/comment headers) on the rest,
+    // all normalized by MediaOps.audioMetadata — title/artist/album/
     // sample_rate/duration all recomputed in closed form by the oracle.
     "mm_audio_tags" -> ((s, dir) => {
       import s.implicits._
@@ -729,12 +730,19 @@ object SparkEntry {
               graft.fixtures.MediaFixtures.flac(rate, 1 + (id % 8).toInt, 16, samples,
                 Seq("TITLE" -> s"T$id", "ARTIST" -> s"A$id", "album" -> s"L$id")))
             (id, ".flac", m.tags, 0, m.sampleRate, m.bitsPerSample, m.durationMs)
-          } else {
+          } else if (id % 4 == 1) {
             val tags = graft.multimodal.MediaCodecs.parseId3v2(
               graft.fixtures.MediaFixtures.mp3Id3(
                 Seq("TIT2" -> s"T$id", "TPE1" -> s"A$id", "TALB" -> s"L$id"),
-                v24 = id % 4 == 1))
+                v24 = id % 8 == 1))
             (id, ".mp3", tags, 128000 + (id % 5).toInt * 32000, 44100, 0, 0L)
+          } else { // Ogg Vorbis: real page walk + identification/comment headers
+            val rate = Seq(44100, 48000, 96000)((id % 3).toInt)
+            val m = graft.multimodal.MediaCodecs.parseOggVorbis(
+              graft.fixtures.MediaFixtures.oggVorbis(
+                1 + (id % 2).toInt, rate, 112000 + (id % 4).toInt * 16000,
+                Seq("TITLE" -> s"T$id", "ARTIST" -> s"A$id", "ALBUM" -> s"L$id")))
+            (id, ".ogg", m.tags, m.bitrateNominal, m.sampleRate, 0, 0L)
           }
         }.toDF("doc_id", "fmt", "tags", "bitrate", "sample_rate",
           "bits_per_sample", "duration_ms")
@@ -1083,7 +1091,7 @@ object SparkEntry {
         "1 + doc_id % 100 AS q FROM documents) " +
         "SELECT doc_id, 'T' || doc_id AS title, 'A' || doc_id AS artist, " +
         "'L' || doc_id AS album, " +
-        "CAST(CASE WHEN doc_id % 2 = 0 THEN rate ELSE 44100 END AS VARCHAR) AS sample_rate_str, " +
+        "CAST(CASE WHEN doc_id % 4 = 1 THEN 44100 ELSE rate END AS VARCHAR) AS sample_rate_str, " +
         "CAST(CASE WHEN doc_id % 2 = 0 THEN (q * rate // 4) * 1000 // rate " +
         "ELSE 0 END AS BIGINT) AS duration_ms " +
         "FROM p ORDER BY doc_id"),

@@ -237,6 +237,58 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Ogg Vorbis (RFC 3533 pages + Vorbis I headers): page 0 carries the
+    * identification header (BOS), page 1 the comment + a stub setup
+    * packet. Comment payloads > 255 bytes exercise 255-lacing packet
+    * continuation. CRC fields are zero (parser does not verify them). */
+  def oggVorbis(channels: Int, sampleRate: Int, bitrateNominal: Int,
+                tags: Seq[(String, String)]): Array[Byte] = {
+    def page(seq: Int, headerType: Int, packets: Seq[Array[Byte]]): Array[Byte] = {
+      val lacings = packets.flatMap { p =>
+        Seq.fill(p.length / 255)(255) :+ (p.length % 255)
+      }
+      require(lacings.length <= 255, "fixture page overflow")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes)
+      out.write(0) // version
+      out.write(headerType)
+      for (_ <- 0 until 8) out.write(0) // granule position
+      out.write(Array[Byte](7, 7, 7, 7)) // serial
+      out.write(seq); out.write(0); out.write(0); out.write(0) // page sequence LE
+      for (_ <- 0 until 4) out.write(0) // crc (unverified)
+      out.write(lacings.length)
+      lacings.foreach(out.write)
+      packets.foreach(p => out.write(p, 0, p.length))
+      out.toByteArray
+    }
+    val id = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    id.put(1.toByte).put("vorbis".getBytes)
+    id.putInt(0) // vorbis_version
+    id.put(channels.toByte)
+    id.putInt(sampleRate)
+    id.putInt(0) // bitrate_maximum
+    id.putInt(bitrateNominal)
+    id.putInt(0) // bitrate_minimum
+    id.put(0xb8.toByte) // blocksizes
+    id.put(1.toByte) // framing
+    val vc = new java.io.ByteArrayOutputStream()
+    vc.write(3); vc.write("vorbis".getBytes)
+    def u32le(v: Int): Unit = {
+      vc.write(v & 0xff); vc.write((v >>> 8) & 0xff)
+      vc.write((v >>> 16) & 0xff); vc.write((v >>> 24) & 0xff)
+    }
+    val vendor = "graft".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    u32le(vendor.length); vc.write(vendor)
+    u32le(tags.length)
+    for ((k, v) <- tags) {
+      val entry = s"$k=$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32le(entry.length); vc.write(entry)
+    }
+    vc.write(1) // framing bit
+    val setup = Array[Byte](5) ++ "vorbis".getBytes // stub setup header
+    page(0, 0x02, Seq(id.array())) ++ page(1, 0x00, Seq(vc.toByteArray, setup))
+  }
+
   /** ID3v2.3 or v2.4 tag with text frames: v2.4 uses syncsafe frame sizes
     * and UTF-8 (encoding 3); v2.3 plain big-endian sizes and ISO-8859-1
     * (encoding 0, the only single-byte encoding v2.3 defines) — BOTH

@@ -712,11 +712,6 @@ object MediaCodecs {
       require(i + 3 <= bytes.length, s"FLAC read at $i out of bounds")
       ((bytes(i) & 0xff) << 16) | ((bytes(i + 1) & 0xff) << 8) | (bytes(i + 2) & 0xff)
     }
-    def u32le(i: Int): Int = {
-      require(i + 4 <= bytes.length, s"FLAC read at $i out of bounds")
-      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
-        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
-    }
     var i = 4
     var sampleRate = 0
     var channels = 0
@@ -745,36 +740,8 @@ object MediaCodecs {
           bps = ((v >>> 36) & 0x1f).toInt + 1
           totalSamples = v & ((1L << 36) - 1)
           sawStreamInfo = true
-        case 4 => // VORBIS_COMMENT
-          val end = body + len
-          var p = body
-          // length fields are attacker-controlled u32s read as signed Int:
-          // validate sign AND containment before use, or a negative value
-          // walks the cursor backward past every downstream bounds check
-          def readLen(what: String): Int = {
-            require(p + 4 <= end, s"vorbis $what length overruns block")
-            val v = u32le(p)
-            require(v >= 0 && v <= end - (p + 4), s"vorbis $what length $v out of bounds")
-            p += 4
-            v
-          }
-          // NOT `p += readLen(...)`: that reads p before readLen's own
-          // advance and silently discards it
-          val vendorLen = readLen("vendor")
-          p += vendorLen
-          require(p + 4 <= end, "vorbis comment count overruns block")
-          val n = u32le(p); p += 4
-          require(n >= 0, s"negative vorbis comment count $n")
-          var k = 0
-          while (k < n) {
-            val entryLen = readLen("entry")
-            val entry = new String(bytes, p, entryLen, java.nio.charset.StandardCharsets.UTF_8)
-            p += entryLen
-            val eq = entry.indexOf('=')
-            require(eq > 0, s"malformed vorbis comment '$entry'")
-            tags += entry.substring(0, eq).toLowerCase -> entry.substring(eq + 1)
-            k += 1
-          }
+        case 4 => // VORBIS_COMMENT (same structure Ogg Vorbis uses)
+          tags = readVorbisComments(bytes, body, body + len)
         case _ => () // padding, seektable, cuesheet, picture: skipped
       }
       i = body + len
@@ -782,6 +749,113 @@ object MediaCodecs {
     require(sawStreamInfo && sampleRate > 0, "FLAC has no STREAMINFO")
     FlacMeta(sampleRate, channels, bps, totalSamples,
       totalSamples * 1000L / sampleRate, tags)
+  }
+
+  /** Vorbis-comment structure (shared verbatim by FLAC's VORBIS_COMMENT
+    * block and Ogg Vorbis's comment header): LITTLE-endian length-prefixed
+    * vendor string, entry count, then `KEY=value` entries; keys are
+    * case-insensitive per spec and lowercased here the way mutagen exposes
+    * them. Length fields are attacker-controlled u32s read as signed Int:
+    * sign AND containment are validated before use, or a negative value
+    * would walk the cursor backward past every downstream bounds check. */
+  private def readVorbisComments(bytes: Array[Byte], from: Int, until: Int): Map[String, String] = {
+    def u32le(i: Int): Int = {
+      require(i + 4 <= bytes.length, s"vorbis read at $i out of bounds")
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    }
+    var p = from
+    def readLen(what: String): Int = {
+      require(p + 4 <= until, s"vorbis $what length overruns block")
+      val v = u32le(p)
+      require(v >= 0 && v <= until - (p + 4), s"vorbis $what length $v out of bounds")
+      p += 4
+      v
+    }
+    // NOT `p += readLen(...)`: that reads p before readLen's own advance
+    // and silently discards it
+    val vendorLen = readLen("vendor")
+    p += vendorLen
+    require(p + 4 <= until, "vorbis comment count overruns block")
+    val n = u32le(p); p += 4
+    require(n >= 0, s"negative vorbis comment count $n")
+    var tags = Map.empty[String, String]
+    var k = 0
+    while (k < n) {
+      val entryLen = readLen("entry")
+      val entry = new String(bytes, p, entryLen, java.nio.charset.StandardCharsets.UTF_8)
+      p += entryLen
+      val eq = entry.indexOf('=')
+      require(eq > 0, s"malformed vorbis comment '$entry'")
+      tags += entry.substring(0, eq).toLowerCase -> entry.substring(eq + 1)
+      k += 1
+    }
+    tags
+  }
+
+  /** Ogg Vorbis container metadata: identification-header audio parameters
+    * and the raw comment-header tag map. */
+  final case class OggVorbisMeta(channels: Int, sampleRate: Int,
+                                 bitrateNominal: Int, tags: Map[String, String])
+
+  def isOgg(b: Array[Byte]): Boolean =
+    b.length >= 27 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'
+
+  /** Ogg page walk (RFC 3533) to the first two Vorbis packets: pages carry
+    * a lacing table whose 255-valued entries continue a packet, so packets
+    * are reassembled across lacings AND page boundaries. Packet 1 must be
+    * the Vorbis identification header (0x01 "vorbis": channels u8, sample
+    * rate u32le, nominal bitrate s32le), packet 2 the comment header
+    * (0x03 "vorbis" + the same vorbis-comment structure FLAC embeds).
+    * Page CRCs are not verified (frame data is never decoded here). */
+  def parseOggVorbis(bytes: Array[Byte]): OggVorbisMeta = {
+    require(isOgg(bytes), "not an Ogg payload")
+    val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val current = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (packets.length < 2 && i + 27 <= bytes.length) {
+      require(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+        bytes(i + 3) == 'S', s"Ogg page capture pattern missing at $i")
+      require(bytes(i + 4) == 0, "Ogg stream structure version unsupported")
+      val nsegs = bytes(i + 26) & 0xff
+      require(i + 27 + nsegs <= bytes.length, "Ogg segment table truncated")
+      var p = i + 27 + nsegs // page data start
+      var s = 0
+      while (s < nsegs && packets.length < 2) {
+        val lace = bytes(i + 27 + s) & 0xff
+        require(p + lace <= bytes.length, "Ogg segment overruns payload")
+        current.write(bytes, p, lace)
+        p += lace
+        if (lace < 255) { // packet boundary
+          packets += current.toByteArray
+          current.reset()
+        }
+        s += 1
+      }
+      var dataLen = 0
+      var k = 0
+      while (k < nsegs) { dataLen += bytes(i + 27 + k) & 0xff; k += 1 }
+      i += 27 + nsegs + dataLen
+    }
+    require(packets.length >= 2, "Ogg stream ends before the Vorbis comment header")
+    def vorbisPacket(p: Array[Byte], tpe: Int, what: String): Unit =
+      require(p.length >= 7 && (p(0) & 0xff) == tpe &&
+        new String(p, 1, 6, java.nio.charset.StandardCharsets.ISO_8859_1) == "vorbis",
+        s"packet is not a Vorbis $what header")
+    val id = packets(0)
+    vorbisPacket(id, 1, "identification")
+    require(id.length >= 30, "Vorbis identification header too short")
+    def u32le(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+    val channels = id(11) & 0xff
+    val rate = u32le(id, 12)
+    val brNominal = u32le(id, 20)
+    require(channels > 0 && rate > 0, "bad Vorbis audio parameters")
+    val comment = packets(1)
+    vorbisPacket(comment, 3, "comment")
+    OggVorbisMeta(channels, rate, brNominal,
+      readVorbisComments(comment, 7, comment.length))
   }
 
   def isId3v2(b: Array[Byte]): Boolean =

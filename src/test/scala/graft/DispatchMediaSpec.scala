@@ -548,6 +548,21 @@ class DispatchMediaSpec extends AnyFunSuite {
       big.bitsPerSample == 24, big)
   }
 
+  test("ogg vorbis: page walk, identification params, comment reassembly") {
+    val m = MediaCodecs.parseOggVorbis(MediaFixtures.oggVorbis(
+      2, 48000, 128000, Seq("TITLE" -> "S", "artist" -> "B")))
+    assert(m.channels == 2 && m.sampleRate == 48000 && m.bitrateNominal == 128000, m)
+    assert(m.tags == Map("title" -> "S", "artist" -> "B"), m.tags)
+    // a comment packet > 255 bytes forces 255-lacing continuation
+    val big = MediaCodecs.parseOggVorbis(MediaFixtures.oggVorbis(
+      1, 44100, 0, Seq("TITLE" -> ("y" * 400))))
+    assert(big.tags("title") == "y" * 400)
+    // a bare identification page with no comment header fails named
+    val idOnly = MediaFixtures.oggVorbis(1, 44100, 0, Nil).take(58)
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseOggVorbis(idOnly))
+    assert(e.getMessage != null, e.toString)
+  }
+
   test("id3v2 text frames parse in both v2.3 and v2.4 size conventions") {
     for (v24 <- Seq(true, false)) {
       val tags = MediaCodecs.parseId3v2(MediaFixtures.mp3Id3(
