@@ -737,10 +737,12 @@ object SparkEntry {
                 v24 = id % 8 == 1))
             (id, ".mp3", tags, 128000 + (id % 5).toInt * 32000, 44100, 0, 0L)
           } else { // Ogg Vorbis: real page walk + identification/comment headers
+            // wheel on id/4 — ids here all satisfy id % 4 == 3, so id-modulo
+            // wheels would be constant
             val rate = Seq(44100, 48000, 96000)((id % 3).toInt)
             val m = graft.multimodal.MediaCodecs.parseOggVorbis(
               graft.fixtures.MediaFixtures.oggVorbis(
-                1 + (id % 2).toInt, rate, 112000 + (id % 4).toInt * 16000,
+                1 + ((id / 4) % 2).toInt, rate, 112000 + ((id / 4) % 4).toInt * 16000,
                 Seq("TITLE" -> s"T$id", "ARTIST" -> s"A$id", "ALBUM" -> s"L$id")))
             (id, ".ogg", m.tags, m.bitrateNominal, m.sampleRate, 0, 0L)
           }

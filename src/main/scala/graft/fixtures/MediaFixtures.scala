@@ -240,14 +240,16 @@ object MediaFixtures {
   /** Ogg Vorbis (RFC 3533 pages + Vorbis I headers): page 0 carries the
     * identification header (BOS), page 1 the comment + a stub setup
     * packet. Comment payloads > 255 bytes exercise 255-lacing packet
-    * continuation. CRC fields are zero (parser does not verify them). */
+    * continuation; `splitComment` additionally ends page 1 mid-packet
+    * (final lacing 255) so the comment spans a page boundary into a
+    * continued (0x01) page. CRC fields are zero (parser doesn't verify). */
   def oggVorbis(channels: Int, sampleRate: Int, bitrateNominal: Int,
-                tags: Seq[(String, String)]): Array[Byte] = {
-    def page(seq: Int, headerType: Int, packets: Seq[Array[Byte]]): Array[Byte] = {
-      val lacings = packets.flatMap { p =>
-        Seq.fill(p.length / 255)(255) :+ (p.length % 255)
-      }
+                tags: Seq[(String, String)],
+                splitComment: Boolean = false): Array[Byte] = {
+    def rawPage(seq: Int, headerType: Int, lacings: Seq[Int],
+                data: Array[Byte]): Array[Byte] = {
       require(lacings.length <= 255, "fixture page overflow")
+      require(lacings.sum == data.length, "lacing/data mismatch")
       val out = new java.io.ByteArrayOutputStream()
       out.write("OggS".getBytes)
       out.write(0) // version
@@ -258,9 +260,14 @@ object MediaFixtures {
       for (_ <- 0 until 4) out.write(0) // crc (unverified)
       out.write(lacings.length)
       lacings.foreach(out.write)
-      packets.foreach(p => out.write(p, 0, p.length))
+      out.write(data, 0, data.length)
       out.toByteArray
     }
+    def lacingsOf(p: Array[Byte]): Seq[Int] =
+      Seq.fill(p.length / 255)(255) :+ (p.length % 255)
+    def page(seq: Int, headerType: Int, packets: Seq[Array[Byte]]): Array[Byte] =
+      rawPage(seq, headerType, packets.flatMap(lacingsOf),
+        packets.foldLeft(Array.emptyByteArray)(_ ++ _))
     val id = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
     id.put(1.toByte).put("vorbis".getBytes)
     id.putInt(0) // vorbis_version
@@ -286,7 +293,19 @@ object MediaFixtures {
     }
     vc.write(1) // framing bit
     val setup = Array[Byte](5) ++ "vorbis".getBytes // stub setup header
-    page(0, 0x02, Seq(id.array())) ++ page(1, 0x00, Seq(vc.toByteArray, setup))
+    val comment = vc.toByteArray
+    val head = page(0, 0x02, Seq(id.array()))
+    if (!splitComment)
+      head ++ page(1, 0x00, Seq(comment, setup))
+    else {
+      // first 255 comment bytes end page 1 with lacing 255 (packet open);
+      // page 2 carries the continued flag and the rest + setup
+      require(comment.length > 255, "splitComment needs a >255-byte comment")
+      val rest = comment.drop(255)
+      head ++
+        rawPage(1, 0x00, Seq(255), comment.take(255)) ++
+        rawPage(2, 0x01, lacingsOf(rest) ++ lacingsOf(setup), rest ++ setup)
+    }
   }
 
   /** ID3v2.3 or v2.4 tag with text frames: v2.4 uses syncsafe frame sizes

@@ -740,8 +740,9 @@ object MediaCodecs {
           bps = ((v >>> 36) & 0x1f).toInt + 1
           totalSamples = v & ((1L << 36) - 1)
           sawStreamInfo = true
-        case 4 => // VORBIS_COMMENT (same structure Ogg Vorbis uses)
-          tags = readVorbisComments(bytes, body, body + len)
+        case 4 => // VORBIS_COMMENT (same structure Ogg Vorbis uses);
+          // accumulate across (spec-violating but parseable) repeat blocks
+          tags = tags ++ readVorbisComments(bytes, body, body + len)
         case _ => () // padding, seektable, cuesheet, picture: skipped
       }
       i = body + len
@@ -761,8 +762,7 @@ object MediaCodecs {
   private def readVorbisComments(bytes: Array[Byte], from: Int, until: Int): Map[String, String] = {
     def u32le(i: Int): Int = {
       require(i + 4 <= bytes.length, s"vorbis read at $i out of bounds")
-      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
-        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+      i32(bytes, i)
     }
     var p = from
     def readLen(what: String): Int = {
@@ -819,11 +819,15 @@ object MediaCodecs {
       require(bytes(i + 4) == 0, "Ogg stream structure version unsupported")
       val nsegs = bytes(i + 26) & 0xff
       require(i + 27 + nsegs <= bytes.length, "Ogg segment table truncated")
-      var p = i + 27 + nsegs // page data start
+      val dataStart = i + 27 + nsegs
+      var dataLen = 0
+      var k = 0
+      while (k < nsegs) { dataLen += bytes(i + 27 + k) & 0xff; k += 1 }
+      require(dataStart + dataLen <= bytes.length, "Ogg page data truncated")
+      var p = dataStart
       var s = 0
       while (s < nsegs && packets.length < 2) {
         val lace = bytes(i + 27 + s) & 0xff
-        require(p + lace <= bytes.length, "Ogg segment overruns payload")
         current.write(bytes, p, lace)
         p += lace
         if (lace < 255) { // packet boundary
@@ -832,10 +836,7 @@ object MediaCodecs {
         }
         s += 1
       }
-      var dataLen = 0
-      var k = 0
-      while (k < nsegs) { dataLen += bytes(i + 27 + k) & 0xff; k += 1 }
-      i += 27 + nsegs + dataLen
+      i = dataStart + dataLen
     }
     require(packets.length >= 2, "Ogg stream ends before the Vorbis comment header")
     def vorbisPacket(p: Array[Byte], tpe: Int, what: String): Unit =
@@ -845,12 +846,9 @@ object MediaCodecs {
     val id = packets(0)
     vorbisPacket(id, 1, "identification")
     require(id.length >= 30, "Vorbis identification header too short")
-    def u32le(b: Array[Byte], at: Int): Int =
-      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
-        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
     val channels = id(11) & 0xff
-    val rate = u32le(id, 12)
-    val brNominal = u32le(id, 20)
+    val rate = i32(id, 12)
+    val brNominal = i32(id, 20)
     require(channels > 0 && rate > 0, "bad Vorbis audio parameters")
     val comment = packets(1)
     vorbisPacket(comment, 3, "comment")

@@ -557,6 +557,10 @@ class DispatchMediaSpec extends AnyFunSuite {
     val big = MediaCodecs.parseOggVorbis(MediaFixtures.oggVorbis(
       1, 44100, 0, Seq("TITLE" -> ("y" * 400))))
     assert(big.tags("title") == "y" * 400)
+    // the same packet split ACROSS a page boundary (continued 0x01 page)
+    val across = MediaCodecs.parseOggVorbis(MediaFixtures.oggVorbis(
+      1, 44100, 0, Seq("TITLE" -> ("y" * 400)), splitComment = true))
+    assert(across.tags == big.tags, across.tags)
     // a bare identification page with no comment header fails named
     val idOnly = MediaFixtures.oggVorbis(1, 44100, 0, Nil).take(58)
     val e = intercept[IllegalArgumentException](MediaCodecs.parseOggVorbis(idOnly))
