@@ -299,7 +299,7 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes: Array[Byte] = (id % 7) match {
+          val bytes: Array[Byte] = (id % 9) match {
             case 0 => graft.fixtures.CfbWriter.generate("doc")
             case 1 => graft.fixtures.CfbWriter.generate("xls")
             case 2 => graft.fixtures.CfbWriter.generate("ppt")
@@ -307,7 +307,16 @@ object SparkEntry {
             case 4 => graft.fixtures.OdfWriter.generateFlat(
               "odt", graft.fixtures.HtmlTemplates.paragraphize(t), 0)
             case 5 => graft.fixtures.CfbWriter.generate("pub")
-            case _ => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 6 => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 7 => // gzip transport wrapper: transparently inflated
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              g.close()
+              bos.toByteArray
+            case _ => // gzip magic with a corrupt body: failure, not garbage
+              Array[Byte](0x1f.toByte, 0x8b.toByte, 8) ++
+                "not really deflate".getBytes(java.nio.charset.StandardCharsets.UTF_8)
           }
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"disp$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
@@ -1015,12 +1024,12 @@ object SparkEntry {
       ("SELECT doc_id, 'epub' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
     "extract_dispatch" ->
-      ("SELECT doc_id, CASE doc_id % 7 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
+      ("SELECT doc_id, CASE doc_id % 9 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
         "WHEN 2 THEN 'ppt' WHEN 3 THEN 'cfb' WHEN 4 THEN 'fodt' WHEN 5 THEN 'pub' " +
-        "ELSE 'txt' END AS format_from, " +
-        "(doc_id % 7 IN (4, 6)) AS success, " +
-        "CASE WHEN doc_id % 7 IN (4, 6) THEN text ELSE '' END AS text, " +
-        "(doc_id % 7 NOT IN (4, 6)) AS has_error " +
+        "WHEN 8 THEN 'gz' ELSE 'txt' END AS format_from, " +
+        "(doc_id % 9 IN (4, 6, 7)) AS success, " +
+        "CASE WHEN doc_id % 9 IN (4, 6, 7) THEN text ELSE '' END AS text, " +
+        "(doc_id % 9 NOT IN (4, 6, 7)) AS has_error " +
         "FROM documents ORDER BY doc_id"),
     "fn_mime" ->
       ("SELECT doc_id, CASE doc_id % 8 " +

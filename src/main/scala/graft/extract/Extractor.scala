@@ -17,7 +17,9 @@ import graft.model.{ExtractionResult, WebPage}
 object Extractor {
 
   /** Magic-prefix format sniffing (replaces file-extension routing):
-    * `%PDF-` -> pdf; `PK\x03\x04` -> "docx" (the OOXML-container token —
+    * `1F 8B 08` -> gz (gzip transport wrapper, transparently inflated and
+    * re-sniffed by extractByFormat); `%PDF-` -> pdf;
+    * `PK\x03\x04` -> "docx" (the OOXML-container token —
     * magic bytes cannot tell docx/pptx/xlsx apart; extractOne refines the
     * kind from package content); `{\rtf` -> rtf; the CFB signature
     * `D0 CF 11 E0 A1 B1 1A E1` -> doc/xls/ppt/pub/cfb (refined by the
@@ -29,6 +31,8 @@ object Extractor {
     * boilerplate-classified as html); any other '<' in the first 1024
     * bytes -> html; else txt. */
   def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b &&
+        bytes(2) == 8) return "gz" // gzip/DEFLATE transport wrapper
     if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
@@ -85,6 +89,19 @@ object Extractor {
     * to their actual kind (docx/pptx/xlsx/odt/odp/ods/epub) here, so no
     * caller needs its own refinement branch. */
   def extractByFormat(fmt: String, bytes: Array[Byte]): (String, String) = fmt match {
+    case "gz" =>
+      // transparent transport decompression (Common-Crawl-style payloads
+      // are often stored gzipped): inflate under the payload cap, re-sniff
+      // the INNER bytes, and dispatch once — without this branch the
+      // compressed bytes fall through the '<'-scan into "txt" and extract
+      // binary garbage with success=true, the silent-poison class this
+      // dispatcher exists to prevent. The refined kind is the inner
+      // document's (gzip is transport, not a document format).
+      val inner = gunzip(bytes)
+      val innerFmt = sniffFormat(inner)
+      require(innerFmt != "gz",
+        "nested gzip unsupported (decompression-loop guard)")
+      extractByFormat(innerFmt, inner)
     case "pdf" => ("pdf", PdfParser.extract(bytes))
     case "docx" | "pptx" | "xlsx" => graft.extract.ooxml.OoxmlExtractor.extract(bytes)
     case "rtf" => ("rtf", graft.extract.rtf.RtfExtractor.extract(bytes))
@@ -104,6 +121,26 @@ object Extractor {
         "CFB container has no WordDocument/Workbook/PowerPoint stream")
     case "html" => ("html", HtmlExtractor.extract(bytes))
     case other => (other, Charsets.decode(bytes))
+  }
+
+  /** Bounded gunzip: output capped at [[maxPayloadBytes]] so a tiny
+    * decompression bomb cannot expand past the same limit raw payloads
+    * already honor; truncated/corrupt streams throw (contained upstream). */
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        require(out.size <= maxPayloadBytes,
+          s"gzip payload expands past cap $maxPayloadBytes")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** Total variant: any error -> "" (the scalar-function contract). */

@@ -112,6 +112,35 @@ class DispatchMediaSpec extends AnyFunSuite {
   private def rowSum(h: Int, seed: Int): Long =
     (0 until h).map(y => (seed + y) % 256).sum.toLong
 
+  test("gzip transport wrapper: inflate + re-dispatch, nested/bomb refused") {
+    import graft.extract.Extractor
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val html = "<html><body><article><p>Real content here.</p></article></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val direct = Extractor.extractByFormat("html", html)
+    val wrapped = Extractor.extractByFormat("gz", gz(html))
+    assert(Extractor.sniffFormat(gz(html)) == "gz")
+    assert(wrapped == direct, s"$wrapped vs $direct") // kind refined to inner
+    // nested gzip: refused (decompression-loop guard), not recursed
+    val e = intercept[IllegalArgumentException](
+      Extractor.extractByFormat("gz", gz(gz(html))))
+    assert(e.getMessage.contains("nested gzip"), e.getMessage)
+    // decompression bomb: 70 MB of zeros compresses to ~70 KB; the inflate
+    // must stop at the payload cap, not materialize the expansion
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    val chunk = new Array[Byte](1 << 16)
+    for (_ <- 0 until (70 * 16)) g.write(chunk)
+    g.close()
+    val e2 = intercept[IllegalArgumentException](
+      Extractor.extractByFormat("gz", bos.toByteArray))
+    assert(e2.getMessage.contains("expands past cap"), e2.getMessage)
+  }
+
   test("bmp decode: geometry, mode, and pixel sum across bpp and row order") {
     for ((bpp, mode, ch) <- Seq((8, "P", 1), (24, "RGB", 3), (32, "RGBA", 4));
          topDown <- Seq(false, true)) {
