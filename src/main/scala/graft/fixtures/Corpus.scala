@@ -32,7 +32,7 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r6"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r7"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
@@ -75,7 +75,21 @@ object Corpus {
         LXls.generate(paragraphs, LXls.verbatimVariants(r % LXls.verbatimVariants.length))
       case "ppt" => LPpt.generate(paragraphs, r % LPpt.numVariants)
     }
-    WebPage(url, ts, payload, golden, doc.lang)
+    // a third of the html payloads ship gzip-wrapped (Common-Crawl-style
+    // stored compression): transport-only — the dispatcher inflates and
+    // re-sniffs, so format_from and the golden text are unchanged
+    val stored =
+      if (formatOf(doc.doc_id) == "html" && doc.doc_id % 6 == 0) gzipBytes(payload)
+      else payload
+    WebPage(url, ts, stored, golden, doc.lang)
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b)
+    g.close()
+    bos.toByteArray
   }
 
   def synthesize(spark: SparkSession, sfDir: String, skewHost: Boolean = false): Dataset[WebPage] = {

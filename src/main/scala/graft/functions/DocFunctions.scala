@@ -123,6 +123,7 @@ object DocFunctions {
   def mimeGuessBytes(b: Array[Byte]): String = {
     val bytes = if (b == null) Array.emptyByteArray else b
     Extractor.sniffFormat(bytes) match {
+      case "gz" => "application/gzip"
       case "pdf" => "application/pdf"
       case "rtf" => "application/rtf"
       case "fodf" => "application/xml"

@@ -69,7 +69,7 @@ class FunctionsSpec extends AnyFunSuite {
     page.createOrReplaceTempView("webpages_sql")
     val bad = spark.sql(
       """SELECT url FROM webpages_sql
-        |WHERE graft_extract(html) != text OR graft_sniff_format(html) NOT IN ('html','pdf','docx','rtf','doc','xls','ppt')
+        |WHERE graft_extract(html) != text OR graft_sniff_format(html) NOT IN ('html','pdf','docx','rtf','doc','xls','ppt','gz')
         |""".stripMargin).count()
     assert(bad == 0)
     val lang = spark.sql("SELECT graft_lang_id('the quick brown fox jumps over the lazy dog and this is english')").head().getString(0)

@@ -19,7 +19,7 @@ class NativeExprSpec extends AnyFunSuite {
     val bad = spark.sql(
       """SELECT url FROM webpages_native
         |WHERE graft_extract_native(html) != text
-        |   OR graft_sniff_native(html) NOT IN ('html', 'pdf', 'docx', 'rtf', 'doc', 'xls', 'ppt')""".stripMargin).count()
+        |   OR graft_sniff_native(html) NOT IN ('html', 'pdf', 'docx', 'rtf', 'doc', 'xls', 'ppt', 'gz')""".stripMargin).count()
     assert(bad == 0)
   }
 
