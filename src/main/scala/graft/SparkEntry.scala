@@ -309,11 +309,8 @@ object SparkEntry {
             case 5 => graft.fixtures.CfbWriter.generate("pub")
             case 6 => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case 7 => // gzip transport wrapper: transparently inflated
-              val bos = new java.io.ByteArrayOutputStream()
-              val g = new java.util.zip.GZIPOutputStream(bos)
-              g.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              g.close()
-              bos.toByteArray
+              graft.fixtures.Corpus.gzipBytes(
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             case _ => // gzip magic with a corrupt body: failure, not garbage
               Array[Byte](0x1f.toByte, 0x8b.toByte, 8) ++
                 "not really deflate".getBytes(java.nio.charset.StandardCharsets.UTF_8)

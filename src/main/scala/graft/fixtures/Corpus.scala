@@ -84,7 +84,9 @@ object Corpus {
     WebPage(url, ts, stored, golden, doc.lang)
   }
 
-  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+  /** Shared gzip-compress helper for fixtures and dispatch tests (the one
+    * place the wrapping convention lives). */
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)
     g.write(b)

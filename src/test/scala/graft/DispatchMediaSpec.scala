@@ -114,11 +114,7 @@ class DispatchMediaSpec extends AnyFunSuite {
 
   test("gzip transport wrapper: inflate + re-dispatch, nested/bomb refused") {
     import graft.extract.Extractor
-    def gz(b: Array[Byte]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(b); g.close(); bos.toByteArray
-    }
+    def gz(b: Array[Byte]): Array[Byte] = graft.fixtures.Corpus.gzipBytes(b)
     val html = "<html><body><article><p>Real content here.</p></article></body></html>"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val direct = Extractor.extractByFormat("html", html)
