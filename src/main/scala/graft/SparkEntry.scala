@@ -783,6 +783,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The feature-extraction kernel's full dispatch surface in one wheel:
+    // WebP header dims (all three bitstream variants — lossy VP8, lossless
+    // VP8L, extended VP8X still + animated), ICO largest-entry dims, real
+    // WAV frame counts, and — the point of this query — an UNCLAIMED opaque
+    // payload whose row is MARKED error='stub-decode' with zeroed dims:
+    // fabricated metadata must be distinguishable from real decodes IN THE
+    // DATA (Pillow throws on an undecodable image,
+    // /root/reference/src/converters/image_converters.py:66-69 — it never
+    // invents pixels).
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = (id % 6) match {
+            case 0 => graft.fixtures.MediaFixtures.webp(
+              16 + (id % 100).toInt, 16 + (id % 50).toInt, variant = 0)
+            case 1 => graft.fixtures.MediaFixtures.webp(
+              1 + (id % 200).toInt, 1 + (id % 100).toInt, variant = 1)
+            case 2 =>
+              // half still (a VP8 fragment whose dims must NOT override the
+              // canvas), half animated with an ANMF frame count
+              val frames = if (id % 12 == 2) 1 else 2 + (id % 4).toInt
+              graft.fixtures.MediaFixtures.webp(
+                200 + (id % 300).toInt, 150 + (id % 100).toInt,
+                variant = 2, frames = frames)
+            case 3 => graft.fixtures.MediaFixtures.ico(
+              32 + (id % 64).toInt, 32 + (id % 32).toInt,
+              count = 1 + (id % 3).toInt, seed = (id % 200).toInt)
+            case 4 => graft.fixtures.MediaFixtures.wav(
+              1, 8000, 100 + (id % 50).toInt, (id % 100).toInt)
+            case _ =>
+              // opaque binary no parser claims (all bytes >= 0x80, so the
+              // html '<'-scan cannot claim it either) -> marked stub row
+              Array.tabulate(16 + (id % 32).toInt)(i =>
+                (0x80 | ((id + i * 7) & 0x7f)).toByte)
+          }
+          Multimodal.MediaRow(id, "", bytes)
+        }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"), col("error"))
+        .orderBy("doc_id")
+    }),
+
     // WAV/RIFF header parse feeding the K6 duration algebra: channels /
     // frame_rate / duration from real PCM bytes, then MediaOps.speedup
     "mm_audio_wav" -> ((s, dir) => {
@@ -1112,6 +1156,24 @@ object SparkEntry {
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CAST(units * 1000 // ts AS BIGINT) AS duration_ms, " +
         "CAST(1 AS INT) AS tracks FROM p ORDER BY doc_id"),
+    "mm_features" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 6 <= 2 THEN 'image/webp' " +
+        "WHEN doc_id % 6 = 3 THEN 'image/x-icon' " +
+        "WHEN doc_id % 6 = 4 THEN 'audio/wav' " +
+        "ELSE 'application/octet-stream' END AS media_type, " +
+        "CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 100 " +
+        "WHEN 1 THEN 1 + doc_id % 200 WHEN 2 THEN 200 + doc_id % 300 " +
+        "WHEN 3 THEN 32 + doc_id % 64 ELSE 0 END AS INT) AS width, " +
+        "CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 50 " +
+        "WHEN 1 THEN 1 + doc_id % 100 WHEN 2 THEN 150 + doc_id % 100 " +
+        "WHEN 3 THEN 32 + doc_id % 32 ELSE 0 END AS INT) AS height, " +
+        "CAST(CASE doc_id % 6 WHEN 2 THEN " +
+        "(CASE WHEN doc_id % 12 = 2 THEN 1 ELSE 2 + doc_id % 4 END) " +
+        "WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50 " +
+        "WHEN 5 THEN 0 ELSE 1 END AS INT) AS n_frames, " +
+        "CASE WHEN doc_id % 6 = 5 THEN 'stub-decode' ELSE '' END AS error " +
+        "FROM documents ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +
         "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 " +

@@ -143,32 +143,38 @@ object Extractor {
     } finally in.close()
   }
 
-  /** Total variant: any error -> "" (the scalar-function contract). */
+  /** Total variant: any parse error -> "" (the scalar-function contract);
+    * fatal VM errors propagate ([[graft.util.Containment]]). */
   def extractTextOrEmpty(bytes: Array[Byte]): String = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
-    try extractByFormat(sniffFormat(b), b)._2 catch { case _: Throwable => "" }
+    graft.util.Containment.contained[String](_ => "") {
+      extractByFormat(sniffFormat(b), b)._2
+    }
   }
 
+  /** Parse failures become `success=false` rows; fatal VM errors
+    * (OutOfMemoryError, StackOverflowError, ...) propagate and fail the
+    * task so Spark retries it on a healthy executor instead of recording a
+    * bogus failure row from a corrupted JVM ([[graft.util.Containment]]). */
   def extractOne(page: WebPage, partitionId: Int): ExtractionResult = {
     val bytes = if (page.html == null) Array.emptyByteArray else page.html
     val fmt = sniffFormat(bytes)
-    try {
+    graft.util.Containment.contained[ExtractionResult](e =>
+      ExtractionResult(page.url, success = false, text = "", format_from = fmt,
+        original_size = bytes.length.toLong, new_size = 0L,
+        error = graft.util.Containment.describe(e), partition_id = partitionId)) {
       if (bytes.length > maxPayloadBytes)
-        return ExtractionResult(page.url, success = false, text = "", format_from = fmt,
+        ExtractionResult(page.url, success = false, text = "", format_from = fmt,
           original_size = bytes.length.toLong, new_size = 0L,
           error = s"payload ${bytes.length} bytes exceeds cap $maxPayloadBytes",
           partition_id = partitionId)
-      val (fmtRefined, text) = extractByFormat(fmt, bytes)
-      ExtractionResult(page.url, success = true, text = text, format_from = fmtRefined,
-        original_size = bytes.length.toLong,
-        new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,
-        error = "", partition_id = partitionId)
-    } catch {
-      case e: Throwable =>
-        ExtractionResult(page.url, success = false, text = "", format_from = fmt,
-          original_size = bytes.length.toLong, new_size = 0L,
-          error = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}",
-          partition_id = partitionId)
+      else {
+        val (fmtRefined, text) = extractByFormat(fmt, bytes)
+        ExtractionResult(page.url, success = true, text = text, format_from = fmtRefined,
+          original_size = bytes.length.toLong,
+          new_size = text.getBytes(StandardCharsets.UTF_8).length.toLong,
+          error = "", partition_id = partitionId)
+      }
     }
   }
 }

@@ -55,15 +55,21 @@ object DocExtractor {
       val cpStart = i32(table, plc + p * 4)
       val cpEnd = i32(table, plc + (p + 1) * 4)
       val chars = cpEnd - cpStart
+      // cp/fc come from attacker-controlled bytes: containment checks in
+      // Long (and chars >= 0) so a corrupt PlcPcd cannot overflow Int
+      // negative, pass the bound, and die in new String instead of here
+      require(chars >= 0, s"negative piece length $chars")
       val fcRaw = i32(table, plc + (n + 1) * 4 + p * 8 + 2)
       val compressed = (fcRaw & 0x40000000) != 0
       if (compressed) {
         val fc = (fcRaw & 0x3fffffff) / 2
-        require(fc + chars <= word.length, "compressed piece overruns WordDocument")
+        require(fc.toLong + chars.toLong <= word.length,
+          "compressed piece overruns WordDocument")
         sb.append(new String(word, fc, chars, cp1252))
       } else {
         val fc = fcRaw & 0x3fffffff
-        require(fc + chars * 2 <= word.length, "unicode piece overruns WordDocument")
+        require(fc.toLong + chars.toLong * 2 <= word.length,
+          "unicode piece overruns WordDocument")
         sb.append(new String(word, fc, chars * 2, StandardCharsets.UTF_16LE))
       }
       p += 1

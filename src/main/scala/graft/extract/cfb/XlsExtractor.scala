@@ -115,8 +115,10 @@ object XlsExtractor {
       while (remaining > 0) {
         if (pos >= end) {
           // character data resuming in a Continue record carries a fresh
-          // option-flags byte — the width can CHANGE at the boundary
-          nextSeg()
+          // option-flags byte — the width can CHANGE at the boundary; a
+          // zero-length Continue body must not make us read the NEXT
+          // record's header byte as the flags byte
+          while (pos >= end) nextSeg()
           wide = (b(pos) & 0x01) != 0
           pos += 1
         }

@@ -676,4 +676,102 @@ object MediaFixtures {
     }
     buf.array()
   }
+
+  /** WebP container for the header-level dims parse
+    * ([[graft.multimodal.MediaCodecs.parseWebp]]): a real RIFF/WEBP wrapper
+    * around the variant's genuine header bytes (VP8 sync code / VP8L
+    * signature / VP8X canvas fields) followed by deterministic junk —
+    * entropy-coded pixel data is not parsed, so the junk exercises exactly
+    * what the parser must NOT read. `variant`: 0 = lossy VP8, 1 = lossless
+    * VP8L, 2 = extended VP8X (+`frames` ANMF chunks when `frames > 1`). */
+  def webp(width: Int, height: Int, variant: Int, frames: Int = 1,
+           seed: Int = 0): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0x3fff && height <= 0x3fff)
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(fourcc: String, body: Array[Byte]): Unit = {
+      out.write(fourcc.getBytes, 0, 4)
+      val s = body.length
+      out.write(s & 0xff); out.write((s >>> 8) & 0xff)
+      out.write((s >>> 16) & 0xff); out.write((s >>> 24) & 0xff)
+      out.write(body, 0, body.length)
+      if ((s & 1) == 1) out.write(0) // RIFF 2-byte alignment
+    }
+    def junk(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((seed + i * 31) & 0xff).toByte)
+    variant match {
+      case 0 =>
+        // 3-byte frame tag, 9D 01 2A sync, u16le dims (14-bit)
+        val b = ByteBuffer.allocate(10 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0.toByte).put(0.toByte).put(0.toByte)
+        b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+        b.putShort(width.toShort).putShort(height.toShort)
+        b.put(junk(16))
+        chunk("VP8 ", b.array())
+      case 1 =>
+        // 0x2F signature + 14+14-bit dims-minus-one packed LSB-first
+        val dims = (width - 1) | ((height - 1) << 14)
+        val b = ByteBuffer.allocate(5 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0x2f.toByte).putInt(dims)
+        b.put(junk(16))
+        chunk("VP8L", b.array())
+      case _ =>
+        val b = ByteBuffer.allocate(10)
+        b.put((if (frames > 1) 0x02 else 0x00).toByte) // animation flag
+        b.put(0.toByte).put(0.toByte).put(0.toByte)    // reserved
+        def u24(v: Int): Unit = {
+          b.put((v & 0xff).toByte).put(((v >>> 8) & 0xff).toByte)
+          b.put(((v >>> 16) & 0xff).toByte)
+        }
+        u24(width - 1); u24(height - 1)
+        chunk("VP8X", b.array())
+        if (frames > 1) {
+          var k = 0
+          while (k < frames) { chunk("ANMF", junk(24)); k += 1 }
+        } else {
+          // a still VP8X file carries a VP8 frame whose FRAGMENT dims must
+          // NOT override the canvas dims — regression surface for the parser
+          val f = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+          f.put(0.toByte).put(0.toByte).put(0.toByte)
+          f.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+          f.putShort(1.toShort).putShort(1.toShort)
+          chunk("VP8 ", f.array())
+        }
+    }
+    val body = out.toByteArray
+    val full = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    full.put("RIFF".getBytes).putInt(4 + body.length).put("WEBP".getBytes)
+    full.put(body)
+    full.array()
+  }
+
+  /** ICO for [[graft.multimodal.MediaCodecs.parseIco]]: ICONDIR with
+    * `count` directory entries of descending size starting at
+    * (`width`, `height`) — entry k is (width-k, height-k), each pointing at
+    * a small deterministic BMP-ish blob (not parsed; only the directory
+    * is). A 256-pixel axis is 0-coded per the ICONDIR convention. */
+  def ico(width: Int, height: Int, count: Int, seed: Int = 0): Array[Byte] = {
+    require(count >= 1 && width - count >= 1 && height - count >= 1)
+    require(width <= 256 && height <= 256)
+    val blobLen = 8
+    val buf = ByteBuffer.allocate(6 + count * 16 + count * blobLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(count.toShort)
+    var k = 0
+    while (k < count) {
+      val w = width - k
+      val h = height - k
+      buf.put((if (w == 256) 0 else w).toByte)
+      buf.put((if (h == 256) 0 else h).toByte)
+      buf.put(0.toByte)  // palette count
+      buf.put(0.toByte)  // reserved
+      buf.putShort(1)    // planes
+      buf.putShort(32)   // bpp
+      buf.putInt(blobLen)
+      buf.putInt(6 + count * 16 + k * blobLen)
+      k += 1
+    }
+    k = 0
+    while (k < count * blobLen) { buf.put(((seed + k * 17) & 0xff).toByte); k += 1 }
+    buf.array()
+  }
 }

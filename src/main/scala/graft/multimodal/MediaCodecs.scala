@@ -8,8 +8,9 @@ package graft.multimodal
   * inputs — the reference decodes pixels via Pillow
   * (/root/reference/src/converters/image_converters.py:75-145) and samples
   * via pydub (/root/reference/src/converters/audio_converters.py:67-125);
-  * only formats no decoder here claims (WebP, video containers, ...) stay
-  * behind the disclosed [[Multimodal.fakeDecode]] stub.
+  * WebP/ICO get real header-level dimensions ([[parseWebp]]/[[parseIco]]);
+  * a payload no parser here claims (other video containers, opaque
+  * binaries) yields a row marked [[Multimodal.StubDecodeError]].
   *
   * `pixelSum` is the sum of all decoded pixel channel bytes — it requires a
   * correct stride/padding walk (BMP rows pad to 4 bytes; a wrong stride
@@ -1023,6 +1024,10 @@ object MediaCodecs {
       i += 8L + size + (size & 1) // chunks are 2-byte aligned
     }
     require(channels > 0 && rate > 0 && byteRate > 0, "WAV has no fmt chunk")
+    // bits is a divisor downstream (frame count = dataBytes / (channels *
+    // bits/8)): a zero or non-byte-aligned value must fail NAMED here, not
+    // as an opaque ArithmeticException in the caller
+    require(bits > 0 && bits % 8 == 0, s"bad WAV bits-per-sample $bits")
     require(dataBytes >= 0, "WAV has no data chunk")
     WavMeta(channels, rate, bits, dataBytes, dataBytes * 1000L / byteRate, dataOffset)
   }
@@ -1051,5 +1056,100 @@ object MediaCodecs {
         s"sample decode supports 8/16-bit PCM only, got $o")
     }
     sum
+  }
+
+  /** WebP header-level metadata: REAL canvas dimensions (and animation
+    * frame count) from the container headers; pixel decode would need the
+    * VP8 entropy codec. Both formats are in the reference's Pillow input
+    * whitelist (/root/reference/src/converters/image_converters.py:42-46) —
+    * header dims keep their rows out of the stub-decode fallback. */
+  final case class WebpMeta(width: Int, height: Int, frames: Int, variant: String)
+
+  def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** RIFF chunk walk over the three WebP bitstream variants: `VP8 ` (lossy —
+    * 3-byte frame tag, 9D 01 2A sync code, 14-bit dims in two u16le),
+    * `VP8L` (lossless — 0x2F signature, 14+14-bit dims-minus-one packed
+    * LSB-first), `VP8X` (extended — flags byte, 24-bit canvas dims-minus-one;
+    * authoritative over any later VP8/VP8L frame dims, which describe the
+    * fragment, not the canvas). Animated files (`VP8X` flag 0x02) report
+    * their `ANMF` chunk count as `frames`. */
+  def parseWebp(bytes: Array[Byte]): WebpMeta = {
+    require(isWebp(bytes), "not a WebP payload")
+    var i = 12
+    var width = 0
+    var height = 0
+    var frames = 0
+    var variant = ""
+    var animated = false
+    while (i + 8 <= bytes.length) {
+      val fourcc = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = i32(bytes, i + 4)
+      require(size >= 0 && i + 8 + size.toLong <= bytes.length,
+        s"WebP chunk $fourcc overruns payload")
+      val d = i + 8
+      fourcc match {
+        case "VP8X" =>
+          require(size >= 10, "VP8X chunk too short")
+          animated = (bytes(d) & 0x02) != 0
+          width = ((bytes(d + 4) & 0xff) | ((bytes(d + 5) & 0xff) << 8) |
+            ((bytes(d + 6) & 0xff) << 16)) + 1
+          height = ((bytes(d + 7) & 0xff) | ((bytes(d + 8) & 0xff) << 8) |
+            ((bytes(d + 9) & 0xff) << 16)) + 1
+          variant = "vp8x"
+        case "VP8 " if variant.isEmpty =>
+          require(size >= 10, "VP8 chunk too short")
+          require((bytes(d + 3) & 0xff) == 0x9d && (bytes(d + 4) & 0xff) == 0x01 &&
+            (bytes(d + 5) & 0xff) == 0x2a, "VP8 sync code missing")
+          width = u16(bytes, d + 6) & 0x3fff
+          height = u16(bytes, d + 8) & 0x3fff
+          variant = "vp8"
+        case "VP8L" if variant.isEmpty =>
+          require(size >= 5, "VP8L chunk too short")
+          require((bytes(d) & 0xff) == 0x2f, "VP8L signature missing")
+          val dims = i32(bytes, d + 1)
+          width = (dims & 0x3fff) + 1
+          height = ((dims >>> 14) & 0x3fff) + 1
+          variant = "vp8l"
+        case "ANMF" => frames += 1
+        case _ => () // ALPH, ICCP, EXIF, XMP, ...
+      }
+      i += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(variant.nonEmpty && width > 0 && height > 0,
+      "WebP has no VP8/VP8L/VP8X header")
+    WebpMeta(width, height, if (animated) frames else 1, variant)
+  }
+
+  /** ICO directory metadata: dims of the LARGEST directory entry (the size
+    * Pillow reports for a multi-resolution icon) and the entry count as
+    * `frames`; the 0-coded axis means 256 per the ICONDIR convention. */
+  final case class IcoMeta(width: Int, height: Int, frames: Int)
+
+  def isIco(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 &&
+      ((b(4) & 0xff) | ((b(5) & 0xff) << 8)) >= 1
+
+  def parseIco(bytes: Array[Byte]): IcoMeta = {
+    require(isIco(bytes), "not an ICO payload")
+    val count = u16(bytes, 4)
+    require(6 + count * 16 <= bytes.length, "ICONDIR overruns payload")
+    var bestW = 0
+    var bestH = 0
+    var k = 0
+    while (k < count) {
+      val at = 6 + k * 16
+      val w = { val v = bytes(at) & 0xff; if (v == 0) 256 else v }
+      val h = { val v = bytes(at + 1) & 0xff; if (v == 0) 256 else v }
+      val sizeInRes = i32(bytes, at + 8)
+      val offset = i32(bytes, at + 12)
+      require(sizeInRes >= 0 && offset >= 0 && offset.toLong + sizeInRes <= bytes.length,
+        s"ICO entry $k image data overruns payload")
+      if (w.toLong * h > bestW.toLong * bestH) { bestW = w; bestH = h }
+      k += 1
+    }
+    IcoMeta(bestW, bestH, count)
   }
 }

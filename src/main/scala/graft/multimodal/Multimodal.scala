@@ -3,6 +3,8 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.util.Containment
+
 /** Multimodal column handling for the training-data pipeline tier: media
   * payloads are opaque `binary` columns plus typed metadata; decode /
   * feature-extract run as batched per-partition kernels (the Scala analog of
@@ -14,12 +16,15 @@ import org.apache.spark.sql.functions._
   * RIFF/WAVE PCM decode for real; a payload in one of those families but
   * outside the supported profile (progressive JPEG, JPEG-in-TIFF, ...)
   * yields a CONTAINED error row, never fake numbers. MP4 payloads get real
-  * container metadata (duration/dimensions, [[MediaCodecs.parseMp4]]); only
-  * payloads no real parser claims (other video containers, opaque binaries)
-  * fall back to the deterministic `fakeDecode` stub — disclosed, this
-  * container has no media libraries. The Spark-side
-  * plumbing — schema, size-aware repartitioning, batch iteration, failure
-  * containment — is real and is what the tests assert.
+  * container metadata (duration/dimensions, [[MediaCodecs.parseMp4]]);
+  * WebP/ICO get real header-level dimensions ([[MediaCodecs.parseWebp]] /
+  * [[MediaCodecs.parseIco]]). A payload no real parser claims (other video
+  * containers, opaque binaries) yields a row MARKED `error = "stub-decode"`
+  * with zeroed dimensions — never fabricated numbers: the reference's
+  * Pillow would throw on an undecodable image
+  * (/root/reference/src/converters/image_converters.py:66-69), it never
+  * invents pixels, and at 10^12 docs a downstream consumer must be able to
+  * tell real metadata from placeholders IN THE DATA, not just in scaladoc.
   */
 object Multimodal {
 
@@ -41,38 +46,33 @@ object Multimodal {
       // P5 is a graymap, P6 a pixmap — distinct mimes by convention
       (if (bytes(1) == '5') "image/x-portable-graymap" else "image/x-portable-pixmap")
     else if (MediaCodecs.isWav(bytes)) "audio/wav"
+    else if (MediaCodecs.isWebp(bytes)) "image/webp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
     else if (MediaCodecs.isMp4(bytes)) "video/mp4"
+    else if (MediaCodecs.isIco(bytes)) "image/x-icon"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
     else if (bytes.take(256).contains('<'.toByte)) "text/html"
     else "application/octet-stream"
   }
 
-  /** STUB decode: deterministic pseudo-decode of payload bytes into
-    * (width, height, frames, 8-dim feature). A real deployment swaps this
-    * body for an actual codec (e.g. javax.imageio / ffmpeg-jni) — the
-    * signature and batch shape stay identical. */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xff; h *= 0x100000001b3L; i += 1 }
-    val w = 64 + (h & 0x3ff).toInt            // 64..1087 "pixels"
-    val ht = 64 + ((h >>> 10) & 0x3ff).toInt
-    val frames = 1 + ((h >>> 20) & 0x7).toInt
-    val feat = Array.tabulate(8)(j => (((h >>> (j * 7)) & 0xff).toInt - 128) / 128.0f)
-    (w, ht, frames, feat)
-  }
+  /** The marker carried by rows whose payload no real decoder claims: a
+    * real deployment plugs an actual codec (javax.imageio / ffmpeg-jni)
+    * into the fallback arm of [[decodeFeatures]]; until then the row is
+    * distinguishable from real decodes in the data itself. */
+  val StubDecodeError = "stub-decode"
 
   /** Batched decode + feature extraction: one kernel instantiation per
     * partition (amortized setup — the mapInPandas batch analog), per-row
-    * failure containment (error rows, never task failure). Image payloads
-    * [[MediaCodecs.decodeImage]] recognizes (BMP/PNM/PNG/GIF/JPEG/TIFF) get
-    * REAL width/height/pixel-mean/frame-count; a recognized format outside
-    * the supported profile (progressive JPEG, JPEG-in-TIFF, ...) becomes an
-    * error row.
+    * failure containment (error rows for parse failures; fatal VM errors
+    * propagate and fail the task, [[graft.util.Containment]]). Image
+    * payloads [[MediaCodecs.decodeImage]] recognizes (BMP/PNM/PNG/GIF/JPEG/
+    * TIFF) get REAL width/height/pixel-mean/frame-count; a recognized
+    * format outside the supported profile (progressive JPEG, JPEG-in-TIFF,
+    * ...) becomes an error row.
     * WAV goes through the real RIFF parse (n_frames = PCM frame count,
-    * feature(0) = duration seconds). Only unclaimed payloads fall back to
-    * the disclosed deterministic stub. */
+    * feature(0) = duration seconds); WebP/ICO get real header dimensions.
+    * An unclaimed payload yields zeroed metadata marked
+    * `error = `[[StubDecodeError]] — nothing is ever fabricated. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -80,7 +80,9 @@ object Multimodal {
       // per-partition setup happens here (codec init in a real deployment)
       it.map { m =>
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-        try {
+        Containment.contained[MediaFeatures](e =>
+          MediaFeatures(m.doc_id, "unknown", bytes.length.toLong, 0, 0, 0,
+            Array.empty[Float], Containment.describe(e))) {
           val kind = sniffMedia(bytes)
           MediaCodecs.decodeImage(bytes) match {
             case Some(img) =>
@@ -98,15 +100,22 @@ object Multimodal {
               val v = MediaCodecs.parseMp4(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 v.width, v.height, 0, Array(v.durationMs / 1000f), "")
+            case None if kind == "image/webp" =>
+              // real header-level dimensions (VP8/VP8L/VP8X); pixel decode
+              // would need the VP8 codec, so no feature is emitted
+              val d = MediaCodecs.parseWebp(bytes)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                d.width, d.height, d.frames, Array.empty[Float], "")
+            case None if kind == "image/x-icon" =>
+              // real ICONDIR parse: dims of the largest directory entry
+              val d = MediaCodecs.parseIco(bytes)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                d.width, d.height, d.frames, Array.empty[Float], "")
             case None =>
-              val (w, h, frames, feat) = fakeDecode(bytes)
-              MediaFeatures(m.doc_id, kind, bytes.length.toLong, w, h, frames, feat, "")
+              // no real decoder claims this payload: zeroed metadata, MARKED
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                0, 0, 0, Array.empty[Float], StubDecodeError)
           }
-        } catch {
-          case e: Throwable => // surface the named require message, not just the class
-            MediaFeatures(m.doc_id, "unknown", bytes.length.toLong, 0, 0, 0,
-              Array.empty[Float],
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
       }
     }
@@ -124,7 +133,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-        try {
+        Containment.contained[ImageDecode](e =>
+          ImageDecode(m.doc_id, "unknown", 0, 0, "", 0L, Containment.describe(e))) {
           MediaCodecs.decodeImage(bytes) match {
             case Some(img) =>
               ImageDecode(m.doc_id, sniffMedia(bytes), img.width, img.height,
@@ -133,10 +143,6 @@ object Multimodal {
               ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
                 "no real decoder for this payload")
           }
-        } catch {
-          case e: Throwable =>
-            ImageDecode(m.doc_id, "unknown", 0, 0, "", 0L,
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
       }
     }

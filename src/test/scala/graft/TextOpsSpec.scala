@@ -65,11 +65,75 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Multimodal.sniffMedia(Array[Byte](0, 1, 2, 3)) == "application/octet-stream")
   }
 
-  test("fake decode is deterministic and total on empty payloads") {
-    val (w1, h1, f1, feat1) = Multimodal.fakeDecode("payload".getBytes)
-    val (w2, h2, f2, feat2) = Multimodal.fakeDecode("payload".getBytes)
-    assert((w1, h1, f1) == ((w2, h2, f2)) && feat1.sameElements(feat2))
-    val (we, he, fe, _) = Multimodal.fakeDecode(Array.emptyByteArray)
-    assert(we >= 64 && he >= 64 && fe >= 1)
+  test("webp header parse: VP8 / VP8L / VP8X still and animated") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val lossy = MediaCodecs.parseWebp(MediaFixtures.webp(320, 240, variant = 0))
+    assert((lossy.width, lossy.height, lossy.frames, lossy.variant) ==
+      ((320, 240, 1, "vp8")))
+    val lossless = MediaCodecs.parseWebp(MediaFixtures.webp(1, 1, variant = 1))
+    assert((lossless.width, lossless.height, lossless.variant) == ((1, 1, "vp8l")))
+    // VP8X canvas dims are authoritative over the 1x1 VP8 fragment inside
+    val still = MediaCodecs.parseWebp(MediaFixtures.webp(500, 300, variant = 2))
+    assert((still.width, still.height, still.frames, still.variant) ==
+      ((500, 300, 1, "vp8x")))
+    val anim = MediaCodecs.parseWebp(MediaFixtures.webp(64, 64, variant = 2, frames = 5))
+    assert((anim.width, anim.height, anim.frames) == ((64, 64, 5)))
+    // a WEBP wrapper with no bitstream chunk must fail NAMED, not succeed
+    val hollow = ("RIFF" + "\u0004\u0000\u0000\u0000" + "WEBPJUNK").getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWebp(hollow))
+    assert(e.getMessage.contains("VP8"))
+  }
+
+  test("ico directory parse: largest entry wins, 0-coded axis means 256") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val multi = MediaCodecs.parseIco(MediaFixtures.ico(48, 48, count = 3))
+    assert((multi.width, multi.height, multi.frames) == ((48, 48, 3)))
+    val max = MediaCodecs.parseIco(MediaFixtures.ico(256, 256, count = 1))
+    assert((max.width, max.height) == ((256, 256)))
+    // truncated directory must fail contained, not read past the payload
+    val trunc = MediaFixtures.ico(32, 32, count = 2).take(20)
+    intercept[IllegalArgumentException](MediaCodecs.parseIco(trunc))
+  }
+
+  test("unclaimed payloads yield MARKED stub rows, never fabricated dims") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val opaque = Array.tabulate(24)(i => (0x80 | (i * 7)).toByte)
+    val rows = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(1L, "", opaque)).toDS()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.error == Multimodal.StubDecodeError)
+    assert(r.width == 0 && r.height == 0 && r.n_frames == 0 && r.feature.isEmpty)
+    assert(r.media_type == "application/octet-stream")
+  }
+
+  test("containment: parse errors contain, VM errors propagate") {
+    import graft.util.Containment
+    assert(Containment.contained[String](e => "contained:" + e.getMessage) {
+      throw new IllegalArgumentException("bad payload")
+    } == "contained:bad payload")
+    intercept[OutOfMemoryError] {
+      Containment.contained[String](_ => "should not contain") {
+        throw new OutOfMemoryError("injected")
+      }
+    }
+    intercept[StackOverflowError] {
+      Containment.contained[String](_ => "should not contain") {
+        throw new StackOverflowError()
+      }
+    }
+  }
+
+  test("wav with zero bits-per-sample fails NAMED at the parser") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val wav = MediaFixtures.wav(1, 8000, 10, 0)
+    wav(34) = 0 // bitsPerSample u16le -> 0
+    wav(35) = 0
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWav(wav))
+    assert(e.getMessage.contains("bits-per-sample"))
   }
 }
