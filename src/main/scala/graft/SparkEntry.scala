@@ -141,8 +141,8 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
-          val bytes = graft.fixtures.PptxWriter.generate(
-            paras, (id % graft.fixtures.PptxWriter.numVariants).toInt)
+          val bytes = graft.serialize.PptxWriter.generate(
+            paras, (id % graft.serialize.PptxWriter.numVariants).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"pptx$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -156,7 +156,7 @@ object SparkEntry {
           val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
           // variants 0 (shared strings) and 2 (inline, stored archive):
           // the ones whose cell layout reproduces the paragraphs verbatim
-          val bytes = graft.fixtures.XlsxWriter.generate(paras, (id % 2).toInt * 2)
+          val bytes = graft.serialize.XlsxWriter.generate(paras, (id % 2).toInt * 2)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"xlsx$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -168,9 +168,9 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes = graft.fixtures.RtfWriter.generate(
+          val bytes = graft.serialize.RtfWriter.generate(
             graft.fixtures.HtmlTemplates.paragraphize(t),
-            (id % graft.fixtures.RtfWriter.numVariants).toInt)
+            (id % graft.serialize.RtfWriter.numVariants).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"rtf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -183,7 +183,7 @@ object SparkEntry {
         .map { case (id, t) =>
           val kind = Seq("odt", "odp", "ods")((id % 3).toInt)
           // variants 0-2 preserve the paragraph layout for every kind
-          val bytes = graft.fixtures.OdfWriter.generate(
+          val bytes = graft.serialize.OdfWriter.generate(
             kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 3) % 3).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"odf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
@@ -201,7 +201,7 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val kind = Seq("ott", "otp", "ots", "sxw")((id % 4).toInt)
-          val bytes = graft.fixtures.OdfWriter.generate(
+          val bytes = graft.serialize.OdfWriter.generate(
             kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 4) % 3).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"odft$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
@@ -218,7 +218,7 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val kind = Seq("odt", "odp", "ods")((id % 3).toInt)
-          val bytes = graft.fixtures.OdfWriter.generateFlat(
+          val bytes = graft.serialize.OdfWriter.generateFlat(
             kind, graft.fixtures.HtmlTemplates.paragraphize(t), ((id / 3) % 3).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"fodf$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
@@ -234,9 +234,9 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes = graft.fixtures.EpubWriter.generate(
+          val bytes = graft.serialize.EpubWriter.generate(
             graft.fixtures.HtmlTemplates.paragraphize(t),
-            (id % graft.fixtures.EpubWriter.numVariants).toInt)
+            (id % graft.serialize.EpubWriter.numVariants).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"epub$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -251,9 +251,9 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes = graft.fixtures.LegacyOfficeWriters.DocWriter.generate(
+          val bytes = graft.serialize.LegacyOfficeWriters.DocWriter.generate(
             graft.fixtures.HtmlTemplates.paragraphize(t),
-            (id % graft.fixtures.LegacyOfficeWriters.DocWriter.numVariants).toInt)
+            (id % graft.serialize.LegacyOfficeWriters.DocWriter.numVariants).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"doc$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -267,8 +267,8 @@ object SparkEntry {
           // variants 0 (latin shared strings), 2 (wide) and 3 (SST split
           // across Continue records): the paragraph-per-row layouts that
           // reproduce the source verbatim
-          val vv = graft.fixtures.LegacyOfficeWriters.XlsWriter.verbatimVariants
-          val bytes = graft.fixtures.LegacyOfficeWriters.XlsWriter.generate(
+          val vv = graft.serialize.LegacyOfficeWriters.XlsWriter.verbatimVariants
+          val bytes = graft.serialize.LegacyOfficeWriters.XlsWriter.generate(
             graft.fixtures.HtmlTemplates.paragraphize(t), vv((id % vv.length).toInt))
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"xls$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
@@ -280,9 +280,9 @@ object SparkEntry {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val bytes = graft.fixtures.LegacyOfficeWriters.PptWriter.generate(
+          val bytes = graft.serialize.LegacyOfficeWriters.PptWriter.generate(
             graft.fixtures.HtmlTemplates.paragraphize(t),
-            (id % graft.fixtures.LegacyOfficeWriters.PptWriter.numVariants).toInt)
+            (id % graft.serialize.LegacyOfficeWriters.PptWriter.numVariants).toInt)
           val r = graft.extract.Extractor.extractOne(
             graft.model.WebPage(s"ppt$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
           (id, r.format_from, r.success, r.text.replace('\n', ' '))
@@ -300,13 +300,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val bytes: Array[Byte] = (id % 9) match {
-            case 0 => graft.fixtures.CfbWriter.generate("doc")
-            case 1 => graft.fixtures.CfbWriter.generate("xls")
-            case 2 => graft.fixtures.CfbWriter.generate("ppt")
-            case 3 => graft.fixtures.CfbWriter.generate("raw")
-            case 4 => graft.fixtures.OdfWriter.generateFlat(
+            case 0 => graft.serialize.CfbWriter.generate("doc")
+            case 1 => graft.serialize.CfbWriter.generate("xls")
+            case 2 => graft.serialize.CfbWriter.generate("ppt")
+            case 3 => graft.serialize.CfbWriter.generate("raw")
+            case 4 => graft.serialize.OdfWriter.generateFlat(
               "odt", graft.fixtures.HtmlTemplates.paragraphize(t), 0)
-            case 5 => graft.fixtures.CfbWriter.generate("pub")
+            case 5 => graft.serialize.CfbWriter.generate("pub")
             case 6 => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case 7 => // gzip transport wrapper: transparently inflated
               graft.fixtures.Corpus.gzipBytes(
@@ -485,13 +485,13 @@ object SparkEntry {
         .map { case (id, t) =>
           val paras = graft.fixtures.HtmlTemplates.paragraphize(t)
           val bytes: Array[Byte] = (id % 8) match {
-            case 0 => graft.fixtures.DocxWriter.generate(paras, 0)
-            case 1 => graft.fixtures.PptxWriter.generate(paras, 0)
-            case 2 => graft.fixtures.XlsxWriter.generate(paras, 0)
-            case 3 => graft.fixtures.OdfWriter.generate(
+            case 0 => graft.serialize.DocxWriter.generate(paras, 0)
+            case 1 => graft.serialize.PptxWriter.generate(paras, 0)
+            case 2 => graft.serialize.XlsxWriter.generate(paras, 0)
+            case 3 => graft.serialize.OdfWriter.generate(
               Seq("odt", "odp", "ods")(((id / 8) % 3).toInt), paras, 0)
-            case 4 => graft.fixtures.EpubWriter.generate(paras, 0)
-            case 5 => graft.fixtures.CfbWriter.generate(
+            case 4 => graft.serialize.EpubWriter.generate(paras, 0)
+            case 5 => graft.serialize.CfbWriter.generate(
               Seq("doc", "xls", "ppt")(((id / 8) % 3).toInt))
             case 6 => ("%PDF-1.4 " + t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case _ => ("plain " + t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -593,6 +593,29 @@ object SparkEntry {
             (col("o_orderkey") % 10000).as("duration_ms")),
         "grp")
         .orderBy("grp")),
+
+    // Production serialize surface over the reference's OUTPUT whitelist
+    // (document_converters.py:22-26): text -> target-format bytes for all
+    // 16 formats, then back through the REAL sniff+extract dispatch —
+    // extract(serialize(text, fmt)) must reproduce the document
+    // byte-identically (csv via the declared csvToText inverse)
+    "serialize_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val fmt = graft.serialize.Serialize.outputFormats(
+            (id % graft.serialize.Serialize.outputFormats.length).toInt)
+          val golden = graft.fixtures.HtmlTemplates.golden(t)
+          val bytes = graft.serialize.Serialize.serialize(golden, fmt)
+          val extracted = graft.extract.Extractor.extractByFormat(
+            graft.extract.Extractor.sniffFormat(bytes), bytes)._2
+          val recovered =
+            if (fmt == "csv") graft.serialize.Serialize.csvToText(extracted)
+            else extracted
+          (id, fmt, recovered == golden, recovered.replace('\n', ' '))
+        }.toDF("doc_id", "fmt", "identical", "text")
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal: REAL pure-JVM decodes (BMP/PPM pixels, WAV PCM) -------
     // pixel_sum requires a correct stride/padding walk over actual pixel
@@ -729,13 +752,25 @@ object SparkEntry {
       import s.implicits._
       val parsed = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
-          if (id % 2 == 0) {
+          if (id % 4 == 0) {
             val rate = Seq(44100, 48000, 96000)((id % 3).toInt)
             val samples = (1 + id % 100) * rate / 4
             val m = graft.multimodal.MediaCodecs.parseFlac(
               graft.fixtures.MediaFixtures.flac(rate, 1 + (id % 8).toInt, 16, samples,
                 Seq("TITLE" -> s"T$id", "ARTIST" -> s"A$id", "album" -> s"L$id")))
             (id, ".flac", m.tags, 0, m.sampleRate, m.bitsPerSample, m.durationMs)
+          } else if (id % 4 == 2) {
+            // .m4a: ISO-BMFF with iTunes ilst tags through the real box walk
+            // (mvhd timescale doubles as the audio sample rate, as a real
+            // audio-only mp4 mux sets it); duration closed form matches the
+            // flac arm's, so the oracle's duration CASE needs no new branch
+            val rate = Seq(44100, 48000, 96000)((id % 3).toInt)
+            val units = (1 + id % 100) * rate / 4
+            val m = graft.multimodal.MediaCodecs.parseMp4(
+              graft.fixtures.MediaFixtures.mp4(0, 0, units, rate,
+                v1 = id % 8 == 2,
+                tags = Seq("©nam" -> s"T$id", "©ART" -> s"A$id", "©alb" -> s"L$id")))
+            (id, ".m4a", m.tags, 0, m.timescale.toInt, 0, m.durationMs)
           } else if (id % 4 == 1) {
             val tags = graft.multimodal.MediaCodecs.parseId3v2(
               graft.fixtures.MediaFixtures.mp3Id3(
@@ -1086,6 +1121,15 @@ object SparkEntry {
         "WHEN 6 THEN 'application/pdf' " +
         "ELSE 'application/octet-stream' END AS mime " +
         "FROM documents ORDER BY doc_id"),
+    "serialize_roundtrip" ->
+      ("SELECT doc_id, CASE doc_id % 16 " +
+        "WHEN 0 THEN 'pdf' WHEN 1 THEN 'txt' WHEN 2 THEN 'rtf' " +
+        "WHEN 3 THEN 'doc' WHEN 4 THEN 'docx' WHEN 5 THEN 'odt' " +
+        "WHEN 6 THEN 'html' WHEN 7 THEN 'xml' WHEN 8 THEN 'xls' " +
+        "WHEN 9 THEN 'xlsx' WHEN 10 THEN 'ods' WHEN 11 THEN 'csv' " +
+        "WHEN 12 THEN 'ppt' WHEN 13 THEN 'pptx' WHEN 14 THEN 'odp' " +
+        "ELSE 'epub' END AS fmt, " +
+        "TRUE AS identical, text FROM documents ORDER BY doc_id"),
     "mm_decode_bmp" ->
       ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
         "doc_id % 200 AS seed FROM documents) " +

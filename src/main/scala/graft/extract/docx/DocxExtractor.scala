@@ -10,7 +10,7 @@ import java.util.zip.ZipInputStream
   * LibreOffice subprocess for its flagship .docx input
   * (/root/reference/src/converters/document_converters.py:16-26, :100-111).
   *
-  * Scope is pinned by the [[graft.fixtures.DocxWriter]] fixture matrix
+  * Scope is pinned by the [[graft.serialize.DocxWriter]] fixture matrix
   * (runs with properties, mid-word splits with xml:space, tables, extra
   * package parts), per SURVEY §7.3's "keep the parser exactly as general as
   * the fixture generator". The XML scan is a single pass: only `w:p` /

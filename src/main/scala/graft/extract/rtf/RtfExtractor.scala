@@ -3,7 +3,7 @@ package graft.extract.rtf
 /** RTF → text kernel — the reference whitelist's .rtf input
   * (/root/reference/src/converters/document_converters.py:16-26). RTF is a
   * single-pass friendly format: `{`/`}` groups, `\control[N]` words, and
-  * plain character data. Scope pinned by [[graft.fixtures.RtfWriter]]:
+  * plain character data. Scope pinned by [[graft.serialize.RtfWriter]]:
   *
   *  - `\par` / `\line` → "\n"; `\tab` → "\t";
   *  - escapes `\\ \{ \}`, hex `\'hh` (cp1252), unicode `\uN` with one

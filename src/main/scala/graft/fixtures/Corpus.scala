@@ -5,6 +5,7 @@ import java.time.Instant
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model.WebPage
+import graft.serialize.{CfbWriter => _, OoxmlZip => _, _}
 
 /** Deterministic synthesis of the Common-Crawl-style webpages table
   * (BASELINE.json input_hint) from the driver's documents.parquet.

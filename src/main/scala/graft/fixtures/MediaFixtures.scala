@@ -160,7 +160,7 @@ object MediaFixtures {
     * `v1` uses the 64-bit (version 1) mvhd/tkhd layouts; width/height are
     * written 16.16 fixed-point as the spec requires. */
   def mp4(width: Int, height: Int, durationUnits: Long, timescale: Int,
-          v1: Boolean = false): Array[Byte] = {
+          v1: Boolean = false, tags: Seq[(String, String)] = Nil): Array[Byte] = {
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val buf = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
       buf.putInt(8 + payload.length)
@@ -192,7 +192,22 @@ object MediaFixtures {
       buf.putInt(width << 16).putInt(height << 16) // 16.16
       buf.array()
     }
-    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    // iTunes tags: moov/udta/meta(FullBox)/ilst, each item a fourcc-named
+    // box holding a `data` box (type indicator 1 = UTF-8, then locale)
+    val udta = if (tags.isEmpty) Array.emptyByteArray else {
+      val hdlr = box("hdlr",
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+          "mdirappl".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          Array.fill[Byte](10)(0))
+      val items = tags.map { case (k, v) =>
+        box(k, box("data",
+          Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++
+            v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.reduce(_ ++ _)
+      box("udta", box("meta", Array[Byte](0, 0, 0, 0) ++ hdlr ++ box("ilst", items)))
+    }
+    val moov = box("moov",
+      box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)) ++ udta)
     ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
   }
 

@@ -907,10 +907,15 @@ object MediaCodecs {
     tags
   }
 
-  /** MP4/ISO-BMFF container metadata: movie duration/timescale (mvhd) and
-    * the first nonzero track dimensions (tkhd, 16.16 fixed point). */
+  /** MP4/ISO-BMFF container metadata: movie duration/timescale (mvhd), the
+    * first nonzero track dimensions (tkhd, 16.16 fixed point), and iTunes
+    * `ilst` text tags keyed by their atom fourcc (`©nam`, `©ART`,
+    * `©alb`, ... — the mutagen.mp4.MP4 key convention, which the
+    * reference imports for its .m4a whitelist,
+    * /root/reference/src/converters/audio_converters.py:22,41). */
   final case class Mp4Meta(durationMs: Long, timescale: Long,
-                           width: Int, height: Int, tracks: Int)
+                           width: Int, height: Int, tracks: Int,
+                           tags: Map[String, String] = Map.empty)
 
   /** `ftyp` fourcc at offset 4 AND a sane leading box size — text that
     * happens to spell "ftyp" at offset 4 has a garbage size field and must
@@ -954,6 +959,22 @@ object MediaCodecs {
     var w = 0
     var h = 0
     var tracks = 0
+    val tags = Map.newBuilder[String, String]
+    // iTunes metadata item list: moov/udta/meta/ilst, each item box named by
+    // its tag fourcc and holding a `data` box (8-byte header, then a 24-bit
+    // type indicator — 1 = UTF-8 text — and a 4-byte locale) before payload
+    def parseIlst(from: Int, until: Int): Unit =
+      walk(from, until) { (item, is, ie) =>
+        walk(is, ie) {
+          case ("data", ds, de) =>
+            require(de - ds >= 8, s"ilst data box for $item too short")
+            val typeIndicator = u32(ds) & 0xffffff
+            if (typeIndicator == 1) // UTF-8 text atom (trkn/disk are binary)
+              tags += item -> new String(bytes, ds + 8, de - ds - 8,
+                java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ()
+        }
+      }
     walk(0, bytes.length) {
       case ("moov", s, e) => walk(s, e) {
         case ("mvhd", ms, me) =>
@@ -979,12 +1000,20 @@ object MediaCodecs {
               if (w == 0 && tw > 0 && th > 0) { w = tw; h = th }
             case _ => ()
           }
+        case ("udta", us, ue) => walk(us, ue) {
+          // `meta` is a FullBox: 4 bytes of version/flags precede children
+          case ("meta", ms2, me2) => walk(ms2 + 4, me2) {
+            case ("ilst", ls, le) => parseIlst(ls, le)
+            case _ => () // hdlr, free, ...
+          }
+          case _ => ()
+        }
         case _ => ()
       }
       case _ => () // ftyp, mdat, free, ...
     }
     require(timescale > 0 && duration >= 0, "MP4 has no mvhd (not a movie)")
-    Mp4Meta(duration * 1000L / timescale, timescale, w, h, tracks)
+    Mp4Meta(duration * 1000L / timescale, timescale, w, h, tracks, tags.result())
   }
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

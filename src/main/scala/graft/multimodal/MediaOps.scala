@@ -174,10 +174,19 @@ object MediaOps {
       lit("album"), tag("album"), lit("date"), tag("date"),
       lit("genre"), tag("genre"), lit("tracknumber"), tag("tracknumber"),
       lit("bitrate"), info("bitrate"), lit("sample_rate"), info("sample_rate"))
+    // mutagen.mp4.MP4 key convention (the reference imports it for its
+    // .m4a whitelist, audio_converters.py:22,41 — its _get_metadata has no
+    // m4a branch, so this extends the surface rather than mirroring one)
+    val m4a = map(
+      lit("title"), tag("©nam"), lit("artist"), tag("©ART"),
+      lit("album"), tag("©alb"), lit("date"), tag("©day"),
+      lit("genre"), tag("©gen"),
+      lit("sample_rate"), info("sample_rate"))
     df.withColumn("metadata",
       when(lower(col(fmtCol)) === ".mp3", mp3)
         .when(lower(col(fmtCol)) === ".flac", flac)
         .when(lower(col(fmtCol)) === ".ogg", ogg)
+        .when(lower(col(fmtCol)) === ".m4a", m4a)
         .otherwise(map()))
   }
 

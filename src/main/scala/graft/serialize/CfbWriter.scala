@@ -1,4 +1,4 @@
-package graft.fixtures
+package graft.serialize
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets

@@ -1,6 +1,6 @@
-package graft.fixtures
+package graft.serialize
 
-import graft.fixtures.OoxmlZip.xmlEscape
+import graft.serialize.OoxmlZip.xmlEscape
 
 /** Minimal deterministic DOCX generator for the golden-fixture corpus —
   * same pattern as [[PdfWriter]]. DOCX is the reference's flagship input

@@ -1,6 +1,6 @@
-package graft.fixtures
+package graft.serialize
 
-import graft.fixtures.OoxmlZip.xmlEscape
+import graft.serialize.OoxmlZip.xmlEscape
 
 /** Minimal deterministic EPUB generator — the reference whitelist's .epub
   * input (/root/reference/src/converters/document_converters.py:16-26).

@@ -1,6 +1,6 @@
-package graft.fixtures
+package graft.serialize
 
-import graft.fixtures.OoxmlZip.xmlEscape
+import graft.serialize.OoxmlZip.xmlEscape
 
 /** Minimal deterministic OpenDocument generator for odt / odp / ods, their
   * template kinds ott / otp / ots, and StarOffice sxw — the reference

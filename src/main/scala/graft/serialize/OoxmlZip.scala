@@ -1,4 +1,4 @@
-package graft.fixtures
+package graft.serialize
 
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets

@@ -1,4 +1,4 @@
-package graft.fixtures
+package graft.serialize
 
 /** Minimal deterministic RTF generator — the reference whitelist's .rtf
   * input (/root/reference/src/converters/document_converters.py:16-26).

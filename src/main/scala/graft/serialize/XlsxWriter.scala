@@ -1,6 +1,6 @@
-package graft.fixtures
+package graft.serialize
 
-import graft.fixtures.OoxmlZip.xmlEscape
+import graft.serialize.OoxmlZip.xmlEscape
 
 /** Minimal deterministic XLSX generator — the SpreadsheetML sibling of
   * [[DocxWriter]] (reference input whitelist

@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.extract.Extractor
 import graft.extract.cfb.CfbSniffer
 import graft.extract.ooxml.OdfExtractor
-import graft.fixtures.{CfbWriter, EpubWriter, JpegWriter, LangMark, MediaFixtures, OdfWriter}
+import graft.fixtures.{JpegWriter, LangMark, MediaFixtures}
+import graft.serialize.{CfbWriter, EpubWriter, OdfWriter}
 import graft.functions.DocFunctions
 import graft.multimodal.MediaCodecs
 
@@ -100,7 +101,7 @@ class DispatchMediaSpec extends AnyFunSuite {
     val names = graft.extract.docx.DocxExtractor.entryNames(full)
     val parts = graft.extract.docx.DocxExtractor.readParts(full,
       n => n != "META-INF/container.xml")
-    val rebuilt = graft.fixtures.OoxmlZip.write(
+    val rebuilt = graft.serialize.OoxmlZip.write(
       parts.map { case (n, b) => n -> new String(b, "UTF-8") }, store = false)
     assert(names.contains("META-INF/container.xml"))
     val r = Extractor.extractOne(page(rebuilt), 0)
@@ -720,7 +721,7 @@ class DispatchMediaSpec extends AnyFunSuite {
   // ---- content-refined mime -------------------------------------------------
 
   test("mimeGuessBytes refines containers by package content") {
-    import graft.fixtures._
+    import graft.fixtures._; import graft.serialize._
     assert(DocFunctions.mimeGuessBytes(DocxWriter.generate(paras, 0)) ==
       "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
     assert(DocFunctions.mimeGuessBytes(PptxWriter.generate(paras, 0)) ==

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
 import graft.extract.docx.DocxExtractor
-import graft.fixtures.DocxWriter
+import graft.serialize.DocxWriter
 
 /** DOCX kernel: hand-authored document.xml fixtures (goldens derived by
   * hand, not by the writer), writer round-trips over all variants, sniffing,

@@ -76,9 +76,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lang == "en")
     // refined kind: content-level dispatch from SQL
     Seq(
-      graft.fixtures.PptxWriter.generate(Vector("some slide words"), 0) -> "pptx",
-      graft.fixtures.OdfWriter.generate("ods", Vector("cell words"), 0) -> "ods",
-      graft.fixtures.RtfWriter.generate(Vector("rtf words"), 0) -> "rtf"
+      graft.serialize.PptxWriter.generate(Vector("some slide words"), 0) -> "pptx",
+      graft.serialize.OdfWriter.generate("ods", Vector("cell words"), 0) -> "ods",
+      graft.serialize.RtfWriter.generate(Vector("rtf words"), 0) -> "rtf"
     ).foreach { case (bytes, want) =>
       val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("b")
       df.createOrReplaceTempView("kind_probe")

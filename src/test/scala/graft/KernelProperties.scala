@@ -38,9 +38,9 @@ object KernelProperties extends Properties("kernels") {
 
   property("docx writer/extractor roundtrip over arbitrary paragraphs x all variants") = {
     val paragraphs = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, text))
-    val variant = Gen.chooseNum(0, graft.fixtures.DocxWriter.numVariants - 1)
+    val variant = Gen.chooseNum(0, graft.serialize.DocxWriter.numVariants - 1)
     forAll(paragraphs, variant) { (ps, v) =>
-      val bytes = graft.fixtures.DocxWriter.generate(ps, v)
+      val bytes = graft.serialize.DocxWriter.generate(ps, v)
       graft.extract.docx.DocxExtractor.extract(bytes) == ps.mkString("\n")
     }
   }

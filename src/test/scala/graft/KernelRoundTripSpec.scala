@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
-import graft.fixtures.{Corpus, HtmlTemplates, PdfWriter}
+import graft.fixtures.{Corpus, HtmlTemplates}
+import graft.serialize.PdfWriter
 import graft.extract.pdf.PdfParser
 
 /** Golden round-trip without Spark: for every template × encoding × PDF

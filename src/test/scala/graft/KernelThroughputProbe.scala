@@ -2,6 +2,7 @@ package graft
 
 import graft.extract.Extractor
 import graft.fixtures._
+import graft.serialize._
 
 /** Single-threaded per-format kernel throughput probe (no Spark): feeds
   * BENCH/BASELINE.md §2's per-format table. Run with

@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
 import graft.extract.cfb.{CfbParser, DocExtractor, PptExtractor, XlsExtractor}
-import graft.fixtures.CfbWriter
-import graft.fixtures.LegacyOfficeWriters.{DocWriter, PptWriter, XlsWriter}
+import graft.serialize.CfbWriter
+import graft.serialize.LegacyOfficeWriters.{DocWriter, PptWriter, XlsWriter}
 
 /** Legacy binary Office kernels (.doc/.xls/.ppt): CFB container round-trip
   * through both stream paths, piece-table / BIFF / record-tree extraction,

@@ -96,6 +96,27 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(out(4L).isEmpty) // unknown container -> empty dict (reference :174-176)
   }
 
+  test("mp4 ilst tags parse and normalize through the m4a branch") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val m = MediaCodecs.parseMp4(MediaFixtures.mp4(0, 0, 44100L * 10, 44100,
+      tags = Seq("©nam" -> "Song", "©ART" -> "Band", "©alb" -> "Album",
+        "©day" -> "2001")))
+    assert(m.tags == Map("©nam" -> "Song", "©ART" -> "Band",
+      "©alb" -> "Album", "©day" -> "2001"))
+    assert(m.durationMs == 10000L && m.timescale == 44100L)
+    // an mp4 WITHOUT udta still parses, with empty tags
+    assert(MediaCodecs.parseMp4(MediaFixtures.mp4(320, 240, 600, 600)).tags.isEmpty)
+    val rows = Seq((1L, ".m4a", m.tags, 0, m.timescale.toInt, 0))
+      .toDF("id", "fmt", "tags", "bitrate", "sample_rate", "bits_per_sample")
+    val meta = MediaOps.audioMetadata(rows, "fmt", "tags")
+      .select(col("id"), col("metadata")).as[(Long, Map[String, String])]
+      .collect().toMap
+    assert(meta(1L)("title") == "Song" && meta(1L)("artist") == "Band" &&
+      meta(1L)("album") == "Album" && meta(1L)("date") == "2001" &&
+      meta(1L)("genre") == "" && meta(1L)("sample_rate") == "44100")
+  }
+
   test("audio: slice clamps, speedup divides, merge fold sums durations") {
     val a = Seq((1L, 90000L, 2, 44100), (1L, 30000L, 2, 44100), (2L, 10000L, 1, 22050))
       .toDF("id", "duration_ms", "channels", "frame_rate")

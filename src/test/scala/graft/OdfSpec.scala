@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
 import graft.extract.ooxml.OdfExtractor
-import graft.fixtures.OdfWriter
+import graft.serialize.OdfWriter
 
 /** ODF kernels (odt/odp/ods): hand-authored content.xml fixtures, writer
   * round-trips over all variants, kind refinement, degenerates. */
@@ -66,9 +66,9 @@ class OdfSpec extends AnyFunSuite {
   }
 
   test("unknown mimetype or missing content.xml becomes a failure row") {
-    val badMime = graft.fixtures.OoxmlZip.write(
+    val badMime = graft.serialize.OoxmlZip.write(
       Seq("mimetype" -> "application/x-unknown", "content.xml" -> "<x/>"), store = false)
-    val noContent = graft.fixtures.OoxmlZip.write(
+    val noContent = graft.serialize.OoxmlZip.write(
       Seq("mimetype" -> "application/vnd.oasis.opendocument.text"), store = false)
     for ((bytes, i) <- Seq(badMime, noContent).zipWithIndex) {
       val page = graft.model.WebPage(s"u$i", new java.sql.Timestamp(0), bytes, "", "en")

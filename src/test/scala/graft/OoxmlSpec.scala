@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
 import graft.extract.ooxml.OoxmlExtractor
-import graft.fixtures.{PptxWriter, XlsxWriter}
+import graft.serialize.{PptxWriter, XlsxWriter}
 
 /** PPTX/XLSX kernels: hand-authored XML fixtures, writer round-trips over
   * all variants, container-kind refinement, degenerate packages. */
@@ -91,7 +91,7 @@ class OoxmlSpec extends AnyFunSuite {
     for ((bytes, kind) <- Seq(
       PptxWriter.generate(paras, 0) -> "pptx",
       XlsxWriter.generate(paras, 0) -> "xlsx",
-      graft.fixtures.DocxWriter.generate(paras, 0) -> "docx")) {
+      graft.serialize.DocxWriter.generate(paras, 0) -> "docx")) {
       val page = graft.model.WebPage("u", new java.sql.Timestamp(0), bytes, "", "en")
       val r = Extractor.extractOne(page, 0)
       assert(r.success && r.format_from == kind, s"$kind: $r")
@@ -99,7 +99,7 @@ class OoxmlSpec extends AnyFunSuite {
   }
 
   test("degenerate packages (wrong marker parts, truncation) become failure rows") {
-    val noMarker = graft.fixtures.OoxmlZip.write(Seq("hello.txt" -> "hi"), store = false)
+    val noMarker = graft.serialize.OoxmlZip.write(Seq("hello.txt" -> "hi"), store = false)
     val truncated = PptxWriter.generate(paras, 0).take(60).toArray
     for ((bytes, i) <- Seq(noMarker, truncated).zipWithIndex) {
       val page = graft.model.WebPage(s"u$i", new java.sql.Timestamp(0), bytes, "", "en")

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.extract.Extractor
 import graft.extract.rtf.RtfExtractor
-import graft.fixtures.{EpubWriter, RtfWriter}
+import graft.serialize.{EpubWriter, RtfWriter}
 
 /** RTF and EPUB kernels: hand-authored fixtures, writer round-trips,
   * sniffing, degenerates. */
