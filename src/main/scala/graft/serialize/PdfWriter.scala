@@ -12,6 +12,12 @@ import java.util.zip.Deflater
   *   1 — single column, FlateDecode, absolute Tm positioning
   *   2 — two columns, FlateDecode (x-clustering test)
   *   3 — multi-page (page break every 2 paragraphs), TJ kerning arrays, T*
+  *   4 — PDF 1.5: catalog/pages/font/page dicts packed into a compressed
+  *       object stream (/Type/ObjStm) and a cross-reference STREAM
+  *       (/Type/XRef, W[1 3 1] binary rows, type-2 entries) instead of the
+  *       classic xref table — the modern-web layout ubiquitous in
+  *       Common-Crawl PDFs (content streams stay top-level: ISO 32000-1
+  *       §7.5.7 forbids stream objects inside object streams)
   *
   * Layout contract shared with graft.extract.pdf.PdfParser:
   * leading 12pt within a paragraph, 24pt between paragraphs (parser splits
@@ -111,7 +117,7 @@ object PdfWriter {
           px = l.x; py = l.y
           sb.append(s"(${esc(l.text)}) Tj\n")
         }
-      case 1 | 2 => // absolute Tm per line
+      case 1 | 2 | 4 => // absolute Tm per line
         for (l <- lines)
           sb.append(s"1 0 0 1 ${l.x} ${l.y} Tm\n(${esc(l.text)}) Tj\n")
       case 3 => // TL/T* plus TJ kerning arrays (mid-word split: pure concat)
@@ -160,6 +166,7 @@ object PdfWriter {
         i += 1
       }
     }
+    if (variant == 4) return generate15(paragraphs)
     val pages = layout(paragraphs, variant)
     val nPages = pages.length
     val compress = variant != 0
@@ -203,6 +210,99 @@ object PdfWriter {
     w(bytes("0000000000 65535 f \n"))
     offsets.foreach(off => w(bytes(f"$off%010d 00000 n \n")))
     w(bytes(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Variant 4: PDF 1.5 with compressed cross-reference stream and object
+    * stream. Object numbering keeps the packed objects DENSE from 1 so the
+    * type-2 (objStm, index) xref rows are index == num-1: 1 catalog,
+    * 2 pages, 3 font, 4..3+n page dicts (all inside the /Type/ObjStm),
+    * then 4+n..3+2n top-level content streams (type 1), and the ObjStm and
+    * XRef stream close the file. The xref rows are spec-correct byte
+    * offsets even though the scan-based parser never reads them — a
+    * conforming 1.5 reader must be able to open the file. */
+  private def generate15(paragraphs: Seq[String]): Array[Byte] = {
+    val pages = layout(paragraphs, 4)
+    val nPages = pages.length
+    def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+
+    val fontObj = 3
+    def pageObj(i: Int) = 4 + i
+    def contentObj(i: Int) = 4 + nPages + i
+    val kidRefs = (0 until nPages).map(i => s"${pageObj(i)} 0 R").mkString(" ")
+    // (objNum, dictBody) packed into the object stream, densely numbered 1..3+n
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kidRefs] /Count $nPages >>",
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>") ++
+        (0 until nPages).map { i =>
+          pageObj(i) ->
+            (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $pageW $pageH] " +
+              s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${contentObj(i)} 0 R >>")
+        }
+    val objStmObj = 4 + 2 * nPages
+    val xrefObj = objStmObj + 1
+
+    val out = new ByteArrayOutputStream(4096)
+    def w(b: Array[Byte]): Unit = out.write(b)
+    w(bytes("%PDF-1.5\n%âãÏÓ\n"))
+
+    // top-level content streams (deflated)
+    val contentOffsets = (0 until nPages).map { i =>
+      val off = out.size()
+      val body = deflate(bytes(contentStream(pages(i), 4)))
+      w(bytes(s"${contentObj(i)} 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\nstream\n"))
+      w(body)
+      w(bytes("\nendstream\nendobj\n"))
+      off
+    }
+
+    // object stream: "num offset ..." header then the concatenated dicts
+    val objStmOffset = out.size()
+    val bodies = packed.map(_._2 + "\n")
+    val innerOffsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.zip(innerOffsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmRaw = bytes(header + bodies.mkString)
+    val stmBody = deflate(stmRaw)
+    w(bytes(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${packed.length} " +
+      s"/First ${header.length} /Length ${stmBody.length} /Filter /FlateDecode >>\nstream\n"))
+    w(stmBody)
+    w(bytes("\nendstream\nendobj\n"))
+
+    // cross-reference stream: W [1 3 1] rows for objects 0..xrefObj
+    val xrefOffset = out.size()
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, mid: Int, last: Int): Unit = {
+      rows.write(t)
+      rows.write((mid >>> 16) & 0xff); rows.write((mid >>> 8) & 0xff)
+      rows.write(mid & 0xff)
+      rows.write(last & 0xff)
+    }
+    row(0, 0, 255) // object 0: free list head
+    packed.zipWithIndex.foreach { case ((num, _), idx) =>
+      require(num == idx + 1, "packed objects must be densely numbered from 1")
+    }
+    // objects 1..3+nPages are the packed dicts: type 2 (ObjStm, index);
+    // 4+nPages..3+2*nPages the content streams: type 1 (byte offset).
+    // /W mid width 3 covers 16 MiB of file; the requires keep a silent
+    // overflow out.
+    (1 to 3 + nPages).foreach(num => row(2, objStmObj, num - 1))
+    contentOffsets.foreach { off =>
+      require(off <= 0xffffff, s"content offset $off exceeds /W[1 3 1] width")
+      row(1, off, 0)
+    }
+    require(objStmOffset <= 0xffffff && xrefOffset <= 0xffffff,
+      "xref offsets exceed /W[1 3 1] width")
+    row(1, objStmOffset, 0)
+    row(1, xrefOffset, 0)
+    val xrefBody = deflate(rows.toByteArray)
+    w(bytes(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${xrefObj + 1} /W [1 3 1] " +
+      s"/Index [0 ${xrefObj + 1}] /Root 1 0 R /Length ${xrefBody.length} " +
+      "/Filter /FlateDecode >>\nstream\n"))
+    w(xrefBody)
+    w(bytes("\nendstream\nendobj\n"))
+    w(bytes(s"startxref\n$xrefOffset\n%%EOF\n"))
     out.toByteArray
   }
 }

@@ -76,15 +76,28 @@ class KernelRoundTripSpec extends AnyFunSuite {
     assert(!r.success && r.error.nonEmpty, s"expected failure row, got $r")
   }
 
-  test("pdf parser handles all four layout variants directly") {
+  test("pdf parser handles all five layout variants directly") {
     val paras = Vector(
       "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november",
       "oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three",
       "four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen")
-    for (v <- 0 to 3) {
+    for (v <- 0 to 4) {
       val pdf = PdfWriter.generate(paras, v)
       val got = PdfParser.extract(pdf)
       assert(got == paras.mkString("\n"), s"variant $v:\n$got")
     }
+  }
+
+  test("pdf 1.5 variant paginates: multi-page ObjStm numbering stays valid") {
+    // enough paragraphs to overflow one 742->50pt page (~57 lines) several
+    // times over — exercises the dense packed-object numbering with n>1
+    // pages and the type-1/type-2 xref row split
+    val paras = Vector.tabulate(60)(i =>
+      s"paragraph number $i with a handful of words that wrap across " +
+        s"at least two rendered lines in the sixty character column layout")
+    val pdf = PdfWriter.generate(paras, 4)
+    assert(new String(pdf, 0, 8, StandardCharsets.ISO_8859_1) == "%PDF-1.5")
+    val got = PdfParser.extract(pdf)
+    assert(got == paras.mkString("\n"), s"multi-page 1.5:\n$got")
   }
 }
