@@ -16,13 +16,14 @@ import graft.serialize.{CfbWriter => _, OoxmlZip => _, _}
   *
   * Payload routing (doc_id % 24): EVEN ids -> HTML (50%, the web-scale
   * majority; template (doc_id/2) % 7, encoding (doc_id/14) % 6); ODD ids
-  * rotate through the ELEVEN structural binary kernels
-  * docx, pdf, pptx, xlsx, odt, odp, ods, rtf, doc, xls, ppt (pdf twice),
+  * rotate through the TWELVE structural binary kernels
+  * docx, pdf, pptx, xlsx, odt, odp, ods, rtf, doc, xls, ppt, epub,
   * each with a variant rotation over its golden-preserving variants — so
-  * the flagship pipeline and the throughput bench exercise the FULL
-  * dispatch surface. EPUB and flat-ODF stay on their dedicated oracle
-  * queries: EPUB chapters run the boilerplate classifier, whose length
-  * thresholds the corpus length-sweep intentionally crosses.
+  * the flagship pipeline and the throughput bench (and therefore the
+  * north-rule scaling gate) exercise the FULL dispatch surface, including
+  * the slowest kernel (EPUB runs the boilerplate classifier per chapter).
+  * Flat-ODF stays on its dedicated oracle query (text-sniffed, not a
+  * container format).
   */
 object Corpus {
 
@@ -33,7 +34,7 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r8"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r9"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
@@ -41,7 +42,7 @@ object Corpus {
     * Mirrored EXACTLY by the extract_formats / extract_metrics /
     * stream_metrics oracle SQL. */
   val binaryFormats: IndexedSeq[String] = IndexedSeq(
-    "docx", "pdf", "pptx", "xlsx", "odt", "odp", "ods", "rtf", "doc", "xls", "ppt", "pdf")
+    "docx", "pdf", "pptx", "xlsx", "odt", "odp", "ods", "rtf", "doc", "xls", "ppt", "epub")
 
   def formatOf(docId: Long): String =
     if (docId % 2 == 0) "html" else binaryFormats((((docId % 24) - 1) / 2).toInt)
@@ -75,6 +76,7 @@ object Corpus {
       case "xls" =>
         LXls.generate(paragraphs, LXls.verbatimVariants(r % LXls.verbatimVariants.length))
       case "ppt" => LPpt.generate(paragraphs, r % LPpt.numVariants)
+      case "epub" => EpubWriter.generate(paragraphs, r % EpubWriter.numVariants)
     }
     // a third of the html payloads ship gzip-wrapped (Common-Crawl-style
     // stored compression): transport-only — the dispatcher inflates and
