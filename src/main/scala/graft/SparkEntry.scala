@@ -513,17 +513,19 @@ object SparkEntry {
       .orderBy("doc_id")),
     // The synthetic documents all draw from one English-ish vocabulary, so
     // the raw text carries no language signal for its random `lang` label.
-    // The FIXTURE layer (graft.fixtures.LangMark) therefore weaves each
-    // language's function words through the text — realistically
-    // interleaved, not a prefix blob — and the kernel is scored on that
-    // corpus: the oracle asserts 100%.
+    // The FIXTURE layer (graft.fixtures.LangProse) therefore substitutes a
+    // per-document window of NATURAL public-domain prose in the labeled
+    // language — real sentences with genuine cross-language ambiguity
+    // (shared Romance function words, de/en homographs), no synthetic
+    // markers — and the kernel is scored on that corpus: the oracle
+    // asserts 100%.
     "ta_langid" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .select(col("lang"), col("text"))
-        .as[(String, String)]
-        .map { case (lang, t) =>
-          (lang, LangId.detect(graft.fixtures.LangMark.mark(lang, t))._1)
+        .select(col("doc_id"), col("lang"))
+        .as[(Long, String)]
+        .map { case (id, lang) =>
+          (lang, LangId.detect(graft.fixtures.LangProse.sample(lang, id))._1)
         }
         .toDF("lang", "lang_pred")
         .groupBy("lang")

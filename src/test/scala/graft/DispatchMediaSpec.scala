@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.extract.Extractor
 import graft.extract.cfb.CfbSniffer
 import graft.extract.ooxml.OdfExtractor
-import graft.fixtures.{JpegWriter, LangMark, MediaFixtures}
+import graft.fixtures.{JpegWriter, MediaFixtures}
 import graft.serialize.{CfbWriter, EpubWriter, OdfWriter}
 import graft.functions.DocFunctions
 import graft.multimodal.MediaCodecs
@@ -751,15 +751,22 @@ class DispatchMediaSpec extends AnyFunSuite {
       "application/xml")
   }
 
-  // ---- langid fixture marking ----------------------------------------------
+  // ---- langid on natural prose ----------------------------------------------
 
-  test("LangMark-woven corpus is classified 100% by the langid kernel") {
-    val sample = "key agg row scan slow fast table value part hash value table part " +
-      "a row fast merge batch part value fast spark a a the line sort table window"
-    for (lang <- Seq("en", "fr", "es", "de", "zh")) {
-      val marked = LangMark.mark(lang, sample)
-      assert(graft.textops.LangId.detect(marked)._1 == lang,
-        s"$lang misdetected on: $marked")
+  test("every LangProse 3-sentence window is classified correctly") {
+    // every start offset of every language's pool — the exact corpus the
+    // ta_langid oracle asserts 100% on
+    for (lang <- Seq("en", "fr", "es", "de", "zh"); id <- 0 until 16) {
+      val text = graft.fixtures.LangProse.sample(lang, id.toLong)
+      val got = graft.textops.LangId.detect(text)._1
+      assert(got == lang, s"$lang window $id misdetected as $got on: $text")
+    }
+  }
+
+  test("langid stays correct on single natural sentences (harder than windows)") {
+    for ((lang, sentences) <- graft.fixtures.LangProse.pool; (s, i) <- sentences.zipWithIndex) {
+      val got = graft.textops.LangId.detect(s)._1
+      assert(got == lang, s"$lang sentence $i misdetected as $got on: $s")
     }
   }
 }
