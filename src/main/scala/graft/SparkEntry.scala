@@ -744,6 +744,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Production image CONVERT surface (the reference's image direction,
+    // image_converters.py:118-137): decode source pixels -> re-encode as
+    // the wheel's target format -> RE-DECODE the produced bytes. The
+    // oracle recomputes geometry/mode/pixel_sum in closed form, so a
+    // wrong palette expansion, channel swap, or LZW width bug in the
+    // ENCODERS breaks the hash. P sources stay P for png/bmp/gif targets
+    // and expand 3x for ppm/tiff; RGB sources palettize exactly for gif
+    // (grayscale rows -> first-seen index == row number).
+    "mm_convert" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 3 + (id % 5).toInt
+          val seed = (id % 200).toInt
+          import graft.fixtures.MediaFixtures
+          val (srcFmt, bytes) = (id % 6) match {
+            case 0 => ("bmp24", MediaFixtures.bmp(w, h, 24, seed))
+            case 1 => ("bmp8", MediaFixtures.bmp(w, h, 8, seed))
+            case 2 => ("png", MediaFixtures.png(w, h, 2, seed))
+            case 3 => ("gif", MediaFixtures.gif(w, h, seed))
+            case 4 => ("ppm", MediaFixtures.ppm(w, h, seed))
+            case _ => ("tiff", MediaFixtures.tiff(
+              w, h, rgb = true, bigEndian = (id / 6) % 2 == 0, seed))
+          }
+          val dst = graft.multimodal.ImageConvert.encodeFormats(((id / 6) % 5).toInt)
+          val out = graft.multimodal.ImageConvert.convertImage(bytes, dst)
+          val meta = graft.multimodal.MediaCodecs.decodeImage(out).get
+          (id, srcFmt, dst, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "src_fmt", "dst_fmt", "width", "height", "mode", "pixel_sum")
+        .orderBy("doc_id")
+    }),
+
     // Real tag containers feeding the K6 mutagen-normalization layer:
     // FLAC (STREAMINFO bit unpacking + vorbis comments) on even ids, mp3
     // ID3v2 text frames (v2.4 syncsafe / v2.3 plain sizes) on ids % 4 == 1,
@@ -1182,6 +1215,22 @@ object SparkEntry {
         "CAST((CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END) " +
         "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "mm_convert" ->
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +
+        "doc_id % 200 AS seed, doc_id % 6 AS s, (doc_id // 6) % 5 AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE s WHEN 0 THEN 'bmp24' WHEN 1 THEN 'bmp8' WHEN 2 THEN 'png' " +
+        "WHEN 3 THEN 'gif' WHEN 4 THEN 'ppm' ELSE 'tiff' END AS src_fmt, " +
+        "CASE d WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' " +
+        "WHEN 3 THEN 'tiff' ELSE 'gif' END AS dst_fmt, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE WHEN s IN (1, 3) THEN (CASE WHEN d IN (2, 3) THEN 'RGB' ELSE 'P' END) " +
+        "ELSE (CASE WHEN d = 4 THEN 'P' ELSE 'RGB' END) END AS mode, " +
+        "CAST(CASE WHEN s IN (1, 3) THEN " +
+        "(CASE WHEN d IN (2, 3) THEN 3 ELSE 1 END) * w * (h * seed + h * (h - 1) // 2) " +
+        "ELSE (CASE WHEN d = 4 THEN w * h * (h - 1) // 2 " +
+        "ELSE 3 * w * (h * seed + h * (h - 1) // 2) END) END AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_audio_tags" ->
       ("WITH p AS (SELECT doc_id, " +

@@ -1,0 +1,374 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
+
+/** Production image CONVERT surface — the reference's image direction
+  * (/root/reference/src/converters/image_converters.py:118-137: open with
+  * Pillow, mode-convert, save as the target format). The decode side reuses
+  * the verified metadata decoders with a pixel sink; the encode side is
+  * pure JVM (java.util.zip for PNG's DEFLATE, hand-rolled GIF LZW).
+  *
+  * Coverage, honestly scoped:
+  *  - decode (pixel-accurate): BMP (8/24/32 bpp, RLE8), PNM (P5/P6),
+  *    PNG (color types 0/2/3/6, Adam7), GIF (incl. interlace), TIFF
+  *    (none/LZW/PackBits, both endians), baseline JPEG;
+  *  - encode: PNG (lossless for every mode incl. palettes), BMP
+  *    (P/L → 8 bpp indexed, RGB → 24, RGBA → 32), PPM/PGM, TIFF
+  *    (L/RGB uncompressed, little-endian), GIF (P/L, or RGB/RGBA when the
+  *    image has ≤256 distinct colors — exact palettization, no dithering);
+  *  - NOT offered: JPEG/WebP ENCODE (lossy codecs whose rate-distortion
+  *    loop is out of scope; the reference delegates that to libjpeg/libwebp
+  *    inside Pillow). Asking for them is a named error, never a fake file.
+  *
+  * Mode adaptation mirrors Pillow's `Image.convert` defaults: palette
+  * expansion P→RGB, alpha dropped RGBA→RGB, ITU-R 601 luma for →L
+  * (L = (299R + 587G + 114B) / 1000, truncating), gray replication L→RGB.
+  */
+object ImageConvert {
+
+  /** Formats convertImage can WRITE. */
+  val encodeFormats: IndexedSeq[String] = IndexedSeq("png", "bmp", "ppm", "tiff", "gif")
+
+  /** Decode any supported image to pixels + its native metadata. */
+  def decodePixels(bytes: Array[Byte]): (ImageMeta, PixelBuf) = {
+    val sink = new PixelBuf
+    val meta =
+      if (MediaCodecs.isBmp(bytes)) MediaCodecs.decodeBmp(bytes, sink)
+      else if (MediaCodecs.isPpm(bytes)) MediaCodecs.decodePpm(bytes, sink)
+      else if (MediaCodecs.isPng(bytes)) MediaCodecs.decodePng(bytes, sink)
+      else if (MediaCodecs.isGif(bytes)) MediaCodecs.decodeGif(bytes, sink)
+      else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes, sink)
+      else if (MediaCodecs.isTiff(bytes)) MediaCodecs.decodeTiff(bytes, sink)
+      else throw new IllegalArgumentException(
+        "unsupported image input (bmp/pnm/png/gif/jpeg/tiff)")
+    (meta, sink)
+  }
+
+  /** image bytes → target-format bytes, Pillow-convert-then-save shape. */
+  def convertImage(bytes: Array[Byte], targetFmt: String): Array[Byte] =
+    encode(decodePixels(bytes)._2, targetFmt)
+
+  /** Sum of the sink's raster bytes — the pixelSum a re-decode of a
+    * LOSSLESS re-encode must reproduce (for P sinks this is the index sum,
+    * matching the decoders' "P"-mode pixelSum convention). */
+  def rasterSum(buf: PixelBuf): Long = {
+    var s = 0L
+    var i = 0
+    while (i < buf.data.length) { s += buf.data(i) & 0xff; i += 1 }
+    s
+  }
+
+  // ---- mode conversion (Pillow Image.convert analog) ------------------------
+
+  def convertMode(buf: PixelBuf, target: String): PixelBuf = {
+    if (buf.mode == target) return buf
+    require(Set("L", "RGB", "RGBA").contains(target),
+      s"unsupported target mode $target (L, RGB, or RGBA)")
+    val out = new PixelBuf
+    out.init(target, buf.width, buf.height)
+    val n = buf.width * buf.height
+    var i = 0
+    while (i < n) {
+      // source pixel as RGB(A)
+      var r = 0; var g = 0; var b = 0; var a = 255
+      buf.mode match {
+        case "L" => r = buf.data(i) & 0xff; g = r; b = r
+        case "P" =>
+          val idx = (buf.data(i) & 0xff) * 3
+          r = buf.palette(idx) & 0xff
+          g = buf.palette(idx + 1) & 0xff
+          b = buf.palette(idx + 2) & 0xff
+        case "RGB" =>
+          r = buf.data(i * 3) & 0xff; g = buf.data(i * 3 + 1) & 0xff
+          b = buf.data(i * 3 + 2) & 0xff
+        case "RGBA" =>
+          r = buf.data(i * 4) & 0xff; g = buf.data(i * 4 + 1) & 0xff
+          b = buf.data(i * 4 + 2) & 0xff; a = buf.data(i * 4 + 3) & 0xff
+      }
+      target match {
+        case "L" => out.data(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        case "RGB" =>
+          out.data(i * 3) = r.toByte; out.data(i * 3 + 1) = g.toByte
+          out.data(i * 3 + 2) = b.toByte
+        case "RGBA" =>
+          out.data(i * 4) = r.toByte; out.data(i * 4 + 1) = g.toByte
+          out.data(i * 4 + 2) = b.toByte; out.data(i * 4 + 3) = a.toByte
+        case o => throw new IllegalArgumentException(s"unsupported target mode $o")
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ---- encoders --------------------------------------------------------------
+
+  /** pixels → target-format bytes, auto-adapting the mode where the format
+    * requires it (RGBA→RGB for ppm/tiff/gif like Pillow's save paths). */
+  def encode(buf: PixelBuf, fmt: String): Array[Byte] =
+    fmt.toLowerCase.stripPrefix(".") match {
+      case "png" => encodePng(buf)
+      case "bmp" => encodeBmp(buf)
+      case "ppm" | "pgm" | "pnm" =>
+        if (buf.mode == "L") encodePnm(buf)
+        else encodePnm(if (buf.mode == "RGB") buf else convertMode(buf, "RGB"))
+      case "tiff" | "tif" =>
+        if (buf.mode == "L" || buf.mode == "RGB") encodeTiff(buf)
+        else encodeTiff(convertMode(buf, "RGB"))
+      case "gif" => encodeGif(buf)
+      case "jpeg" | "jpg" | "webp" | "ico" => throw new IllegalArgumentException(
+        s"$fmt encode unsupported (lossy/container codec out of scope)")
+      case o => throw new IllegalArgumentException(
+        s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")
+    }
+
+  /** PNG: color type from mode, filter 0 everywhere, one zlib stream. */
+  def encodePng(buf: PixelBuf): Array[Byte] = {
+    val colorType = buf.mode match {
+      case "L" => 0; case "RGB" => 2; case "P" => 3; case "RGBA" => 6
+    }
+    val channels = PixelBuf.channelsOf(buf.mode)
+    val rowBytes = buf.width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * buf.height)
+    var y = 0
+    while (y < buf.height) {
+      // raw(y * (1 + rowBytes)) = 0: filter None
+      System.arraycopy(buf.data, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(raw.length / 2 + 128)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def be32(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tpe: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length), 0, 4)
+      val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    chunk("IHDR", be32(buf.width) ++ be32(buf.height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    if (colorType == 3) {
+      require(buf.palette != null, "P-mode pixels have no palette")
+      chunk("PLTE", buf.palette.clone())
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val z = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) z.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** BMP (BITMAPINFOHEADER, BI_RGB, bottom-up): P/L → 8 bpp with a color
+    * table, RGB → 24, RGBA → 32. */
+  def encodeBmp(buf: PixelBuf): Array[Byte] = {
+    val bpp = buf.mode match {
+      case "P" | "L" => 8
+      case "RGB" => 24
+      case "RGBA" => 32
+    }
+    val channels = PixelBuf.channelsOf(buf.mode)
+    val paletteSize = if (bpp == 8) 256 * 4 else 0
+    val stride = (buf.width * (bpp / 8) + 3) & ~3
+    val dataOffset = 14 + 40 + paletteSize
+    val bb = java.nio.ByteBuffer.allocate(dataOffset + stride * buf.height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOffset)
+    bb.putInt(40).putInt(buf.width).putInt(buf.height) // positive = bottom-up
+    bb.putShort(1).putShort(bpp.toShort).putInt(0) // BI_RGB
+    bb.putInt(stride * buf.height).putInt(2835).putInt(2835)
+    bb.putInt(if (bpp == 8) 256 else 0).putInt(0)
+    if (bpp == 8) {
+      var k = 0
+      while (k < 256) { // BGRA entries; grayscale identity for "L"
+        if (buf.mode == "P") {
+          bb.put(buf.palette(k * 3 + 2)).put(buf.palette(k * 3 + 1))
+            .put(buf.palette(k * 3)).put(0.toByte)
+        } else bb.put(k.toByte).put(k.toByte).put(k.toByte).put(0.toByte)
+        k += 1
+      }
+    }
+    var y = buf.height - 1
+    while (y >= 0) { // bottom-up rows, RGB(A) -> BGR(A)
+      var x = 0
+      while (x < buf.width) {
+        val at = (y * buf.width + x) * channels
+        channels match {
+          case 1 => bb.put(buf.data(at))
+          case 3 => bb.put(buf.data(at + 2)).put(buf.data(at + 1)).put(buf.data(at))
+          case 4 => bb.put(buf.data(at + 2)).put(buf.data(at + 1))
+            .put(buf.data(at)).put(buf.data(at + 3))
+        }
+        x += 1
+      }
+      var pad = stride - buf.width * (bpp / 8)
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Binary PNM: P5 for L, P6 for RGB. */
+  def encodePnm(buf: PixelBuf): Array[Byte] = {
+    require(buf.mode == "L" || buf.mode == "RGB",
+      s"PNM encodes L (P5) or RGB (P6), not ${buf.mode}")
+    val header = s"P${if (buf.mode == "L") 5 else 6}\n${buf.width} ${buf.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ buf.data
+  }
+
+  /** Baseline TIFF, little-endian, uncompressed, one strip. */
+  def encodeTiff(buf: PixelBuf): Array[Byte] = {
+    require(buf.mode == "L" || buf.mode == "RGB",
+      s"TIFF encoder writes L or RGB, not ${buf.mode}")
+    val spp = PixelBuf.channelsOf(buf.mode)
+    val nEntries = 9
+    val ifdAt = 8
+    val bpsExtraAt = ifdAt + 2 + nEntries * 12 + 4 // RGB BitsPerSample triple
+    val dataAt = if (spp == 3) bpsExtraAt + 6 else bpsExtraAt
+    val bb = java.nio.ByteBuffer.allocate(dataAt + buf.data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdAt)
+    bb.putShort(nEntries.toShort)
+    def entry(tag: Int, tpe: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+      if (tpe == 3 && count == 1) bb.putShort(value.toShort).putShort(0)
+      else bb.putInt(value)
+    }
+    entry(256, 4, 1, buf.width)          // ImageWidth
+    entry(257, 4, 1, buf.height)         // ImageLength
+    if (spp == 1) entry(258, 3, 1, 8)    // BitsPerSample
+    else entry(258, 3, 3, bpsExtraAt)
+    entry(259, 3, 1, 1)                  // Compression: none
+    entry(262, 3, 1, if (spp == 3) 2 else 1) // Photometric
+    entry(273, 4, 1, dataAt)             // StripOffsets
+    entry(277, 3, 1, spp)                // SamplesPerPixel
+    entry(278, 4, 1, buf.height)         // RowsPerStrip
+    entry(279, 4, 1, buf.data.length)    // StripByteCounts
+    bb.putInt(0) // next IFD
+    if (spp == 3) { bb.putShort(8).putShort(8).putShort(8) }
+    bb.put(buf.data)
+    bb.array()
+  }
+
+  /** GIF89a, one frame, global color table. P/L encode directly; RGB(A)
+    * palettizes exactly when the image has ≤256 distinct colors and is a
+    * named error otherwise (no quantization loop — deterministic output). */
+  def encodeGif(buf: PixelBuf): Array[Byte] = {
+    val (indices, palette) = buf.mode match {
+      case "P" => (buf.data, buf.palette)
+      case "L" =>
+        (buf.data, Array.tabulate[Byte](768)(i => (i / 3).toByte))
+      case "RGB" | "RGBA" =>
+        val rgb = if (buf.mode == "RGB") buf else convertMode(buf, "RGB")
+        val colorIdx = new java.util.LinkedHashMap[Int, Int]()
+        val n = buf.width * buf.height
+        val idx = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val c = ((rgb.data(i * 3) & 0xff) << 16) |
+            ((rgb.data(i * 3 + 1) & 0xff) << 8) | (rgb.data(i * 3 + 2) & 0xff)
+          var k = colorIdx.getOrDefault(c, -1)
+          if (k < 0) {
+            k = colorIdx.size()
+            require(k < 256,
+              "GIF encode needs <=256 distinct colors (no quantizer here)")
+            colorIdx.put(c, k)
+          }
+          idx(i) = k.toByte
+          i += 1
+        }
+        val pal = new Array[Byte](768)
+        colorIdx.forEach { (c, k) =>
+          pal(k * 3) = (c >> 16).toByte; pal(k * 3 + 1) = (c >> 8).toByte
+          pal(k * 3 + 2) = c.toByte
+        }
+        (idx, pal)
+    }
+    val out = new ByteArrayOutputStream(indices.length / 2 + 1024)
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes, 0, 6)
+    u16le(buf.width); u16le(buf.height)
+    out.write(0xf7) // global table, 256 entries, 8-bit color resolution
+    out.write(0); out.write(0)
+    out.write(palette, 0, 768)
+    out.write(0x2c) // image descriptor
+    u16le(0); u16le(0); u16le(buf.width); u16le(buf.height)
+    out.write(0) // no local table, not interlaced
+    val minCodeSize = 8
+    out.write(minCodeSize)
+    // --- GIF LZW encode (same convention as the verified decoder pair in
+    // MediaCodecs.decodeGif / fixtures.MediaFixtures.gif, which matches
+    // giflib/Pillow): width grows right after defining entry (1<<w)-1 —
+    // i.e. when nextCode reaches 1 << codeWidth; a full table emits Clear
+    // WITHOUT defining a 4096th entry; the flush code mirrors the
+    // decoder's (1<<w)-1 growth because the decoder defines one more
+    // entry on reading it that the encoder never does.
+    val lzw = new ByteArrayOutputStream(indices.length / 2 + 64)
+    var bitBuf = 0
+    var bitCnt = 0
+    var codeWidth = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code << bitCnt
+      bitCnt += codeWidth
+      while (bitCnt >= 8) { lzw.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    val Clear = 1 << minCodeSize
+    val Eoi = Clear + 1
+    // dictionary: (prefix code << 8 | next byte) -> code
+    val dict = new java.util.HashMap[Int, Int]()
+    var nextCode = Eoi + 1
+    put(Clear)
+    var prev = -1
+    var i = 0
+    while (i < indices.length) {
+      val b = indices(i) & 0xff
+      if (prev < 0) prev = b
+      else {
+        val key = (prev << 8) | b
+        val hit = dict.getOrDefault(key, -1)
+        if (hit >= 0) prev = hit
+        else {
+          put(prev)
+          if (nextCode < 4096) {
+            dict.put(key, nextCode)
+            nextCode += 1
+            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          } else { // table full: clear and restart, nothing defined
+            put(Clear)
+            dict.clear()
+            nextCode = Eoi + 1
+            codeWidth = minCodeSize + 1
+          }
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+    put(Eoi)
+    if (bitCnt > 0) lzw.write(bitBuf & 0xff)
+    // chop into <=255-byte sub-blocks
+    val data = lzw.toByteArray
+    var at = 0
+    while (at < data.length) {
+      val n = math.min(255, data.length - at)
+      out.write(n)
+      out.write(data, at, n)
+      at += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

@@ -444,8 +444,10 @@ object JpegCodec {
     * 4:2:0 chroma is upsampled by sample replication (each chroma sample
     * covers a 2x2 luma neighborhood); with the JFIF transform applied per
     * pixel, rounded and clamped per channel. */
-  def decode(bytes: Array[Byte]): MediaCodecs.ImageMeta = {
+  def decode(bytes: Array[Byte],
+             sink: MediaCodecs.PixelBuf = null): MediaCodecs.ImageMeta = {
     val p = parse(bytes)
+    if (sink != null) sink.init(if (p.comps == 1) "L" else "RGB", p.width, p.height)
     val maxH = p.hSamp.max
     val maxV = p.vSamp.max
     val mcuPixW = 8 * maxH
@@ -476,17 +478,27 @@ object JpegCodec {
       while (y < mcuPixH && y0 + y < p.height) {
         var x = 0
         while (x < mcuPixW && x0 + x < p.width) {
-          if (p.comps == 1) sum += samp(0, x, y)
-          else {
+          val at = ((y0 + y) * p.width + (x0 + x)) * p.comps.min(3)
+          if (p.comps == 1) {
+            val v = samp(0, x, y)
+            sum += v
+            if (sink != null) sink.data(at) = v.toByte
+          } else {
             // JFIF YCbCr -> RGB, rounded and clamped per channel
             val yy = samp(0, x, y).toDouble
             val cb = samp(1, x, y) - 128.0
             val cr = samp(2, x, y) - 128.0
             def clamp(v: Double): Int =
               math.max(0, math.min(255, math.round(v).toInt))
-            sum += clamp(yy + 1.402 * cr)
-            sum += clamp(yy - 0.344136 * cb - 0.714136 * cr)
-            sum += clamp(yy + 1.772 * cb)
+            val r = clamp(yy + 1.402 * cr)
+            val g = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            val b = clamp(yy + 1.772 * cb)
+            sum += r; sum += g; sum += b
+            if (sink != null) {
+              sink.data(at) = r.toByte
+              sink.data(at + 1) = g.toByte
+              sink.data(at + 2) = b.toByte
+            }
           }
           x += 1
         }

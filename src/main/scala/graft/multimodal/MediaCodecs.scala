@@ -24,6 +24,38 @@ object MediaCodecs {
     * FIRST frame (the Pillow convert-current-frame contract). */
   final case class ImageMeta(format: String, width: Int, height: Int,
                              mode: String, pixelSum: Long, frames: Int = 1)
+
+  /** Optional pixel sink for the image decoders (the convert surface's
+    * input): when passed, the decoder fills `data` with the first frame's
+    * raster in its NATIVE mode — interleaved `channelsOf(mode)` bytes per
+    * pixel, row-major top-down; palette modes ("P") store indices in `data`
+    * and the 256×3 RGB `palette`. Decoders that sum without materializing
+    * (RLE8 deltas, GIF interlace) de-permute/zero-fill into the sink so the
+    * raster is positionally correct, not just sum-correct. Metadata-only
+    * callers pass null and pay nothing. */
+  final class PixelBuf {
+    var mode: String = _
+    var width = 0
+    var height = 0
+    var data: Array[Byte] = _
+    var palette: Array[Byte] = _ // P mode only: 256*3 RGB
+
+    /** Allocate a zero-filled raster (also the API for building an image
+      * to encode from scratch). */
+    def init(mode: String, w: Int, h: Int): Unit = {
+      this.mode = mode; this.width = w; this.height = h
+      this.data = new Array[Byte](w * h * PixelBuf.channelsOf(mode))
+    }
+  }
+
+  object PixelBuf {
+    def channelsOf(mode: String): Int = mode match {
+      case "L" | "P" => 1
+      case "RGB" => 3
+      case "RGBA" => 4
+      case o => throw new IllegalArgumentException(s"unknown image mode $o")
+    }
+  }
   final case class WavMeta(channels: Int, frameRate: Int, bitsPerSample: Int,
                            dataBytes: Long, durationMs: Long, dataOffset: Long)
 
@@ -49,11 +81,12 @@ object MediaCodecs {
     * mode "P", 24 "RGB", 32 "RGBA" (the Pillow mode names the reference
     * reports). Negative stored height = top-down row order (handled;
     * pixelSum is row-order invariant but the walk honors |height|). */
-  def decodeBmp(bytes: Array[Byte]): ImageMeta = {
+  def decodeBmp(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isBmp(bytes) && bytes.length >= 54, "not a BMP payload")
     val dataOffset = i32(bytes, 10)
     val width = i32(bytes, 18)
-    val height = math.abs(i32(bytes, 22))
+    val storedHeight = i32(bytes, 22)
+    val height = math.abs(storedHeight)
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
     require(compression == 0 || (compression == 1 && bpp == 8),
@@ -69,20 +102,49 @@ object MediaCodecs {
       case 32 => "RGBA"
       case o => throw new IllegalArgumentException(s"unsupported BMP bpp $o")
     }
-    if (compression == 1) return decodeBmpRle8(bytes, dataOffset, width, height)
+    if (sink != null && bpp == 8) sink.palette = bmpPalette(bytes, dataOffset)
+    if (compression == 1) return decodeBmpRle8(bytes, dataOffset, width, height, sink)
     val rowBytes = width * (bpp / 8)
     val stride = (rowBytes + 3) & ~3
     require(dataOffset.toLong + stride.toLong * height <= bytes.length,
       "BMP pixel data truncated")
+    if (sink != null) sink.init(mode, width, height)
+    val channels = bpp / 8
     var sum = 0L
     var y = 0
     while (y < height) {
       val row = dataOffset + y * stride
+      // stored rows are bottom-up unless the header height is negative
+      val rasterY = if (storedHeight > 0) height - 1 - y else y
       var x = 0
-      while (x < rowBytes) { sum += bytes(row + x) & 0xff; x += 1 }
+      while (x < rowBytes) {
+        sum += bytes(row + x) & 0xff
+        if (sink != null) {
+          // BGR(A) in the file -> RGB(A) in the sink (identity for 8 bpp)
+          val ch = x % channels
+          val outCh = if (channels == 1 || ch == 3) ch else 2 - ch
+          sink.data((rasterY * width + x / channels) * channels + outCh) = bytes(row + x)
+        }
+        x += 1
+      }
       y += 1
     }
     ImageMeta("bmp", width, height, mode, sum)
+  }
+
+  /** 8-bpp BMP color table: 256 BGRA entries between the V3 header and the
+    * pixel data, returned as 256×3 RGB. */
+  private def bmpPalette(bytes: Array[Byte], dataOffset: Int): Array[Byte] = {
+    require(dataOffset >= 54 + 1024, "8-bpp BMP color table missing")
+    val pal = new Array[Byte](256 * 3)
+    var k = 0
+    while (k < 256) {
+      pal(k * 3) = bytes(54 + k * 4 + 2)     // R
+      pal(k * 3 + 1) = bytes(54 + k * 4 + 1) // G
+      pal(k * 3 + 2) = bytes(54 + k * 4)     // B
+      k += 1
+    }
+    pal
   }
 
   /** BI_RLE8 pixel stream (MS BMP spec): [n>0, v] paints n copies of index
@@ -92,7 +154,12 @@ object MediaCodecs {
     * boundary. Runs may not cross a row; row order is irrelevant to the
     * sum, so only per-row x and total row count are tracked. */
   private def decodeBmpRle8(bytes: Array[Byte], dataOffset: Int,
-                            width: Int, height: Int): ImageMeta = {
+                            width: Int, height: Int,
+                            sink: PixelBuf = null): ImageMeta = {
+    if (sink != null) sink.init("P", width, height) // zero-filled = index 0
+    // RLE rasters are always bottom-up: stored row r is raster height-1-r
+    def put(row: Int, col: Int, v: Byte): Unit =
+      if (sink != null) sink.data((height - 1 - row) * width + col) = v
     var i = dataOffset
     var x = 0
     var rows = 0
@@ -107,6 +174,8 @@ object MediaCodecs {
         require(x + n <= width, s"BMP RLE8 run crosses row boundary at x=$x")
         require(rows < height, "BMP RLE8 paints past the last row")
         sum += n.toLong * v
+        var j = 0
+        while (j < n) { put(rows, x + j, v.toByte); j += 1 }
         x += n
       } else v match {
         case 0 => // end of line
@@ -127,7 +196,7 @@ object MediaCodecs {
           require(x + k <= width, s"BMP RLE8 absolute run crosses row at x=$x")
           require(rows < height, "BMP RLE8 paints past the last row")
           var j = 0
-          while (j < k) { sum += bytes(i + j) & 0xff; j += 1 }
+          while (j < k) { sum += bytes(i + j) & 0xff; put(rows, x + j, bytes(i + j)); j += 1 }
           i += k + (k & 1)
           x += k
       }
@@ -136,7 +205,7 @@ object MediaCodecs {
   }
 
   /** Binary PPM (P6), maxval <= 255: always 3-channel RGB, no row padding. */
-  def decodePpm(bytes: Array[Byte]): ImageMeta = {
+  def decodePpm(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isPpm(bytes), "not a P5/P6 PNM payload")
     val channels = if (bytes(1) == '5') 1 else 3 // P5 gray (PGM) / P6 RGB
     var i = 2
@@ -165,11 +234,16 @@ object MediaCodecs {
     i += 1 // single whitespace byte after maxval, then raster
     val n = width.toLong * height * channels
     require(i + n <= bytes.length, "PNM raster truncated")
+    val mode = if (channels == 1) "L" else "RGB"
+    if (sink != null) {
+      sink.init(mode, width, height)
+      System.arraycopy(bytes, i, sink.data, 0, n.toInt)
+    }
     var sum = 0L
     var k = i
     val end = i + n.toInt
     while (k < end) { sum += bytes(k) & 0xff; k += 1 }
-    ImageMeta("ppm", width, height, if (channels == 1) "L" else "RGB", sum)
+    ImageMeta("ppm", width, height, mode, sum)
   }
 
   /** Adam7 pass grid: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
@@ -189,7 +263,7 @@ object MediaCodecs {
     * pixelSum is over the UNFILTERED bytes, so a wrong filter
     * reconstruction (the part uncompressed formats never exercise) is
     * caught arithmetically. */
-  def decodePng(bytes: Array[Byte]): ImageMeta = {
+  def decodePng(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isPng(bytes), "not a PNG payload")
     val crc = new java.util.zip.CRC32
     var i = 8
@@ -224,7 +298,11 @@ object MediaCodecs {
           require(width > 0 && height > 0, s"bad PNG geometry ${width}x$height")
         case "IDAT" => idat.write(bytes, i + 8, len)
         case "IEND" => sawEnd = true
-        case _ => () // PLTE/ancillary: indices sum directly, palette unused
+        case "PLTE" if sink != null =>
+          require(len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+          sink.palette = new Array[Byte](256 * 3)
+          System.arraycopy(bytes, i + 8, sink.palette, 0, len)
+        case _ => () // ancillary (and PLTE when only summing indices)
       }
       i += 12 + len
     }
@@ -239,20 +317,25 @@ object MediaCodecs {
     val mode = colorType match {
       case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 6 => "RGBA"
     }
+    if (sink != null && colorType == 3)
+      require(sink.palette != null, "PNG color type 3 has no PLTE chunk")
     // decompression-bomb guard: IHDR geometry is attacker-controlled and a
     // tiny compressed payload can declare huge dimensions — cap the DECODED
     // size (64 MiB) before allocating, with overflow-safe Long arithmetic
     require(height <= (1L << 26) / (1L + width.toLong * channels),
       s"PNG decode size ${width}x$height x$channels exceeds 64 MiB cap")
     // pass geometry: the whole image for interlace 0; the 7 non-empty
-    // Adam7 sub-images otherwise (empty passes contribute no bytes at all)
-    val passes: Seq[(Int, Int)] =
-      if (interlace == 0) Seq((width, height))
+    // Adam7 sub-images otherwise (empty passes contribute no bytes at all).
+    // Each entry carries (passW, passH, x0, y0, dx, dy) so a pixel sink can
+    // place pass pixels at their raster positions.
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((width, height, 0, 0, 1, 1))
       else Adam7Passes.map { case (x0, y0, dx, dy) =>
         (if (width > x0) (width - x0 + dx - 1) / dx else 0,
-         if (height > y0) (height - y0 + dy - 1) / dy else 0)
+         if (height > y0) (height - y0 + dy - 1) / dy else 0,
+         x0, y0, dx, dy)
       }.filter(p => p._1 > 0 && p._2 > 0)
-    val rawLen = passes.map { case (pw, ph) => (1L + pw.toLong * channels) * ph }.sum
+    val rawLen = passes.map { case (pw, ph, _, _, _, _) => (1L + pw.toLong * channels) * ph }.sum
     require(rawLen <= (1L << 27), s"PNG filtered stream $rawLen exceeds cap")
     // inflate the filtered scanlines: per pass, rows of [filterByte][bytes]
     val raw = new Array[Byte](rawLen.toInt)
@@ -267,9 +350,10 @@ object MediaCodecs {
     inf.end()
     require(got == raw.length, s"PNG pixel data short: $got of ${raw.length}")
     // unfilter each pass independently, summing reconstructed bytes
+    if (sink != null) sink.init(mode, width, height)
     var sum = 0L
     var off = 0
-    for ((pw, ph) <- passes) {
+    for ((pw, ph, px0, py0, pdx, pdy) <- passes) {
       val rowBytes = pw * channels
       val prev = new Array[Int](rowBytes) // previous reconstructed row
       val cur = new Array[Int](rowBytes)
@@ -297,6 +381,12 @@ object MediaCodecs {
           }
           cur(x) = recon
           sum += recon
+          if (sink != null) {
+            val rasterX = px0 + (x / channels) * pdx
+            val rasterY = py0 + y * pdy
+            sink.data(((rasterY * width) + rasterX) * channels + x % channels) =
+              recon.toByte
+          }
           x += 1
         }
         System.arraycopy(cur, 0, prev, 0, rowBytes)
@@ -331,17 +421,23 @@ object MediaCodecs {
     * same LZW stream — the 4-pass row permutation reorders rows without
     * changing the index multiset, so the "P"-mode pixelSum is exact
     * without materializing the de-permuted raster. */
-  def decodeGif(bytes: Array[Byte]): ImageMeta = {
+  def decodeGif(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isGif(bytes), "not a GIF payload")
     def u16le(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     require(bytes.length >= 13, "GIF truncated before logical screen descriptor")
     val packed = bytes(10) & 0xff
     var i = 13
-    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // global color table
+    var paletteAt = -1 // active color table: local wins over global
+    var paletteLen = 0
+    if ((packed & 0x80) != 0) {
+      paletteAt = i; paletteLen = 3 * (1 << ((packed & 7) + 1))
+      i += paletteLen // global color table
+    }
     // walk blocks to the first image descriptor
     var width = 0
     var height = 0
     var minCodeSize = 0
+    var interlaced = false
     var found = false
     while (!found) {
       require(i < bytes.length, "GIF ends before any image descriptor")
@@ -349,9 +445,13 @@ object MediaCodecs {
         case 0x2c => // image descriptor
           require(i + 10 <= bytes.length, "GIF image descriptor truncated")
           width = u16le(i + 5); height = u16le(i + 7)
-          val ipacked = bytes(i + 9) & 0xff // bit 0x40 (interlace) is fine: see doc
+          val ipacked = bytes(i + 9) & 0xff
+          interlaced = (ipacked & 0x40) != 0 // sum-invariant; sinks de-permute
           i += 10
-          if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 7) + 1)) // local table
+          if ((ipacked & 0x80) != 0) { // local table
+            paletteAt = i; paletteLen = 3 * (1 << ((ipacked & 7) + 1))
+            i += paletteLen
+          }
           require(i < bytes.length, "GIF truncated before LZW data")
           minCodeSize = bytes(i) & 0xff
           require(minCodeSize >= 2 && minCodeSize <= 8, s"bad LZW min code size $minCodeSize")
@@ -450,6 +550,24 @@ object MediaCodecs {
     }
     require(out == total, s"GIF pixel data short: $out of $total")
 
+    if (sink != null) {
+      sink.init("P", width, height)
+      if (!interlaced) System.arraycopy(pixels, 0, sink.data, 0, total)
+      else {
+        // GIF 4-pass interlace: stream rows are y = 0,8,16.. then 4,12..
+        // then 2,6,10.. then 1,3,5..
+        var streamRow = 0
+        for ((y0, dy) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- y0 until height by dy) {
+          System.arraycopy(pixels, streamRow * width, sink.data, y * width, width)
+          streamRow += 1
+        }
+      }
+      require(paletteAt >= 0 && paletteAt + paletteLen <= bytes.length,
+        "GIF has no color table for its pixels")
+      sink.palette = new Array[Byte](256 * 3)
+      System.arraycopy(bytes, paletteAt, sink.palette, 0, paletteLen)
+    }
+
     // count remaining frames (animated GIF): walk descriptors to the
     // trailer. BEST-EFFORT — a stream truncated or corrupt AFTER a fully
     // decoded first frame keeps its pixels (Pillow reads frame 0 of such
@@ -489,7 +607,9 @@ object MediaCodecs {
     * lagging the encoder's dictionary by one entry — grows at (1<<w)-2.
     * Returns (byteSum, byteCount) of the strip, bounded by `maxOut`. */
   private[graft] def tiffLzwStrip(bytes: Array[Byte], from: Int, until: Int,
-                                  maxOut: Long): (Long, Long) = {
+                                  maxOut: Long,
+                                  sinkArr: Array[Byte] = null,
+                                  sinkBase: Int = 0): (Long, Long) = {
     val Clear = 256
     val Eoi = 257
     val prefixOf = new Array[Int](4096)
@@ -523,8 +643,13 @@ object MediaCodecs {
       while (c >= Clear + 2) { stack(depth) = lastOf(c); depth += 1; c = prefixOf(c) }
       require(c < Clear, s"TIFF LZW code chain ends in control code $c")
       require(out + depth + 1 <= maxOut, "TIFF LZW output exceeds geometry")
+      if (sinkArr != null) sinkArr(sinkBase + out.toInt) = c.toByte
       sum += c; out += 1
-      while (depth > 0) { depth -= 1; sum += stack(depth) & 0xff; out += 1 }
+      while (depth > 0) {
+        depth -= 1
+        if (sinkArr != null) sinkArr(sinkBase + out.toInt) = stack(depth)
+        sum += stack(depth) & 0xff; out += 1
+      }
       c.toByte
     }
     var prev = -1
@@ -543,6 +668,7 @@ object MediaCodecs {
           if (code == nextCode) { // KwKwK
             val f = emit(prev)
             require(out < maxOut, "TIFF LZW output exceeds geometry")
+            if (sinkArr != null) sinkArr(sinkBase + out.toInt) = f
             sum += f & 0xff; out += 1
             f
           } else emit(code)
@@ -567,7 +693,7 @@ object MediaCodecs {
     * Compression 1 (none), 5 (LZW, [[tiffLzwStrip]]), or 32773 (PackBits
     * RLE, TIFF 6.0 §9) — each strip decoded independently with output
     * bounded by the geometry; JPEG-in-TIFF etc. are explicit errors. */
-  def decodeTiff(bytes: Array[Byte]): ImageMeta = {
+  def decodeTiff(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isTiff(bytes), "not a TIFF payload")
     val le = bytes(0) == 'I'
     def u16at(i: Int): Int = {
@@ -641,6 +767,10 @@ object MediaCodecs {
     require(stripOffsets.nonEmpty && stripOffsets.length == stripCounts.length,
       "TIFF strip offsets/counts missing or mismatched")
     val expected = width * height * spp
+    if (sink != null) sink.init(mode, width.toInt, height.toInt)
+    // strips partition the raster in row-major order, so the running
+    // `decoded` counter IS the sink position
+    def put(at: Long, b: Byte): Unit = if (sink != null) sink.data(at.toInt) = b
     var sum = 0L
     var decoded = 0L
     stripOffsets.indices.foreach { s =>
@@ -650,10 +780,12 @@ object MediaCodecs {
       var i = off.toInt
       val end = (off + cnt).toInt
       if (compression == 1) {
-        while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+        require(decoded + cnt <= expected, "TIFF strip data exceeds geometry")
+        while (i < end) { sum += bytes(i) & 0xff; put(decoded + (i - off), bytes(i)); i += 1 }
         decoded += cnt
       } else if (compression == 5) { // LZW, per strip
-        val (s2, n2) = tiffLzwStrip(bytes, i, end, expected - decoded)
+        val (s2, n2) = tiffLzwStrip(bytes, i, end, expected - decoded,
+          if (sink != null) sink.data else null, decoded.toInt)
         sum += s2
         decoded += n2
       } else { // PackBits (TIFF 6.0 §9): each strip decoded independently
@@ -662,14 +794,18 @@ object MediaCodecs {
           i += 1
           if (n >= 0) { // literal run of n+1 bytes
             require(i + n + 1 <= end, s"TIFF PackBits literal overruns strip $s")
+            require(decoded + n + 1 <= expected, "TIFF PackBits output exceeds geometry")
             var k = 0
-            while (k <= n) { sum += bytes(i + k) & 0xff; k += 1 }
+            while (k <= n) { sum += bytes(i + k) & 0xff; put(decoded + k, bytes(i + k)); k += 1 }
             i += n + 1
             decoded += n + 1
           } else if (n != -128) { // replicate the next byte 1-n times
             require(i < end, s"TIFF PackBits replicate overruns strip $s")
             val reps = 1 - n
+            require(decoded + reps <= expected, "TIFF PackBits output exceeds geometry")
             sum += (bytes(i) & 0xff).toLong * reps
+            var k = 0
+            while (k < reps) { put(decoded + k, bytes(i)); k += 1 }
             i += 1
             decoded += reps
           } // -128 is a spec'd no-op

@@ -1,0 +1,238 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.MediaFixtures
+import graft.multimodal.{ImageConvert, JpegCodec, MediaCodecs}
+import graft.multimodal.MediaCodecs.PixelBuf
+
+/** Image convert surface: pixel-exact encode/decode round-trips over
+  * NON-UNIFORM rasters (the corpus fixtures hold constant rows, which would
+  * hide column-order and channel-swap defects — these tests use
+  * position-dependent data so any transposition breaks byte equality),
+  * sink-placement equivalence across interlaced/compressed variants, mode
+  * conversion semantics, and the named-error surface. */
+class ImageConvertSpec extends AnyFunSuite {
+
+  /** Position-dependent raster: pixel bytes are a function of the index. */
+  private def mkBuf(mode: String, w: Int, h: Int, seed: Int = 0): PixelBuf = {
+    val buf = new PixelBuf
+    buf.init(mode, w, h)
+    var i = 0
+    while (i < buf.data.length) { buf.data(i) = ((i * 7 + seed) % 251).toByte; i += 1 }
+    if (mode == "P") {
+      buf.palette = Array.tabulate[Byte](768)(i => ((i * 11 + 5) % 256).toByte)
+      // keep indices < 256 (any byte) — already true
+    }
+    buf
+  }
+
+  private def assertSame(a: PixelBuf, b: PixelBuf, ctx: String): Unit = {
+    assert(b.mode == a.mode && b.width == a.width && b.height == a.height,
+      s"$ctx: ${b.mode} ${b.width}x${b.height} vs ${a.mode} ${a.width}x${a.height}")
+    assert(java.util.Arrays.equals(b.data, a.data), s"$ctx: pixel data differs")
+  }
+
+  // ---- lossless encoder round-trips ----------------------------------------
+
+  test("png encode/decode is pixel-identical for every mode") {
+    for (mode <- Seq("L", "P", "RGB", "RGBA")) {
+      val src = mkBuf(mode, 13, 7)
+      val (meta, back) = ImageConvert.decodePixels(ImageConvert.encodePng(src))
+      assert(meta.format == "png")
+      assertSame(src, back, s"png $mode")
+      if (mode == "P")
+        assert(java.util.Arrays.equals(back.palette, src.palette), "png PLTE differs")
+    }
+  }
+
+  test("bmp encode/decode: RGB/RGBA identity, P keeps indices+palette, L maps to P") {
+    for (mode <- Seq("RGB", "RGBA", "P")) {
+      val src = mkBuf(mode, 11, 5) // width 11: stride padding in play
+      val (meta, back) = ImageConvert.decodePixels(ImageConvert.encodeBmp(src))
+      assert(meta.format == "bmp")
+      assertSame(src, back, s"bmp $mode")
+      if (mode == "P")
+        assert(java.util.Arrays.equals(back.palette, src.palette), "bmp palette differs")
+    }
+    // L is stored as 8-bpp indexed with a grayscale table; indices survive
+    val srcL = mkBuf("L", 9, 4)
+    val (metaL, backL) = ImageConvert.decodePixels(ImageConvert.encodeBmp(srcL))
+    assert(metaL.mode == "P" && java.util.Arrays.equals(backL.data, srcL.data))
+    assert((0 until 256).forall(k => backL.palette(k * 3) == k.toByte &&
+      backL.palette(k * 3 + 1) == k.toByte && backL.palette(k * 3 + 2) == k.toByte))
+  }
+
+  test("pnm encode/decode: L -> P5 and RGB -> P6 identity, P/RGBA adapt to RGB") {
+    for (mode <- Seq("L", "RGB")) {
+      val src = mkBuf(mode, 10, 6)
+      val (meta, back) = ImageConvert.decodePixels(ImageConvert.encode(src, "ppm"))
+      assert(meta.format == "ppm")
+      assertSame(src, back, s"pnm $mode")
+    }
+    val p = mkBuf("P", 8, 3)
+    val (_, fromP) = ImageConvert.decodePixels(ImageConvert.encode(p, "ppm"))
+    assertSame(ImageConvert.convertMode(p, "RGB"), fromP, "pnm from P")
+    val rgba = mkBuf("RGBA", 8, 3)
+    val (_, fromA) = ImageConvert.decodePixels(ImageConvert.encode(rgba, "ppm"))
+    assertSame(ImageConvert.convertMode(rgba, "RGB"), fromA, "pnm from RGBA")
+  }
+
+  test("tiff encode/decode is pixel-identical for L and RGB") {
+    for (mode <- Seq("L", "RGB")) {
+      val src = mkBuf(mode, 12, 5)
+      val (meta, back) = ImageConvert.decodePixels(ImageConvert.encodeTiff(src))
+      assert(meta.format == "tiff")
+      assertSame(src, back, s"tiff $mode")
+    }
+  }
+
+  test("gif encode/decode: P identity incl. palette; exact palettization for RGB") {
+    val src = mkBuf("P", 14, 9)
+    val (meta, back) = ImageConvert.decodePixels(ImageConvert.encodeGif(src))
+    assert(meta.format == "gif")
+    assertSame(src, back, "gif P")
+    assert(java.util.Arrays.equals(back.palette, src.palette), "gif palette differs")
+
+    // an RGB image with few distinct colors palettizes exactly
+    val rgb = new PixelBuf
+    rgb.init("RGB", 6, 4)
+    for (i <- 0 until 24) {
+      val c = Seq((10, 20, 30), (200, 100, 0), (0, 0, 0), (255, 255, 255))(i % 4)
+      rgb.data(i * 3) = c._1.toByte; rgb.data(i * 3 + 1) = c._2.toByte
+      rgb.data(i * 3 + 2) = c._3.toByte
+    }
+    val (_, gback) = ImageConvert.decodePixels(ImageConvert.encodeGif(rgb))
+    assertSame(rgb, ImageConvert.convertMode(gback, "RGB"), "gif palettized RGB")
+  }
+
+  test("gif LZW encoder crosses the 512/1024 width boundaries losslessly") {
+    // >254 distinct pixel pairs force dictionary growth past 9 and 10 bits
+    val src = mkBuf("P", 64, 48, seed = 3)
+    val (_, back) = ImageConvert.decodePixels(ImageConvert.encodeGif(src))
+    assertSame(src, back, "gif width growth")
+  }
+
+  // ---- sink placement vs structural variants --------------------------------
+
+  test("png Adam7 sink equals the non-interlaced sink (positional check)") {
+    for (colorType <- Seq(0, 2, 3, 6)) {
+      val plain = MediaFixtures.png(13, 9, colorType, 77, adam7 = false)
+      val inter = MediaFixtures.png(13, 9, colorType, 77, adam7 = true)
+      val (_, a) = ImageConvert.decodePixels(plain)
+      val (_, b) = ImageConvert.decodePixels(inter)
+      assertSame(a, b, s"adam7 colorType=$colorType")
+    }
+  }
+
+  test("gif interlaced sink equals the non-interlaced sink (positional check)") {
+    val (_, a) = ImageConvert.decodePixels(MediaFixtures.gif(11, 13, 50))
+    val (_, b) = ImageConvert.decodePixels(MediaFixtures.gif(11, 13, 50, interlace = true))
+    assertSame(a, b, "gif interlace")
+  }
+
+  test("bmp RLE8 sink equals the uncompressed 8-bpp sink (positional check)") {
+    val (_, a) = ImageConvert.decodePixels(MediaFixtures.bmp(7, 4, 8, 100))
+    val (_, b) = ImageConvert.decodePixels(MediaFixtures.bmpRle8(7, 4, 100))
+    assertSame(a, b, "rle8")
+  }
+
+  test("tiff LZW and PackBits sinks equal the uncompressed sink, both endians") {
+    for (rgb <- Seq(false, true); be <- Seq(false, true)) {
+      val (_, plain) = ImageConvert.decodePixels(MediaFixtures.tiff(9, 6, rgb, be, 40))
+      val (_, pb) = ImageConvert.decodePixels(
+        MediaFixtures.tiff(9, 6, rgb, be, 40, packBits = true))
+      val (_, lz) = ImageConvert.decodePixels(
+        MediaFixtures.tiff(9, 6, rgb, be, 40, lzw = true))
+      assertSame(plain, pb, s"packbits rgb=$rgb be=$be")
+      assertSame(plain, lz, s"lzw rgb=$rgb be=$be")
+    }
+  }
+
+  test("bmp bottom-up and top-down sinks agree; BGR is swapped to RGB") {
+    val (_, up) = ImageConvert.decodePixels(MediaFixtures.bmp(5, 3, 24, 10))
+    val (_, down) = ImageConvert.decodePixels(MediaFixtures.bmp(5, 3, 24, 10, topDown = true))
+    assertSame(up, down, "bmp row order")
+    // hand-built 1x1 BMP with distinct B,G,R proves the swap
+    val one = new PixelBuf
+    one.init("RGB", 1, 1)
+    one.data(0) = 10; one.data(1) = 20; one.data(2) = 30
+    val (_, back) = ImageConvert.decodePixels(ImageConvert.encodeBmp(one))
+    assert(back.data.toSeq == Seq[Byte](10, 20, 30), back.data.toSeq)
+  }
+
+  test("jpeg sink matches the decoded pixelSum for gray and color") {
+    for (bytes <- Seq(graft.fixtures.JpegWriter.generate(24, 16, 5),
+      graft.fixtures.JpegWriter.generateColor(24, 16, 5),
+      graft.fixtures.JpegWriter.generateColor420(24, 16, 5))) {
+      val (meta, sink) = ImageConvert.decodePixels(bytes)
+      assert(ImageConvert.rasterSum(sink) == meta.pixelSum,
+        s"${meta.mode}: sink sum vs pixelSum")
+      // lossless re-encode preserves the decoded raster exactly
+      val (meta2, _) = ImageConvert.decodePixels(ImageConvert.encodePng(sink))
+      assert(meta2.pixelSum == meta.pixelSum && meta2.mode == meta.mode)
+    }
+  }
+
+  // ---- mode conversion -------------------------------------------------------
+
+  test("convertMode semantics: luma, alpha drop, palette expansion") {
+    val rgb = new PixelBuf
+    rgb.init("RGB", 1, 1)
+    rgb.data = Array[Byte](100.toByte, 150.toByte, 200.toByte)
+    // (299*100 + 587*150 + 114*200) / 1000 = 140 (truncating)
+    assert(ImageConvert.convertMode(rgb, "L").data.toSeq == Seq[Byte]((140).toByte))
+    val rgba = mkBuf("RGBA", 4, 2)
+    val dropped = ImageConvert.convertMode(rgba, "RGB")
+    for (i <- 0 until 8; c <- 0 until 3)
+      assert(dropped.data(i * 3 + c) == rgba.data(i * 4 + c))
+    val p = mkBuf("P", 3, 2)
+    val expanded = ImageConvert.convertMode(p, "RGB")
+    for (i <- 0 until 6; c <- 0 until 3)
+      assert(expanded.data(i * 3 + c) == p.palette((p.data(i) & 0xff) * 3 + c))
+    // round-trip L -> RGB -> L is the identity (gray replication)
+    val l = mkBuf("L", 5, 5)
+    assertSame(l, ImageConvert.convertMode(ImageConvert.convertMode(l, "RGB"), "L"),
+      "L->RGB->L")
+  }
+
+  // ---- cross-format convert + errors ----------------------------------------
+
+  test("convertImage round-trips across the full lossless matrix") {
+    val sources = Seq(
+      "bmp24" -> MediaFixtures.bmp(9, 5, 24, 60),
+      "bmp8" -> MediaFixtures.bmp(9, 5, 8, 60),
+      "png-rgb" -> MediaFixtures.png(9, 5, 2, 60),
+      "gif" -> MediaFixtures.gif(9, 5, 60),
+      "ppm" -> MediaFixtures.ppm(9, 5, 60),
+      "tiff" -> MediaFixtures.tiff(9, 5, rgb = true, bigEndian = false, 60))
+    for ((name, src) <- sources; dst <- ImageConvert.encodeFormats) {
+      val out = ImageConvert.convertImage(src, dst)
+      val (meta, sink) = ImageConvert.decodePixels(out)
+      val (srcMeta, srcSink) = ImageConvert.decodePixels(src)
+      assert(meta.width == srcMeta.width && meta.height == srcMeta.height,
+        s"$name->$dst geometry")
+      // compare in RGB space (mode may legitimately change, e.g. P->RGB)
+      assertSame(ImageConvert.convertMode(srcSink, "RGB"),
+        ImageConvert.convertMode(sink, "RGB"), s"$name->$dst pixels")
+    }
+  }
+
+  test("lossy/unsupported encode targets are named errors, never fake bytes") {
+    val buf = mkBuf("RGB", 4, 4)
+    for (fmt <- Seq("jpeg", "jpg", "webp", "ico"))
+      assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, fmt))
+        .getMessage.contains("unsupported"))
+    assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, "xyz"))
+      .getMessage.contains("whitelist"))
+    // >256 distinct colors cannot palettize exactly
+    val many = new PixelBuf
+    many.init("RGB", 32, 32)
+    for (i <- 0 until 1024) {
+      many.data(i * 3) = (i >> 8).toByte; many.data(i * 3 + 1) = i.toByte
+      many.data(i * 3 + 2) = (i * 3).toByte
+    }
+    assert(intercept[IllegalArgumentException](ImageConvert.encodeGif(many))
+      .getMessage.contains("256"))
+  }
+}
