@@ -489,54 +489,12 @@ object MediaFixtures {
       if (!interlace) 0 until height
       else (0 until height by 8) ++ (4 until height by 8) ++
         (2 until height by 4) ++ (1 until height by 2)
-    val pixels = new Array[Int](width * height)
+    val pixels = new Array[Byte](width * height)
     var i = 0
-    for (y <- rowOrder; _ <- 0 until width) { pixels(i) = (seed + y) % 256; i += 1 }
-
-    // ---- LZW encode (minCodeSize 8: clear=256, eoi=257, first dict 258)
-    val out = new java.io.ByteArrayOutputStream()
-    var bitBuf = 0L
-    var bitCount = 0
-    def putCode(code: Int, width0: Int): Unit = {
-      bitBuf |= code.toLong << bitCount
-      bitCount += width0
-      while (bitCount >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCount -= 8 }
-    }
-    val Clear = 256
-    val Eoi = 257
-    var codeWidth = 9
-    var nextCode = 258
-    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int] // (prefixCode, byte) -> code
-    putCode(Clear, codeWidth)
-    var prefix = pixels(0)
-    i = 1
-    while (i < pixels.length) {
-      val c = pixels(i)
-      dict.get((prefix, c)) match {
-        case Some(code) => prefix = code
-        case None =>
-          putCode(prefix, codeWidth)
-          if (nextCode < 4096) {
-            dict((prefix, c)) = nextCode
-            nextCode += 1
-            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
-          } else { // dictionary full: clear and restart
-            putCode(Clear, codeWidth)
-            dict = scala.collection.mutable.HashMap.empty
-            nextCode = 258
-            codeWidth = 9
-          }
-          prefix = c
-      }
-      i += 1
-    }
-    putCode(prefix, codeWidth)
-    // the decoder adds a dictionary entry for this flush code too and may
-    // grow its code width on it — mirror that so Eoi reads at the same width
-    if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
-    putCode(Eoi, codeWidth)
-    if (bitCount > 0) out.write((bitBuf & 0xff).toInt)
-    val lzw = out.toByteArray
+    for (y <- rowOrder; _ <- 0 until width) { pixels(i) = ((seed + y) % 256).toByte; i += 1 }
+    // the LZW convention (width growth, clear-at-full, flush mirror) lives
+    // in ONE place: the production encoder
+    val lzw = graft.multimodal.ImageConvert.gifLzwEncode(pixels)
 
     val buf = new java.io.ByteArrayOutputStream()
     buf.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))

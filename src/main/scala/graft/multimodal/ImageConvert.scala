@@ -264,6 +264,10 @@ object ImageConvert {
     * palettizes exactly when the image has ≤256 distinct colors and is a
     * named error otherwise (no quantization loop — deterministic output). */
   def encodeGif(buf: PixelBuf): Array[Byte] = {
+    // the logical screen descriptor stores u16 dimensions: oversize input
+    // must be a named error, not a silently truncated (corrupt) file
+    require(buf.width <= 0xffff && buf.height <= 0xffff,
+      s"GIF geometry ${buf.width}x${buf.height} exceeds the format's 65535 limit")
     val (indices, palette) = buf.mode match {
       case "P" => (buf.data, buf.palette)
       case "L" =>
@@ -304,15 +308,31 @@ object ImageConvert {
     out.write(0x2c) // image descriptor
     u16le(0); u16le(0); u16le(buf.width); u16le(buf.height)
     out.write(0) // no local table, not interlaced
+    out.write(8) // LZW min code size
+    // chop into <=255-byte sub-blocks
+    val data = gifLzwEncode(indices)
+    var at = 0
+    while (at < data.length) {
+      val n = math.min(255, data.length - at)
+      out.write(n)
+      out.write(data, at, n)
+      at += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** THE GIF LZW encoder (min code size 8; shared with the fixture
+    * generator so the subtle convention lives in exactly one place): LSB-
+    * first variable-width codes matching the verified decoder pair in
+    * [[MediaCodecs.decodeGif]] and giflib/Pillow — width grows right after
+    * defining entry (1<<w)-1 (i.e. when nextCode reaches 1 << codeWidth);
+    * a full table emits Clear WITHOUT defining a 4096th entry; the flush
+    * code mirrors the decoder's (1<<w)-1 growth because the decoder
+    * defines one more entry on reading it that the encoder never does. */
+  private[graft] def gifLzwEncode(indices: Array[Byte]): Array[Byte] = {
     val minCodeSize = 8
-    out.write(minCodeSize)
-    // --- GIF LZW encode (same convention as the verified decoder pair in
-    // MediaCodecs.decodeGif / fixtures.MediaFixtures.gif, which matches
-    // giflib/Pillow): width grows right after defining entry (1<<w)-1 —
-    // i.e. when nextCode reaches 1 << codeWidth; a full table emits Clear
-    // WITHOUT defining a 4096th entry; the flush code mirrors the
-    // decoder's (1<<w)-1 growth because the decoder defines one more
-    // entry on reading it that the encoder never does.
     val lzw = new ByteArrayOutputStream(indices.length / 2 + 64)
     var bitBuf = 0
     var bitCnt = 0
@@ -358,17 +378,6 @@ object ImageConvert {
     if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
     put(Eoi)
     if (bitCnt > 0) lzw.write(bitBuf & 0xff)
-    // chop into <=255-byte sub-blocks
-    val data = lzw.toByteArray
-    var at = 0
-    while (at < data.length) {
-      val n = math.min(255, data.length - at)
-      out.write(n)
-      out.write(data, at, n)
-      at += n
-    }
-    out.write(0) // sub-block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    lzw.toByteArray
   }
 }

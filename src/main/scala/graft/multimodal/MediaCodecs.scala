@@ -41,10 +41,16 @@ object MediaCodecs {
     var palette: Array[Byte] = _ // P mode only: 256*3 RGB
 
     /** Allocate a zero-filled raster (also the API for building an image
-      * to encode from scratch). */
+      * to encode from scratch). Geometry is attacker-controlled on the
+      * decode paths, so the allocation carries the same 64 MiB
+      * decompression-bomb cap as the PNG/GIF decoders, in Long arithmetic
+      * (an Int product would wrap and allocate a too-short array). */
     def init(mode: String, w: Int, h: Int): Unit = {
+      val bytes = w.toLong * h * PixelBuf.channelsOf(mode)
+      require(w > 0 && h > 0 && bytes <= (1L << 26),
+        s"raster ${w}x$h $mode exceeds 64 MiB pixel cap")
       this.mode = mode; this.width = w; this.height = h
-      this.data = new Array[Byte](w * h * PixelBuf.channelsOf(mode))
+      this.data = new Array[Byte](bytes.toInt)
     }
   }
 
@@ -91,7 +97,10 @@ object MediaCodecs {
     val compression = i32(bytes, 30)
     require(compression == 0 || (compression == 1 && bpp == 8),
       s"unsupported BMP compression $compression at $bpp bpp (BI_RGB or 8-bpp BI_RLE8)")
-    require(width > 0 && height > 0, s"bad BMP geometry ${width}x$height")
+    // geometry cap first (attacker-controlled header): matches the other
+    // decoders' 64 MiB class and keeps every later Int product in range
+    require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
+      s"bad BMP geometry ${width}x$height")
     // the offset field is attacker-controlled: a negative or huge value
     // must fail named here, not surface as a raw-index AIOOBE in the walk
     require(dataOffset >= 54 && dataOffset <= bytes.length,
@@ -104,10 +113,15 @@ object MediaCodecs {
     }
     if (sink != null && bpp == 8) sink.palette = bmpPalette(bytes, dataOffset)
     if (compression == 1) return decodeBmpRle8(bytes, dataOffset, width, height, sink)
-    val rowBytes = width * (bpp / 8)
-    val stride = (rowBytes + 3) & ~3
-    require(dataOffset.toLong + stride.toLong * height <= bytes.length,
+    // Long stride: width*(bpp/8) can overflow Int for hostile headers,
+    // which would make the truncation require pass vacuously and fabricate
+    // a successful ImageMeta over garbage geometry
+    val rowBytesL = width.toLong * (bpp / 8)
+    val strideL = (rowBytesL + 3) & ~3L
+    require(dataOffset.toLong + strideL * height <= bytes.length,
       "BMP pixel data truncated")
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     if (sink != null) sink.init(mode, width, height)
     val channels = bpp / 8
     var sum = 0L

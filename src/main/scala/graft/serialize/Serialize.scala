@@ -35,15 +35,27 @@ object Serialize {
     "pdf", "txt", "rtf", "doc", "docx", "odt", "html", "xml",
     "xls", "xlsx", "ods", "csv", "ppt", "pptx", "odp", "epub")
 
-  /** One paragraph per '\n'-separated line (the golden-text convention). */
+  /** One paragraph per '\n'-separated line (the golden-text convention).
+    * Keeps trailing empty segments (split limit -1): a text ending in '\n'
+    * has a trailing empty paragraph, which [[serialize]] REJECTS by name
+    * for the document formats rather than silently dropping it — an empty
+    * paragraph is not representable as extractable content, so accepting
+    * it would break the documented byte-identical round-trip. */
   def splitParagraphs(text: String): Vector[String] =
-    text.split('\n').toVector
+    text.split("\n", -1).toVector
 
   /** text → target-format bytes. Variant 0 of each writer is the canonical
     * production layout; the other variants exist to harden the extractors
     * against real-world structural diversity and stay on the fixture side. */
   def serialize(text: String, fmt: String): Array[Byte] = {
-    val paragraphs = splitParagraphs(text)
+    lazy val paragraphs = {
+      val ps = splitParagraphs(text)
+      require(ps.forall(_.nonEmpty),
+        "text has empty paragraphs (blank or trailing newline) — not " +
+          "representable as extractable document content; strip them first " +
+          "or serialize as .txt")
+      ps
+    }
     fmt.toLowerCase.stripPrefix(".") match {
       case "txt"  => text.getBytes(StandardCharsets.UTF_8)
       case "pdf"  => PdfWriter.generate(paragraphs, 0)

@@ -218,6 +218,33 @@ class ImageConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile BMP headers are named errors, not fabricated metadata or OOM") {
+    // BI_RLE8 declaring 16384x16384 from a ~KB payload: the 64 MiB-class
+    // geometry cap must fire before any allocation
+    def bmpHeader(width: Int, height: Int, bpp: Int, compression: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54 + 1024 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(54 + 1024)
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(bpp.toShort)
+      bb.putInt(compression)
+      bb.array()
+    }
+    val bomb = intercept[IllegalArgumentException](
+      ImageConvert.decodePixels(bmpHeader(16384, 16384, 8, 1)))
+    assert(bomb.getMessage.contains("geometry"), bomb.getMessage)
+    // width*(bpp/8) Int overflow must not fabricate a success ImageMeta
+    val wrap = intercept[IllegalArgumentException](
+      MediaCodecs.decodeBmp(bmpHeader(0x40000000, 10, 24, 0)))
+    assert(wrap.getMessage.contains("geometry"), wrap.getMessage)
+  }
+
+  test("gif encode rejects dimensions past the format's u16 limit by name") {
+    val wide = new PixelBuf
+    wide.init("L", 70000, 2)
+    val e = intercept[IllegalArgumentException](ImageConvert.encodeGif(wide))
+    assert(e.getMessage.contains("65535"), e.getMessage)
+  }
+
   test("lossy/unsupported encode targets are named errors, never fake bytes") {
     val buf = mkBuf("RGB", 4, 4)
     for (fmt <- Seq("jpeg", "jpg", "webp", "ico"))

@@ -57,6 +57,16 @@ class SerializeSpec extends AnyFunSuite {
     }
   }
 
+  test("empty paragraphs (trailing/blank newlines) fail named, except .txt") {
+    // silently dropping the trailing empty segment would break the
+    // documented byte-identical round-trip; .txt is the raw-bytes escape
+    for (bad <- Seq("a\n", "a\n\nb")) {
+      val e = intercept[IllegalArgumentException](Serialize.serialize(bad, "pdf"))
+      assert(e.getMessage.contains("empty paragraphs"), e.getMessage)
+    }
+    assert(new String(Serialize.serialize("a\n", "txt"), "UTF-8") == "a\n")
+  }
+
   test("unknown output format fails named") {
     val e = intercept[IllegalArgumentException](Serialize.serialize("x", "wpd"))
     assert(e.getMessage.contains("unsupported output format"))
