@@ -927,6 +927,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Audio CONVERT surface (the reference's pydub direction: load ->
+    // effects -> export, audio_converters.py:50-127): every row CROSSES
+    // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
+    // applies one effect from the wheel (integer-exact speed / fadeOut /
+    // slice), re-decodes its own output, and reports the pydub-shape
+    // accounting. The oracle recomputes every field closed-form — the fade
+    // arm's per-sample truncating-division series via generate_series
+    // (DuckDB's integer // truncates toward zero, exactly like JVM /).
+    "ac_convert" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+          val n = 160 + (id % 5).toInt * 40
+          val seed = (id % 100).toInt
+          val in = if (id % 2 == 0) graft.fixtures.MediaFixtures.wav(1, rate, n, seed)
+                   else graft.fixtures.MediaFixtures.aiff(1, rate, n, seed)
+          val fmt = if (id % 2 == 0) "aiff" else "wav"
+          val r = (id % 3) match {
+            case 0 => graft.multimodal.AudioConvert.convert(in, fmt, speed = 2)
+            case 1 => graft.multimodal.AudioConvert.convert(in, fmt, fadeOutMs = 5)
+            case _ => graft.multimodal.AudioConvert.convert(in, fmt,
+              startMs = 2, endMs = 25)
+          }
+          val out = graft.multimodal.AudioConvert.decodeSamples(r.output)
+          (id, r.formatTo, r.channels, r.frameRate, r.sampleWidth,
+            out.frames, r.durationMs, r.originalSize, r.newSize,
+            out.samples.foldLeft(0L)(_ + _))
+        }.toDF("doc_id", "format_to", "channels", "frame_rate", "sample_width",
+          "frames_out", "duration_ms", "orig_size", "new_size", "sample_sum")
+        .select(col("doc_id"), col("format_to"),
+          col("channels").cast("int").as("channels"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("sample_width").cast("int").as("sample_width"),
+          col("frames_out").cast("int").as("frames_out"),
+          col("duration_ms").cast("bigint").as("duration_ms"),
+          col("orig_size").cast("bigint").as("orig_size"),
+          col("new_size").cast("bigint").as("new_size"),
+          col("sample_sum").cast("bigint").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation composite: extract (all corpus formats) ->
     // respace -> inject exact duplicates -> keep-first survivors -> token
     // rollup per format. ONE query exercising the extraction tier and the
@@ -1288,6 +1330,39 @@ object SparkEntry {
         "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
         "FROM p ORDER BY doc_id"),
+    "ac_convert" ->
+      // Every field of the audio convert result recomputed closed-form:
+      // the effect wheel is integer-exact by construction (speed = index
+      // stride, slice = frame window, fadeOut = floorDiv ramp the SQL `//`
+      // reproduces); canonical container sizes are 44 + data (wav) and
+      // 54 + data (aiff); 16-bit mono samples are seed + f - 2048 (no wrap:
+      // seed + n < 4096).
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 " +
+        "ELSE 44100 END AS rate, " +
+        "160 + (doc_id % 5) * 40 AS n, doc_id % 100 AS seed FROM documents), " +
+        "q AS (SELECT doc_id, rate, n, seed, " +
+        "LEAST(5 * rate // 1000, n) AS k, " +
+        "2 * rate // 1000 AS a, LEAST(n, 25 * rate // 1000) AS b, " +
+        "CASE doc_id % 3 WHEN 0 THEN n // 2 WHEN 1 THEN n " +
+        "ELSE LEAST(n, 25 * rate // 1000) - 2 * rate // 1000 END AS fo FROM p) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'wav' END AS format_to, " +
+        "CAST(1 AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
+        "CAST(2 AS INT) AS sample_width, CAST(fo AS INT) AS frames_out, " +
+        "CAST(fo * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 54 END) + 2 * n AS BIGINT) AS orig_size, " +
+        "CAST((CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END) + 2 * fo AS BIGINT) AS new_size, " +
+        "CAST(CASE doc_id % 3 " +
+        "WHEN 0 THEN (n // 2) * (seed - 2048) + (n // 2) * (n // 2 - 1) " +
+        // constant series bounds (n <= 320): DuckDB's generate_series
+        // rejects lateral column arguments, so filter per row instead
+        "WHEN 1 THEN (SELECT SUM(CASE WHEN t.f < n - k THEN seed + t.f - 2048 " +
+        "ELSE ((seed + t.f - 2048) * (n - 1 - t.f)) // k END) " +
+        "FROM generate_series(0, 319) AS t(f) WHERE t.f < n) " +
+        "ELSE (b - a) * (seed - 2048) + ((a + b - 1) * (b - a)) // 2 " +
+        "END AS BIGINT) AS sample_sum " +
+        "FROM q ORDER BY doc_id"),
     "dc_v1_to_v2" ->
       ("SELECT c_custkey, " +
         "trim('Cust' || ' ' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS full_name, " +

@@ -650,6 +650,47 @@ object MediaFixtures {
     buf.array()
   }
 
+  /** FORM/AIFF PCM (big-endian) with the SAME deterministic sample series
+    * as [[wav]] — 16-bit `(seed + f) % 4096 - 2048`, 8-bit decoded value
+    * `(seed + f) % 256 - 128` (stored SIGNED per AIFF, vs WAV's unsigned
+    * bias) — so either container feeds an identical decoded stream into
+    * [[graft.multimodal.AudioConvert]]. Hand-packed independently of
+    * `MediaCodecs.encodeAiff` (canonical 54-byte header: FORM + 18-byte
+    * COMM with an 80-bit extended sample rate + zero-offset SSND) so the
+    * production encoder/decoder pair is pinned by bytes it did not write. */
+  def aiff(channels: Int, sampleRate: Int, frames: Int, seed: Int,
+           bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits $bits")
+    val bytesPer = bits / 8
+    val dataBytes = frames * channels * bytesPer
+    val buf = ByteBuffer.allocate(54 + dataBytes + (dataBytes & 1))
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes)
+    buf.putInt(46 + dataBytes + (dataBytes & 1))
+    buf.put("AIFF".getBytes)
+    buf.put("COMM".getBytes)
+    buf.putInt(18)
+    buf.putShort(channels.toShort)
+    buf.putInt(frames)
+    buf.putShort(bits.toShort)
+    // 80-bit extended sample rate: sign 0, exponent 16383 + floor(log2),
+    // 64-bit mantissa with explicit integer bit left-justified
+    val pos = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    buf.putShort((16383 + pos).toShort)
+    buf.putLong(sampleRate.toLong << (63 - pos))
+    buf.put("SSND".getBytes)
+    buf.putInt(8 + dataBytes)
+    buf.putInt(0) // offset
+    buf.putInt(0) // block size
+    var f = 0
+    while (f < frames * channels) {
+      if (bits == 16) buf.putShort((((seed + f) % 4096) - 2048).toShort)
+      else buf.put((((seed + f) % 256) - 128).toByte)
+      f += 1
+    }
+    buf.array()
+  }
+
   /** WebP container for the header-level dims parse
     * ([[graft.multimodal.MediaCodecs.parseWebp]]): a real RIFF/WEBP wrapper
     * around the variant's genuine header bytes (VP8 sync code / VP8L

@@ -1,0 +1,184 @@
+package graft.multimodal
+
+/** Production audio CONVERT surface — the reference's audio direction
+  * (/root/reference/src/converters/audio_converters.py:50-127: pydub load →
+  * effects → `audio.export(format, bitrate)`). Pure-JVM PCM end to end:
+  * decode RIFF/WAVE (little-endian) or FORM/AIFF (big-endian) — both appear
+  * in the reference's audio input AND output whitelists (`:40-47`) — apply
+  * the effects the reference exposes as kwargs, encode back to wav/aiff.
+  *
+  * The effects algebra is INTEGER-EXACT by construction (fades scale by
+  * TRUNCATING integer division — the semantics of both JVM `/` and SQL
+  * integer division, incl. DuckDB's `//` — and speed/slice are pure index
+  * arithmetic), so a SQL oracle reproduces every output sample; the one
+  * inherently floating effect (dB gain, `audio + dB` in pydub) rounds
+  * half-up and clamps to the sample depth.
+  *
+  * Lossy/entropy targets (mp3/ogg/flac/aac/m4a/opus/wma) need the codecs
+  * the reference delegates to ffmpeg via pydub — asking for one is a named
+  * error, never fake bytes (same contract as [[ImageConvert]]'s JPEG arm).
+  */
+object AudioConvert {
+
+  /** Formats [[convert]] can WRITE. */
+  val encodeFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff")
+
+  /** Decoded interleaved PCM: `samples(f * channels + c)`, values already
+    * sign-corrected to the depth's range ([-32768,32767] or [-128,127]). */
+  final case class AudioBuf(channels: Int, frameRate: Int, bits: Int,
+                            samples: Array[Int]) {
+    def frames: Int = samples.length / channels
+    def durationMs: Long = frames * 1000L / frameRate
+  }
+
+  /** wav/aiff bytes → samples, dispatched by magic (never by extension). */
+  def decodeSamples(bytes: Array[Byte]): AudioBuf =
+    if (MediaCodecs.isWav(bytes)) {
+      val (m, s) = MediaCodecs.wavSamples(bytes)
+      AudioBuf(m.channels, m.frameRate, m.bitsPerSample, s)
+    } else if (MediaCodecs.isAiff(bytes)) {
+      val (m, s) = MediaCodecs.aiffSamples(bytes)
+      AudioBuf(m.channels, m.frameRate, m.bitsPerSample, s)
+    } else throw new IllegalArgumentException(
+      "unsupported audio input (wav/aiff PCM)")
+
+  /** samples → target-format bytes. */
+  def encode(buf: AudioBuf, fmt: String): Array[Byte] =
+    fmt.toLowerCase.stripPrefix(".") match {
+      case "wav" =>
+        MediaCodecs.encodeWav(buf.channels, buf.frameRate, buf.bits, buf.samples)
+      case "aiff" | "aif" =>
+        MediaCodecs.encodeAiff(buf.channels, buf.frameRate, buf.bits, buf.samples)
+      case f @ ("mp3" | "ogg" | "flac" | "aac" | "m4a" | "opus" | "wma") =>
+        throw new IllegalArgumentException(
+          s"$f encode needs a lossy/entropy codec (the reference delegates " +
+            "to ffmpeg inside pydub) — offered targets: wav, aiff")
+      case o => throw new IllegalArgumentException(s"unsupported output format $o")
+    }
+
+  private def clamp(v: Long, bits: Int): Int = {
+    val lo = if (bits == 8) -128L else -32768L
+    val hi = if (bits == 8) 127L else 32767L
+    math.max(lo, math.min(hi, v)).toInt
+  }
+
+  /** pydub `audio + dB` (audio_converters.py:71-72): amplitude factor
+    * 10^(db/20), rounded half-up, clamped to the depth. */
+  def gainDb(buf: AudioBuf, db: Double): AudioBuf =
+    if (db == 0.0) buf
+    else {
+      val factor = math.pow(10.0, db / 20.0)
+      buf.copy(samples =
+        buf.samples.map(s => clamp(Math.round(s * factor), buf.bits)))
+    }
+
+  /** Linear-amplitude ramp 0→1 over the first `ms` (the fade_in analog,
+    * `:74-75`): frame `f < k` scales by `f/k`, truncating. A window longer
+    * than the clip fades the whole clip. */
+  def fadeIn(buf: AudioBuf, ms: Int): AudioBuf = {
+    val k = math.min(ms.toLong * buf.frameRate / 1000, buf.frames.toLong).toInt
+    if (k <= 0) buf
+    else {
+      val out = buf.samples.clone()
+      var f = 0
+      while (f < k) {
+        var c = 0
+        while (c < buf.channels) {
+          val i = f * buf.channels + c
+          out(i) = (out(i).toLong * f / k).toInt
+          c += 1
+        }
+        f += 1
+      }
+      buf.copy(samples = out)
+    }
+  }
+
+  /** Linear-amplitude ramp 1→0 over the last `ms` (the fade_out analog,
+    * `:77-78`): frame `f >= n-k` scales by `(n-1-f)/k` truncating,
+    * reaching exact silence on the final frame. */
+  def fadeOut(buf: AudioBuf, ms: Int): AudioBuf = {
+    val n = buf.frames
+    val k = math.min(ms.toLong * buf.frameRate / 1000, n.toLong).toInt
+    if (k <= 0) buf
+    else {
+      val out = buf.samples.clone()
+      var f = n - k
+      while (f < n) {
+        var c = 0
+        while (c < buf.channels) {
+          val i = f * buf.channels + c
+          out(i) = (out(i).toLong * (n - 1 - f) / k).toInt
+          c += 1
+        }
+        f += 1
+      }
+      buf.copy(samples = out)
+    }
+  }
+
+  /** Keep every `factor`-th frame — the deterministic analog of pydub's
+    * `speedup(playback_speed)` (`:80-82`), restricted to integer factors so
+    * output length and samples stay index arithmetic. */
+  def speedup(buf: AudioBuf, factor: Int): AudioBuf = {
+    require(factor >= 1, s"speed factor must be >= 1, got $factor")
+    if (factor == 1) buf
+    else {
+      val m = (buf.frames + factor - 1) / factor
+      val out = new Array[Int](m * buf.channels)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < buf.channels) {
+          out(j * buf.channels + c) = buf.samples(j * factor * buf.channels + c)
+          c += 1
+        }
+        j += 1
+      }
+      buf.copy(samples = out)
+    }
+  }
+
+  /** ms → frame index, clamped to [0, cap] with Long-overflow saturation
+    * (a hostile endMs must clamp to the clip end, not wrap negative). */
+  private def msToFrame(ms: Long, rate: Int, cap: Int): Int =
+    if (ms <= 0) 0
+    else if (ms > Long.MaxValue / rate) cap
+    else math.min(cap.toLong, ms * rate / 1000).toInt
+
+  /** `audio[start:end]` (`:84-87`): frame window
+    * [startMs*rate/1000, min(frames, endMs*rate/1000)), empty if inverted. */
+  def slice(buf: AudioBuf, startMs: Long, endMs: Long): AudioBuf = {
+    val a = msToFrame(startMs, buf.frameRate, buf.frames)
+    val b = msToFrame(endMs, buf.frameRate, buf.frames)
+    if (a == 0 && b == buf.frames) buf
+    else if (b <= a) buf.copy(samples = Array.empty[Int])
+    else buf.copy(samples =
+      java.util.Arrays.copyOfRange(buf.samples, a * buf.channels, b * buf.channels))
+  }
+
+  /** The reference result dict's accounting fields
+    * (audio_converters.py:105-120): duration/channels/sample_width/
+    * frame_rate describe the CONVERTED audio; sizes are byte counts. */
+  final case class AudioResult(output: Array[Byte], formatTo: String,
+                               channels: Int, frameRate: Int, sampleWidth: Int,
+                               durationMs: Long, originalSize: Long, newSize: Long)
+
+  /** audio bytes → effects → target-format bytes, in the reference's kwarg
+    * order (volume → fade_in → fade_out → speed → start/end slice,
+    * audio_converters.py:70-87). */
+  def convert(bytes: Array[Byte], targetFmt: String, gainDbArg: Double = 0.0,
+              fadeInMs: Int = 0, fadeOutMs: Int = 0, startMs: Long = 0L,
+              endMs: Long = Long.MaxValue, speed: Int = 1): AudioResult = {
+    var buf = decodeSamples(bytes)
+    buf = gainDb(buf, gainDbArg)
+    if (fadeInMs > 0) buf = fadeIn(buf, fadeInMs)
+    if (fadeOutMs > 0) buf = fadeOut(buf, fadeOutMs)
+    if (speed != 1) buf = speedup(buf, speed)
+    if (startMs != 0L || endMs != Long.MaxValue) buf = slice(buf, startMs, endMs)
+    val out = encode(buf, targetFmt)
+    AudioResult(out, targetFmt.toLowerCase.stripPrefix("."), buf.channels,
+      buf.frameRate, buf.bits / 8, buf.durationMs, bytes.length.toLong,
+      out.length.toLong)
+  }
+}

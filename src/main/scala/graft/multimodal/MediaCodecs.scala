@@ -1237,6 +1237,200 @@ object MediaCodecs {
     sum
   }
 
+  /** Decoded interleaved PCM samples (plus the meta): 16-bit signed LE or
+    * 8-bit unsigned-biased, per the WAV convention — the sample-level input
+    * of the [[AudioConvert]] surface. */
+  def wavSamples(bytes: Array[Byte]): (WavMeta, Array[Int]) = {
+    val meta = parseWav(bytes)
+    val count = (meta.dataBytes / (meta.bitsPerSample / 8)).toInt
+    val out = new Array[Int](count)
+    var p = meta.dataOffset.toInt
+    var i = 0
+    meta.bitsPerSample match {
+      case 16 =>
+        while (i < count) {
+          out(i) = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+          p += 2; i += 1
+        }
+      case 8 =>
+        while (i < count) { out(i) = (bytes(p) & 0xff) - 128; p += 1; i += 1 }
+      case o => throw new IllegalArgumentException(
+        s"sample decode supports 8/16-bit PCM only, got $o")
+    }
+    (meta, out)
+  }
+
+  def isAiff(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F'
+
+  /** 80-bit IEEE 754 extended float → integer sample rate (the COMM chunk's
+    * sampleRate field). Non-integer or out-of-range rates are named errors:
+    * a deterministic engine has no business resampling to 44100.5 Hz. */
+  private def extendedToRate(b: Array[Byte], at: Int): Int = {
+    val se = ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+    require((se & 0x8000) == 0, "negative AIFF sample rate")
+    var m = 0L
+    var i = 0
+    while (i < 8) { m = (m << 8) | (b(at + 2 + i) & 0xff); i += 1 }
+    val shift = 63 - (se - 16383)
+    require(shift >= 0 && shift <= 63, s"AIFF sample-rate exponent $se out of range")
+    val rate = m >>> shift
+    require(rate > 0 && rate <= 10000000 && (rate << shift) == m,
+      "AIFF sample rate is not a positive integer")
+    rate.toInt
+  }
+
+  /** Integer sample rate → the 80-bit extended bytes (explicit integer
+    * bit): exponent 16383 + floor(log2(rate)), mantissa left-justified. */
+  private def rateToExtended(rate: Int): Array[Byte] = {
+    require(rate > 0, s"bad sample rate $rate")
+    val pos = 63 - java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    val e = 16383 + pos
+    val m = rate.toLong << (63 - pos)
+    val out = new Array[Byte](10)
+    out(0) = ((e >>> 8) & 0xff).toByte
+    out(1) = (e & 0xff).toByte
+    var i = 0
+    while (i < 8) { out(2 + i) = ((m >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** AIFF-C's plain-PCM sibling AIFF (FORM/AIFF: COMM + SSND, all
+    * big-endian) — in both the reference's audio input and OUTPUT
+    * whitelists (/root/reference/src/converters/audio_converters.py:40-47).
+    * Same walk-containment contract as [[parseWav]]; the COMM frame count
+    * is authoritative (SSND may carry trailing slack), `dataOffset` honors
+    * the SSND offset field. */
+  def parseAiff(bytes: Array[Byte]): WavMeta = {
+    require(isAiff(bytes), "not a FORM/AIFF payload")
+    var i = 12L
+    var channels = 0
+    var frames = -1L
+    var bits = 0
+    var rate = 0
+    var ssndAt = -1L
+    var ssndBytes = -1L
+    while (i + 8 <= bytes.length) {
+      val at = i.toInt
+      val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = ((bytes(at + 4) & 0xff) << 24) | ((bytes(at + 5) & 0xff) << 16) |
+        ((bytes(at + 6) & 0xff) << 8) | (bytes(at + 7) & 0xff)
+      require(size >= 0, s"negative AIFF chunk size $size")
+      if (id == "COMM") {
+        require(size >= 18 && i + 8 + 18 <= bytes.length, "AIFF COMM chunk too short")
+        channels = ((bytes(at + 8) & 0xff) << 8) | (bytes(at + 9) & 0xff)
+        frames = ((bytes(at + 10) & 0xffL) << 24) | ((bytes(at + 11) & 0xffL) << 16) |
+          ((bytes(at + 12) & 0xffL) << 8) | (bytes(at + 13) & 0xffL)
+        bits = ((bytes(at + 14) & 0xff) << 8) | (bytes(at + 15) & 0xff)
+        rate = extendedToRate(bytes, at + 16)
+      } else if (id == "SSND") {
+        require(size >= 8 && i + 8 + size.toLong <= bytes.length,
+          "AIFF SSND chunk overruns payload")
+        val offset = ((bytes(at + 8) & 0xffL) << 24) | ((bytes(at + 9) & 0xffL) << 16) |
+          ((bytes(at + 10) & 0xffL) << 8) | (bytes(at + 11) & 0xffL)
+        require(offset <= size - 8, "AIFF SSND offset overruns its chunk")
+        ssndAt = i + 16 + offset
+        ssndBytes = size - 8 - offset
+      }
+      i += 8L + size + (size & 1) // chunks are 2-byte aligned
+    }
+    require(channels > 0 && rate > 0 && frames >= 0, "AIFF has no COMM chunk")
+    require(bits > 0 && bits % 8 == 0, s"bad AIFF bits-per-sample $bits")
+    require(ssndBytes >= 0, "AIFF has no SSND chunk")
+    val needed = frames * channels * (bits / 8)
+    require(ssndBytes >= needed, "AIFF SSND data shorter than the COMM frame count")
+    WavMeta(channels, rate, bits, needed, frames * 1000L / rate, ssndAt)
+  }
+
+  /** Decoded interleaved AIFF samples: 16-bit signed BIG-endian, 8-bit
+    * SIGNED (AIFF, unlike WAV, stores 8-bit PCM two's-complement). */
+  def aiffSamples(bytes: Array[Byte]): (WavMeta, Array[Int]) = {
+    val meta = parseAiff(bytes)
+    val count = (meta.dataBytes / (meta.bitsPerSample / 8)).toInt
+    val out = new Array[Int](count)
+    var p = meta.dataOffset.toInt
+    var i = 0
+    meta.bitsPerSample match {
+      case 16 =>
+        while (i < count) {
+          out(i) = (((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)).toShort.toInt
+          p += 2; i += 1
+        }
+      case 8 =>
+        while (i < count) { out(i) = bytes(p).toInt; p += 1; i += 1 }
+      case o => throw new IllegalArgumentException(
+        s"sample decode supports 8/16-bit PCM only, got $o")
+    }
+    (meta, out)
+  }
+
+  /** Interleaved samples → canonical 44-byte-header RIFF/WAVE PCM bytes
+    * (the encode direction [[parseWav]]/[[wavSamples]] read back). Samples
+    * must already be in the depth's range — [[AudioConvert]] clamps. */
+  def encodeWav(channels: Int, rate: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels > 0 && rate > 0 && (bits == 8 || bits == 16),
+      s"bad WAV params channels=$channels rate=$rate bits=$bits")
+    require(samples.length % channels == 0, "partial trailing audio frame")
+    val bytesPer = bits / 8
+    val dataBytes = samples.length * bytesPer
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes + (dataBytes & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataBytes + (dataBytes & 1))
+    buf.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(rate)
+    buf.putInt(rate * channels * bytesPer)
+    buf.putShort((channels * bytesPer).toShort)
+    buf.putShort(bits.toShort)
+    buf.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 16) buf.putShort(samples(i).toShort)
+      else buf.put((samples(i) + 128).toByte) // WAV 8-bit is unsigned-biased
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Interleaved samples → canonical FORM/AIFF bytes (COMM + zero-offset
+    * SSND) — the layout [[parseAiff]]/[[aiffSamples]] read back. */
+  def encodeAiff(channels: Int, rate: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels > 0 && rate > 0 && (bits == 8 || bits == 16),
+      s"bad AIFF params channels=$channels rate=$rate bits=$bits")
+    require(samples.length % channels == 0, "partial trailing audio frame")
+    val bytesPer = bits / 8
+    val dataBytes = samples.length * bytesPer
+    val frames = samples.length / channels
+    val buf = java.nio.ByteBuffer.allocate(54 + dataBytes + (dataBytes & 1))
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(46 + dataBytes + (dataBytes & 1))
+    buf.put("AIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("COMM".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(18)
+    buf.putShort(channels.toShort)
+    buf.putInt(frames)
+    buf.putShort(bits.toShort)
+    buf.put(rateToExtended(rate))
+    buf.put("SSND".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(8 + dataBytes)
+    buf.putInt(0) // offset
+    buf.putInt(0) // block size
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 16) buf.putShort(samples(i).toShort)
+      else buf.put(samples(i).toByte) // AIFF 8-bit is signed
+      i += 1
+    }
+    buf.array()
+  }
+
   /** WebP header-level metadata: REAL canvas dimensions (and animation
     * frame count) from the container headers; pixel decode would need the
     * VP8 entropy codec. Both formats are in the reference's Pillow input

@@ -46,6 +46,7 @@ object Multimodal {
       // P5 is a graymap, P6 a pixmap — distinct mimes by convention
       (if (bytes(1) == '5') "image/x-portable-graymap" else "image/x-portable-pixmap")
     else if (MediaCodecs.isWav(bytes)) "audio/wav"
+    else if (MediaCodecs.isAiff(bytes)) "audio/aiff"
     else if (MediaCodecs.isWebp(bytes)) "image/webp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
     else if (MediaCodecs.isMp4(bytes)) "video/mp4"
@@ -69,8 +70,9 @@ object Multimodal {
     * TIFF) get REAL width/height/pixel-mean/frame-count; a recognized
     * format outside the supported profile (progressive JPEG, JPEG-in-TIFF,
     * ...) becomes an error row.
-    * WAV goes through the real RIFF parse (n_frames = PCM frame count,
-    * feature(0) = duration seconds); WebP/ICO get real header dimensions.
+    * WAV/AIFF go through the real RIFF/FORM parses (n_frames = PCM frame
+    * count, feature(0) = duration seconds); WebP/ICO get real header
+    * dimensions.
     * An unclaimed payload yields zeroed metadata marked
     * `error = `[[StubDecodeError]] — nothing is ever fabricated. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -90,11 +92,12 @@ object Multimodal {
                 else img.pixelSum.toFloat / (img.width.toLong * img.height)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 img.width, img.height, img.frames, Array(mean / 255f), "")
-            case None if kind == "audio/wav" =>
-              val wav = MediaCodecs.parseWav(bytes)
-              val frames = (wav.dataBytes / (wav.channels * (wav.bitsPerSample / 8))).toInt
+            case None if kind == "audio/wav" || kind == "audio/aiff" =>
+              val pcm = if (kind == "audio/wav") MediaCodecs.parseWav(bytes)
+                        else MediaCodecs.parseAiff(bytes)
+              val frames = (pcm.dataBytes / (pcm.channels * (pcm.bitsPerSample / 8))).toInt
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
-                0, 0, frames, Array(wav.durationMs / 1000f), "")
+                0, 0, frames, Array(pcm.durationMs / 1000f), "")
             case None if kind == "video/mp4" =>
               // real container metadata; sample decode would need the codec
               val v = MediaCodecs.parseMp4(bytes)

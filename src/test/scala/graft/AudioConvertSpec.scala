@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.MediaFixtures
+import graft.multimodal.{AudioConvert, MediaCodecs}
+import graft.multimodal.AudioConvert.AudioBuf
+
+/** The audio convert surface: hand-packed known-vector decodes (pinning the
+  * encoder/decoder pairs to bytes neither wrote), cross-container sample
+  * exactness, the integer-exact effects algebra, and the named-error
+  * contract for lossy targets and hostile headers. */
+class AudioConvertSpec extends AnyFunSuite {
+
+  // ---- hand-packed known vectors ------------------------------------------
+
+  test("hand-packed AIFF vector decodes exactly (incl. 80-bit 44100 rate)") {
+    // FORM/AIFF, COMM: 1 ch, 3 frames, 16-bit, rate 44100 = 0x400E AC44...,
+    // SSND offset 0: samples +1, -2, +300 big-endian
+    val bytes = Array[Int](
+      'F', 'O', 'R', 'M', 0, 0, 0, 0x34, 'A', 'I', 'F', 'F',
+      'C', 'O', 'M', 'M', 0, 0, 0, 18,
+      0, 1, // channels
+      0, 0, 0, 3, // frames
+      0, 16, // bits
+      0x40, 0x0E, 0xAC, 0x44, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // 44100
+      'S', 'S', 'N', 'D', 0, 0, 0, 14,
+      0, 0, 0, 0, 0, 0, 0, 0, // offset, block size
+      0x00, 0x01, 0xFF, 0xFE, 0x01, 0x2C).map(_.toByte)
+    val (meta, samples) = MediaCodecs.aiffSamples(bytes)
+    assert(meta.channels == 1 && meta.frameRate == 44100 && meta.bitsPerSample == 16)
+    assert(meta.durationMs == 3 * 1000L / 44100)
+    assert(samples.toSeq == Seq(1, -2, 300))
+  }
+
+  test("hand-packed AIFF 8-bit samples are signed (unlike WAV's bias)") {
+    // 1 ch, 2 frames, 8-bit, rate 8000 = 0x400B FA00...: samples -1, +5
+    val bytes = Array[Int](
+      'F', 'O', 'R', 'M', 0, 0, 0, 0x30, 'A', 'I', 'F', 'F',
+      'C', 'O', 'M', 'M', 0, 0, 0, 18,
+      0, 1, 0, 0, 0, 2, 0, 8,
+      0x40, 0x0B, 0xFA, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // 8000
+      'S', 'S', 'N', 'D', 0, 0, 0, 10,
+      0, 0, 0, 0, 0, 0, 0, 0,
+      0xFF, 0x05).map(_.toByte)
+    val (meta, samples) = MediaCodecs.aiffSamples(bytes)
+    assert(meta.frameRate == 8000 && meta.bitsPerSample == 8)
+    assert(samples.toSeq == Seq(-1, 5))
+  }
+
+  test("aiff fixture decodes to the same sample series as the wav fixture") {
+    for (bits <- Seq(8, 16); channels <- Seq(1, 2)) {
+      val w = AudioConvert.decodeSamples(MediaFixtures.wav(channels, 16000, 50, 30, bits))
+      val a = AudioConvert.decodeSamples(MediaFixtures.aiff(channels, 16000, 50, 30, bits))
+      assert(w.samples.toSeq == a.samples.toSeq, s"bits=$bits ch=$channels")
+      assert(w.frameRate == a.frameRate && w.channels == a.channels && w.bits == a.bits)
+    }
+  }
+
+  // ---- encoder/decoder roundtrips ------------------------------------------
+
+  test("encodeWav/encodeAiff roundtrip sample-exactly at both depths") {
+    val samples = Array.tabulate(120)(i => ((i * 37 + 11) % 4096) - 2048)
+    val small = samples.map(s => Math.floorDiv(s, 16)) // 8-bit range
+    for ((bits, src) <- Seq((16, samples), (8, small)); channels <- Seq(1, 2)) {
+      val buf = AudioBuf(channels, 22050, bits, src)
+      for (fmt <- AudioConvert.encodeFormats) {
+        val rt = AudioConvert.decodeSamples(AudioConvert.encode(buf, fmt))
+        assert(rt.samples.toSeq == src.toSeq, s"$fmt bits=$bits ch=$channels")
+        assert(rt.frameRate == 22050 && rt.channels == channels && rt.bits == bits)
+      }
+    }
+  }
+
+  test("cross-container convert preserves samples bit-exactly") {
+    val wav = MediaFixtures.wav(2, 44100, 200, 77)
+    val viaAiff = AudioConvert.convert(wav, "aiff")
+    val back = AudioConvert.convert(viaAiff.output, "wav")
+    assert(AudioConvert.decodeSamples(back.output).samples.toSeq ==
+      AudioConvert.decodeSamples(wav).samples.toSeq)
+    // canonical sizes: wav = 44 + data, aiff = 54 + data
+    assert(viaAiff.newSize == 54 + 200 * 2 * 2)
+    assert(back.newSize == 44 + 200 * 2 * 2)
+  }
+
+  // ---- effects algebra ------------------------------------------------------
+
+  test("gainDb doubles/halves at ±20log10(2) dB and clamps at the rails") {
+    val db2x = 20.0 * math.log10(2.0)
+    val buf = AudioBuf(1, 8000, 16, Array(100, -250, 32000, -32768))
+    val up = AudioConvert.gainDb(buf, db2x)
+    assert(up.samples.toSeq == Seq(200, -500, 32767, -32768)) // clamped rails
+    val down = AudioConvert.gainDb(buf, -db2x)
+    // Math.round is half-up toward +inf: -125.0 stays -125
+    assert(down.samples.toSeq == Seq(50, -125, 16000, -16384))
+  }
+
+  test("fades are truncating-division linear ramps; oversize window fades all") {
+    val buf = AudioBuf(1, 1000, 16, Array(1000, 1000, 1000, -999))
+    // 2ms at 1000 Hz = 2 frames
+    val in = AudioConvert.fadeIn(buf, 2)
+    assert(in.samples.toSeq == Seq(0, 500, 1000, -999))
+    val out = AudioConvert.fadeOut(buf, 2)
+    // f=2: 1000*(3-2)/2 = 500; f=3: -999*0/2 = 0
+    assert(out.samples.toSeq == Seq(1000, 1000, 500, 0))
+    // negative samples truncate toward zero — the semantics of both JVM /
+    // and DuckDB's integer // (NOT Python's floor //)
+    val neg = AudioConvert.fadeIn(AudioBuf(1, 1000, 16, Array(-7, -7, -7)), 3)
+    assert(neg.samples.toSeq == Seq(0, -7 / 3, -14 / 3))
+    assert(neg.samples(2) == -4) // trunc, where floor would give -5
+    val all = AudioConvert.fadeOut(buf, 1000) // 1000ms >> 4 frames
+    assert(all.samples.toSeq == Seq(1000 * 3 / 4, 1000 * 2 / 4, 1000 / 4, 0))
+  }
+
+  test("fades scale frames, not flat samples (stereo stays channel-aligned)") {
+    val buf = AudioBuf(2, 1000, 16, Array(100, 200, 100, 200, 100, 200, 100, 200))
+    val in = AudioConvert.fadeIn(buf, 2) // k = 2 frames
+    assert(in.samples.toSeq == Seq(0, 0, 50, 100, 100, 200, 100, 200))
+  }
+
+  test("speedup keeps every k-th frame; slice windows by ms with clamping") {
+    val buf = AudioBuf(2, 1000, 16, Array.tabulate(20)(identity)) // 10 frames
+    val sped = AudioConvert.speedup(buf, 3)
+    // frames 0, 3, 6, 9 -> samples (0,1),(6,7),(12,13),(18,19)
+    assert(sped.samples.toSeq == Seq(0, 1, 6, 7, 12, 13, 18, 19))
+    val cut = AudioConvert.slice(buf, 2, 5) // frames [2, 5)
+    assert(cut.samples.toSeq == Seq(4, 5, 6, 7, 8, 9))
+    assert(AudioConvert.slice(buf, 50, 100).samples.isEmpty) // past the end
+    assert(AudioConvert.slice(buf, 0, Long.MaxValue / 2).frames == 10)
+  }
+
+  test("convert applies the reference's kwarg order and reports accounting") {
+    val wav = MediaFixtures.wav(1, 8000, 400, 10)
+    val r = AudioConvert.convert(wav, "aiff", fadeOutMs = 5, startMs = 2, endMs = 25)
+    // slice AFTER fade: frames [16, 200), fade window was the last 40 of 400
+    assert(r.frameRate == 8000 && r.channels == 1 && r.sampleWidth == 2)
+    assert(r.durationMs == (200 - 16) * 1000L / 8000)
+    assert(r.originalSize == wav.length && r.newSize == 54 + (200 - 16) * 2)
+    val dec = AudioConvert.decodeSamples(r.output)
+    assert(dec.frames == 200 - 16)
+    // untouched mid-clip sample: s_f = 10 + f - 2048 at f = 100
+    assert(dec.samples(100 - 16) == 10 + 100 - 2048)
+  }
+
+  // ---- named errors ---------------------------------------------------------
+
+  test("lossy/unknown audio targets and non-audio inputs are named errors") {
+    val wav = MediaFixtures.wav(1, 8000, 10, 0)
+    for (fmt <- Seq("mp3", "ogg", "flac", "m4a", "opus"))
+      assert(intercept[IllegalArgumentException](
+        AudioConvert.convert(wav, fmt)).getMessage.contains("codec"), fmt)
+    assert(intercept[IllegalArgumentException](
+      AudioConvert.convert(wav, "xyz")).getMessage.contains("unsupported output"))
+    assert(intercept[IllegalArgumentException](
+      AudioConvert.decodeSamples("not audio".getBytes)).getMessage
+      .contains("unsupported audio input"))
+  }
+
+  test("hostile AIFF headers fail named, never hang or fabricate") {
+    val good = MediaFixtures.aiff(1, 8000, 10, 0)
+    // negative chunk size would stall the walk
+    val neg = good.clone(); neg(16) = 0xff.toByte
+    intercept[IllegalArgumentException](MediaCodecs.parseAiff(neg))
+    // SSND truncated vs COMM frame count
+    val short = java.util.Arrays.copyOf(good, good.length - 4)
+    // keep the SSND size field consistent with the truncated payload
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseAiff(short))
+    assert(e.getMessage.nonEmpty)
+    // non-integer sample rate (mantissa with a fraction bit set)
+    val frac = good.clone(); frac(37) = 0x01 // low mantissa byte of the rate
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.parseAiff(frac))
+    assert(e2.getMessage.contains("sample rate"))
+  }
+}
