@@ -927,6 +927,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL pixel geometry ops (the reference's Pillow preprocessing chain,
+    // image_converters.py:80-105): decode a row-constant BMP fixture, apply
+    // one op from the wheel (crop / rotate90 / flipH / nearest-resize /
+    // invert), encode the RESULT to png, re-decode THAT, and report
+    // dims/mode/pixel-sum — all recomputed closed-form by the oracle (the
+    // fixture rows are (seed + y) % 256 with no wrap, so every op's sum is
+    // an arithmetic series or a center-mapped sampling of one).
+    "ic_ops" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.multimodal.ImageConvert
+          val w = 6 + (id % 8).toInt
+          val h = 5 + (id % 6).toInt
+          val seed = (id % 200).toInt
+          val buf = ImageConvert.decodePixels(
+            graft.fixtures.MediaFixtures.bmp(w, h, 24, seed))._2
+          val (opName, out) = (id % 5) match {
+            case 0 => ("crop", ImageConvert.crop(buf, 1, 1, w - 1, h - 1))
+            case 1 => ("rotate90", ImageConvert.rotate(buf, 90))
+            case 2 => ("flip_h", ImageConvert.flip(buf, "horizontal"))
+            case 3 => ("resize", ImageConvert.resizeNearest(buf, 2 * w, h + 3))
+            case _ => ("invert", ImageConvert.invert(buf))
+          }
+          val meta = graft.multimodal.MediaCodecs.decodeImage(
+            ImageConvert.encode(out, "png")).get
+          (id, opName, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "op", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"), col("op"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -1330,6 +1365,29 @@ object SparkEntry {
         "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
         "FROM p ORDER BY doc_id"),
+    "ic_ops" ->
+      // crop drops the first/last row+column of a row-constant raster;
+      // rotate90/flipH preserve the sum; nearest-resize samples row
+      // (2f+1)*h // (2*(h+3)) per destination row f (center mapping,
+      // truncating like the engine); invert is 255-complement per channel
+      ("WITH p AS (SELECT doc_id, 6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h, " +
+        "doc_id % 200 AS seed FROM documents), " +
+        "b AS (SELECT *, 3 * w * (h * seed + h * (h - 1) // 2) AS full_sum FROM p) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'crop' WHEN 1 THEN 'rotate90' " +
+        "WHEN 2 THEN 'flip_h' WHEN 3 THEN 'resize' ELSE 'invert' END AS op, " +
+        "CAST(CASE doc_id % 5 WHEN 0 THEN w - 2 WHEN 1 THEN h WHEN 3 THEN 2 * w " +
+        "ELSE w END AS INT) AS width, " +
+        "CAST(CASE doc_id % 5 WHEN 0 THEN h - 2 WHEN 1 THEN w WHEN 3 THEN h + 3 " +
+        "ELSE h END AS INT) AS height, " +
+        "'RGB' AS mode, " +
+        "CAST(CASE doc_id % 5 " +
+        "WHEN 0 THEN 3 * (w - 2) * ((h - 2) * (seed + 1) + (h - 2) * (h - 3) // 2) " +
+        "WHEN 3 THEN 3 * 2 * w * (SELECT SUM(seed + (2 * t.f + 1) * h // (2 * (h + 3))) " +
+        "FROM generate_series(0, 12) AS t(f) WHERE t.f < h + 3) " +
+        "WHEN 4 THEN 3 * w * h * 255 - full_sum " +
+        "ELSE full_sum END AS BIGINT) AS pixel_sum " +
+        "FROM b ORDER BY doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index

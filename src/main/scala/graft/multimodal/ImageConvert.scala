@@ -102,6 +102,236 @@ object ImageConvert {
     out
   }
 
+  // ---- pixel geometry ops (image_converters.py:78-105 preprocessing) --------
+
+  private def channels(buf: PixelBuf): Int = PixelBuf.channelsOf(buf.mode)
+
+  private def blank(buf: PixelBuf, w: Int, h: Int): PixelBuf = {
+    val out = new PixelBuf
+    out.init(buf.mode, w, h)
+    out.palette = buf.palette
+    out
+  }
+
+  /** Pillow `image.crop((left, top, right, bottom))`
+    * (image_converters.py:87-93). Bounds-checked by name: the reference's
+    * Pillow zero-pads out-of-bounds boxes, but a deterministic engine
+    * treats a box outside the raster as a caller bug, not data. */
+  def crop(buf: PixelBuf, left: Int, top: Int, right: Int, bottom: Int): PixelBuf = {
+    require(left >= 0 && top >= 0 && right <= buf.width && bottom <= buf.height &&
+      left < right && top < bottom,
+      s"crop box ($left,$top,$right,$bottom) outside ${buf.width}x${buf.height}")
+    val ch = channels(buf)
+    val out = blank(buf, right - left, bottom - top)
+    var y = top
+    while (y < bottom) {
+      System.arraycopy(buf.data, (y * buf.width + left) * ch,
+        out.data, ((y - top) * out.width) * ch, out.width * ch)
+      y += 1
+    }
+    out
+  }
+
+  /** Pillow `image.rotate(deg, expand=True)` (image_converters.py:95-96),
+    * restricted to the lossless right angles (counter-clockwise, Pillow's
+    * convention); arbitrary angles need a resampling filter whose output is
+    * library-version-defined, so they are a named error, never approximated
+    * silently. */
+  def rotate(buf: PixelBuf, degrees: Int): PixelBuf = {
+    val deg = ((degrees % 360) + 360) % 360
+    require(deg % 90 == 0, s"rotate supports right angles only, got $degrees")
+    if (deg == 0) return buf
+    val ch = channels(buf)
+    val (w, h) = (buf.width, buf.height)
+    val out = if (deg == 180) blank(buf, w, h) else blank(buf, h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // CCW: 90 sends (x,y) -> (y, w-1-x); 270 sends (x,y) -> (h-1-y, x)
+        val (nx, ny) = deg match {
+          case 90  => (y, w - 1 - x)
+          case 180 => (w - 1 - x, h - 1 - y)
+          case _   => (h - 1 - y, x)
+        }
+        var c = 0
+        while (c < ch) {
+          out.data((ny * out.width + nx) * ch + c) = buf.data((y * w + x) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** ImageOps.mirror / ImageOps.flip (image_converters.py:98-102). */
+  def flip(buf: PixelBuf, direction: String): PixelBuf = {
+    val ch = channels(buf)
+    val out = blank(buf, buf.width, buf.height)
+    direction match {
+      case "horizontal" =>
+        var y = 0
+        while (y < buf.height) {
+          var x = 0
+          while (x < buf.width) {
+            var c = 0
+            while (c < ch) {
+              out.data((y * buf.width + (buf.width - 1 - x)) * ch + c) =
+                buf.data((y * buf.width + x) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case "vertical" =>
+        var y = 0
+        while (y < buf.height) {
+          System.arraycopy(buf.data, y * buf.width * ch,
+            out.data, (buf.height - 1 - y) * buf.width * ch, buf.width * ch)
+          y += 1
+        }
+      case o => throw new IllegalArgumentException(
+        s"flip direction must be horizontal or vertical, got $o")
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize with center mapping: destination pixel i reads
+    * source index (2i+1)*src/(2*dst) — integer arithmetic, so a SQL oracle
+    * reproduces the sampling grid exactly. (The reference resizes with
+    * Pillow LANCZOS, image_converters.py:84 — a windowed-sinc whose exact
+    * bytes are library-defined; nearest is the deterministic resampler, and
+    * the kernel swap point is this one function.) */
+  def resizeNearest(buf: PixelBuf, w: Int, h: Int): PixelBuf = {
+    require(w > 0 && h > 0, s"bad resize target ${w}x$h")
+    val ch = channels(buf)
+    val out = blank(buf, w, h)
+    var y = 0
+    while (y < h) {
+      val sy = ((2L * y + 1) * buf.height / (2L * h)).toInt
+      var x = 0
+      while (x < w) {
+        val sx = ((2L * x + 1) * buf.width / (2L * w)).toInt
+        var c = 0
+        while (c < ch) {
+          out.data((y * w + x) * ch + c) = buf.data((sy * buf.width + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** ImageOps.invert semantics via the reference's apply_filter 'invert' arm
+    * (image_converters.py:251-259): every channel becomes 255-v, except an
+    * RGBA alpha channel, which is preserved (the reference splits, inverts
+    * RGB, re-merges with the original alpha). Palette mode is a named error,
+    * exactly as ImageOps.invert raises on P images. */
+  def invert(buf: PixelBuf): PixelBuf = {
+    require(buf.mode != "P", "invert does not support palette mode (convert first)")
+    val ch = channels(buf)
+    val out = blank(buf, buf.width, buf.height)
+    var i = 0
+    while (i < buf.data.length) {
+      val keep = buf.mode == "RGBA" && i % ch == 3
+      out.data(i) = if (keep) buf.data(i) else (255 - (buf.data(i) & 0xff)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The eight built-in Pillow convolution kernels the reference's filter
+    * registry names (image_converters.py:234-243) — constants from PIL
+    * ImageFilter (public): (size, scale, offset, kernel). */
+  private val kernels: Map[String, (Int, Int, Int, Array[Int])] = Map(
+    "blur" -> ((5, 16, 0, Array(
+      1, 1, 1, 1, 1,
+      1, 0, 0, 0, 1,
+      1, 0, 0, 0, 1,
+      1, 0, 0, 0, 1,
+      1, 1, 1, 1, 1))),
+    "contour" -> ((3, 1, 255, Array(-1, -1, -1, -1, 8, -1, -1, -1, -1))),
+    "detail" -> ((3, 6, 0, Array(0, -1, 0, -1, 10, -1, 0, -1, 0))),
+    "edge_enhance" -> ((3, 2, 0, Array(-1, -1, -1, -1, 10, -1, -1, -1, -1))),
+    "emboss" -> ((3, 1, 128, Array(-1, 0, 0, 0, 1, 0, 0, 0, 0))),
+    "find_edges" -> ((3, 1, 0, Array(-1, -1, -1, -1, 8, -1, -1, -1, -1))),
+    "sharpen" -> ((3, 16, 0, Array(-2, -2, -2, -2, 32, -2, -2, -2, -2))),
+    "smooth" -> ((3, 13, 0, Array(1, 1, 1, 1, 5, 1, 1, 1, 1))))
+
+  val convolutionFilters: Set[String] = kernels.keySet
+
+  /** Real convolution for the registry filters: per channel,
+    * out = clamp((Σ kᵢ·pᵢ) / scale + offset) with truncating integer
+    * division (our pinned rounding — Pillow's float path may differ by ±1
+    * per pixel, and no media lib ships in this container to diff against);
+    * border pixels (half the kernel size) are copied unfiltered, which IS
+    * Pillow's edge behavior. P mode is a named error (Pillow filters refuse
+    * palette images). */
+  def convolve(buf: PixelBuf, filterName: String): PixelBuf = {
+    val (size, scale, offset, k) = kernels.getOrElse(filterName,
+      throw new IllegalArgumentException(s"Unknown filter: $filterName"))
+    require(buf.mode != "P", s"$filterName does not support palette mode (convert first)")
+    val ch = channels(buf)
+    val out = blank(buf, buf.width, buf.height)
+    System.arraycopy(buf.data, 0, out.data, 0, buf.data.length) // border copy
+    val r = size / 2
+    var y = r
+    while (y < buf.height - r) {
+      var x = r
+      while (x < buf.width - r) {
+        var c = 0
+        while (c < ch) {
+          if (buf.mode == "RGBA" && c == 3) {
+            // alpha passes through (Pillow filters the bands it can)
+          } else {
+            var acc = 0
+            var ky = 0
+            while (ky < size) {
+              var kx = 0
+              while (kx < size) {
+                acc += k(ky * size + kx) *
+                  (buf.data(((y + ky - r) * buf.width + (x + kx - r)) * ch + c) & 0xff)
+                kx += 1
+              }
+              ky += 1
+            }
+            val v = acc / scale + offset
+            out.data((y * buf.width + x) * ch + c) =
+              math.max(0, math.min(255, v)).toByte
+          }
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The reference's preprocessing chain in kwarg order (resize → crop →
+    * rotate → flip → grayscale, image_converters.py:80-105), on REAL
+    * pixels, then encode. */
+  final case class ImageOpts(resize: Option[(Int, Int)] = None,
+                             cropBox: Option[(Int, Int, Int, Int)] = None,
+                             rotateDeg: Option[Int] = None,
+                             flipDir: Option[String] = None,
+                             grayscale: Boolean = false)
+
+  def convertImage(bytes: Array[Byte], targetFmt: String, opts: ImageOpts): Array[Byte] = {
+    var buf = decodePixels(bytes)._2
+    for ((w, h) <- opts.resize) buf = resizeNearest(buf, w, h)
+    for ((l, t, r, b) <- opts.cropBox) buf = crop(buf, l, t, r, b)
+    for (d <- opts.rotateDeg) buf = rotate(buf, d)
+    for (d <- opts.flipDir) buf = flip(buf, d)
+    if (opts.grayscale && buf.mode != "L") buf = convertMode(buf, "L")
+    encode(buf, targetFmt)
+  }
+
   // ---- encoders --------------------------------------------------------------
 
   /** pixels → target-format bytes, auto-adapting the mode where the format

@@ -218,6 +218,126 @@ class ImageConvertSpec extends AnyFunSuite {
     }
   }
 
+  // ---- pixel geometry ops ---------------------------------------------------
+
+  test("crop extracts the exact box; out-of-bounds boxes are named errors") {
+    // 4x3 L raster 0..11 row-major
+    val buf = new PixelBuf
+    buf.init("L", 4, 3)
+    for (i <- buf.data.indices) buf.data(i) = i.toByte
+    val c = ImageConvert.crop(buf, 1, 1, 3, 3)
+    assert(c.width == 2 && c.height == 2)
+    assert(c.data.toSeq.map(_ & 0xff) == Seq(5, 6, 9, 10))
+    val e = intercept[IllegalArgumentException](ImageConvert.crop(buf, 0, 0, 5, 2))
+    assert(e.getMessage.contains("crop box"))
+  }
+
+  test("rotate right angles move pixels exactly (CCW, Pillow convention)") {
+    // 2x2 RGB: pixels A B / C D, channel-tagged
+    val buf = new PixelBuf
+    buf.init("RGB", 2, 2)
+    for (p <- 0 until 4; c <- 0 until 3) buf.data(p * 3 + c) = (p * 10 + c).toByte
+    def px(b: PixelBuf, x: Int, y: Int): Int = b.data((y * b.width + x) * 3) & 0xff
+    // CCW 90: top-right B(x=1,y=0) becomes top-left
+    val r90 = ImageConvert.rotate(buf, 90)
+    assert(r90.width == 2 && r90.height == 2)
+    assert(px(r90, 0, 0) == 10 && px(r90, 1, 0) == 30 &&
+      px(r90, 0, 1) == 0 && px(r90, 1, 1) == 20)
+    val r180 = ImageConvert.rotate(buf, 180)
+    assert(px(r180, 0, 0) == 30 && px(r180, 1, 1) == 0)
+    // 270 == -90; full turn is identity; non-right angles fail named
+    assert(ImageConvert.rotate(buf, 270).data.toSeq ==
+      ImageConvert.rotate(buf, -90).data.toSeq)
+    assert(ImageConvert.rotate(ImageConvert.rotate(buf, 90), 270).data.toSeq ==
+      buf.data.toSeq)
+    assert(intercept[IllegalArgumentException](ImageConvert.rotate(buf, 45))
+      .getMessage.contains("right angles"))
+    // non-square: 3x1 -> 90 -> 1x3
+    val wide = new PixelBuf
+    wide.init("L", 3, 1)
+    for (i <- 0 until 3) wide.data(i) = (i + 1).toByte
+    val tall = ImageConvert.rotate(wide, 90)
+    assert(tall.width == 1 && tall.height == 3)
+    assert(tall.data.toSeq.map(_ & 0xff) == Seq(3, 2, 1))
+  }
+
+  test("flips mirror exactly and preserve dims; bad direction is named") {
+    val buf = new PixelBuf
+    buf.init("L", 3, 2)
+    for (i <- 0 until 6) buf.data(i) = i.toByte
+    assert(ImageConvert.flip(buf, "horizontal").data.toSeq.map(_ & 0xff) ==
+      Seq(2, 1, 0, 5, 4, 3))
+    assert(ImageConvert.flip(buf, "vertical").data.toSeq.map(_ & 0xff) ==
+      Seq(3, 4, 5, 0, 1, 2))
+    intercept[IllegalArgumentException](ImageConvert.flip(buf, "diagonal"))
+  }
+
+  test("resizeNearest samples the center-mapped grid") {
+    // 4x4 L with value = x + 4*y; downscale to 2x2: centers map to src 1,3
+    val buf = new PixelBuf
+    buf.init("L", 4, 4)
+    for (i <- 0 until 16) buf.data(i) = i.toByte
+    val half = ImageConvert.resizeNearest(buf, 2, 2)
+    assert(half.data.toSeq.map(_ & 0xff) == Seq(5, 7, 13, 15))
+    // upscale 2x2 -> 4x4 replicates each source pixel 2x2
+    val up = ImageConvert.resizeNearest(half, 4, 4)
+    assert(up.data.toSeq.map(_ & 0xff) ==
+      Seq(5, 5, 7, 7, 5, 5, 7, 7, 13, 13, 15, 15, 13, 13, 15, 15))
+  }
+
+  test("invert flips channels, preserves RGBA alpha, refuses P by name") {
+    val rgba = new PixelBuf
+    rgba.init("RGBA", 1, 1)
+    rgba.data = Array[Byte](10, 20, 30, 200.toByte)
+    val inv = ImageConvert.invert(rgba)
+    assert(inv.data.toSeq.map(_ & 0xff) == Seq(245, 235, 225, 200))
+    intercept[IllegalArgumentException](ImageConvert.invert(mkBuf("P", 2, 2)))
+  }
+
+  test("convolve applies the published kernels with pinned integer rounding") {
+    // 3x3 L all-100 with a 200 center; SMOOTH scale 13 kernel 1..5..1:
+    // center = (100*8 + 200*5) / 13 = 1800/13 = 138 (trunc); border copied
+    val buf = new PixelBuf
+    buf.init("L", 3, 3)
+    java.util.Arrays.fill(buf.data, 100.toByte)
+    buf.data(4) = 200.toByte
+    val sm = ImageConvert.convolve(buf, "smooth")
+    assert((sm.data(4) & 0xff) == 138)
+    assert(sm.data.toSeq.zipWithIndex.filter(_._2 != 4).map(_._1 & 0xff) ==
+      Seq.fill(8)(100) ++ Nil)
+    // FIND_EDGES on a flat region is 0 (clamped), EMBOSS offset shows at 128
+    val flat = new PixelBuf
+    flat.init("L", 3, 3)
+    java.util.Arrays.fill(flat.data, 100.toByte)
+    assert((ImageConvert.convolve(flat, "find_edges").data(4) & 0xff) == 0)
+    assert((ImageConvert.convolve(flat, "emboss").data(4) & 0xff) == 128)
+    // BLUR is 5x5: on a 5x5 raster only the exact center is filtered
+    val five = new PixelBuf
+    five.init("L", 5, 5)
+    java.util.Arrays.fill(five.data, 50.toByte)
+    five.data(12) = 255.toByte
+    val bl = ImageConvert.convolve(five, "blur")
+    assert((bl.data(12) & 0xff) == 50) // center kernel cell is 0 -> 16*50/16
+    assert((bl.data(11) & 0xff) == 50) // border ring: copied unfiltered
+    assert(intercept[IllegalArgumentException](
+      ImageConvert.convolve(buf, "vortex")).getMessage.contains("Unknown filter"))
+  }
+
+  test("convertImage applies the reference's preprocessing chain in order") {
+    import graft.fixtures.MediaFixtures
+    // 8x6 bmp24, rows are constant (seed + y) % 256
+    val bytes = MediaFixtures.bmp(8, 6, 24, seed = 40)
+    val out = ImageConvert.convertImage(bytes, "png",
+      ImageConvert.ImageOpts(cropBox = Some((2, 1, 6, 5)), rotateDeg = Some(90),
+        grayscale = true))
+    val (meta, buf) = ImageConvert.decodePixels(out)
+    assert(meta.width == 4 && meta.height == 4 && buf.mode == "L")
+    // crop rows y=1..4 carry values 41..44; rotate 90 makes them columns
+    // (x = row index after CCW); grayscale of (v,v,v) is v
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((buf.data(y * 4 + x) & 0xff) == 40 + 1 + x, s"($x,$y)")
+  }
+
   test("hostile BMP headers are named errors, not fabricated metadata or OOM") {
     // BI_RLE8 declaring 16384x16384 from a ~KB payload: the 64 MiB-class
     // geometry cap must fire before any allocation
