@@ -1242,7 +1242,7 @@ object MediaCodecs {
     * of the [[AudioConvert]] surface. */
   def wavSamples(bytes: Array[Byte]): (WavMeta, Array[Int]) = {
     val meta = parseWav(bytes)
-    val count = (meta.dataBytes / (meta.bitsPerSample / 8)).toInt
+    val count = pcmSampleCount(meta)
     val out = new Array[Int](count)
     var p = meta.dataOffset.toInt
     var i = 0
@@ -1258,6 +1258,18 @@ object MediaCodecs {
         s"sample decode supports 8/16-bit PCM only, got $o")
     }
     (meta, out)
+  }
+
+  /** Sample-count gate for the full-decode paths: the Array[Int] costs
+    * 4 bytes per sample (2-4× the payload's data bytes), so an oversized
+    * PCM payload must fail NAMED and contained here — the audio analog of
+    * [[PixelBuf.init]]'s 64 MiB raster cap (16M samples × 4 B = 64 MiB) —
+    * not as a task-killing OutOfMemoryError. */
+  private def pcmSampleCount(meta: WavMeta): Int = {
+    val count = meta.dataBytes / (meta.bitsPerSample / 8)
+    require(count <= (1L << 24),
+      s"PCM payload of $count samples exceeds the 16M-sample decode cap")
+    count.toInt
   }
 
   def isAiff(b: Array[Byte]): Boolean =
@@ -1347,7 +1359,7 @@ object MediaCodecs {
     * SIGNED (AIFF, unlike WAV, stores 8-bit PCM two's-complement). */
   def aiffSamples(bytes: Array[Byte]): (WavMeta, Array[Int]) = {
     val meta = parseAiff(bytes)
-    val count = (meta.dataBytes / (meta.bitsPerSample / 8)).toInt
+    val count = pcmSampleCount(meta)
     val out = new Array[Int](count)
     var p = meta.dataOffset.toInt
     var i = 0

@@ -156,6 +156,18 @@ class AudioConvertSpec extends AnyFunSuite {
       .contains("unsupported audio input"))
   }
 
+  test("oversized PCM payloads fail the 16M-sample cap by name, not OOM") {
+    // a real 8-bit mono WAV one sample past the cap (~16 MiB payload): the
+    // decode would allocate a 64 MiB+ Int array — the cap must fire first,
+    // named, so the row contains instead of killing the task
+    val big = MediaCodecs.encodeWav(1, 8000, 8,
+      new Array[Int]((1 << 24) + 1))
+    val e = intercept[IllegalArgumentException](AudioConvert.decodeSamples(big))
+    assert(e.getMessage.contains("16M-sample decode cap"), e.getMessage)
+    // metadata-only parse of the same payload stays fine (no allocation)
+    assert(MediaCodecs.parseWav(big).dataBytes == (1L << 24) + 1)
+  }
+
   test("hostile AIFF headers fail named, never hang or fabricate") {
     val good = MediaFixtures.aiff(1, 8000, 10, 0)
     // negative chunk size would stall the walk
