@@ -74,11 +74,10 @@ object MediaOps {
     else df
 
   /** The closed filter registry (image_converters.py:234-243): the eight
-    * Pillow convolution filters — pixel kernels behind the codec stub; their
-    * METADATA contract (mode and dimensions unchanged) is what's modeled. */
-  val convolutionFilters: Set[String] = Set(
-    "blur", "contour", "detail", "edge_enhance", "emboss",
-    "find_edges", "sharpen", "smooth")
+    * Pillow convolution filters. The REAL pixel kernels live in
+    * [[ImageConvert.convolve]]; this metadata layer models their contract
+    * (mode and dimensions unchanged) — one registry, defined there. */
+  val convolutionFilters: Set[String] = ImageConvert.convolutionFilters
 
   /** apply_filter semantics (image_converters.py:224-284): convolution
     * filters keep mode + dimensions; 'grayscale' -> mode 'L' (:249-250);
