@@ -66,6 +66,7 @@ object ImageConvert {
     if (buf.mode == target) return buf
     require(Set("L", "RGB", "RGBA").contains(target),
       s"unsupported target mode $target (L, RGB, or RGBA)")
+    if (buf.mode == "P") requirePalette(buf)
     val out = new PixelBuf
     out.init(target, buf.width, buf.height)
     val n = buf.width * buf.height
@@ -101,6 +102,13 @@ object ImageConvert {
     }
     out
   }
+
+  /** Every P-mode consumer (mode expansion, the 8-bpp/palette encoders)
+    * indexes a full 256×3 table — a missing or short palette must be a
+    * named error here, not an NPE/AIOOBE mid-encode. */
+  private def requirePalette(buf: PixelBuf): Unit =
+    require(buf.palette != null && buf.palette.length == 768,
+      "P-mode pixels need a 256x3 RGB palette (PixelBuf.palette)")
 
   // ---- pixel geometry ops (image_converters.py:78-105 preprocessing) --------
 
@@ -383,7 +391,7 @@ object ImageConvert {
     chunk("IHDR", be32(buf.width) ++ be32(buf.height) ++
       Array[Byte](8, colorType.toByte, 0, 0, 0))
     if (colorType == 3) {
-      require(buf.palette != null, "P-mode pixels have no palette")
+      requirePalette(buf)
       chunk("PLTE", buf.palette.clone())
     }
     val deflater = new java.util.zip.Deflater()
@@ -401,6 +409,7 @@ object ImageConvert {
   /** BMP (BITMAPINFOHEADER, BI_RGB, bottom-up): P/L → 8 bpp with a color
     * table, RGB → 24, RGBA → 32. */
   def encodeBmp(buf: PixelBuf): Array[Byte] = {
+    if (buf.mode == "P") requirePalette(buf)
     val bpp = buf.mode match {
       case "P" | "L" => 8
       case "RGB" => 24
@@ -499,7 +508,7 @@ object ImageConvert {
     require(buf.width <= 0xffff && buf.height <= 0xffff,
       s"GIF geometry ${buf.width}x${buf.height} exceeds the format's 65535 limit")
     val (indices, palette) = buf.mode match {
-      case "P" => (buf.data, buf.palette)
+      case "P" => requirePalette(buf); (buf.data, buf.palette)
       case "L" =>
         (buf.data, Array.tabulate[Byte](768)(i => (i / 3).toByte))
       case "RGB" | "RGBA" =>

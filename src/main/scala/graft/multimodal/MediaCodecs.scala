@@ -89,6 +89,12 @@ object MediaCodecs {
     * pixelSum is row-order invariant but the walk honors |height|). */
   def decodeBmp(bytes: Array[Byte], sink: PixelBuf = null): ImageMeta = {
     require(isBmp(bytes) && bytes.length >= 54, "not a BMP payload")
+    // field offsets below assume the BITMAPINFOHEADER family (40/52/56/
+    // 108/124 bytes share the first 40); the 12-byte BITMAPCOREHEADER lays
+    // out width/height/bpp differently and would be read as garbage
+    val biSize = i32(bytes, 14)
+    require(biSize == 40 || biSize == 52 || biSize == 56 || biSize == 108 || biSize == 124,
+      s"unsupported BMP DIB header size $biSize")
     val dataOffset = i32(bytes, 10)
     val width = i32(bytes, 18)
     val storedHeight = i32(bytes, 22)
@@ -146,16 +152,27 @@ object MediaCodecs {
     ImageMeta("bmp", width, height, mode, sum)
   }
 
-  /** 8-bpp BMP color table: 256 BGRA entries between the V3 header and the
-    * pixel data, returned as 256×3 RGB. */
+  /** 8-bpp BMP color table: BGRA entries between the DIB header and the
+    * pixel data, returned as 256×3 RGB (entries past biClrUsed stay 0 —
+    * indices pointing there are spec-undefined, and zero is deterministic).
+    * The table sits at 14 + biSize, NOT a fixed 54: BITMAPV4HEADER (108)
+    * and BITMAPV5HEADER (124) files are common, and reading their header
+    * extensions as colors would be silently wrong pixels. biClrUsed
+    * (offset 46) 0 means the full 256. */
   private def bmpPalette(bytes: Array[Byte], dataOffset: Int): Array[Byte] = {
-    require(dataOffset >= 54 + 1024, "8-bpp BMP color table missing")
+    val biSize = i32(bytes, 14) // whitelisted by decodeBmp
+    val palAt = 14 + biSize
+    val clrUsed = i32(bytes, 46)
+    require(clrUsed >= 0 && clrUsed <= 256, s"bad BMP biClrUsed $clrUsed")
+    val entries = if (clrUsed == 0) 256 else clrUsed
+    require(palAt + entries * 4 <= dataOffset && palAt + entries * 4 <= bytes.length,
+      "8-bpp BMP color table missing or truncated")
     val pal = new Array[Byte](256 * 3)
     var k = 0
-    while (k < 256) {
-      pal(k * 3) = bytes(54 + k * 4 + 2)     // R
-      pal(k * 3 + 1) = bytes(54 + k * 4 + 1) // G
-      pal(k * 3 + 2) = bytes(54 + k * 4)     // B
+    while (k < entries) {
+      pal(k * 3) = bytes(palAt + k * 4 + 2)     // R
+      pal(k * 3 + 1) = bytes(palAt + k * 4 + 1) // G
+      pal(k * 3 + 2) = bytes(palAt + k * 4)     // B
       k += 1
     }
     pal

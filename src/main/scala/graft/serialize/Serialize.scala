@@ -81,22 +81,13 @@ object Serialize {
     }
   }
 
-  private def htmlEscape(s: String): String = {
-    val sb = new StringBuilder(s.length + 16)
-    s.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
 
   /** Clean-article HTML (the LibreOffice html-export analog): content-only
     * markup, one <p> per paragraph, no boilerplate — so the main-content
     * classifier keeps every block and extraction is the identity. */
   private def htmlBytes(paragraphs: Seq[String]): Array[Byte] = {
-    val body = paragraphs.map(p => s"<p>${htmlEscape(p)}</p>").mkString("\n")
+    // html and xml share the same three-entity escape
+    val body = paragraphs.map(p => s"<p>${OoxmlZip.xmlEscape(p)}</p>").mkString("\n")
     ("<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\"></head>\n" +
       s"<body><article>\n$body\n</article></body></html>\n")
       .getBytes(StandardCharsets.UTF_8)

@@ -358,6 +358,48 @@ class ImageConvertSpec extends AnyFunSuite {
     assert(wrap.getMessage.contains("geometry"), wrap.getMessage)
   }
 
+  test("BMP V4/V5 DIB headers place the palette after the real header") {
+    // hand-pack an 8-bpp BMP with a 108-byte BITMAPV4HEADER: palette at
+    // 14+108, 4 entries (biClrUsed=4), 2x1 pixels indices 1,3
+    val palAt = 14 + 108
+    val dataOffset = palAt + 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(dataOffset + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOffset)
+    bb.putInt(108).putInt(2).putInt(1) // V4 header, 2x1
+    bb.putShort(1).putShort(8).putInt(0) // 8 bpp BI_RGB
+    bb.putInt(4).putInt(0).putInt(0).putInt(4).putInt(0) // sizeImage..biClrUsed=4
+    bb.position(palAt)
+    for (k <- 0 until 4) // BGRA entries: color k = (k*10+2, k*10+1, k*10)
+      bb.put((k * 10).toByte).put((k * 10 + 1).toByte).put((k * 10 + 2).toByte).put(0.toByte)
+    bb.put(1.toByte).put(3.toByte).put(0.toByte).put(0.toByte) // row + pad
+    val (meta, buf) = ImageConvert.decodePixels(bb.array())
+    assert(meta.width == 2 && buf.mode == "P")
+    // palette entries must be the REAL colors, not V4 header bytes
+    assert((buf.palette(1 * 3) & 0xff) == 12 && (buf.palette(3 * 3 + 2) & 0xff) == 30)
+    val rgb = ImageConvert.convertMode(buf, "RGB")
+    assert(rgb.data.toSeq.map(_ & 0xff) == Seq(12, 11, 10, 32, 31, 30))
+    // an unknown DIB size (BITMAPCOREHEADER) is a named error, not garbage
+    val core = bb.array().clone(); core(14) = 12
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(core))
+    assert(e.getMessage.contains("DIB header"), e.getMessage)
+  }
+
+  test("P-mode encode/convert without a full palette fails named, not AIOOBE") {
+    val p = new PixelBuf
+    p.init("P", 2, 2)
+    for (fmt <- Seq("png", "bmp", "gif")) { // palette = null
+      val e = intercept[IllegalArgumentException](ImageConvert.encode(p, fmt))
+      assert(e.getMessage.contains("palette"), s"$fmt: ${e.getMessage}")
+    }
+    p.palette = new Array[Byte](48) // 16 colors only
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val e = intercept[IllegalArgumentException](ImageConvert.encode(p, fmt))
+      assert(e.getMessage.contains("palette"), s"$fmt: ${e.getMessage}")
+    }
+    intercept[IllegalArgumentException](ImageConvert.convertMode(p, "RGB"))
+  }
+
   test("gif encode rejects dimensions past the format's u16 limit by name") {
     val wide = new PixelBuf
     wide.init("L", 70000, 2)
