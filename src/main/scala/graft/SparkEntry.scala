@@ -866,7 +866,7 @@ object SparkEntry {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
-          val bytes = (id % 6) match {
+          val bytes = (id % 7) match {
             case 0 => graft.fixtures.MediaFixtures.webp(
               16 + (id % 100).toInt, 16 + (id % 50).toInt, variant = 0)
             case 1 => graft.fixtures.MediaFixtures.webp(
@@ -874,7 +874,7 @@ object SparkEntry {
             case 2 =>
               // half still (a VP8 fragment whose dims must NOT override the
               // canvas), half animated with an ANMF frame count
-              val frames = if (id % 12 == 2) 1 else 2 + (id % 4).toInt
+              val frames = if (id % 14 == 2) 1 else 2 + (id % 4).toInt
               graft.fixtures.MediaFixtures.webp(
                 200 + (id % 300).toInt, 150 + (id % 100).toInt,
                 variant = 2, frames = frames)
@@ -883,6 +883,8 @@ object SparkEntry {
               count = 1 + (id % 3).toInt, seed = (id % 200).toInt)
             case 4 => graft.fixtures.MediaFixtures.wav(
               1, 8000, 100 + (id % 50).toInt, (id % 100).toInt)
+            case 5 => graft.fixtures.MediaFixtures.aiff(
+              1, 16000, 100 + (id % 50).toInt, (id % 100).toInt)
             case _ =>
               // opaque binary no parser claims (all bytes >= 0x80, so the
               // html '<'-scan cannot claim it either) -> marked stub row
@@ -958,6 +960,39 @@ object SparkEntry {
         .select(col("doc_id"), col("op"),
           col("width").cast("int").as("width"),
           col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL convolution filters (the reference's apply_filter registry,
+    // image_converters.py:224-284): an L raster whose rows carry the
+    // QUADRATIC value seed + y*y (second difference 2, so symmetric 3x3
+    // kernels are NOT identity), one filter per row from the wheel, then
+    // png-encode -> re-decode. On this pattern every kernel's interior
+    // output is closed-form: emboss = v(y)-v(y-1)+128 = 127+2y; contour =
+    // clamp(-6+255) = 249; find_edges = clamp(-6) = 0; sharpen =
+    // (16v-12)/16 = v-1 (truncating). Border ring is copied unfiltered.
+    "ic_filter" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.multimodal.MediaCodecs.PixelBuf
+          val w = 7 + (id % 6).toInt
+          val h = 6 + (id % 5).toInt
+          val seed = (id % 150).toInt
+          val buf = new PixelBuf
+          buf.init("L", w, h)
+          for (y <- 0 until h; x <- 0 until w)
+            buf.data(y * w + x) = (seed + y * y).toByte
+          val name = Seq("emboss", "contour", "find_edges", "sharpen")((id % 4).toInt)
+          val out = graft.multimodal.ImageConvert.convolve(buf, name)
+          val meta = graft.multimodal.MediaCodecs.decodeImage(
+            graft.multimodal.ImageConvert.encode(out, "png")).get
+          (id, name, meta.width, meta.height, meta.pixelSum)
+        }.toDF("doc_id", "filter", "width", "height", "pixel_sum")
+        .select(col("doc_id"), col("filter"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
           col("pixel_sum").cast("bigint").as("pixel_sum"))
         .orderBy("doc_id")
     }),
@@ -1330,21 +1365,22 @@ object SparkEntry {
         "CAST(1 AS INT) AS tracks FROM p ORDER BY doc_id"),
     "mm_features" ->
       ("SELECT doc_id, " +
-        "CASE WHEN doc_id % 6 <= 2 THEN 'image/webp' " +
-        "WHEN doc_id % 6 = 3 THEN 'image/x-icon' " +
-        "WHEN doc_id % 6 = 4 THEN 'audio/wav' " +
+        "CASE WHEN doc_id % 7 <= 2 THEN 'image/webp' " +
+        "WHEN doc_id % 7 = 3 THEN 'image/x-icon' " +
+        "WHEN doc_id % 7 = 4 THEN 'audio/wav' " +
+        "WHEN doc_id % 7 = 5 THEN 'audio/aiff' " +
         "ELSE 'application/octet-stream' END AS media_type, " +
-        "CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 100 " +
+        "CAST(CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 100 " +
         "WHEN 1 THEN 1 + doc_id % 200 WHEN 2 THEN 200 + doc_id % 300 " +
         "WHEN 3 THEN 32 + doc_id % 64 ELSE 0 END AS INT) AS width, " +
-        "CAST(CASE doc_id % 6 WHEN 0 THEN 16 + doc_id % 50 " +
+        "CAST(CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 50 " +
         "WHEN 1 THEN 1 + doc_id % 100 WHEN 2 THEN 150 + doc_id % 100 " +
         "WHEN 3 THEN 32 + doc_id % 32 ELSE 0 END AS INT) AS height, " +
-        "CAST(CASE doc_id % 6 WHEN 2 THEN " +
-        "(CASE WHEN doc_id % 12 = 2 THEN 1 ELSE 2 + doc_id % 4 END) " +
+        "CAST(CASE doc_id % 7 WHEN 2 THEN " +
+        "(CASE WHEN doc_id % 14 = 2 THEN 1 ELSE 2 + doc_id % 4 END) " +
         "WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50 " +
-        "WHEN 5 THEN 0 ELSE 1 END AS INT) AS n_frames, " +
-        "CASE WHEN doc_id % 6 = 5 THEN 'stub-decode' ELSE '' END AS error " +
+        "WHEN 5 THEN 100 + doc_id % 50 WHEN 6 THEN 0 ELSE 1 END AS INT) AS n_frames, " +
+        "CASE WHEN doc_id % 7 = 6 THEN 'stub-decode' ELSE '' END AS error " +
         "FROM documents ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +
@@ -1364,6 +1400,24 @@ object SparkEntry {
         // arithmetic series with the depth's bias
         "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_filter" ->
+      // raster value v(y) = seed + y*y (no wrap: seed < 150, y <= 9);
+      // border rows/cols copied; interior per-row outputs as derived in the
+      // query comment (emboss 127+2y, contour 249, find_edges 0, sharpen
+      // v(y)-1 via truncating (16v-12)/16)
+      ("WITH p AS (SELECT doc_id, 7 + doc_id % 6 AS w, 6 + doc_id % 5 AS h, " +
+        "doc_id % 150 AS seed FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'emboss' WHEN 1 THEN 'contour' " +
+        "WHEN 2 THEN 'find_edges' ELSE 'sharpen' END AS filter, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w * (seed + seed + (h - 1) * (h - 1)) " + // border rows y=0, h-1
+        "+ (SELECT SUM(2 * (seed + t.y * t.y) + (w - 2) * " + // border cols + interior
+        "CASE doc_id % 4 WHEN 0 THEN 127 + 2 * t.y WHEN 1 THEN 249 " +
+        "WHEN 2 THEN 0 ELSE seed + t.y * t.y - 1 END) " +
+        "FROM generate_series(1, 8) AS t(y) WHERE t.y < h - 1) " +
+        "AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_ops" ->
       // crop drops the first/last row+column of a row-constant raster;
