@@ -964,6 +964,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // images -> PDF (the reference's create_pdf, image_converters.py:
+    // 181-222): per row, build 2-4 BMP pages, write a REAL multi-page PDF
+    // (FlateDecode image XObjects), read the pages back with the
+    // independent image-XObject reader, and report page count + per-page-
+    // summed samples — all recomputed closed-form from the row-constant
+    // fixture patterns.
+    "ic_pdf" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.multimodal.ImageConvert
+          val n = 2 + (id % 3).toInt
+          val pages = (0 until n).map { j =>
+            graft.fixtures.MediaFixtures.bmp(
+              4 + ((id + j) % 5).toInt, 3 + ((id + j) % 4).toInt, 24,
+              seed = ((id + 7 * j) % 200).toInt)
+          }
+          val pdf = ImageConvert.imagesToPdf(pages)
+          val metas = ImageConvert.pdfImages(pdf)
+          (id, metas.length, metas.head.width, metas.head.height,
+            metas.map(_.pixelSum).sum)
+        }.toDF("doc_id", "num_pages", "w0", "h0", "total_sum")
+        .select(col("doc_id"), col("num_pages").cast("int").as("num_pages"),
+          col("w0").cast("int").as("w0"), col("h0").cast("int").as("h0"),
+          col("total_sum").cast("bigint").as("total_sum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL convolution filters (the reference's apply_filter registry,
     // image_converters.py:224-284): an L raster whose rows carry the
     // QUADRATIC value seed + y*y (second difference 2, so symmetric 3x3
@@ -1400,6 +1428,18 @@ object SparkEntry {
         // arithmetic series with the depth's bias
         "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_pdf" ->
+      // page j of row doc_id: w = 4+(doc_id+j)%5, h = 3+(doc_id+j)%4,
+      // seed = (doc_id+7j)%200; BMP rows are (seed+y), RGB triples the
+      // row sums (no wrap: seed+h < 256)
+      ("WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents) " +
+        "SELECT doc_id, CAST(n AS INT) AS num_pages, " +
+        "CAST(4 + doc_id % 5 AS INT) AS w0, CAST(3 + doc_id % 4 AS INT) AS h0, " +
+        "CAST((SELECT SUM(3 * (4 + (doc_id + t.j) % 5) * " +
+        "((3 + (doc_id + t.j) % 4) * ((doc_id + 7 * t.j) % 200) " +
+        "+ (3 + (doc_id + t.j) % 4) * (2 + (doc_id + t.j) % 4) // 2)) " +
+        "FROM generate_series(0, 3) AS t(j) WHERE t.j < n) AS BIGINT) AS total_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_filter" ->
       // raster value v(y) = seed + y*y (no wrap: seed < 150, y <= 9);

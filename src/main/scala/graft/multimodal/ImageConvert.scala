@@ -340,6 +340,113 @@ object ImageConvert {
     encode(buf, targetFmt)
   }
 
+  // ---- images → PDF (create_pdf, image_converters.py:181-222) ---------------
+
+  /** One page per image, RGBA/P forced to RGB exactly like the reference
+    * (`img.convert('RGB')`, `:192-194`), L kept as DeviceGray (Pillow's PDF
+    * driver does the same). Pages are real PDF image XObjects —
+    * FlateDecode'd raw samples, MediaBox sized to the pixel dims — with a
+    * classic xref table, so any conforming reader opens the file. An empty
+    * list is a named error (the reference silently writes nothing and then
+    * fails on stat — an error record either way). */
+  def imagesToPdf(images: Seq[Array[Byte]]): Array[Byte] = {
+    require(images.nonEmpty, "images_to_pdf needs at least one image")
+    val bufs = images.map { bytes =>
+      val b = decodePixels(bytes)._2
+      if (b.mode == "RGBA" || b.mode == "P") convertMode(b, "RGB") else b
+    }
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def beginObj(): Unit = { offsets += out.size() }
+    w("%PDF-1.4\n")
+    // object numbering: 1 catalog, 2 pages, then per page i (0-based):
+    // 3+3i page, 4+3i contents, 5+3i image
+    beginObj(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = bufs.indices.map(i => s"${3 + 3 * i} 0 R").mkString(" ")
+    beginObj(); w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count ${bufs.length} >>\nendobj\n")
+    for ((b, i) <- bufs.zipWithIndex) {
+      val (pageN, contN, imgN) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
+      beginObj()
+      w(s"$pageN 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 ${b.width} ${b.height}] " +
+        s"/Resources << /XObject << /Im$i $imgN 0 R >> >> " +
+        s"/Contents $contN 0 R >>\nendobj\n")
+      val content = s"q ${b.width} 0 0 ${b.height} 0 0 cm /Im$i Do Q"
+      beginObj()
+      w(s"$contN 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(b.data)
+      deflater.finish()
+      val z = new ByteArrayOutputStream(b.data.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) z.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val data = z.toByteArray
+      val cs = if (b.mode == "L") "/DeviceGray" else "/DeviceRGB"
+      beginObj()
+      w(s"$imgN 0 obj\n<< /Type /XObject /Subtype /Image /Width ${b.width} " +
+        s"/Height ${b.height} /ColorSpace $cs /BitsPerComponent 8 " +
+        s"/Filter /FlateDecode /Length ${data.length} >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Read back the image pages of a PDF built with [[imagesToPdf]] (or any
+    * PDF using classic FlateDecode image XObjects with explicit /Length):
+    * per page (width, height, mode, sample sum) — the verification side of
+    * create_pdf, since the text-extraction parser ignores image objects. */
+  def pdfImages(bytes: Array[Byte]): Seq[ImageMeta] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val found = scala.collection.mutable.ArrayBuffer[ImageMeta]()
+    var at = s.indexOf("/Subtype /Image")
+    while (at >= 0) {
+      val dictEnd = s.indexOf("stream", at)
+      require(dictEnd > 0, "image XObject without a stream")
+      val dict = s.substring(at, dictEnd)
+      def intField(name: String): Int = {
+        val i = dict.indexOf(name)
+        require(i >= 0, s"image dict missing $name")
+        val tail = dict.substring(i + name.length).trim
+        tail.takeWhile(_.isDigit).toInt
+      }
+      val width = intField("/Width")
+      val height = intField("/Height")
+      val len = intField("/Length")
+      val gray = dict.contains("/DeviceGray")
+      require(dict.contains("/FlateDecode"), "unsupported image filter")
+      var dataStart = dictEnd + "stream".length
+      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+      require(dataStart + len <= bytes.length, "image stream truncated")
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(bytes, dataStart, len)
+      val channels = if (gray) 1 else 3
+      val raw = new Array[Byte](width * height * channels)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(), "truncated image samples")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length, s"image samples short: $got of ${raw.length}")
+      var sum = 0L
+      var i = 0
+      while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
+      found += ImageMeta("pdf-image", width, height, if (gray) "L" else "RGB", sum)
+      at = s.indexOf("/Subtype /Image", dataStart + len)
+    }
+    found.toSeq
+  }
+
   // ---- encoders --------------------------------------------------------------
 
   /** pixels → target-format bytes, auto-adapting the mode where the format

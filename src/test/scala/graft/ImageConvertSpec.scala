@@ -338,6 +338,32 @@ class ImageConvertSpec extends AnyFunSuite {
       assert((buf.data(y * 4 + x) & 0xff) == 40 + 1 + x, s"($x,$y)")
   }
 
+  test("imagesToPdf writes one real image page per input, read-back exact") {
+    import graft.fixtures.MediaFixtures
+    // RGB bmp + P gif (forced to RGB like the reference) + L pgm (DeviceGray)
+    val pages = Seq(
+      MediaFixtures.bmp(6, 4, 24, seed = 10),
+      MediaFixtures.gif(5, 3, seed = 20),
+      MediaFixtures.ppm(4, 4, seed = 30, gray = true))
+    val pdf = ImageConvert.imagesToPdf(pages)
+    assert(new String(pdf.take(8), "ISO-8859-1").startsWith("%PDF-"))
+    val metas = ImageConvert.pdfImages(pdf)
+    assert(metas.length == 3)
+    assert(metas(0).width == 6 && metas(0).height == 4 && metas(0).mode == "RGB")
+    assert(metas(1).mode == "RGB") // P forced to RGB per the reference
+    assert(metas(2).mode == "L")
+    // sums must equal the decoded-and-mode-adapted rasters, channel-exact
+    for ((bytes, i) <- pages.zipWithIndex) {
+      val b0 = ImageConvert.decodePixels(bytes)._2
+      val b = if (b0.mode == "RGBA" || b0.mode == "P") ImageConvert.convertMode(b0, "RGB") else b0
+      assert(metas(i).pixelSum == ImageConvert.rasterSum(b), s"page $i")
+    }
+    // page count is in the document structure too
+    assert(new String(pdf, "ISO-8859-1").contains("/Count 3"))
+    val e = intercept[IllegalArgumentException](ImageConvert.imagesToPdf(Nil))
+    assert(e.getMessage.contains("at least one image"))
+  }
+
   test("hostile BMP headers are named errors, not fabricated metadata or OOM") {
     // BI_RLE8 declaring 16384x16384 from a ~KB payload: the 64 MiB-class
     // geometry cap must fire before any allocation
