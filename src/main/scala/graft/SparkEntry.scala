@@ -866,7 +866,7 @@ object SparkEntry {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
-          val bytes = (id % 7) match {
+          val bytes = (id % 8) match {
             case 0 => graft.fixtures.MediaFixtures.webp(
               16 + (id % 100).toInt, 16 + (id % 50).toInt, variant = 0)
             case 1 => graft.fixtures.MediaFixtures.webp(
@@ -874,7 +874,7 @@ object SparkEntry {
             case 2 =>
               // half still (a VP8 fragment whose dims must NOT override the
               // canvas), half animated with an ANMF frame count
-              val frames = if (id % 14 == 2) 1 else 2 + (id % 4).toInt
+              val frames = if (id % 16 == 2) 1 else 2 + (id % 4).toInt
               graft.fixtures.MediaFixtures.webp(
                 200 + (id % 300).toInt, 150 + (id % 100).toInt,
                 variant = 2, frames = frames)
@@ -885,6 +885,14 @@ object SparkEntry {
               1, 8000, 100 + (id % 50).toInt, (id % 100).toInt)
             case 5 => graft.fixtures.MediaFixtures.aiff(
               1, 16000, 100 + (id % 50).toInt, (id % 100).toInt)
+            case 6 =>
+              // heif/avif alternating; half carry a thumbnail whose ispe is
+              // listed FIRST (the canvas must still win via pitm/ipma)
+              graft.fixtures.MediaFixtures.heif(
+                32 + (id % 100).toInt, 24 + (id % 50).toInt,
+                brand = if ((id / 8) % 2 == 0) "heic" else "avif",
+                thumb = if (id % 16 == 6) Some((8, 6)) else None,
+                thumbFirst = true)
             case _ =>
               // opaque binary no parser claims (all bytes >= 0x80, so the
               // html '<'-scan cannot claim it either) -> marked stub row
@@ -1393,22 +1401,28 @@ object SparkEntry {
         "CAST(1 AS INT) AS tracks FROM p ORDER BY doc_id"),
     "mm_features" ->
       ("SELECT doc_id, " +
-        "CASE WHEN doc_id % 7 <= 2 THEN 'image/webp' " +
-        "WHEN doc_id % 7 = 3 THEN 'image/x-icon' " +
-        "WHEN doc_id % 7 = 4 THEN 'audio/wav' " +
-        "WHEN doc_id % 7 = 5 THEN 'audio/aiff' " +
+        "CASE WHEN doc_id % 8 <= 2 THEN 'image/webp' " +
+        "WHEN doc_id % 8 = 3 THEN 'image/x-icon' " +
+        "WHEN doc_id % 8 = 4 THEN 'audio/wav' " +
+        "WHEN doc_id % 8 = 5 THEN 'audio/aiff' " +
+        "WHEN doc_id % 8 = 6 THEN " +
+        "(CASE (doc_id // 8) % 2 WHEN 0 THEN 'image/heif' ELSE 'image/avif' END) " +
         "ELSE 'application/octet-stream' END AS media_type, " +
-        "CAST(CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 100 " +
+        "CAST(CASE doc_id % 8 WHEN 0 THEN 16 + doc_id % 100 " +
         "WHEN 1 THEN 1 + doc_id % 200 WHEN 2 THEN 200 + doc_id % 300 " +
-        "WHEN 3 THEN 32 + doc_id % 64 ELSE 0 END AS INT) AS width, " +
-        "CAST(CASE doc_id % 7 WHEN 0 THEN 16 + doc_id % 50 " +
+        "WHEN 3 THEN 32 + doc_id % 64 WHEN 6 THEN 32 + doc_id % 100 " +
+        "ELSE 0 END AS INT) AS width, " +
+        "CAST(CASE doc_id % 8 WHEN 0 THEN 16 + doc_id % 50 " +
         "WHEN 1 THEN 1 + doc_id % 100 WHEN 2 THEN 150 + doc_id % 100 " +
-        "WHEN 3 THEN 32 + doc_id % 32 ELSE 0 END AS INT) AS height, " +
-        "CAST(CASE doc_id % 7 WHEN 2 THEN " +
-        "(CASE WHEN doc_id % 14 = 2 THEN 1 ELSE 2 + doc_id % 4 END) " +
+        "WHEN 3 THEN 32 + doc_id % 32 WHEN 6 THEN 24 + doc_id % 50 " +
+        "ELSE 0 END AS INT) AS height, " +
+        "CAST(CASE doc_id % 8 WHEN 2 THEN " +
+        "(CASE WHEN doc_id % 16 = 2 THEN 1 ELSE 2 + doc_id % 4 END) " +
         "WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50 " +
-        "WHEN 5 THEN 100 + doc_id % 50 WHEN 6 THEN 0 ELSE 1 END AS INT) AS n_frames, " +
-        "CASE WHEN doc_id % 7 = 6 THEN 'stub-decode' ELSE '' END AS error " +
+        "WHEN 5 THEN 100 + doc_id % 50 " +
+        "WHEN 6 THEN (CASE WHEN doc_id % 16 = 6 THEN 2 ELSE 1 END) " +
+        "WHEN 7 THEN 0 ELSE 1 END AS INT) AS n_frames, " +
+        "CASE WHEN doc_id % 8 = 7 THEN 'stub-decode' ELSE '' END AS error " +
         "FROM documents ORDER BY doc_id"),
     "mm_audio_wav" ->
       ("WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS channels, " +

@@ -691,6 +691,49 @@ object MediaFixtures {
     buf.array()
   }
 
+  /** HEIF/AVIF still image for [[graft.multimodal.MediaCodecs.parseHeif]]:
+    * ftyp(brand) + meta{pitm, iinf, iprp{ipco[ispe…], ipma}}. The primary
+    * item (id 1) carries the canvas ispe; an optional thumbnail item
+    * (id 2) carries its own, and `thumbFirst` puts the THUMBNAIL's ispe
+    * first in ipco — a parser that grabs the first (or largest-index)
+    * ispe instead of resolving pitm→ipma→ipco reports the wrong canvas.
+    * Hand-packed independently of the production parser. */
+  def heif(width: Int, height: Int, brand: String = "heic",
+           thumb: Option[(Int, Int)] = None, thumbFirst: Boolean = false): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body)
+      b.array()
+    }
+    def fullBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      box(tpe, new Array[Byte](4) ++ body) // version 0, flags 0
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+    def ispe(w: Int, h: Int): Array[Byte] = fullBox("ispe", u32(w) ++ u32(h))
+    val nItems = if (thumb.isDefined) 2 else 1
+    val primaryIspe = ispe(width, height)
+    val ipcoChildren = thumb match {
+      case Some((tw, th)) if thumbFirst => ispe(tw, th) ++ primaryIspe
+      case Some((tw, th)) => primaryIspe ++ ispe(tw, th)
+      case None => primaryIspe
+    }
+    val primaryIdx = if (thumb.isDefined && thumbFirst) 2 else 1
+    val thumbIdx = if (thumbFirst) 1 else 2
+    // ipma ver 0 flags 0: u32 entry_count; per entry u16 itemId, u8 count,
+    // then 1-byte associations (essential bit 0x80 off)
+    val ipmaBody = u32(nItems) ++
+      (u16(1) ++ Array(1.toByte, primaryIdx.toByte)) ++
+      (if (thumb.isDefined) u16(2) ++ Array(1.toByte, thumbIdx.toByte)
+       else Array.emptyByteArray)
+    val iprp = box("iprp", box("ipco", ipcoChildren) ++ fullBox("ipma", ipmaBody))
+    val meta = fullBox("meta",
+      fullBox("pitm", u16(1)) ++ fullBox("iinf", u16(nItems)) ++ iprp)
+    val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ u32(0))
+    ftyp ++ meta
+  }
+
   /** WebP container for the header-level dims parse
     * ([[graft.multimodal.MediaCodecs.parseWebp]]): a real RIFF/WEBP wrapper
     * around the variant's genuine header bytes (VP8 sync code / VP8L

@@ -1100,27 +1100,39 @@ object MediaCodecs {
     * (movie duration/timescale, version 0 and 1 layouts) and `trak` →
     * `tkhd` (16.16 fixed-point presentation dimensions). Container
     * METADATA only — sample decode would need the actual video codecs. */
+  /** Shared ISO-BMFF primitives (parseMp4 AND parseHeif walk the same
+    * box grammar): big-endian reads with bounds checks, and the size +
+    * fourcc box walk incl. 64-bit largesize and size-0 to-enclosure-end. */
+  private def bmffU32(bytes: Array[Byte], i: Int): Long = {
+    require(i >= 0 && i + 4 <= bytes.length, s"ISO-BMFF read at $i out of bounds")
+    ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+      ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+  }
+  private def bmffU16(bytes: Array[Byte], i: Int): Int = {
+    require(i >= 0 && i + 2 <= bytes.length, s"ISO-BMFF read at $i out of bounds")
+    ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+  }
+  private def bmffWalk(bytes: Array[Byte], from: Int, until: Int)
+                      (f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= until) {
+      var size = bmffU32(bytes, i)
+      val tpe = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8L
+      if (size == 1) { size = (bmffU32(bytes, i + 8) << 32) | bmffU32(bytes, i + 12); hdr = 16 }
+      else if (size == 0) size = until - i // box extends to the enclosure end
+      require(size >= hdr && i + size <= until, s"ISO-BMFF box $tpe overruns enclosure")
+      f(tpe, (i + hdr).toInt, (i + size).toInt)
+      i += size.toInt
+    }
+  }
+
   def parseMp4(bytes: Array[Byte]): Mp4Meta = {
     require(isMp4(bytes), "not an ISO-BMFF payload")
-    def u32(i: Int): Long = {
-      require(i >= 0 && i + 4 <= bytes.length, s"MP4 read at $i out of bounds")
-      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
-        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
-    }
+    def u32(i: Int): Long = bmffU32(bytes, i)
     def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
-    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
-      var i = from
-      while (i + 8 <= until) {
-        var size = u32(i)
-        val tpe = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-        var hdr = 8L
-        if (size == 1) { size = u64(i + 8); hdr = 16 }
-        else if (size == 0) size = until - i // box extends to the enclosure end
-        require(size >= hdr && i + size <= until, s"MP4 box $tpe overruns enclosure")
-        f(tpe, (i + hdr).toInt, (i + size).toInt)
-        i += size.toInt
-      }
-    }
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit =
+      bmffWalk(bytes, from, until)(f)
     var timescale = 0L
     var duration = -1L
     var w = 0
@@ -1181,6 +1193,94 @@ object MediaCodecs {
     }
     require(timescale > 0 && duration >= 0, "MP4 has no mvhd (not a movie)")
     Mp4Meta(duration * 1000L / timescale, timescale, w, h, tracks, tags.result())
+  }
+
+  /** HEIF/AVIF still-image metadata. Both extensions are in the
+    * reference's Pillow input whitelist (and it ships a pyheif reader,
+    * /root/reference/src/converters/image_converters.py:45,153-164);
+    * the canvas dimensions live in the `meta` box's item-property system,
+    * parsed for REAL here: `pitm` names the primary item, `ipma`
+    * associates it with `ipco` child properties (1-based indices), and its
+    * `ispe` property carries width/height — so a thumbnail item's ispe
+    * can never shadow the canvas. Pixel decode would need an HEVC/AV1
+    * codec; this keeps heic/heif/avif rows out of the stub fallback with
+    * honest header metadata, the same contract as WebP/ICO. */
+  final case class HeifMeta(width: Int, height: Int, brand: String, items: Int)
+
+  private val heifBrands = Set("heic", "heix", "mif1", "msf1", "avif", "avis")
+
+  def isHeif(b: Array[Byte]): Boolean =
+    isMp4(b) && heifBrands.contains(
+      new String(b, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  def parseHeif(bytes: Array[Byte]): HeifMeta = {
+    require(isHeif(bytes), "not a HEIF/AVIF payload")
+    val brand = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var primary = -1L
+    var items = 0
+    // ipco children in declaration order; 1-based property indices
+    val propTypes = scala.collection.mutable.ArrayBuffer[String]()
+    val ispeDims = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    val primaryProps = scala.collection.mutable.ArrayBuffer[Int]()
+    bmffWalk(bytes, 0, bytes.length) {
+      case ("meta", ms, me) => bmffWalk(bytes, ms + 4, me) { // meta is a FullBox
+        case ("pitm", ps, pe) =>
+          val ver = bytes(ps) & 0xff
+          require(pe - ps >= (if (ver == 0) 6 else 8), "pitm box too short")
+          primary = if (ver == 0) bmffU16(bytes, ps + 4) else bmffU32(bytes, ps + 4)
+        case ("iinf", is, ie) =>
+          val ver = bytes(is) & 0xff
+          require(ie - is >= (if (ver == 0) 6 else 8), "iinf box too short")
+          items = (if (ver == 0) bmffU16(bytes, is + 4) else bmffU32(bytes, is + 4)).toInt
+        case ("iprp", is, ie) => bmffWalk(bytes, is, ie) {
+          case ("ipco", cs, ce) => bmffWalk(bytes, cs, ce) { (t, s2, e2) =>
+            propTypes += t
+            if (t == "ispe") {
+              require(e2 - s2 >= 12, "ispe box too short")
+              val w = bmffU32(bytes, s2 + 4)
+              val h = bmffU32(bytes, s2 + 8)
+              require(w > 0 && h > 0 && w <= 0x7fffffffL && h <= 0x7fffffffL,
+                s"bad ispe dimensions ${w}x$h")
+              ispeDims(propTypes.length) = (w.toInt, h.toInt)
+            }
+          }
+          case ("ipma", as0, ae) =>
+            val ver = bytes(as0) & 0xff
+            val wideIdx = (bytes(as0 + 3) & 0x01) != 0 // flags bit 0: 15-bit indices
+            val entries = bmffU32(bytes, as0 + 4)
+            var p = as0 + 8
+            var e = 0L
+            while (e < entries) {
+              val itemId = if (ver < 1) { val v = bmffU16(bytes, p); p += 2; v.toLong }
+                           else { val v = bmffU32(bytes, p); p += 4; v }
+              require(p < ae, "ipma truncated")
+              val n = bytes(p) & 0xff
+              p += 1
+              var a = 0
+              while (a < n) {
+                val idx = if (wideIdx) { val v = bmffU16(bytes, p) & 0x7fff; p += 2; v }
+                          else { val v = bytes(p) & 0x7f; p += 1; v }
+                if (itemId == primary) primaryProps += idx
+                a += 1
+              }
+              e += 1
+            }
+          case _ => ()
+        }
+        case _ => () // iloc, idat, hdlr, ...
+      }
+      case _ => () // ftyp, mdat, free, ...
+    }
+    require(ispeDims.nonEmpty, "HEIF has no ispe property (no image dimensions)")
+    val dims = primaryProps.collectFirst {
+      case idx if ispeDims.contains(idx) => ispeDims(idx)
+    }.getOrElse {
+      require(primary < 0,
+        "primary item has no ispe association (corrupt item-property table)")
+      // no pitm (legal for single-item files): the sole/widest ispe
+      ispeDims.values.maxBy(d => d._1.toLong * d._2)
+    }
+    HeifMeta(dims._1, dims._2, brand, math.max(items, 1))
   }
 
   /** Canonical RIFF/WAVE PCM: walks chunks for `fmt ` and `data`;

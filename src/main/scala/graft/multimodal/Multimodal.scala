@@ -49,6 +49,11 @@ object Multimodal {
     else if (MediaCodecs.isAiff(bytes)) "audio/aiff"
     else if (MediaCodecs.isWebp(bytes)) "image/webp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
+    // HEIF/AVIF are ISO-BMFF too — the still-image brands must win the
+    // ftyp claim before the generic movie arm
+    else if (MediaCodecs.isHeif(bytes))
+      (if (new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+         .startsWith("avi")) "image/avif" else "image/heif")
     else if (MediaCodecs.isMp4(bytes)) "video/mp4"
     else if (MediaCodecs.isIco(bytes)) "image/x-icon"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
@@ -103,6 +108,12 @@ object Multimodal {
               val v = MediaCodecs.parseMp4(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 v.width, v.height, 0, Array(v.durationMs / 1000f), "")
+            case None if kind == "image/heif" || kind == "image/avif" =>
+              // real primary-item canvas dims (pitm/ipma/ipco resolution);
+              // pixel decode would need an HEVC/AV1 codec
+              val d = MediaCodecs.parseHeif(bytes)
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                d.width, d.height, d.items, Array.empty[Float], "")
             case None if kind == "image/webp" =>
               // real header-level dimensions (VP8/VP8L/VP8X); pixel decode
               // would need the VP8 codec, so no feature is emitted

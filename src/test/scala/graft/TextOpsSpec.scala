@@ -97,6 +97,45 @@ class TextOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodecs.parseIco(trunc))
   }
 
+  test("heif/avif parse: pitm/ipma resolution, thumbnail cannot shadow canvas") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val plain = MediaCodecs.parseHeif(MediaFixtures.heif(1280, 960))
+    assert(plain.width == 1280 && plain.height == 960 &&
+      plain.brand == "heic" && plain.items == 1)
+    // thumbnail item present AND its ispe listed FIRST in ipco: a first-
+    // or largest-ispe shortcut would report 160x120
+    val shadow = MediaCodecs.parseHeif(MediaFixtures.heif(
+      4032, 3024, thumb = Some((160, 120)), thumbFirst = true))
+    assert(shadow.width == 4032 && shadow.height == 3024 && shadow.items == 2)
+    val avif = MediaCodecs.parseHeif(MediaFixtures.heif(640, 480, brand = "avif"))
+    assert(avif.brand == "avif" && avif.width == 640)
+    // sniff: still-image brands claim before the generic movie arm
+    assert(Multimodal.sniffMedia(MediaFixtures.heif(8, 8)) == "image/heif")
+    assert(Multimodal.sniffMedia(MediaFixtures.heif(8, 8, brand = "avif")) == "image/avif")
+    // hand-packed vector: ftyp(heic) + meta{pitm->1, iprp{ipco[ispe 2x3],
+    // ipma 1->[1]}} — byte layout pinned independently of the fixture
+    val v = Array[Int](
+      0, 0, 0, 16, 'f', 't', 'y', 'p', 'h', 'e', 'i', 'c', 0, 0, 0, 0,
+      0, 0, 0, 82, 'm', 'e', 't', 'a', 0, 0, 0, 0,
+      0, 0, 0, 14, 'p', 'i', 't', 'm', 0, 0, 0, 0, 0, 1,
+      0, 0, 0, 56, 'i', 'p', 'r', 'p',
+      0, 0, 0, 28, 'i', 'p', 'c', 'o',
+      0, 0, 0, 20, 'i', 's', 'p', 'e', 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 3,
+      0, 0, 0, 20, 'i', 'p', 'm', 'a', 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 1, 1
+    ).map(_.toByte)
+    val hand = MediaCodecs.parseHeif(v)
+    assert(hand.width == 2 && hand.height == 3)
+    // a primary item whose associations carry no ispe is a named error
+    val noIspe = MediaFixtures.heif(10, 10).clone()
+    // corrupt the pitm item id to 9 (no ipma entry): falls to the
+    // no-association arm and must fail because pitm IS present
+    val pitmAt = new String(noIspe, "ISO-8859-1").indexOf("pitm")
+    noIspe(pitmAt + 9) = 9
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseHeif(noIspe))
+    assert(e.getMessage.contains("no ispe association"), e.getMessage)
+  }
+
   test("unclaimed payloads yield MARKED stub rows, never fabricated dims") {
     val spark = SparkTestSession.spark
     import spark.implicits._
