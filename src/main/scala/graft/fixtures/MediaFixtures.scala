@@ -699,7 +699,8 @@ object MediaFixtures {
     * ispe instead of resolving pitm→ipma→ipco reports the wrong canvas.
     * Hand-packed independently of the production parser. */
   def heif(width: Int, height: Int, brand: String = "heic",
-           thumb: Option[(Int, Int)] = None, thumbFirst: Boolean = false): Array[Byte] = {
+           thumb: Option[(Int, Int)] = None, thumbFirst: Boolean = false,
+           pitmLast: Boolean = false): Array[Byte] = {
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
       b.putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body)
@@ -728,8 +729,12 @@ object MediaFixtures {
       (if (thumb.isDefined) u16(2) ++ Array(1.toByte, thumbIdx.toByte)
        else Array.emptyByteArray)
     val iprp = box("iprp", box("ipco", ipcoChildren) ++ fullBox("ipma", ipmaBody))
+    val pitm = fullBox("pitm", u16(1))
+    val iinf = fullBox("iinf", u16(nItems))
+    // ISO 14496-12 imposes no child order inside meta: pitmLast exercises
+    // the legal ordering where the parser sees ipma BEFORE pitm
     val meta = fullBox("meta",
-      fullBox("pitm", u16(1)) ++ fullBox("iinf", u16(nItems)) ++ iprp)
+      if (pitmLast) iinf ++ iprp ++ pitm else pitm ++ iinf ++ iprp)
     val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ u32(0))
     ftyp ++ meta
   }

@@ -399,50 +399,67 @@ object ImageConvert {
     out.toByteArray
   }
 
-  /** Read back the image pages of a PDF built with [[imagesToPdf]] (or any
-    * PDF using classic FlateDecode image XObjects with explicit /Length):
-    * per page (width, height, mode, sample sum) — the verification side of
-    * create_pdf, since the text-extraction parser ignores image objects. */
+  /** Read back the image pages of a PDF whose streams carry DIRECT
+    * `/Length` integers (as [[imagesToPdf]] writes — an indirect-reference
+    * length is a named error): per page (width, height, mode, sample sum) —
+    * the verification side of create_pdf, since the text-extraction parser
+    * ignores image objects. The scan walks stream to stream and SKIPS every
+    * body by its declared length, so compressed bytes that happen to spell
+    * a dict marker can never be mistaken for one. */
   def pdfImages(bytes: Array[Byte]): Seq[ImageMeta] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val found = scala.collection.mutable.ArrayBuffer[ImageMeta]()
-    var at = s.indexOf("/Subtype /Image")
-    while (at >= 0) {
-      val dictEnd = s.indexOf("stream", at)
-      require(dictEnd > 0, "image XObject without a stream")
-      val dict = s.substring(at, dictEnd)
-      def intField(name: String): Int = {
-        val i = dict.indexOf(name)
-        require(i >= 0, s"image dict missing $name")
-        val tail = dict.substring(i + name.length).trim
-        tail.takeWhile(_.isDigit).toInt
+    var from = 0
+    var dictEnd = s.indexOf("stream", from)
+    while (dictEnd >= 0) {
+      if (dictEnd >= 3 && s.startsWith("endstream", dictEnd - 3)) {
+        from = dictEnd + 6 // the match was the tail of an endstream keyword
+      } else {
+        // dict = text from the owning "N 0 obj" to the stream keyword;
+        // `from` is always past the previous stream's body, so this region
+        // is object structure, never compressed bytes
+        val objAt = s.lastIndexOf("obj", dictEnd)
+        require(objAt >= from, "stream keyword outside any object")
+        val dict = s.substring(objAt, dictEnd)
+        def intField(name: String): Int = {
+          val i = dict.indexOf(name)
+          require(i >= 0, s"stream dict missing $name")
+          val tail = dict.substring(i + name.length).trim
+          val digits = tail.takeWhile(_.isDigit)
+          require(digits.nonEmpty && !tail.drop(digits.length).trim.startsWith("0 R"),
+            s"$name is not a direct integer (indirect lengths unsupported)")
+          digits.toInt
+        }
+        val len = intField("/Length")
+        var dataStart = dictEnd + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        require(dataStart + len <= bytes.length, "stream body truncated")
+        if (dict.contains("/Subtype /Image")) {
+          val width = intField("/Width")
+          val height = intField("/Height")
+          val gray = dict.contains("/DeviceGray")
+          require(dict.contains("/FlateDecode"), "unsupported image filter")
+          val inflater = new java.util.zip.Inflater()
+          inflater.setInput(bytes, dataStart, len)
+          val channels = if (gray) 1 else 3
+          val raw = new Array[Byte](width * height * channels)
+          var got = 0
+          while (got < raw.length && !inflater.finished()) {
+            val n = inflater.inflate(raw, got, raw.length - got)
+            require(n > 0 || inflater.finished(), "truncated image samples")
+            got += n
+          }
+          inflater.end()
+          require(got == raw.length, s"image samples short: $got of ${raw.length}")
+          var sum = 0L
+          var i = 0
+          while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
+          found += ImageMeta("pdf-image", width, height, if (gray) "L" else "RGB", sum)
+        }
+        from = dataStart + len
       }
-      val width = intField("/Width")
-      val height = intField("/Height")
-      val len = intField("/Length")
-      val gray = dict.contains("/DeviceGray")
-      require(dict.contains("/FlateDecode"), "unsupported image filter")
-      var dataStart = dictEnd + "stream".length
-      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-      if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-      require(dataStart + len <= bytes.length, "image stream truncated")
-      val inflater = new java.util.zip.Inflater()
-      inflater.setInput(bytes, dataStart, len)
-      val channels = if (gray) 1 else 3
-      val raw = new Array[Byte](width * height * channels)
-      var got = 0
-      while (got < raw.length && !inflater.finished()) {
-        val n = inflater.inflate(raw, got, raw.length - got)
-        require(n > 0 || inflater.finished(), "truncated image samples")
-        got += n
-      }
-      inflater.end()
-      require(got == raw.length, s"image samples short: $got of ${raw.length}")
-      var sum = 0L
-      var i = 0
-      while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
-      found += ImageMeta("pdf-image", width, height, if (gray) "L" else "RGB", sum)
-      at = s.indexOf("/Subtype /Image", dataStart + len)
+      dictEnd = s.indexOf("stream", from)
     }
     found.toSeq
   }

@@ -1218,10 +1218,13 @@ object MediaCodecs {
     val brand = new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
     var primary = -1L
     var items = 0
-    // ipco children in declaration order; 1-based property indices
+    // ipco children in declaration order; 1-based property indices.
+    // Associations accumulate for EVERY item and resolve against pitm only
+    // after the walk — ISO 14496-12 imposes no ordering on meta's children,
+    // so pitm may legally FOLLOW iprp.
     val propTypes = scala.collection.mutable.ArrayBuffer[String]()
     val ispeDims = scala.collection.mutable.HashMap[Int, (Int, Int)]()
-    val primaryProps = scala.collection.mutable.ArrayBuffer[Int]()
+    val assoc = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
     bmffWalk(bytes, 0, bytes.length) {
       case ("meta", ms, me) => bmffWalk(bytes, ms + 4, me) { // meta is a FullBox
         case ("pitm", ps, pe) =>
@@ -1245,22 +1248,31 @@ object MediaCodecs {
             }
           }
           case ("ipma", as0, ae) =>
+            require(ae - as0 >= 8, "ipma box too short")
             val ver = bytes(as0) & 0xff
             val wideIdx = (bytes(as0 + 3) & 0x01) != 0 // flags bit 0: 15-bit indices
             val entries = bmffU32(bytes, as0 + 4)
             var p = as0 + 8
             var e = 0L
             while (e < entries) {
+              // every read bounded by the BOX end, not the payload end: a
+              // lying entry_count must fail named, never read sibling-box
+              // bytes as associations (and maybe a thumbnail's property)
+              val idWidth = if (ver < 1) 2 else 4
+              require(p + idWidth + 1 <= ae, "ipma truncated (entry_count overruns box)")
               val itemId = if (ver < 1) { val v = bmffU16(bytes, p); p += 2; v.toLong }
                            else { val v = bmffU32(bytes, p); p += 4; v }
-              require(p < ae, "ipma truncated")
               val n = bytes(p) & 0xff
               p += 1
+              require(p + n * (if (wideIdx) 2 else 1) <= ae,
+                "ipma truncated (associations overrun box)")
+              val props = assoc.getOrElseUpdate(itemId,
+                scala.collection.mutable.ArrayBuffer[Int]())
               var a = 0
               while (a < n) {
                 val idx = if (wideIdx) { val v = bmffU16(bytes, p) & 0x7fff; p += 2; v }
                           else { val v = bytes(p) & 0x7f; p += 1; v }
-                if (itemId == primary) primaryProps += idx
+                props += idx
                 a += 1
               }
               e += 1
@@ -1272,6 +1284,7 @@ object MediaCodecs {
       case _ => () // ftyp, mdat, free, ...
     }
     require(ispeDims.nonEmpty, "HEIF has no ispe property (no image dimensions)")
+    val primaryProps = assoc.getOrElse(primary, scala.collection.mutable.ArrayBuffer[Int]())
     val dims = primaryProps.collectFirst {
       case idx if ispeDims.contains(idx) => ispeDims(idx)
     }.getOrElse {

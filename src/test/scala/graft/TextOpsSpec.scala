@@ -126,6 +126,16 @@ class TextOpsSpec extends AnyFunSuite {
     ).map(_.toByte)
     val hand = MediaCodecs.parseHeif(v)
     assert(hand.width == 2 && hand.height == 3)
+    // meta children in the OTHER legal order (pitm after iprp): same result
+    val late = MediaCodecs.parseHeif(MediaFixtures.heif(
+      800, 600, thumb = Some((20, 15)), thumbFirst = true, pitmLast = true))
+    assert(late.width == 800 && late.height == 600)
+    // a lying ipma entry_count must fail named, never read sibling bytes
+    val lying = MediaFixtures.heif(10, 10).clone()
+    val ipmaAt = new String(lying, "ISO-8859-1").indexOf("ipma")
+    lying(ipmaAt + 11) = 9 // entry_count low byte: 1 -> 9
+    val e0 = intercept[IllegalArgumentException](MediaCodecs.parseHeif(lying))
+    assert(e0.getMessage.contains("ipma truncated"), e0.getMessage)
     // a primary item whose associations carry no ispe is a named error
     val noIspe = MediaFixtures.heif(10, 10).clone()
     // corrupt the pitm item id to 9 (no ipma entry): falls to the
