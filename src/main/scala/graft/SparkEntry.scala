@@ -972,6 +972,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Header-level dims for the REST of the reference's Pillow input
+    // whitelist (image_converters.py:42-48): psd, icns, pcx, jp2, tga,
+    // eps, xbm, xpm, svg, svgz — each fixture writes the format's real
+    // published header layout; the features kernel must report the real
+    // dimensions with an EMPTY error (no whitelist format may fall to the
+    // marked stub row when its dims are right there in the bytes).
+    "mm_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.fixtures.MediaFixtures
+          val w = 20 + (id % 80).toInt
+          val h = 12 + (id % 60).toInt
+          val bytes = (id % 10) match {
+            case 0 => MediaFixtures.psd(w, h)
+            case 1 => MediaFixtures.icns(Seq(16,
+              Seq(32, 64, 128, 256, 512, 1024)((id % 6).toInt)))
+            case 2 => MediaFixtures.pcx(w, h)
+            case 3 => MediaFixtures.jp2(w, h)
+            case 4 => MediaFixtures.tga(w, h)
+            case 5 => MediaFixtures.eps(w, h)
+            case 6 => MediaFixtures.xbm(w, h)
+            case 7 => MediaFixtures.xpm(w, h)
+            case 8 => MediaFixtures.svg(w, h)
+            case _ => MediaFixtures.svg(w, h, gzipped = true)
+          }
+          Multimodal.MediaRow(id, "", bytes)
+        }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("error"))
+        .orderBy("doc_id")
+    }),
+
     // images -> PDF (the reference's create_pdf, image_converters.py:
     // 181-222): per row, build 2-4 BMP pages, write a REAL multi-page PDF
     // (FlateDecode image XObjects), read the pages back with the
@@ -1443,6 +1477,22 @@ object SparkEntry {
         "CAST(frames * channels * (seed - CASE WHEN bits = 8 THEN 128 ELSE 2048 END) " +
         "+ frames * channels * (frames * channels - 1) // 2 AS BIGINT) AS sample_sum " +
         "FROM p ORDER BY doc_id"),
+    "mm_headers" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 10 WHEN 0 THEN 'image/vnd.adobe.photoshop' " +
+        "WHEN 1 THEN 'image/icns' WHEN 2 THEN 'image/x-pcx' " +
+        "WHEN 3 THEN 'image/jp2' WHEN 4 THEN 'image/x-tga' " +
+        "WHEN 5 THEN 'application/postscript' WHEN 6 THEN 'image/x-xbitmap' " +
+        "WHEN 7 THEN 'image/x-xpixmap' ELSE 'image/svg+xml' END AS media_type, " +
+        "CAST(CASE WHEN doc_id % 10 = 1 THEN " +
+        "(CASE doc_id % 6 WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128 " +
+        "WHEN 3 THEN 256 WHEN 4 THEN 512 ELSE 1024 END) " +
+        "ELSE 20 + doc_id % 80 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 10 = 1 THEN " +
+        "(CASE doc_id % 6 WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128 " +
+        "WHEN 3 THEN 256 WHEN 4 THEN 512 ELSE 1024 END) " +
+        "ELSE 12 + doc_id % 60 END AS INT) AS height, " +
+        "'' AS error FROM documents ORDER BY doc_id"),
     "ic_pdf" ->
       // page j of row doc_id: w = 4+(doc_id+j)%5, h = 3+(doc_id+j)%4,
       // seed = (doc_id+7j)%200; BMP rows are (seed+y), RGB triples the

@@ -739,6 +739,95 @@ object MediaFixtures {
     ftyp ++ meta
   }
 
+  /** Header-only fixtures for the [[graft.multimodal.MediaCodecs.imageHeader]]
+    * whitelist sweep (psd/icns/pcx/jp2/tga/eps/svg/xbm/xpm): each writes the
+    * format's REAL published header layout (plus deterministic junk where a
+    * body would sit) independently of the production parser. */
+  def psd(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(26 + 16).order(ByteOrder.BIG_ENDIAN)
+    b.put("8BPS".getBytes).putShort(1).put(new Array[Byte](6))
+    b.putShort(3).putInt(height).putInt(width).putShort(8).putShort(3) // RGB
+    b.array()
+  }
+
+  def icns(dims: Seq[Int]): Array[Byte] = {
+    val typeOf = Map(16 -> "icp4", 32 -> "icp5", 64 -> "icp6",
+      128 -> "ic07", 256 -> "ic08", 512 -> "ic09", 1024 -> "ic10")
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = dims.map { d =>
+      val body = Array.tabulate(12)(i => (d + i).toByte) // junk payload
+      (typeOf(d), body)
+    }
+    val total = 8 + entries.map(8 + _._2.length).sum
+    val hdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    hdr.put("icns".getBytes).putInt(total)
+    out.write(hdr.array())
+    for ((tpe, body) <- entries) {
+      val e = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      e.put(tpe.getBytes).putInt(8 + body.length)
+      out.write(e.array()); out.write(body)
+    }
+    out.toByteArray
+  }
+
+  def pcx(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(128 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x0a.toByte).put(5.toByte).put(1.toByte).put(8.toByte)
+    b.putShort(0).putShort(0) // xmin, ymin
+    b.putShort((width - 1).toShort).putShort((height - 1).toShort)
+    b.array()
+  }
+
+  def jp2(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(12 + 20 + 8 + (8 + 14)).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(12).put("jP  ".getBytes).putInt(0x0d0a870a) // signature box
+    b.putInt(20).put("ftyp".getBytes).put("jp2 ".getBytes)
+      .putInt(0).put("jp2 ".getBytes)
+    b.putInt(8 + 8 + 14).put("jp2h".getBytes)
+    b.putInt(8 + 14).put("ihdr".getBytes)
+    b.putInt(height).putInt(width).putShort(3).put(7.toByte).put(7.toByte)
+    b.array()
+  }
+
+  def tga(width: Int, height: Int): Array[Byte] = {
+    val body = 18 + width * height * 3
+    val b = ByteBuffer.allocate(body + 26).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte).put(0.toByte).put(2.toByte) // uncompressed true-color
+    b.put(new Array[Byte](9))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(24.toByte).put(0.toByte)
+    b.position(body + 8) // zeroed pixel junk + footer ext/dev offsets
+    b.put("TRUEVISION-XFILE.".getBytes).put(0.toByte)
+    b.array()
+  }
+
+  def eps(width: Int, height: Int): Array[Byte] =
+    (s"%!PS-Adobe-3.0 EPSF-3.0\n%%BoundingBox: 0 0 $width $height\n" +
+      "%%EndComments\nshowpage\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def xbm(width: Int, height: Int): Array[Byte] =
+    (s"#define fixture_width $width\n#define fixture_height $height\n" +
+      "static unsigned char fixture_bits[] = { 0x00 };\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def xpm(width: Int, height: Int): Array[Byte] =
+    (s"/* XPM */\nstatic char *fixture[] = {\n\"$width $height 2 1\",\n" +
+      "\". c #000000\",\n\"# c #ffffff\"\n};\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def svg(width: Int, height: Int, gzipped: Boolean = false): Array[Byte] = {
+    val doc = (s"""<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg" """ +
+      s"""width="$width" height="$height"><rect width="$width" height="$height"/></svg>\n""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!gzipped) doc
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(doc); gz.close()
+      out.toByteArray
+    }
+  }
+
   /** WebP container for the header-level dims parse
     * ([[graft.multimodal.MediaCodecs.parseWebp]]): a real RIFF/WEBP wrapper
     * around the variant's genuine header bytes (VP8 sync code / VP8L

@@ -1573,6 +1573,131 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** Header-level dimensions for the REST of the reference's Pillow input
+    * whitelist (/root/reference/src/converters/image_converters.py:42-48):
+    * psd, icns, pcx, jp2, tga (2.0 footer-signed — v1 has no magic at all),
+    * eps, svg(+svgz), xbm, xpm. Real parses of the published header
+    * layouts — pixel decode for these needs their full codecs, but with
+    * this sweep no whitelist format falls to the marked stub row with
+    * fabricated-looking zeros when its dims are right there in the bytes. */
+  final case class HeaderMeta(mime: String, width: Int, height: Int)
+
+  private def asciiAt(b: Array[Byte], i: Int, s: String): Boolean =
+    i >= 0 && i + s.length <= b.length &&
+      s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
+
+  def imageHeader(bytes: Array[Byte]): Option[HeaderMeta] = {
+    def u16be(i: Int) = bmffU16(bytes, i)
+    def u32be(i: Int) = bmffU32(bytes, i)
+    def u16le(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    if (asciiAt(bytes, 0, "8BPS") && bytes.length >= 26 && u16be(4) == 1) {
+      // PSD: height then width, u32be, at 14/18
+      val h = u32be(14); val w = u32be(18)
+      if (w > 0 && h > 0 && w <= 300000 && h <= 300000)
+        Some(HeaderMeta("image/vnd.adobe.photoshop", w.toInt, h.toInt)) else None
+    } else if (asciiAt(bytes, 0, "icns") && bytes.length >= 16) {
+      // ICNS: OSType + u32be length entries; dims are fixed per type —
+      // largest entry wins (the ICO convention)
+      val dimOf = Map(
+        "ics#" -> 16, "is32" -> 16, "s8mk" -> 16, "icp4" -> 16,
+        "ICN#" -> 32, "il32" -> 32, "l8mk" -> 32, "icp5" -> 32, "ic11" -> 32,
+        "ih32" -> 48, "h8mk" -> 48,
+        "icp6" -> 64, "ic12" -> 64,
+        "it32" -> 128, "t8mk" -> 128, "ic07" -> 128,
+        "ic08" -> 256, "ic13" -> 256, "ic09" -> 512, "ic14" -> 512,
+        "ic10" -> 1024)
+      var i = 8
+      var best = 0
+      while (i + 8 <= bytes.length) {
+        val tpe = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val len = u32be(i + 4)
+        require(len >= 8 && i + len <= bytes.length, s"icns entry $tpe overruns payload")
+        dimOf.get(tpe).foreach(d => best = math.max(best, d))
+        i += len.toInt
+      }
+      if (best > 0) Some(HeaderMeta("image/icns", best, best)) else None
+    } else if (bytes.length >= 128 && (bytes(0) & 0xff) == 0x0a &&
+               Set(0, 2, 3, 4, 5)(bytes(1) & 0xff) && (bytes(2) & 0xff) == 1) {
+      // PCX: RLE-encoded (encoding byte 1); window xmin/ymin/xmax/ymax u16le
+      val w = u16le(8) - u16le(4) + 1
+      val h = u16le(10) - u16le(6) + 1
+      if (w > 0 && h > 0) Some(HeaderMeta("image/x-pcx", w, h)) else None
+    } else if (bytes.length >= 32 && u32be(0) == 12 && asciiAt(bytes, 4, "jP  ") &&
+               u32be(8) == 0x0d0a870aL) {
+      // JP2: signature box, then the jp2h superbox's ihdr (height, width u32be)
+      var dims: Option[HeaderMeta] = None
+      bmffWalk(bytes, 12, bytes.length) {
+        case ("jp2h", hs, he) => bmffWalk(bytes, hs, he) {
+          case ("ihdr", is, ie) if ie - is >= 8 && dims.isEmpty =>
+            val h = u32be(is); val w = u32be(is + 4)
+            if (w > 0 && h > 0 && w <= 300000 && h <= 300000)
+              dims = Some(HeaderMeta("image/jp2", w.toInt, h.toInt))
+          case _ => ()
+        }
+        case _ => () // ftyp, contiguous codestream, ...
+      }
+      dims
+    } else if (bytes.length >= 44 &&
+               asciiAt(bytes, bytes.length - 18, "TRUEVISION-XFILE.")) {
+      // TGA 2.0: no leading magic — the footer signature identifies it;
+      // dims at 12/14 u16le in the 18-byte header
+      val w = u16le(12); val h = u16le(14)
+      if (w > 0 && h > 0) Some(HeaderMeta("image/x-tga", w, h)) else None
+    } else if (asciiAt(bytes, 0, "%!PS")) {
+      // EPS: %%BoundingBox: x0 y0 x1 y1 (points; the reference's Pillow
+      // EpsImagePlugin reads the same comment)
+      val head = new String(bytes, 0, math.min(bytes.length, 4096),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val bb = "%%BoundingBox:\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)".r
+      bb.findFirstMatchIn(head).flatMap { m =>
+        val w = m.group(3).toInt - m.group(1).toInt
+        val h = m.group(4).toInt - m.group(2).toInt
+        if (w > 0 && h > 0) Some(HeaderMeta("application/postscript", w, h)) else None
+      }
+    } else if (asciiAt(bytes, 0, "#define")) {
+      // XBM: C source with name_width / name_height defines
+      val head = new String(bytes, 0, math.min(bytes.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val dim = "#define\\s+\\S*?_?(width|height)\\s+(\\d+)".r
+      val found = dim.findAllMatchIn(head).map(m => m.group(1) -> m.group(2).toInt).toMap
+      for (w <- found.get("width"); h <- found.get("height"))
+        yield HeaderMeta("image/x-xbitmap", w, h)
+    } else if (asciiAt(bytes, 0, "/* XPM */")) {
+      // XPM: first string literal is "W H ncolors chars-per-pixel"
+      val head = new String(bytes, 0, math.min(bytes.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val vals = "\"\\s*(\\d+)\\s+(\\d+)\\s+\\d+\\s+\\d+\\s*\"".r
+      vals.findFirstMatchIn(head).map(m =>
+        HeaderMeta("image/x-xpixmap", m.group(1).toInt, m.group(2).toInt))
+    } else {
+      // SVG (optionally gzip-wrapped .svgz): width/height attributes of the
+      // root element, bare or px-suffixed — unitless like Pillow treats them
+      val text =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+          try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes), 4096)
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            var n = in.read(tmp)
+            while (n > 0 && out.size < 8192) { out.write(tmp, 0, n); n = in.read(tmp) }
+            new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+          } catch { case _: java.io.IOException => "" }
+        } else new String(bytes, 0, math.min(bytes.length, 4096),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+      val at = text.indexOf("<svg")
+      if (at < 0) None
+      else {
+        val tagEnd = text.indexOf('>', at)
+        val tag = if (tagEnd > at) text.substring(at, tagEnd) else text.substring(at)
+        def attr(name: String): Option[Int] =
+          (name + "=\"(\\d+)(?:px)?\"").r.findFirstMatchIn(tag).map(_.group(1).toInt)
+        for (w <- attr("width"); h <- attr("height"))
+          yield HeaderMeta("image/svg+xml", w, h)
+      }
+    }
+  }
+
   /** WebP header-level metadata: REAL canvas dimensions (and animation
     * frame count) from the container headers; pixel decode would need the
     * VP8 entropy codec. Both formats are in the reference's Pillow input

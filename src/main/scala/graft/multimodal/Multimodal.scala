@@ -126,9 +126,18 @@ object Multimodal {
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.frames, Array.empty[Float], "")
             case None =>
-              // no real decoder claims this payload: zeroed metadata, MARKED
-              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
-                0, 0, 0, Array.empty[Float], StubDecodeError)
+              // last real probe: header-level dims for the rest of the
+              // reference's image whitelist (psd/icns/pcx/jp2/tga/eps/
+              // svg(z)/xbm/xpm); only a payload NOTHING claims becomes
+              // a marked stub row
+              MediaCodecs.imageHeader(bytes) match {
+                case Some(hm) =>
+                  MediaFeatures(m.doc_id, hm.mime, bytes.length.toLong,
+                    hm.width, hm.height, 0, Array.empty[Float], "")
+                case None =>
+                  MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                    0, 0, 0, Array.empty[Float], StubDecodeError)
+              }
           }
         }
       }

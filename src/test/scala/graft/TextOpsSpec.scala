@@ -146,6 +146,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no ispe association"), e.getMessage)
   }
 
+  test("whitelist header sweep: psd/icns/pcx/jp2/tga/eps/xbm/xpm/svg(z)") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    def dims(b: Array[Byte]) = MediaCodecs.imageHeader(b).map(m =>
+      (m.mime, m.width, m.height))
+    assert(dims(MediaFixtures.psd(640, 480)) ==
+      Some(("image/vnd.adobe.photoshop", 640, 480)))
+    assert(dims(MediaFixtures.icns(Seq(16, 512))) == Some(("image/icns", 512, 512)))
+    assert(dims(MediaFixtures.pcx(320, 200)) == Some(("image/x-pcx", 320, 200)))
+    assert(dims(MediaFixtures.jp2(800, 600)) == Some(("image/jp2", 800, 600)))
+    assert(dims(MediaFixtures.tga(100, 75)) == Some(("image/x-tga", 100, 75)))
+    assert(dims(MediaFixtures.eps(612, 792)) ==
+      Some(("application/postscript", 612, 792)))
+    assert(dims(MediaFixtures.xbm(24, 16)) == Some(("image/x-xbitmap", 24, 16)))
+    assert(dims(MediaFixtures.xpm(48, 32)) == Some(("image/x-xpixmap", 48, 32)))
+    assert(dims(MediaFixtures.svg(300, 150)) == Some(("image/svg+xml", 300, 150)))
+    assert(dims(MediaFixtures.svg(300, 150, gzipped = true)) ==
+      Some(("image/svg+xml", 300, 150)))
+    // hostile: a TGA-shaped header WITHOUT the 2.0 footer is unclaimable
+    // (v1 TGA has no magic at all — extension routing territory)
+    assert(dims(MediaFixtures.tga(10, 10).dropRight(26)) == None)
+    // icns entry overrunning its container fails named, not AIOOBE
+    val bad = MediaFixtures.icns(Seq(64)).clone()
+    bad(12 + 3) = 127 // entry length low... huge
+    intercept[IllegalArgumentException](MediaCodecs.imageHeader(bad))
+    // corrupt gzip svgz: named/None, never a crash
+    val gz = MediaFixtures.svg(10, 10, gzipped = true).clone()
+    gz(gz.length - 5) = 0x55
+    assert(dims(gz).isEmpty || dims(gz).nonEmpty) // must not throw unnamed
+  }
+
   test("unclaimed payloads yield MARKED stub rows, never fabricated dims") {
     val spark = SparkTestSession.spark
     import spark.implicits._
