@@ -1109,6 +1109,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sample-level audio merge (the reference's merge_audio fold,
+    // audio_converters.py:183-192): 2-4 segments per row, containers
+    // alternating per segment, concatenated and exported once; the oracle
+    // recomputes frame counts, sizes, and the concatenated sample sum
+    // closed-form from the fixtures' arithmetic series.
+    "ac_merge" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.fixtures.MediaFixtures
+          val k = 2 + (id % 3).toInt
+          val rate = if (id % 2 == 0) 8000 else 16000
+          val segs = (0 until k).map { j =>
+            val n = 40 + ((id + j) % 5).toInt * 10
+            val seed = ((id + 11 * j) % 100).toInt
+            if (j % 2 == 0) MediaFixtures.wav(1, rate, n, seed)
+            else MediaFixtures.aiff(1, rate, n, seed)
+          }
+          val fmt = if (id % 2 == 0) "aiff" else "wav"
+          val r = graft.multimodal.AudioConvert.mergeAudio(segs, fmt)
+          val dec = graft.multimodal.AudioConvert.decodeSamples(r.output)
+          (id, r.formatTo, k, dec.frames, r.durationMs, r.newSize,
+            dec.samples.foldLeft(0L)(_ + _))
+        }.toDF("doc_id", "format_to", "n_segments", "frames_out", "duration_ms",
+          "new_size", "sample_sum")
+        .select(col("doc_id"), col("format_to"),
+          col("n_segments").cast("int").as("n_segments"),
+          col("frames_out").cast("int").as("frames_out"),
+          col("duration_ms").cast("bigint").as("duration_ms"),
+          col("new_size").cast("bigint").as("new_size"),
+          col("sample_sum").cast("bigint").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation composite: extract (all corpus formats) ->
     // respace -> inject exact duplicates -> keep-first survivors -> token
     // rollup per format. ONE query exercising the extraction tier and the
@@ -1546,6 +1580,25 @@ object SparkEntry {
         "WHEN 4 THEN 3 * w * h * 255 - full_sum " +
         "ELSE full_sum END AS BIGINT) AS pixel_sum " +
         "FROM b ORDER BY doc_id"),
+    "ac_merge" ->
+      // segment j: frames 40 + ((doc_id+j)%5)*10, seed (doc_id+11j)%100;
+      // sample f of a segment is seed + f - 2048 (no wrap); merged output
+      // is the plain concatenation, so sums add per segment
+      ("WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate FROM documents), " +
+        "q AS (SELECT doc_id, k, rate, " +
+        "(SELECT SUM(40 + ((doc_id + t.j) % 5) * 10) " +
+        "FROM generate_series(0, 3) AS t(j) WHERE t.j < k) AS fo, " +
+        "(SELECT SUM((40 + ((doc_id + t.j) % 5) * 10) * ((doc_id + 11 * t.j) % 100 - 2048) " +
+        "+ (40 + ((doc_id + t.j) % 5) * 10) * (40 + ((doc_id + t.j) % 5) * 10 - 1) // 2) " +
+        "FROM generate_series(0, 3) AS t(j) WHERE t.j < k) AS ssum FROM p) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'wav' END AS format_to, " +
+        "CAST(k AS INT) AS n_segments, CAST(fo AS INT) AS frames_out, " +
+        "CAST(fo * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST((CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END) + 2 * fo AS BIGINT) AS new_size, " +
+        "CAST(ssum AS BIGINT) AS sample_sum " +
+        "FROM q ORDER BY doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index

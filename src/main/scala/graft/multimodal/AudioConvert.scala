@@ -157,6 +157,28 @@ object AudioConvert {
       java.util.Arrays.copyOfRange(buf.samples, a * buf.channels, b * buf.channels))
   }
 
+  /** Sample-level merge — the reference's `merge_audio` fold
+    * (`combined += audio`, audio_converters.py:183-192): decoded segments
+    * concatenate in order and export once. pydub silently resamples
+    * mismatched segments through ffmpeg; a deterministic engine requires
+    * identical (channels, rate, bits) and fails named otherwise. */
+  def mergeAudio(segments: Seq[Array[Byte]], targetFmt: String): AudioResult = {
+    require(segments.nonEmpty, "merge_audio needs at least one segment")
+    val bufs = segments.map(decodeSamples)
+    val head = bufs.head
+    for (b <- bufs.tail)
+      require(b.channels == head.channels && b.frameRate == head.frameRate &&
+        b.bits == head.bits,
+        s"segment params ${b.channels}ch/${b.frameRate}Hz/${b.bits}bit differ " +
+          s"from ${head.channels}ch/${head.frameRate}Hz/${head.bits}bit — " +
+          "resampling needs a rate converter (pydub delegates to ffmpeg)")
+    val merged = head.copy(samples = bufs.toArray.flatMap(_.samples))
+    val out = encode(merged, targetFmt)
+    AudioResult(out, targetFmt.toLowerCase.stripPrefix("."), merged.channels,
+      merged.frameRate, merged.bits / 8, merged.durationMs,
+      segments.map(_.length.toLong).sum, out.length.toLong)
+  }
+
   /** The reference result dict's accounting fields
     * (audio_converters.py:105-120): duration/channels/sample_width/
     * frame_rate describe the CONVERTED audio; sizes are byte counts. */

@@ -142,6 +142,23 @@ class AudioConvertSpec extends AnyFunSuite {
     assert(dec.samples(100 - 16) == 10 + 100 - 2048)
   }
 
+  test("mergeAudio concatenates segments sample-exactly across containers") {
+    val a = MediaFixtures.wav(1, 8000, 50, 10)
+    val b = MediaFixtures.aiff(1, 8000, 30, 99)
+    val r = AudioConvert.mergeAudio(Seq(a, b), "wav")
+    val dec = AudioConvert.decodeSamples(r.output)
+    assert(dec.frames == 80 && r.durationMs == 80 * 1000L / 8000)
+    assert(dec.samples.take(50).toSeq ==
+      AudioConvert.decodeSamples(a).samples.toSeq)
+    assert(dec.samples.drop(50).toSeq ==
+      AudioConvert.decodeSamples(b).samples.toSeq)
+    // mismatched rates are a named error, never silent resampling
+    val e = intercept[IllegalArgumentException](
+      AudioConvert.mergeAudio(Seq(a, MediaFixtures.wav(1, 16000, 10, 0)), "wav"))
+    assert(e.getMessage.contains("resampling"), e.getMessage)
+    intercept[IllegalArgumentException](AudioConvert.mergeAudio(Nil, "wav"))
+  }
+
   // ---- named errors ---------------------------------------------------------
 
   test("lossy/unknown audio targets and non-audio inputs are named errors") {
