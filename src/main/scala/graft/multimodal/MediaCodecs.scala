@@ -1586,6 +1586,49 @@ object MediaCodecs {
     i >= 0 && i + s.length <= b.length &&
       s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k))
 
+  // probe tables/patterns hoisted out of the per-row hot path — imageHeader
+  // runs on every payload no earlier decoder claims, so these are shared,
+  // not rebuilt per call
+  private val IcnsDims = Map(
+    "ics#" -> 16, "is32" -> 16, "s8mk" -> 16, "icp4" -> 16,
+    "ICN#" -> 32, "il32" -> 32, "l8mk" -> 32, "icp5" -> 32, "ic11" -> 32,
+    "ih32" -> 48, "h8mk" -> 48,
+    "icp6" -> 64, "ic12" -> 64,
+    "it32" -> 128, "t8mk" -> 128, "ic07" -> 128,
+    "ic08" -> 256, "ic13" -> 256, "ic09" -> 512, "ic14" -> 512,
+    "ic10" -> 1024)
+  private val PcxVersions = Set(0, 2, 3, 4, 5)
+  private val EpsBBoxRe =
+    "%%BoundingBox:\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)".r
+  private val XbmDimRe = "#define\\s+\\S*?_?(width|height)\\s+(\\d+)".r
+  private val XbmBitsRe = "static\\s+(?:unsigned\\s+)?char\\s+\\S*_bits\\s*\\[\\]".r
+  private val XpmValsRe = "\"\\s*(\\d+)\\s+(\\d+)\\s+\\d+\\s+\\d+\\s*\"".r
+  // attribute names must be preceded by whitespace so stroke-width /
+  // data-width never match as width
+  private val SvgWidthRe = "\\swidth=\"(\\d+)(?:px)?\"".r
+  private val SvgHeightRe = "\\sheight=\"(\\d+)(?:px)?\"".r
+
+  /** True iff the document's FIRST element tag is `<svg`, skipping the XML
+    * prolog, doctype and comments — a substring `<svg` anywhere (e.g. an
+    * inline icon in an HTML page) must NOT claim the payload as an image. */
+  private def rootElementIsSvg(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) {
+      val lt = t.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= t.length) return false
+      val c = t.charAt(lt + 1)
+      if (c == '?' || c == '!') {
+        val gt = t.indexOf('>', lt)
+        if (gt < 0) return false
+        i = gt + 1
+      } else {
+        return t.regionMatches(lt + 1, "svg", 0, 3) &&
+          (lt + 4 >= t.length || " \t\r\n>/".indexOf(t.charAt(lt + 4)) >= 0)
+      }
+    }
+    false
+  }
+
   def imageHeader(bytes: Array[Byte]): Option[HeaderMeta] = {
     def u16be(i: Int) = bmffU16(bytes, i)
     def u32be(i: Int) = bmffU32(bytes, i)
@@ -1598,26 +1641,18 @@ object MediaCodecs {
     } else if (asciiAt(bytes, 0, "icns") && bytes.length >= 16) {
       // ICNS: OSType + u32be length entries; dims are fixed per type —
       // largest entry wins (the ICO convention)
-      val dimOf = Map(
-        "ics#" -> 16, "is32" -> 16, "s8mk" -> 16, "icp4" -> 16,
-        "ICN#" -> 32, "il32" -> 32, "l8mk" -> 32, "icp5" -> 32, "ic11" -> 32,
-        "ih32" -> 48, "h8mk" -> 48,
-        "icp6" -> 64, "ic12" -> 64,
-        "it32" -> 128, "t8mk" -> 128, "ic07" -> 128,
-        "ic08" -> 256, "ic13" -> 256, "ic09" -> 512, "ic14" -> 512,
-        "ic10" -> 1024)
       var i = 8
       var best = 0
       while (i + 8 <= bytes.length) {
         val tpe = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
         val len = u32be(i + 4)
         require(len >= 8 && i + len <= bytes.length, s"icns entry $tpe overruns payload")
-        dimOf.get(tpe).foreach(d => best = math.max(best, d))
+        IcnsDims.get(tpe).foreach(d => best = math.max(best, d))
         i += len.toInt
       }
       if (best > 0) Some(HeaderMeta("image/icns", best, best)) else None
     } else if (bytes.length >= 128 && (bytes(0) & 0xff) == 0x0a &&
-               Set(0, 2, 3, 4, 5)(bytes(1) & 0xff) && (bytes(2) & 0xff) == 1) {
+               PcxVersions(bytes(1) & 0xff) && (bytes(2) & 0xff) == 1) {
       // PCX: RLE-encoded (encoding byte 1); window xmin/ymin/xmax/ymax u16le
       val w = u16le(8) - u16le(4) + 1
       val h = u16le(10) - u16le(6) + 1
@@ -1648,26 +1683,29 @@ object MediaCodecs {
       // EpsImagePlugin reads the same comment)
       val head = new String(bytes, 0, math.min(bytes.length, 4096),
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val bb = "%%BoundingBox:\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)\\s+(-?\\d+)".r
-      bb.findFirstMatchIn(head).flatMap { m =>
+      EpsBBoxRe.findFirstMatchIn(head).flatMap { m =>
         val w = m.group(3).toInt - m.group(1).toInt
         val h = m.group(4).toInt - m.group(2).toInt
         if (w > 0 && h > 0) Some(HeaderMeta("application/postscript", w, h)) else None
       }
     } else if (asciiAt(bytes, 0, "#define")) {
-      // XBM: C source with name_width / name_height defines
+      // XBM: C source with name_width / name_height defines AND the bits
+      // array every real XBM carries — a config header full of #defines
+      // must not claim as an image
       val head = new String(bytes, 0, math.min(bytes.length, 1024),
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val dim = "#define\\s+\\S*?_?(width|height)\\s+(\\d+)".r
-      val found = dim.findAllMatchIn(head).map(m => m.group(1) -> m.group(2).toInt).toMap
-      for (w <- found.get("width"); h <- found.get("height"))
-        yield HeaderMeta("image/x-xbitmap", w, h)
+      if (XbmBitsRe.findFirstIn(head).isEmpty) None
+      else {
+        val found =
+          XbmDimRe.findAllMatchIn(head).map(m => m.group(1) -> m.group(2).toInt).toMap
+        for (w <- found.get("width"); h <- found.get("height"))
+          yield HeaderMeta("image/x-xbitmap", w, h)
+      }
     } else if (asciiAt(bytes, 0, "/* XPM */")) {
       // XPM: first string literal is "W H ncolors chars-per-pixel"
       val head = new String(bytes, 0, math.min(bytes.length, 1024),
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val vals = "\"\\s*(\\d+)\\s+(\\d+)\\s+\\d+\\s+\\d+\\s*\"".r
-      vals.findFirstMatchIn(head).map(m =>
+      XpmValsRe.findFirstMatchIn(head).map(m =>
         HeaderMeta("image/x-xpixmap", m.group(1).toInt, m.group(2).toInt))
     } else {
       // SVG (optionally gzip-wrapped .svgz): width/height attributes of the
@@ -1685,14 +1723,15 @@ object MediaCodecs {
           } catch { case _: java.io.IOException => "" }
         } else new String(bytes, 0, math.min(bytes.length, 4096),
           java.nio.charset.StandardCharsets.ISO_8859_1)
-      val at = text.indexOf("<svg")
-      if (at < 0) None
+      // the root element must BE <svg — an HTML page with an inline <svg
+      // icon is a document, not an image
+      if (!rootElementIsSvg(text)) None
       else {
+        val at = text.indexOf("<svg")
         val tagEnd = text.indexOf('>', at)
         val tag = if (tagEnd > at) text.substring(at, tagEnd) else text.substring(at)
-        def attr(name: String): Option[Int] =
-          (name + "=\"(\\d+)(?:px)?\"").r.findFirstMatchIn(tag).map(_.group(1).toInt)
-        for (w <- attr("width"); h <- attr("height"))
+        for (w <- SvgWidthRe.findFirstMatchIn(tag).map(_.group(1).toInt);
+             h <- SvgHeightRe.findFirstMatchIn(tag).map(_.group(1).toInt))
           yield HeaderMeta("image/svg+xml", w, h)
       }
     }

@@ -175,6 +175,20 @@ class TextOpsSpec extends AnyFunSuite {
     val gz = MediaFixtures.svg(10, 10, gzipped = true).clone()
     gz(gz.length - 5) = 0x55
     assert(dims(gz).isEmpty || dims(gz).nonEmpty) // must not throw unnamed
+    // an HTML page with an INLINE svg icon is a document, not an image —
+    // the probe requires <svg as the root element
+    val htmlWithIcon = ("<!DOCTYPE html>\n<html><body>" +
+      "<svg width=\"24\" height=\"24\"><path d=\"M0 0\"/></svg>" +
+      "</body></html>").getBytes("UTF-8")
+    assert(dims(htmlWithIcon) == None)
+    // stroke-width / data-width must never match as the width attribute
+    val strokey = ("<svg stroke-width=\"2\" data-width=\"5\" width=\"300\" " +
+      "height=\"150\"></svg>").getBytes("UTF-8")
+    assert(dims(strokey) == Some(("image/svg+xml", 300, 150)))
+    // a C config header full of #defines (no _bits[] array) is NOT an XBM
+    val config = ("#define screen_width 640\n#define screen_height 480\n" +
+      "#define retries 3\n").getBytes("UTF-8")
+    assert(dims(config) == None)
   }
 
   test("unclaimed payloads yield MARKED stub rows, never fabricated dims") {
