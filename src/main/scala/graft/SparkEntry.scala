@@ -1082,8 +1082,15 @@ object SparkEntry {
           val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
           val n = 160 + (id % 5).toInt * 40
           val seed = (id % 100).toInt
-          val in = if (id % 2 == 0) graft.fixtures.MediaFixtures.wav(1, rate, n, seed)
-                   else graft.fixtures.MediaFixtures.aiff(1, rate, n, seed)
+          // input wheel spans all four PCM containers the surface decodes
+          // (wav / aiff / au PCM16-BE / caf LE16) — identical sample series,
+          // so the effects algebra below is container-invariant
+          val in = (id % 4) match {
+            case 0 => graft.fixtures.MediaFixtures.wav(1, rate, n, seed)
+            case 1 => graft.fixtures.MediaFixtures.aiff(1, rate, n, seed)
+            case 2 => graft.fixtures.MediaFixtures.au(3, 1, rate, n, seed)
+            case _ => graft.fixtures.MediaFixtures.caf(1, rate, n, seed, little = true)
+          }
           val fmt = if (id % 2 == 0) "aiff" else "wav"
           val r = (id % 3) match {
             case 0 => graft.multimodal.AudioConvert.convert(in, fmt, speed = 2)
@@ -1140,6 +1147,60 @@ object SparkEntry {
           col("duration_ms").cast("bigint").as("duration_ms"),
           col("new_size").cast("bigint").as("new_size"),
           col("sample_sum").cast("bigint").as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // Audio header sweep for the REST of the reference's pydub/mutagen
+    // input whitelist (audio_converters.py:40-44): au/caf/tta/ape/wv/aac/
+    // ac3/eac3/dts/mlp+truehd/wma/webm/mkv/opus — the audio analog of
+    // mm_headers. Channels/rate/duration all recomputed closed-form from
+    // the fixture wheel (MLP/TrueHD report channels 0: layout not parsed).
+    "ac_headers" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.fixtures.MediaFixtures
+          import graft.multimodal.MediaCodecs
+          val ch = 1 + (id % 2).toInt
+          val bytes = (id % 14) match {
+            case 0 => MediaFixtures.au(1, ch, 8000, 800 + (id % 5).toInt * 80, 0)
+            case 1 => MediaFixtures.caf(ch, 44100, 441 * (1 + (id % 4).toInt),
+              (id % 50).toInt, little = id % 2 == 0)
+            case 2 => MediaFixtures.tta(ch,
+              Seq(8000, 16000, 22050, 44100)((id % 4).toInt),
+              1000 + (id % 7).toInt * 100)
+            case 3 => MediaFixtures.ape(ch, 48000, 1024,
+              1 + (id % 4).toInt, 100 + (id % 5).toInt * 20)
+            case 4 => MediaFixtures.wavpack(mono = id % 2 == 0,
+              Seq(1, 5, 9, 10)((id % 4).toInt), 4800 + (id % 5).toInt * 480)
+            case 5 => MediaFixtures.adtsAac(Seq(3, 4, 8, 11)((id % 4).toInt),
+              ch, 3 + (id % 4).toInt)
+            case 6 => MediaFixtures.ac3((id % 3).toInt,
+              2 * ((id % 5).toInt + 10), acmod = 2, lfeon = (id % 2).toInt,
+              nFrames = 2 + (id % 3).toInt)
+            case 7 => MediaFixtures.eac3((id % 3).toInt, (id % 4).toInt,
+              128 + (id % 4).toInt * 64, acmod = 7, lfeon = (id % 2).toInt,
+              nFrames = 2 + (id % 3).toInt)
+            case 8 => MediaFixtures.dts(Seq(13, 8, 3, 12)((id % 4).toInt),
+              Seq(0, 2, 6, 9)((id % 4).toInt), nblks = 7, frameBytes = 512,
+              nFrames = 2 + (id % 3).toInt)
+            case 9 => MediaFixtures.truehd(Seq(0, 1, 8, 9)((id % 4).toInt),
+              120 + (id % 4).toInt * 24, mlp = id % 2 == 0)
+            case 10 => MediaFixtures.asfWma(ch, 44100,
+              1000 + (id % 10) * 100, (id % 2) * 3000)
+            case 11 => MediaFixtures.webm(ch, 48000, 500 + (id % 8).toInt * 125)
+            case 12 => MediaFixtures.webm(ch, 48000, 500 + (id % 8).toInt * 125,
+              docType = "matroska", video = Some((640, 360)))
+            case _ => MediaFixtures.oggOpus(ch, preSkip = 312,
+              granule = 312L + 4800 * (1 + (id % 4)))
+          }
+          val m = MediaCodecs.audioHeader(bytes).get
+          (id, m.mime, m.channels, m.rate, m.durationMs)
+        }.toDF("doc_id", "media_type", "channels", "rate", "duration_ms")
+        .select(col("doc_id"), col("media_type"),
+          col("channels").cast("int").as("channels"),
+          col("rate").cast("int").as("rate"),
+          col("duration_ms").cast("bigint").as("duration_ms"))
         .orderBy("doc_id")
     }),
 
@@ -1599,6 +1660,60 @@ object SparkEntry {
         "CAST((CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END) + 2 * fo AS BIGINT) AS new_size, " +
         "CAST(ssum AS BIGINT) AS sample_sum " +
         "FROM q ORDER BY doc_id"),
+    "ac_headers" ->
+      // the fixture wheel's parameters recomputed closed-form: rates come
+      // from each container's published code tables (wavpack/adts/ac3/dts
+      // indices), durations from the sample/frame arithmetic in the query
+      // comment; MLP/TrueHD channels are 0 by contract (layout not parsed)
+      ("WITH p AS (SELECT doc_id, doc_id % 14 AS arm, 1 + doc_id % 2 AS ch, " +
+        "doc_id % 2 AS odd, doc_id % 3 AS m3, doc_id % 4 AS m4, " +
+        "doc_id % 5 AS m5 FROM documents), " +
+        "q AS (SELECT *, " +
+        "CASE arm WHEN 2 THEN (CASE m4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+        "WHEN 2 THEN 22050 ELSE 44100 END) " +
+        "WHEN 4 THEN (CASE m4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+        "WHEN 2 THEN 44100 ELSE 48000 END) " +
+        "WHEN 5 THEN (CASE m4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 " +
+        "WHEN 2 THEN 16000 ELSE 8000 END) " +
+        "WHEN 6 THEN (CASE m3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END) " +
+        "WHEN 7 THEN (CASE m3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END) " +
+        "WHEN 8 THEN (CASE m4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 " +
+        "WHEN 2 THEN 32000 ELSE 24000 END) " +
+        "WHEN 9 THEN (CASE m4 WHEN 0 THEN 48000 WHEN 1 THEN 96000 " +
+        "WHEN 2 THEN 44100 ELSE 88200 END) " +
+        "WHEN 0 THEN 8000 WHEN 1 THEN 44100 WHEN 3 THEN 48000 " +
+        "WHEN 10 THEN 44100 ELSE 48000 END AS rate FROM p) " +
+        "SELECT doc_id, " +
+        "CASE arm WHEN 0 THEN 'audio/basic' WHEN 1 THEN 'audio/x-caf' " +
+        "WHEN 2 THEN 'audio/x-tta' WHEN 3 THEN 'audio/x-ape' " +
+        "WHEN 4 THEN 'audio/x-wavpack' WHEN 5 THEN 'audio/aac' " +
+        "WHEN 6 THEN 'audio/ac3' WHEN 7 THEN 'audio/eac3' " +
+        "WHEN 8 THEN 'audio/vnd.dts' " +
+        "WHEN 9 THEN (CASE WHEN odd = 0 THEN 'audio/mlp' ELSE 'audio/truehd' END) " +
+        "WHEN 10 THEN 'audio/x-ms-wma' WHEN 11 THEN 'audio/webm' " +
+        "WHEN 12 THEN 'video/x-matroska' ELSE 'audio/opus' END AS media_type, " +
+        "CAST(CASE arm WHEN 6 THEN 2 + odd WHEN 7 THEN 5 + odd " +
+        "WHEN 8 THEN (CASE m4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 5 END) " +
+        "WHEN 9 THEN 0 ELSE ch END AS INT) AS channels, " +
+        "CAST(rate AS INT) AS rate, " +
+        "CAST(CASE arm " +
+        "WHEN 0 THEN (800 + m5 * 80) * 1000 // 8000 " +
+        "WHEN 1 THEN 10 * (1 + m4) " +
+        "WHEN 2 THEN (1000 + (doc_id % 7) * 100) * 1000 // rate " +
+        "WHEN 3 THEN (m4 * 1024 + 100 + m5 * 20) * 1000 // 48000 " +
+        "WHEN 4 THEN (4800 + m5 * 480) * 1000 // rate " +
+        "WHEN 5 THEN (3 + m4) * 1024 * 1000 // rate " +
+        "WHEN 6 THEN (2 + m3) * 1536 * 1000 // rate " +
+        "WHEN 7 THEN (2 + m3) * (CASE m4 WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 3 ELSE 6 END) * 256 * 1000 // rate " +
+        "WHEN 8 THEN (2 + m3) * 256 * 1000 // rate " +
+        "WHEN 9 THEN (120 + m4 * 24) * 40000 // " +
+        "(CASE WHEN m4 < 2 THEN 48000 ELSE 44100 END) " +
+        "WHEN 10 THEN 1000 + (doc_id % 10) * 100 " +
+        "WHEN 11 THEN 500 + (doc_id % 8) * 125 " +
+        "WHEN 12 THEN 500 + (doc_id % 8) * 125 " +
+        "ELSE 100 * (1 + m4) END AS BIGINT) AS duration_ms " +
+        "FROM q ORDER BY doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index
@@ -1620,7 +1735,10 @@ object SparkEntry {
         "CAST(1 AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
         "CAST(2 AS INT) AS sample_width, CAST(fo AS INT) AS frames_out, " +
         "CAST(fo * 1000 // rate AS BIGINT) AS duration_ms, " +
-        "CAST((CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 54 END) + 2 * n AS BIGINT) AS orig_size, " +
+        // canonical container header sizes by input wheel: wav 44, aiff 54,
+        // au 24, caf 68 (8 file hdr + 44 desc + 12 data hdr + 4 edit count)
+        "CAST((CASE doc_id % 4 WHEN 0 THEN 44 WHEN 1 THEN 54 WHEN 2 THEN 24 " +
+        "ELSE 68 END) + 2 * n AS BIGINT) AS orig_size, " +
         "CAST((CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END) + 2 * fo AS BIGINT) AS new_size, " +
         "CAST(CASE doc_id % 3 " +
         "WHEN 0 THEN (n // 2) * (seed - 2048) + (n // 2) * (n // 2 - 1) " +

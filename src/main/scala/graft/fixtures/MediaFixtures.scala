@@ -925,4 +925,360 @@ object MediaFixtures {
     while (k < count * blobLen) { buf.put(((seed + k * 17) & 0xff).toByte); k += 1 }
     buf.array()
   }
+
+  // ==========================================================================
+  // Audio whitelist sweep fixtures — hand-packed per the published container
+  // layouts, independently of graft.multimodal.MediaCodecs.audioHeader, so
+  // the parsers are pinned by bytes they did not write.
+  // ==========================================================================
+
+  /** Sun/NeXT .au: 24-byte u32be header + data. Encodings: 1 = G.711 µ-law
+    * (data = constant byte `ulawByte`), 2 = PCM8 signed, 3 = PCM16 BE —
+    * the PCM encodings carry the SAME decoded series as [[wav]]/[[aiff]]
+    * (16-bit `(seed+f)%4096-2048`, 8-bit `(seed+f)%256-128`). */
+  def au(encoding: Int, channels: Int, sampleRate: Int, frames: Int,
+         seed: Int, ulawByte: Int = 0xff): Array[Byte] = {
+    val bytesPer = if (encoding == 3) 2 else 1
+    val dataBytes = frames * channels * bytesPer
+    val buf = ByteBuffer.allocate(24 + dataBytes).order(ByteOrder.BIG_ENDIAN)
+    buf.put(".snd".getBytes)
+    buf.putInt(24)
+    buf.putInt(dataBytes)
+    buf.putInt(encoding)
+    buf.putInt(sampleRate)
+    buf.putInt(channels)
+    var f = 0
+    while (f < frames * channels) {
+      encoding match {
+        case 1 => buf.put(ulawByte.toByte)
+        case 2 => buf.put((((seed + f) % 256) - 128).toByte)
+        case _ => buf.putShort((((seed + f) % 4096) - 2048).toShort)
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Apple CAF: caff header + desc (f64be rate, lpcm, flag bit1 = little-
+    * endian) + data (u32be edit count + samples). 16-bit LPCM with the
+    * [[wav]] sample series. */
+  def caf(channels: Int, sampleRate: Int, frames: Int, seed: Int,
+          little: Boolean): Array[Byte] = {
+    val dataBytes = frames * channels * 2
+    val buf = ByteBuffer.allocate(8 + 12 + 32 + 12 + 4 + dataBytes)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put("caff".getBytes).putShort(1).putShort(0)
+    buf.put("desc".getBytes).putLong(32)
+    buf.putLong(java.lang.Double.doubleToLongBits(sampleRate.toDouble))
+    buf.put("lpcm".getBytes)
+    buf.putInt(if (little) 2 else 0)   // format flags
+    buf.putInt(channels * 2)           // bytes per packet
+    buf.putInt(1)                      // frames per packet
+    buf.putInt(channels)
+    buf.putInt(16)                     // bits per channel
+    buf.put("data".getBytes).putLong(4L + dataBytes)
+    buf.putInt(0)                      // edit count
+    var f = 0
+    while (f < frames * channels) {
+      val v = (((seed + f) % 4096) - 2048).toShort
+      if (little) { buf.put((v & 0xff).toByte); buf.put(((v >> 8) & 0xff).toByte) }
+      else buf.putShort(v)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** True Audio TTA1 header (no frame data needed for the header parse). */
+  def tta(channels: Int, sampleRate: Int, samples: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("TTA1".getBytes)
+    buf.putShort(1)                    // integer PCM
+    buf.putShort(channels.toShort)
+    buf.putShort(16)                   // bits per sample
+    buf.putInt(sampleRate)
+    buf.putInt(samples)
+    buf.putInt(0)                      // header CRC (unverified)
+    buf.array()
+  }
+
+  /** Monkey's Audio (APE >= 3.98): 52-byte descriptor + 24-byte header. */
+  def ape(channels: Int, sampleRate: Int, blocksPerFrame: Int,
+          totalFrames: Int, finalFrameBlocks: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(52 + 24).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("MAC ".getBytes)
+    buf.putShort(3990.toShort)         // version 3.99
+    buf.putShort(0)                    // padding
+    buf.putInt(52)                     // descriptor bytes
+    buf.putInt(24)                     // header bytes
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // seektable/wav-header/frame-data/hi/terminating
+    buf.put(new Array[Byte](16))       // file MD5 (unverified)
+    buf.putShort(2000.toShort)         // compression level
+    buf.putShort(0)                    // format flags
+    buf.putInt(blocksPerFrame)
+    buf.putInt(finalFrameBlocks)
+    buf.putInt(totalFrames)
+    buf.putShort(16)                   // bits per sample
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.array()
+  }
+
+  /** WavPack 32-byte block header; `rateIdx` indexes the published
+    * 15-entry rate table; mono flag bit 2. */
+  def wavpack(mono: Boolean, rateIdx: Int, totalSamples: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("wvpk".getBytes)
+    buf.putInt(24)                     // ckSize (rest of header)
+    buf.putShort(0x410.toShort)        // version
+    buf.put(0.toByte)                  // block index u8
+    buf.put(0.toByte)                  // total samples u8
+    buf.putInt(totalSamples)
+    buf.putInt(0)                      // block index
+    buf.putInt(totalSamples)           // block samples
+    buf.putInt((rateIdx << 23) | (if (mono) 4 else 0)) // flags
+    buf.putInt(0)                      // crc (unverified)
+    buf.array()
+  }
+
+  /** ADTS AAC: `nFrames` headers-plus-filler frames, 1024 samples each. */
+  def adtsAac(freqIdx: Int, chanCfg: Int, nFrames: Int,
+              frameBytes: Int = 32): Array[Byte] = {
+    require(frameBytes >= 7 && frameBytes < 8192)
+    val out = new Array[Byte](nFrames * frameBytes)
+    var i = 0
+    while (i < out.length) {
+      out(i) = 0xff.toByte
+      out(i + 1) = 0xf1.toByte         // MPEG-4, layer 00, no CRC
+      out(i + 2) = ((1 << 6) | (freqIdx << 2) | ((chanCfg >> 2) & 1)).toByte // AAC-LC
+      out(i + 3) = (((chanCfg & 3) << 6) | ((frameBytes >> 11) & 3)).toByte
+      out(i + 4) = ((frameBytes >> 3) & 0xff).toByte
+      out(i + 5) = (((frameBytes & 7) << 5) | 0x1f).toByte // buffer fullness hi
+      out(i + 6) = 0xfc.toByte          // fullness lo + 1 AAC frame
+      i += frameBytes
+    }
+    out
+  }
+
+  /** AC-3 syncframes: fscod/frmsizecod pick the size from the A/52 table
+    * (the parser recomputes it); acmod-dependent mix-level fields are
+    * zero-packed exactly as the bit grammar requires. */
+  def ac3(fscod: Int, frmsizecod: Int, acmod: Int, lfeon: Int,
+          nFrames: Int): Array[Byte] = {
+    val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320, 384, 448, 512, 576, 640)(frmsizecod >> 1)
+    val words = fscod match {
+      case 0 => 2 * kbps
+      case 1 => (kbps.toLong * 96000 / 44100).toInt + (frmsizecod & 1)
+      case _ => 3 * kbps
+    }
+    val frameBytes = words * 2
+    val out = new Array[Byte](nFrames * frameBytes)
+    var i = 0
+    while (i < out.length) {
+      out(i) = 0x0b; out(i + 1) = 0x77
+      // crc1 (2 bytes, unverified) then fscod+frmsizecod
+      out(i + 4) = ((fscod << 6) | frmsizecod).toByte
+      out(i + 5) = (8 << 3).toByte     // bsid 8, bsmod 0
+      // bit-pack acmod [+cmixlev][+surmixlev][+dsurmod] lfeon
+      var bits = acmod
+      var n = 3
+      if ((acmod & 1) != 0 && acmod != 1) { bits = (bits << 2) | 2; n += 2 }
+      if ((acmod & 4) != 0) { bits = (bits << 2) | 2; n += 2 }
+      if (acmod == 2) { bits = bits << 2; n += 2 }
+      bits = (bits << 1) | lfeon; n += 1
+      val packed = bits << (16 - n)
+      out(i + 6) = ((packed >> 8) & 0xff).toByte
+      out(i + 7) = (packed & 0xff).toByte
+      i += frameBytes
+    }
+    out
+  }
+
+  /** E-AC-3 syncframes: frmsiz gives the byte size directly. */
+  def eac3(fscod: Int, numblkscod: Int, frameBytes: Int, acmod: Int,
+           lfeon: Int, nFrames: Int): Array[Byte] = {
+    require(frameBytes % 2 == 0 && frameBytes >= 16)
+    val frmsiz = frameBytes / 2 - 1
+    val out = new Array[Byte](nFrames * frameBytes)
+    var i = 0
+    while (i < out.length) {
+      out(i) = 0x0b; out(i + 1) = 0x77
+      out(i + 2) = ((frmsiz >> 8) & 7).toByte // strmtyp 0, substreamid 0
+      out(i + 3) = (frmsiz & 0xff).toByte
+      out(i + 4) = ((fscod << 6) | (numblkscod << 4) | (acmod << 1) | lfeon).toByte
+      out(i + 5) = (11 << 3).toByte    // bsid 11
+      i += frameBytes
+    }
+    out
+  }
+
+  /** DTS core frames: bit-packed ftype/short/cpf/nblks/fsize/amode/sfreq. */
+  def dts(sfreqCode: Int, amode: Int, nblks: Int, frameBytes: Int,
+          nFrames: Int): Array[Byte] = {
+    require(frameBytes >= 96)
+    val out = new Array[Byte](nFrames * frameBytes)
+    var i = 0
+    while (i < out.length) {
+      out(i) = 0x7f; out(i + 1) = 0xfe.toByte
+      out(i + 2) = 0x80.toByte; out(i + 3) = 0x01
+      // 38 bits: 1 (ftype=1) + 5 (short=31) + 1 (cpf=0) + 7 nblks +
+      // 14 fsize + 6 amode + 4 sfreq, then 2 zero pad to 40
+      var v = 1L
+      v = (v << 5) | 31
+      v = (v << 1) | 0
+      v = (v << 7) | nblks
+      v = (v << 14) | (frameBytes - 1)
+      v = (v << 6) | amode
+      v = (v << 4) | sfreqCode
+      v = v << 2
+      var k = 0
+      while (k < 5) { out(i + 4 + k) = ((v >> (32 - 8 * k)) & 0xff).toByte; k += 1 }
+      i += frameBytes
+    }
+    out
+  }
+
+  /** MLP/TrueHD access units: AU 0 carries the major sync (+ rate nibble),
+    * later AUs are minor. All AUs `auBytes` long. */
+  def truehd(rateNibble: Int, nAu: Int, auBytes: Int = 24,
+             mlp: Boolean = false): Array[Byte] = {
+    require(auBytes % 2 == 0 && auBytes >= 12)
+    val out = new Array[Byte](nAu * auBytes)
+    var i = 0
+    var first = true
+    while (i < out.length) {
+      val words = auBytes / 2
+      out(i) = ((words >> 8) & 0x0f).toByte
+      out(i + 1) = (words & 0xff).toByte
+      if (first) {
+        out(i + 4) = 0xf8.toByte; out(i + 5) = 0x72
+        out(i + 6) = 0x6f; out(i + 7) = (if (mlp) 0xb1 else 0xba).toByte
+        out(i + 8) = (rateNibble << 4).toByte
+        first = false
+      }
+      i += auBytes
+    }
+    out
+  }
+
+  /** ASF (.wma) header: File Properties (play duration 100 ns + preroll)
+    * and one audio Stream Properties with a WAVEFORMATEX. */
+  def asfWma(channels: Int, sampleRate: Int, durationMs: Long,
+             prerollMs: Long): Array[Byte] = {
+    def g(hex: String): Array[Byte] =
+      hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val fileProps = ByteBuffer.allocate(104).order(ByteOrder.LITTLE_ENDIAN)
+    fileProps.put(g("A1DCAB8C47A9CF118EE400C00C205365"))
+    fileProps.putLong(104)
+    fileProps.put(new Array[Byte](16)) // file id
+    fileProps.putLong(0)               // file size
+    fileProps.putLong(0)               // creation
+    fileProps.putLong(0)               // data packets
+    fileProps.putLong((durationMs + prerollMs) * 10000L) // play duration, 100 ns
+    fileProps.putLong(0)               // send duration
+    fileProps.putLong(prerollMs)
+    fileProps.put(new Array[Byte](104 - 88))
+    val wfx = 18
+    val spSize = 24 + 54 + wfx
+    val streamProps = ByteBuffer.allocate(spSize).order(ByteOrder.LITTLE_ENDIAN)
+    streamProps.put(g("9107DCB7B7A9CF118EE600C00C205365"))
+    streamProps.putLong(spSize)
+    streamProps.put(g("409E69F84D5BCF11A8FD00805F5C442B")) // audio media
+    streamProps.put(new Array[Byte](16)) // error correction type
+    streamProps.putLong(0)             // time offset
+    streamProps.putInt(wfx)            // type data length
+    streamProps.putInt(0)              // ec data length
+    streamProps.putShort(1)            // flags (stream number 1)
+    streamProps.putInt(0)              // reserved
+    streamProps.putShort(0x161.toShort) // WMA v2
+    streamProps.putShort(channels.toShort)
+    streamProps.putInt(sampleRate)
+    streamProps.putInt(sampleRate * 2) // avg bytes/sec (unread)
+    streamProps.putShort(2)            // block align
+    streamProps.putShort(16)           // bits per sample
+    val body = fileProps.array() ++ streamProps.array()
+    val buf = ByteBuffer.allocate(30 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(g("3026B2758E66CF11A6D900AA0062CE6C"))
+    buf.putLong(30L + body.length)
+    buf.putInt(2)                      // object count
+    buf.put(1.toByte).put(2.toByte)    // reserved
+    buf.put(body)
+    buf.array()
+  }
+
+  /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
+    * (TimecodeScale 1e6, Duration f32 = durationMs), Tracks[audio entry
+    * (+ optional video entry)]}. Element sizes are 1-byte varints (all
+    * bodies < 127 bytes). */
+  def webm(audioChannels: Int, audioRate: Int, durationMs: Int,
+           docType: String = "webm",
+           video: Option[(Int, Int)] = None): Array[Byte] = {
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127, "fixture element too long for 1-byte size")
+      id.map(_.toByte).toArray ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      (1 to n).map(k => ((v >> (8 * (n - k))) & 0xff).toByte).toArray
+    }
+    def f32(v: Float): Array[Byte] = {
+      val b = java.lang.Float.floatToIntBits(v)
+      Array((b >> 24).toByte, (b >> 16).toByte, (b >> 8).toByte, b.toByte)
+    }
+    val ebmlHdr = el(Array(0x1a, 0x45, 0xdf, 0xa3),
+      el(Array(0x42, 0x82), docType.getBytes("ISO-8859-1")))
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66),
+      el(Array(0x2a, 0xd7, 0xb1), uint(1000000L)) ++
+        el(Array(0x44, 0x89), f32(durationMs.toFloat)))
+    val audioTrack = el(Array(0xae),
+      el(Array(0x83), uint(2)) ++
+        el(Array(0xe1),
+          el(Array(0xb5), f32(audioRate.toFloat)) ++
+            el(Array(0x9f), uint(audioChannels.toLong))))
+    val videoTrack = video.map { case (w, h) =>
+      el(Array(0xae),
+        el(Array(0x83), uint(1)) ++
+          el(Array(0xe0),
+            el(Array(0xb0), uint(w.toLong)) ++ el(Array(0xba), uint(h.toLong))))
+    }.getOrElse(Array.emptyByteArray)
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b), audioTrack ++ videoTrack)
+    val segBody = info ++ tracks
+    // Segment with an UNKNOWN size (all value bits set) — the common
+    // streaming-muxer shape, exercising the parser's to-end arm
+    val segment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array(0xff.toByte) ++ segBody
+    ebmlHdr ++ segment
+  }
+
+  /** Ogg Opus: BOS page with OpusHead (channels, pre-skip), a comment
+    * page, and an EOS data page carrying the final granule position
+    * (48 kHz clock). Page CRCs are 0 (unverified, like [[oggVorbis]]). */
+  def oggOpus(channels: Int, preSkip: Int, granule: Long): Array[Byte] = {
+    def page(seq: Int, headerType: Int, gran: Long,
+             packet: Array[Byte]): Array[Byte] = {
+      val lacings = Seq.fill(packet.length / 255)(255) :+ (packet.length % 255)
+      val buf = ByteBuffer.allocate(27 + lacings.length + packet.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+      buf.putLong(gran)
+      buf.putInt(0x08080808)           // serial
+      buf.putInt(seq)
+      buf.putInt(0)                    // crc (unverified)
+      buf.put(lacings.length.toByte)
+      lacings.foreach(l => buf.put(l.toByte))
+      buf.put(packet)
+      buf.array()
+    }
+    val head = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+    head.put("OpusHead".getBytes).put(1.toByte).put(channels.toByte)
+    head.putShort(preSkip.toShort)
+    head.putInt(48000)                 // input sample rate (informational)
+    head.putShort(0)                   // output gain
+    head.put(0.toByte)                 // channel mapping family
+    val tags = "OpusTags".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "graft".getBytes ++ Array[Byte](0, 0, 0, 0)
+    page(0, 2, 0, head.array()) ++ page(1, 0, -1, tags) ++
+      page(2, 4, granule, Array[Byte](0x0c, 0x00, 0x00)) // one SILK-ish packet
+  }
 }

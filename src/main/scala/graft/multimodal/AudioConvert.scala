@@ -31,7 +31,9 @@ object AudioConvert {
     def durationMs: Long = frames * 1000L / frameRate
   }
 
-  /** wav/aiff bytes → samples, dispatched by magic (never by extension). */
+  /** wav/aiff/au/caf bytes → samples, dispatched by magic (never by
+    * extension). au µ-law expands to the 16-bit range; au PCM8 and CAF i8
+    * are signed (bits=8 keeps the [-128,127] contract). */
   def decodeSamples(bytes: Array[Byte]): AudioBuf =
     if (MediaCodecs.isWav(bytes)) {
       val (m, s) = MediaCodecs.wavSamples(bytes)
@@ -39,8 +41,14 @@ object AudioConvert {
     } else if (MediaCodecs.isAiff(bytes)) {
       val (m, s) = MediaCodecs.aiffSamples(bytes)
       AudioBuf(m.channels, m.frameRate, m.bitsPerSample, s)
+    } else if (MediaCodecs.isAu(bytes)) {
+      val (m, s) = MediaCodecs.auSamples(bytes)
+      AudioBuf(m.channels, m.rate, if (m.encoding == 2) 8 else 16, s)
+    } else if (MediaCodecs.isCaf(bytes)) {
+      val (m, s) = MediaCodecs.cafSamples(bytes)
+      AudioBuf(m.channels, m.rate, m.bits, s)
     } else throw new IllegalArgumentException(
-      "unsupported audio input (wav/aiff PCM)")
+      "unsupported audio input (wav/aiff/au/caf PCM)")
 
   /** samples → target-format bytes. */
   def encode(buf: AudioBuf, fmt: String): Array[Byte] =

@@ -1831,4 +1831,724 @@ object MediaCodecs {
     }
     IcoMeta(bestW, bestH, count)
   }
+
+  // ==========================================================================
+  // Audio input whitelist sweep — the audio analog of [[imageHeader]].
+  //
+  // The reference's pydub/mutagen input whitelist
+  // (/root/reference/src/converters/audio_converters.py:40-44) names 21
+  // extensions. wav/aiff decode samples for real; mp3/ogg/flac/m4a parse
+  // their tag containers ([[parseId3v2]]/[[parseOggVorbis]]/[[parseFlac]]/
+  // [[parseMp4]]). This section covers the REST with real header parses of
+  // the published container layouts — au and caf additionally decode PCM
+  // samples (they are plain PCM containers, [[auSamples]]/[[cafSamples]]).
+  // `.raw` stays unclaimable by design: headerless PCM has no magic at all
+  // (extension-routing territory, like TGA v1). Frame/entropy data is never
+  // decoded here; CRCs are not verified.
+  // ==========================================================================
+
+  private def be16(b: Array[Byte], i: Int): Int = {
+    require(i >= 0 && i + 2 <= b.length, s"big-endian u16 read at $i out of bounds")
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  }
+  private def be32(b: Array[Byte], i: Int): Long = {
+    require(i >= 0 && i + 4 <= b.length, s"big-endian u32 read at $i out of bounds")
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  }
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def le32(b: Array[Byte], i: Int): Long = {
+    require(i >= 0 && i + 4 <= b.length, s"little-endian u32 read at $i out of bounds")
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  }
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
+
+  /** MSB-first bit cursor over a byte range — the framed-audio headers
+    * (AC-3/E-AC-3/DTS) pack fields at bit granularity. */
+  private final class BitCursor(b: Array[Byte], startByte: Int) {
+    private var pos = startByte * 8
+    def bits(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val by = pos >> 3
+        require(by < b.length, "bitfield read past end of payload")
+        v = (v << 1) | ((b(by) >> (7 - (pos & 7))) & 1)
+        pos += 1; k += 1
+      }
+      v
+    }
+  }
+
+  /** One header-metadata shape for the whole sweep. `channels == 0` means
+    * the layout was NOT parsed (MLP/TrueHD channel assignment needs the
+    * full presentation map) — never a fabricated guess; `durationMs == 0`
+    * on an Ogg stream means no page carries a granule position. */
+  final case class AudioHeaderMeta(mime: String, channels: Int, rate: Int,
+                                   durationMs: Long)
+
+  // ---- Sun/NeXT .au (public header: 6 u32be fields) ----
+  final case class AuMeta(encoding: Int, channels: Int, rate: Int,
+                          dataOffset: Int, dataBytes: Int) {
+    def bytesPerSample: Int = if (encoding == 3) 2 else 1
+    def frames: Long = dataBytes.toLong / (bytesPerSample * channels)
+    def durationMs: Long = frames * 1000L / rate
+  }
+
+  def isAu(b: Array[Byte]): Boolean =
+    b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+
+  /** .au header: magic, data offset, data size (0xFFFFFFFF = unknown →
+    * rest of payload), encoding (1 = G.711 µ-law, 2 = PCM8 signed,
+    * 3 = PCM16 big-endian signed — the three PCM-ish encodings; ADPCM
+    * variants are named errors), sample rate, channels. */
+  def parseAu(bytes: Array[Byte]): AuMeta = {
+    require(isAu(bytes), "not a .au payload")
+    val off = be32(bytes, 4)
+    val size = be32(bytes, 8)
+    val enc = be32(bytes, 12).toInt
+    val rate = be32(bytes, 16).toInt
+    val ch = be32(bytes, 20).toInt
+    require(off >= 24 && off <= bytes.length, s"AU data offset $off out of range")
+    val data = if (size == 0xffffffffL) bytes.length - off else size
+    require(data >= 0 && off + data <= bytes.length, "AU data size overruns payload")
+    require(enc == 1 || enc == 2 || enc == 3,
+      s"AU encoding $enc unsupported (mu-law/PCM8/PCM16 only)")
+    require(ch >= 1 && ch <= 64, s"bad AU channel count $ch")
+    require(rate > 0 && rate <= 768000, s"bad AU sample rate $rate")
+    AuMeta(enc, ch, rate, off.toInt, data.toInt)
+  }
+
+  /** G.711 µ-law byte → 16-bit PCM (the CCITT reference expansion:
+    * complement, then ((mantissa<<3)+0x84)<<exponent re-biased). Known
+    * vector: 0x00 → -32124, 0x80 → +32124, 0xFF/0x7F → 0 (pinned in
+    * AudioConvertSpec). */
+  def ulawToPcm(u: Int): Int = {
+    val x = ~u & 0xff
+    val t = (((x & 0x0f) << 3) + 0x84) << ((x >> 4) & 7)
+    if ((x & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Decoded interleaved samples: µ-law expands to the 16-bit range,
+    * PCM8 is SIGNED (unlike WAV's biased u8), PCM16 is big-endian. */
+  def auSamples(bytes: Array[Byte]): (AuMeta, Array[Int]) = {
+    val m = parseAu(bytes)
+    val count = m.dataBytes / m.bytesPerSample
+    require(count <= (1L << 24),
+      s"PCM payload of $count samples exceeds the 16M-sample decode cap")
+    val out = new Array[Int](count.toInt)
+    var p = m.dataOffset
+    var i = 0
+    m.encoding match {
+      case 1 => while (i < count) { out(i) = ulawToPcm(bytes(p) & 0xff); p += 1; i += 1 }
+      case 2 => while (i < count) { out(i) = bytes(p).toInt; p += 1; i += 1 }
+      case _ => while (i < count) {
+        out(i) = ((bytes(p) << 8) | (bytes(p + 1) & 0xff)).toShort.toInt
+        p += 2; i += 1
+      }
+    }
+    (m, out)
+  }
+
+  // ---- Apple CAF (public spec: caff header + desc/data chunks) ----
+  final case class CafMeta(channels: Int, rate: Int, bits: Int,
+                           littleEndian: Boolean, dataOffset: Int, dataBytes: Int) {
+    def frames: Long = dataBytes.toLong / (channels * (bits / 8))
+    def durationMs: Long = frames * 1000L / rate
+  }
+
+  def isCaf(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 'c' && b(1) == 'a' && b(2) == 'f' && b(3) == 'f' &&
+      be16(b, 4) == 1 && be16(b, 6) == 0
+
+  /** CAF chunk walk: `desc` (f64be sample rate, 'lpcm' fourcc, format
+    * flags — bit0 float, bit1 little-endian — and the packet/channel/bit
+    * geometry), `data` (u32be edit count + samples; size -1 = rest of
+    * file). Integer 8/16-bit LPCM only; float and compressed formatIDs
+    * are named errors. */
+  def parseCaf(bytes: Array[Byte]): CafMeta = {
+    require(isCaf(bytes), "not a CAF payload")
+    var i = 8L
+    var channels = 0; var rate = 0; var bits = 0; var little = false
+    var dataOffset = -1L; var dataBytes = -1L
+    while (i + 12 <= bytes.length && (channels == 0 || dataBytes < 0)) {
+      val at = i.toInt
+      val tpe = new String(bytes, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = be64(bytes, at + 4)
+      require(size >= -1L, s"bad CAF chunk size $size")
+      val bodyAt = i + 12
+      if (tpe == "desc") {
+        require(size >= 32 && bodyAt + 32 <= bytes.length, "CAF desc chunk truncated")
+        val rateBits = be64(bytes, at + 12)
+        val rateD = java.lang.Double.longBitsToDouble(rateBits)
+        require(rateD > 0 && rateD <= 768000 && rateD == math.rint(rateD),
+          s"bad CAF sample rate $rateD")
+        rate = rateD.toInt
+        val fmt = new String(bytes, at + 20, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        require(fmt == "lpcm", s"CAF format '$fmt' unsupported (lpcm only)")
+        val flags = be32(bytes, at + 24)
+        require((flags & 1L) == 0, "CAF float LPCM unsupported")
+        little = (flags & 2L) != 0
+        val bytesPerPacket = be32(bytes, at + 28)
+        val framesPerPacket = be32(bytes, at + 32)
+        channels = be32(bytes, at + 36).toInt
+        bits = be32(bytes, at + 40).toInt
+        require(channels >= 1 && channels <= 64, s"bad CAF channel count $channels")
+        require(bits == 8 || bits == 16, s"CAF $bits-bit LPCM unsupported (8/16)")
+        require(framesPerPacket == 1 && bytesPerPacket == channels.toLong * (bits / 8),
+          "CAF packet geometry is not plain interleaved LPCM")
+      } else if (tpe == "data") {
+        val body = if (size == -1L) bytes.length - bodyAt else size
+        require(body >= 4 && bodyAt + body <= bytes.length, "CAF data chunk overruns payload")
+        dataOffset = bodyAt + 4 // mEditCount
+        dataBytes = body - 4
+      }
+      if (size == -1L) i = bytes.length.toLong
+      else i = bodyAt + size
+    }
+    require(channels > 0, "CAF has no desc chunk")
+    require(dataBytes >= 0, "CAF has no data chunk")
+    CafMeta(channels, rate, bits, little, dataOffset.toInt, dataBytes.toInt)
+  }
+
+  def cafSamples(bytes: Array[Byte]): (CafMeta, Array[Int]) = {
+    val m = parseCaf(bytes)
+    val count = m.dataBytes / (m.bits / 8)
+    require(count <= (1L << 24),
+      s"PCM payload of $count samples exceeds the 16M-sample decode cap")
+    val out = new Array[Int](count.toInt)
+    var p = m.dataOffset
+    var i = 0
+    if (m.bits == 16) {
+      while (i < count) {
+        out(i) = (if (m.littleEndian) (bytes(p) & 0xff) | (bytes(p + 1) << 8)
+                  else (bytes(p) << 8) | (bytes(p + 1) & 0xff)).toShort.toInt
+        p += 2; i += 1
+      }
+    } else {
+      while (i < count) { out(i) = bytes(p).toInt; p += 1; i += 1 } // CAF i8 is signed
+    }
+    (m, out)
+  }
+
+  // ---- True Audio (TTA1: one fixed 22-byte header) ----
+  def isTta(b: Array[Byte]): Boolean =
+    b.length >= 22 && b(0) == 'T' && b(1) == 'T' && b(2) == 'A' && b(3) == '1'
+
+  def parseTta(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isTta(bytes), "not a TTA1 payload")
+    val format = u16(bytes, 4)
+    require(format == 1, s"TTA format $format unsupported (integer PCM only)")
+    val channels = u16(bytes, 6)
+    val rate = le32(bytes, 10).toInt
+    val samples = le32(bytes, 14) // per channel
+    require(channels >= 1 && channels <= 64, s"bad TTA channel count $channels")
+    require(rate > 0 && rate <= 768000, s"bad TTA sample rate $rate")
+    AudioHeaderMeta("audio/x-tta", channels, rate, samples * 1000L / rate)
+  }
+
+  // ---- Monkey's Audio (APE >= 3.98 descriptor + header layout) ----
+  def isApe(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'M' && b(1) == 'A' && b(2) == 'C' && b(3) == ' '
+
+  def parseApe(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isApe(bytes), "not an APE payload")
+    val version = u16(bytes, 4)
+    require(version >= 3980, s"APE version $version pre-3.98 layout unsupported")
+    val descriptorBytes = le32(bytes, 8)
+    require(descriptorBytes >= 52 && descriptorBytes + 24 <= bytes.length,
+      "APE descriptor overruns payload")
+    val h = descriptorBytes.toInt
+    val blocksPerFrame = le32(bytes, h + 4)
+    val finalFrameBlocks = le32(bytes, h + 8)
+    val totalFrames = le32(bytes, h + 12)
+    val channels = u16(bytes, h + 18)
+    val rate = le32(bytes, h + 20).toInt
+    require(channels >= 1 && channels <= 32, s"bad APE channel count $channels")
+    require(rate > 0 && rate <= 768000, s"bad APE sample rate $rate")
+    val totalBlocks =
+      if (totalFrames == 0) 0L
+      else (totalFrames - 1) * blocksPerFrame + finalFrameBlocks
+    AudioHeaderMeta("audio/x-ape", channels, rate, totalBlocks * 1000L / rate)
+  }
+
+  // ---- WavPack (32-byte block header) ----
+  private val WavpackRates = Array(6000, 8000, 9600, 11025, 12000, 16000,
+    22050, 24000, 32000, 44100, 48000, 64000, 88200, 96000, 192000)
+
+  def isWavpack(b: Array[Byte]): Boolean =
+    b.length >= 32 && b(0) == 'w' && b(1) == 'v' && b(2) == 'p' && b(3) == 'k'
+
+  def parseWavpack(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isWavpack(bytes), "not a WavPack payload")
+    val version = u16(bytes, 8)
+    require(version >= 0x402 && version <= 0x410,
+      f"WavPack stream version 0x$version%x unsupported")
+    val totalSamples = le32(bytes, 12)
+    require(totalSamples != 0xffffffffL,
+      "WavPack total sample count unknown in this block")
+    val flags = le32(bytes, 24)
+    val rateIdx = ((flags >> 23) & 0xf).toInt
+    require(rateIdx < 15, "WavPack custom sample rate unsupported")
+    val rate = WavpackRates(rateIdx)
+    val channels = if ((flags & 4L) != 0) 1 else 2
+    AudioHeaderMeta("audio/x-wavpack", channels, rate, totalSamples * 1000L / rate)
+  }
+
+  // ---- ADTS AAC (fixed 7/9-byte frame headers, 1024 samples each) ----
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  def isAdts(b: Array[Byte]): Boolean =
+    b.length >= 7 && (b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0
+
+  def parseAdts(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isAdts(bytes), "not an ADTS payload")
+    val freqIdx = (bytes(2) >> 2) & 0xf
+    require(freqIdx < 13, s"bad ADTS sampling frequency index $freqIdx")
+    val rate = AdtsRates(freqIdx)
+    val chanCfg = ((bytes(2) & 1) << 2) | ((bytes(3) >> 6) & 3)
+    require(chanCfg >= 1 && chanCfg <= 7, s"ADTS channel configuration $chanCfg unsupported")
+    val channels = if (chanCfg == 7) 8 else chanCfg
+    var frames = 0L
+    var i = 0
+    while (i + 7 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xf6) == 0xf0,
+        s"ADTS frame sync lost at $i")
+      val len = ((bytes(i + 3) & 3) << 11) | ((bytes(i + 4) & 0xff) << 3) |
+        ((bytes(i + 5) >> 5) & 7)
+      require(len >= 7 && i + len <= bytes.length, s"ADTS frame at $i overruns payload")
+      frames += 1
+      i += len
+    }
+    AudioHeaderMeta("audio/aac", channels, rate, frames * 1024L * 1000L / rate)
+  }
+
+  // ---- AC-3 / E-AC-3 (syncframe headers; frames walked, never decoded) ----
+  private val Ac3Rates = Array(48000, 44100, 32000)
+  private val Ac3Kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 384, 448, 512, 576, 640)
+  private val Ac3FullBw = Array(2, 1, 2, 3, 3, 4, 4, 5) // by acmod (0 = 1+1 dual mono)
+
+  def isAc3Sync(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x0b && (b(1) & 0xff) == 0x77
+
+  /** AC-3 frame size in bytes from fscod/frmsizecod (A/52 frame-size
+    * table as the closed forms it tabulates: 48k = 2·kbps words,
+    * 44.1k = ⌊kbps·96000/44100⌋ (+1 for odd codes), 32k = 3·kbps words).
+    * Pinned against the published table in AudioConvertSpec
+    * (384 kbps @ 48 kHz = 1536 bytes). */
+  private def ac3FrameBytes(fscod: Int, frmsizecod: Int): Int = {
+    val kbps = Ac3Kbps(frmsizecod >> 1)
+    val words = fscod match {
+      case 0 => 2 * kbps
+      case 1 => (kbps.toLong * 96000 / 44100).toInt + (frmsizecod & 1)
+      case _ => 3 * kbps
+    }
+    words * 2
+  }
+
+  def parseAc3(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isAc3Sync(bytes), "not an AC-3/E-AC-3 payload")
+    val bsid = (bytes(5) >> 3) & 0x1f
+    if (bsid > 10) return parseEac3(bytes)
+    require(bsid <= 8, s"AC-3 bsid $bsid unsupported")
+    val fscod0 = (bytes(4) >> 6) & 3
+    require(fscod0 < 3, "bad AC-3 fscod")
+    val rate = Ac3Rates(fscod0)
+    // acmod + the acmod-dependent mix-level fields, then lfeon (bit walk)
+    val bc = new BitCursor(bytes, 6)
+    val acmod = bc.bits(3)
+    if ((acmod & 1) != 0 && acmod != 1) bc.bits(2) // cmixlev
+    if ((acmod & 4) != 0) bc.bits(2) // surmixlev
+    if (acmod == 2) bc.bits(2) // dsurmod
+    val lfeon = bc.bits(1)
+    val channels = Ac3FullBw(acmod) + lfeon
+    var frames = 0L
+    var i = 0
+    while (i + 8 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0x0b && (bytes(i + 1) & 0xff) == 0x77,
+        s"AC-3 frame sync lost at $i")
+      val fscod = (bytes(i + 4) >> 6) & 3
+      val frmsizecod = bytes(i + 4) & 0x3f
+      require(fscod < 3 && frmsizecod < 38, s"bad AC-3 frame code at $i")
+      val len = ac3FrameBytes(fscod, frmsizecod)
+      require(i + len <= bytes.length, s"AC-3 frame at $i overruns payload")
+      frames += 1
+      i += len
+    }
+    AudioHeaderMeta("audio/ac3", channels, rate, frames * 1536L * 1000L / rate)
+  }
+
+  private val Eac3Blocks = Array(1, 2, 3, 6)
+  private val Eac3ReducedRates = Array(24000, 22050, 16000)
+
+  /** E-AC-3 (bsid 11-16): frmsiz gives the frame size directly; fscod 3
+    * switches to the reduced-rate table at a fixed 6 blocks. */
+  def parseEac3(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isAc3Sync(bytes), "not an E-AC-3 payload")
+    val bsid = (bytes(5) >> 3) & 0x1f
+    require(bsid >= 11 && bsid <= 16, s"E-AC-3 bsid $bsid out of range")
+    def frameInfo(i: Int): (Int, Int, Int) = {
+      val frmsiz = ((bytes(i + 2) & 7) << 8) | (bytes(i + 3) & 0xff)
+      val len = (frmsiz + 1) * 2
+      val fscod = (bytes(i + 4) >> 6) & 3
+      val (rate, blocks) =
+        if (fscod == 3) {
+          val fscod2 = (bytes(i + 4) >> 4) & 3
+          require(fscod2 < 3, "bad E-AC-3 fscod2")
+          (Eac3ReducedRates(fscod2), 6)
+        } else (Ac3Rates(fscod), Eac3Blocks((bytes(i + 4) >> 4) & 3))
+      (len, rate, blocks)
+    }
+    val (_, rate0, _) = frameInfo(0)
+    val acmod = (bytes(4) >> 1) & 7
+    val lfeon = bytes(4) & 1
+    val channels = Ac3FullBw(acmod) + lfeon
+    var i = 0
+    var samples = 0L
+    while (i + 8 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0x0b && (bytes(i + 1) & 0xff) == 0x77,
+        s"E-AC-3 frame sync lost at $i")
+      val (len, _, blocks) = frameInfo(i)
+      require(i + len <= bytes.length, s"E-AC-3 frame at $i overruns payload")
+      samples += blocks * 256L
+      i += len
+    }
+    AudioHeaderMeta("audio/eac3", channels, rate0, samples * 1000L / rate0)
+  }
+
+  // ---- DTS core (bit-packed frame header) ----
+  private val DtsRates = Map(1 -> 8000, 2 -> 16000, 3 -> 32000, 6 -> 11025,
+    7 -> 22050, 8 -> 44100, 11 -> 12000, 12 -> 24000, 13 -> 48000)
+  private val DtsChannels = Array(1, 2, 2, 2, 2, 3, 3, 4, 4, 5)
+
+  def isDts(b: Array[Byte]): Boolean =
+    b.length >= 10 && (b(0) & 0xff) == 0x7f && (b(1) & 0xff) == 0xfe &&
+      (b(2) & 0xff) == 0x80 && (b(3) & 0xff) == 0x01
+
+  def parseDts(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isDts(bytes), "not a DTS core payload")
+    def header(i: Int): (Int, Int, Int, Int) = {
+      val bc = new BitCursor(bytes, i + 4)
+      bc.bits(1) // frame type
+      bc.bits(5) // deficit sample count
+      bc.bits(1) // crc present
+      val nblks = bc.bits(7)
+      val fsize = bc.bits(14)
+      val amode = bc.bits(6)
+      val sfreq = bc.bits(4)
+      require(fsize >= 95, s"bad DTS frame size ${fsize + 1}")
+      (nblks, fsize + 1, amode, sfreq)
+    }
+    val (_, _, amode0, sfreq0) = header(0)
+    require(amode0 < DtsChannels.length, s"DTS amode $amode0 (user-defined) unsupported")
+    val rate = DtsRates.getOrElse(sfreq0,
+      throw new IllegalArgumentException(s"bad DTS sample rate code $sfreq0"))
+    var i = 0
+    var samples = 0L
+    while (i + 10 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0x7f && (bytes(i + 1) & 0xff) == 0xfe &&
+        (bytes(i + 2) & 0xff) == 0x80 && (bytes(i + 3) & 0xff) == 0x01,
+        s"DTS frame sync lost at $i")
+      val (nblks, len, _, _) = header(i)
+      require(i + len <= bytes.length, s"DTS frame at $i overruns payload")
+      samples += (nblks + 1) * 32L
+      i += len
+    }
+    AudioHeaderMeta("audio/vnd.dts", DtsChannels(amode0), rate, samples * 1000L / rate)
+  }
+
+  // ---- MLP / Dolby TrueHD (major-sync access units) ----
+  def isMlpFamily(b: Array[Byte]): Boolean =
+    b.length >= 12 && (b(4) & 0xff) == 0xf8 && (b(5) & 0xff) == 0x72 &&
+      (b(6) & 0xff) == 0x6f && ((b(7) & 0xff) == 0xb1 || (b(7) & 0xff) == 0xba)
+
+  /** MLP/TrueHD: access-unit walk (12-bit length in 16-bit words) with the
+    * major sync's sampling-frequency nibble (44.1k/48k family << shift).
+    * An access unit spans 40<<shift samples. Channel layout is NOT parsed
+    * (the presentation channel-assignment map is out of scope) — reported
+    * as 0, never guessed. */
+  def parseMlp(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isMlpFamily(bytes), "not an MLP/TrueHD payload")
+    val trueHd = (bytes(7) & 0xff) == 0xba
+    val nib = (bytes(8) >> 4) & 0xf
+    val shift = nib & 7
+    require(shift <= 2, s"bad MLP sampling-frequency shift $shift")
+    val rate = (if ((nib & 8) != 0) 44100 else 48000) << shift
+    var i = 0
+    var aus = 0L
+    while (i + 2 <= bytes.length) {
+      val words = ((bytes(i) & 0x0f) << 8) | (bytes(i + 1) & 0xff)
+      val len = words * 2
+      require(len >= 8 && i + len <= bytes.length, s"MLP access unit at $i overruns payload")
+      aus += 1
+      i += len
+    }
+    val samples = aus * (40L << shift)
+    AudioHeaderMeta(if (trueHd) "audio/truehd" else "audio/mlp", 0, rate,
+      samples * 1000L / rate)
+  }
+
+  // ---- ASF (.wma) — GUID-keyed object walk ----
+  private def guid(hex: String): Array[Byte] =
+    hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  private val AsfHeaderGuid = guid("3026B2758E66CF11A6D900AA0062CE6C")
+  private val AsfFilePropsGuid = guid("A1DCAB8C47A9CF118EE400C00C205365")
+  private val AsfStreamPropsGuid = guid("9107DCB7B7A9CF118EE600C00C205365")
+  private val AsfAudioMediaGuid = guid("409E69F84D5BCF11A8FD00805F5C442B")
+
+  private def guidAt(b: Array[Byte], i: Int, g: Array[Byte]): Boolean =
+    i + 16 <= b.length && g.indices.forall(k => b(i + k) == g(k))
+
+  def isAsf(b: Array[Byte]): Boolean =
+    b.length >= 30 && guidAt(b, 0, AsfHeaderGuid)
+
+  /** ASF header objects: File Properties (play duration in 100 ns units
+    * minus the preroll buffer, the mutagen .info.length formula) and the
+    * first AUDIO Stream Properties' WAVEFORMATEX (channels, rate). A
+    * container with no audio stream reports video/x-ms-asf with zeroed
+    * audio parameters. */
+  def parseAsf(bytes: Array[Byte]): AudioHeaderMeta = {
+    require(isAsf(bytes), "not an ASF payload")
+    val headerSize = le64(bytes, 16)
+    require(headerSize >= 30 && headerSize <= bytes.length,
+      "ASF header object overruns payload")
+    var durationMs = 0L
+    var channels = 0; var rate = 0
+    var i = 30L
+    while (i + 24 <= headerSize) {
+      val at = i.toInt
+      val size = le64(bytes, at + 16)
+      require(size >= 24 && i + size <= headerSize, s"ASF sub-object at $at overruns header")
+      if (guidAt(bytes, at, AsfFilePropsGuid)) {
+        require(size >= 96, "ASF File Properties object truncated")
+        val play100ns = le64(bytes, at + 64)
+        val prerollMs = le64(bytes, at + 80)
+        durationMs = play100ns / 10000L - prerollMs
+        require(durationMs >= 0, "negative ASF play duration")
+      } else if (guidAt(bytes, at, AsfStreamPropsGuid) && channels == 0 &&
+                 guidAt(bytes, at + 24, AsfAudioMediaGuid)) {
+        require(size >= 24 + 54 + 8, "ASF audio Stream Properties truncated")
+        channels = u16(bytes, at + 24 + 56)
+        rate = le32(bytes, at + 24 + 58).toInt
+        require(channels >= 1 && channels <= 64 && rate > 0 && rate <= 768000,
+          "bad ASF WAVEFORMATEX audio parameters")
+      }
+      i += size
+    }
+    if (channels > 0) AudioHeaderMeta("audio/x-ms-wma", channels, rate, durationMs)
+    else AudioHeaderMeta("video/x-ms-asf", 0, 0, durationMs)
+  }
+
+  // ---- Matroska / WebM (EBML) ----
+  def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+  final case class MatroskaMeta(docType: String, durationMs: Long,
+                                audioChannels: Int, audioRate: Int,
+                                videoWidth: Int, videoHeight: Int) {
+    def hasVideo: Boolean = videoWidth > 0
+  }
+
+  /** EBML walk (the Matroska/WebM container grammar): variable-length
+    * element IDs (marker bit kept) and sizes (marker stripped; all-ones =
+    * unknown, legal only for Segment → runs to payload end). Reads DocType,
+    * Info TimecodeScale/Duration, and the first audio/video TrackEntry's
+    * parameters. Cluster/frame data is never touched. */
+  def parseMatroska(bytes: Array[Byte]): MatroskaMeta = {
+    require(isEbml(bytes), "not an EBML payload")
+    def vlen(first: Int): Int = {
+      var mask = 0x80; var n = 1
+      while (n <= 8 && (first & mask) == 0) { mask >>= 1; n += 1 }
+      require(n <= 8, "bad EBML varint lead byte 0x00")
+      n
+    }
+    def readId(i: Int): (Long, Int) = {
+      require(i < bytes.length, "EBML id read past end")
+      val n = vlen(bytes(i) & 0xff)
+      require(i + n <= bytes.length, "EBML id truncated")
+      var v = 0L
+      for (k <- 0 until n) v = (v << 8) | (bytes(i + k) & 0xffL)
+      (v, n)
+    }
+    def readSize(i: Int): (Long, Int) = {
+      require(i < bytes.length, "EBML size read past end")
+      val first = bytes(i) & 0xff
+      val n = vlen(first)
+      require(i + n <= bytes.length, "EBML size truncated")
+      var v = (first & (0xff >> n)).toLong
+      for (k <- 1 until n) v = (v << 8) | (bytes(i + k) & 0xffL)
+      // all value bits set = unknown size
+      val unknown = v == (1L << (7 * n)) - 1
+      (if (unknown) -1L else v, n)
+    }
+    def uintAt(i: Int, len: Int): Long = {
+      require(len >= 1 && len <= 8 && i + len <= bytes.length, "EBML uint truncated")
+      var v = 0L
+      for (k <- 0 until len) v = (v << 8) | (bytes(i + k) & 0xffL)
+      v
+    }
+    def floatAt(i: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(bytes, i).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(bytes, i))
+      case n => throw new IllegalArgumentException(s"EBML float of width $n")
+    }
+    var docType = "matroska" // the EBML default when DocType is absent
+    var timecodeScale = 1000000L // ns, the Matroska default
+    var durationUnits = 0.0
+    var audioChannels = 0; var audioRate = 0
+    var videoW = 0; var videoH = 0
+    var inAudioTrack = false; var inVideoTrack = false
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      require(depth < 16, "EBML nesting too deep")
+      var i = from
+      while (i < until) {
+        val (id, idLen) = readId(i)
+        val (sz, szLen) = readSize(i + idLen)
+        val bodyAt = i + idLen + szLen
+        val bodyEnd = if (sz == -1L) {
+          require(id == 0x18538067L, "unknown EBML size outside Segment")
+          until
+        } else {
+          require(sz <= until - bodyAt, s"EBML element 0x${id.toHexString} overruns enclosure")
+          bodyAt + sz.toInt
+        }
+        id match {
+          case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
+            walk(bodyAt, bodyEnd, depth + 1) // EBML hdr / Segment / Info / Tracks
+          case 0xaeL => // TrackEntry: type element decides which leaf group counts
+            inAudioTrack = false; inVideoTrack = false
+            walk(bodyAt, bodyEnd, depth + 1)
+          case 0x83L => // TrackType: 1 = video, 2 = audio
+            val t = uintAt(bodyAt, (bodyEnd - bodyAt).toInt)
+            inAudioTrack = t == 2; inVideoTrack = t == 1
+          case 0xe1L if inAudioTrack && audioChannels == 0 =>
+            // Audio element: defaults per spec, overridden by children
+            audioChannels = 1; audioRate = 8000
+            walk(bodyAt, bodyEnd, depth + 1)
+          case 0xe0L if inVideoTrack && videoW == 0 =>
+            walk(bodyAt, bodyEnd, depth + 1)
+          case 0x4282L => // DocType
+            docType = new String(bytes, bodyAt, bodyEnd - bodyAt,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 0x2ad7b1L => timecodeScale = uintAt(bodyAt, bodyEnd - bodyAt)
+          case 0x4489L => durationUnits = floatAt(bodyAt, bodyEnd - bodyAt)
+          case 0xb5L if inAudioTrack =>
+            val r = floatAt(bodyAt, bodyEnd - bodyAt)
+            require(r > 0 && r <= 768000 && r == math.rint(r),
+              s"bad Matroska sampling frequency $r")
+            audioRate = r.toInt
+          case 0x9fL if inAudioTrack =>
+            audioChannels = uintAt(bodyAt, bodyEnd - bodyAt).toInt
+          case 0xb0L if inVideoTrack => videoW = uintAt(bodyAt, bodyEnd - bodyAt).toInt
+          case 0xbaL if inVideoTrack => videoH = uintAt(bodyAt, bodyEnd - bodyAt).toInt
+          case _ => () // skip leaves we don't need (CRC, Void, Cluster, ...)
+        }
+        i = bodyEnd
+      }
+    }
+    walk(0, bytes.length, 0)
+    val durationMs = math.rint(durationUnits * timecodeScale / 1e6).toLong
+    MatroskaMeta(docType, durationMs, audioChannels, audioRate, videoW, videoH)
+  }
+
+  // ---- Ogg granule scan (duration for Opus/Vorbis streams) ----
+  /** Last non-(-1) granule position across the page sequence — sample
+    * count at the stream's nominal clock (48 kHz for Opus, the audio rate
+    * for Vorbis). 0 when no page carries a granule. */
+  def lastOggGranule(bytes: Array[Byte]): Long = {
+    var i = 0
+    var last = 0L
+    while (i + 27 <= bytes.length) {
+      require(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+        bytes(i + 3) == 'S', s"Ogg page capture pattern missing at $i")
+      val g = le64(bytes, i + 6)
+      if (g != -1L && g > last) last = g
+      val nsegs = bytes(i + 26) & 0xff
+      require(i + 27 + nsegs <= bytes.length, "Ogg segment table truncated")
+      var dataLen = 0
+      var k = 0
+      while (k < nsegs) { dataLen += bytes(i + 27 + k) & 0xff; k += 1 }
+      require(i + 27 + nsegs + dataLen <= bytes.length, "Ogg page data truncated")
+      i += 27 + nsegs + dataLen
+    }
+    last
+  }
+
+  /** First packet of the first Ogg page (enough to dispatch Opus vs
+    * Vorbis: the identification header is always packet 1 on page 1). */
+  private def firstOggPacket(bytes: Array[Byte]): Array[Byte] = {
+    require(isOgg(bytes), "not an Ogg payload")
+    val nsegs = bytes(26) & 0xff
+    require(27 + nsegs <= bytes.length, "Ogg segment table truncated")
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 27 + nsegs
+    var s = 0
+    var done = false
+    while (s < nsegs && !done) {
+      val lace = bytes(27 + s) & 0xff
+      require(p + lace <= bytes.length, "Ogg page data truncated")
+      out.write(bytes, p, lace)
+      p += lace
+      if (lace < 255) done = true
+      s += 1
+    }
+    out.toByteArray
+  }
+
+  /** Ogg audio dispatch: OpusHead identification (channels, pre-skip,
+    * 48 kHz granule clock) or the Vorbis identification header (via
+    * [[parseOggVorbis]]); duration from the last page granule. */
+  def parseOggAudio(bytes: Array[Byte]): AudioHeaderMeta = {
+    val p1 = firstOggPacket(bytes)
+    if (p1.length >= 19 && new String(p1, 0, 8,
+        java.nio.charset.StandardCharsets.ISO_8859_1) == "OpusHead") {
+      require((p1(8) & 0xf0) == 0, s"Opus version ${p1(8)} unsupported")
+      val channels = p1(9) & 0xff
+      require(channels >= 1, "bad Opus channel count")
+      val preSkip = (p1(10) & 0xff) | ((p1(11) & 0xff) << 8)
+      val granule = lastOggGranule(bytes)
+      val samples = math.max(0L, granule - preSkip)
+      AudioHeaderMeta("audio/opus", channels, 48000, samples * 1000L / 48000)
+    } else {
+      val v = parseOggVorbis(bytes)
+      AudioHeaderMeta("audio/ogg", v.channels, v.sampleRate,
+        lastOggGranule(bytes) * 1000L / v.sampleRate)
+    }
+  }
+
+  /** Header-level audio metadata for the REST of the reference's pydub/
+    * mutagen input whitelist (audio_converters.py:40-44) — the audio
+    * analog of [[imageHeader]]. Magic-gated real parses; `.raw` (headerless
+    * PCM) is unclaimable by design. A claimed-but-corrupt payload fails
+    * NAMED (containment turns it into an error row, never a stub row). */
+  def audioHeader(bytes: Array[Byte]): Option[AudioHeaderMeta] =
+    if (isAu(bytes)) {
+      val m = parseAu(bytes)
+      Some(AudioHeaderMeta("audio/basic", m.channels, m.rate, m.durationMs))
+    } else if (isCaf(bytes)) {
+      val m = parseCaf(bytes)
+      Some(AudioHeaderMeta("audio/x-caf", m.channels, m.rate, m.durationMs))
+    } else if (isTta(bytes)) Some(parseTta(bytes))
+    else if (isApe(bytes)) Some(parseApe(bytes))
+    else if (isWavpack(bytes)) Some(parseWavpack(bytes))
+    else if (isAdts(bytes)) Some(parseAdts(bytes))
+    else if (isAc3Sync(bytes)) Some(parseAc3(bytes))
+    else if (isDts(bytes)) Some(parseDts(bytes))
+    else if (isMlpFamily(bytes)) Some(parseMlp(bytes))
+    else if (isAsf(bytes)) Some(parseAsf(bytes))
+    else if (isEbml(bytes)) {
+      val m = parseMatroska(bytes)
+      val webm = m.docType == "webm"
+      val mime =
+        if (m.hasVideo) (if (webm) "video/webm" else "video/x-matroska")
+        else (if (webm) "audio/webm" else "audio/x-matroska")
+      Some(AudioHeaderMeta(mime, m.audioChannels, m.audioRate, m.durationMs))
+    } else if (isOgg(bytes)) Some(parseOggAudio(bytes))
+    else None
 }

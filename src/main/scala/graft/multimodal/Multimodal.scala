@@ -125,18 +125,35 @@ object Multimodal {
               val d = MediaCodecs.parseIco(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.frames, Array.empty[Float], "")
+            case None if MediaCodecs.isEbml(bytes) =>
+              // Matroska/WebM: real EBML walk — video tracks carry their
+              // pixel dimensions, audio-only streams their duration
+              val mk = MediaCodecs.parseMatroska(bytes)
+              val webm = mk.docType == "webm"
+              val mime =
+                if (mk.hasVideo) (if (webm) "video/webm" else "video/x-matroska")
+                else (if (webm) "audio/webm" else "audio/x-matroska")
+              MediaFeatures(m.doc_id, mime, bytes.length.toLong,
+                mk.videoWidth, mk.videoHeight, 0,
+                Array(mk.durationMs / 1000f), "")
             case None =>
-              // last real probe: header-level dims for the rest of the
-              // reference's image whitelist (psd/icns/pcx/jp2/tga/eps/
-              // svg(z)/xbm/xpm); only a payload NOTHING claims becomes
-              // a marked stub row
-              MediaCodecs.imageHeader(bytes) match {
-                case Some(hm) =>
-                  MediaFeatures(m.doc_id, hm.mime, bytes.length.toLong,
-                    hm.width, hm.height, 0, Array.empty[Float], "")
-                case None =>
-                  MediaFeatures(m.doc_id, kind, bytes.length.toLong,
-                    0, 0, 0, Array.empty[Float], StubDecodeError)
+              // last real probes: header-level metadata for the rest of
+              // the reference's AUDIO whitelist (au/caf/tta/ape/wv/aac/
+              // ac3/eac3/dts/mlp/wma/opus) then the rest of its IMAGE
+              // whitelist (psd/icns/pcx/jp2/tga/eps/svg(z)/xbm/xpm); only
+              // a payload NOTHING claims becomes a marked stub row
+              MediaCodecs.audioHeader(bytes) match {
+                case Some(am) =>
+                  MediaFeatures(m.doc_id, am.mime, bytes.length.toLong,
+                    0, 0, 0, Array(am.durationMs / 1000f), "")
+                case None => MediaCodecs.imageHeader(bytes) match {
+                  case Some(hm) =>
+                    MediaFeatures(m.doc_id, hm.mime, bytes.length.toLong,
+                      hm.width, hm.height, 0, Array.empty[Float], "")
+                  case None =>
+                    MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                      0, 0, 0, Array.empty[Float], StubDecodeError)
+                }
               }
           }
         }

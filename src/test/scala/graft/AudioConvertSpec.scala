@@ -200,4 +200,130 @@ class AudioConvertSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](MediaCodecs.parseAiff(frac))
     assert(e2.getMessage.contains("sample rate"))
   }
+
+  // ---- the audio whitelist sweep ------------------------------------------
+
+  test("µ-law expansion matches the published G.711 vectors") {
+    // CCITT table endpoints and zeros
+    assert(MediaCodecs.ulawToPcm(0x00) == -32124)
+    assert(MediaCodecs.ulawToPcm(0x80) == 32124)
+    assert(MediaCodecs.ulawToPcm(0xff) == 0)
+    assert(MediaCodecs.ulawToPcm(0x7f) == 0)
+    // one interior vector per sign: 0xEF (exp 1, mant 0) = +132
+    assert(MediaCodecs.ulawToPcm(0xef) == 132)
+    assert(MediaCodecs.ulawToPcm(0x6f) == -132)
+  }
+
+  test("au decodes all three encodings sample-exactly") {
+    // PCM16 BE carries the wav fixture series
+    val (m16, s16) = MediaCodecs.auSamples(MediaFixtures.au(3, 2, 16000, 50, 7))
+    assert(m16.channels == 2 && m16.rate == 16000 && m16.durationMs == 50 * 1000L / 16000)
+    assert(s16.toSeq == (0 until 100).map(f => (7 + f) % 4096 - 2048))
+    // PCM8 is SIGNED per the au spec
+    val (_, s8) = MediaCodecs.auSamples(MediaFixtures.au(2, 1, 8000, 30, 200))
+    assert(s8.toSeq == (0 until 30).map(f => (200 + f) % 256 - 128))
+    // µ-law constant byte expands through the G.711 table
+    val (_, su) = MediaCodecs.auSamples(MediaFixtures.au(1, 1, 8000, 10, 0, ulawByte = 0xef))
+    assert(su.toSeq == Seq.fill(10)(132))
+    // au → wav convert crosses containers losslessly (µ-law widens to 16-bit)
+    val r = AudioConvert.convert(MediaFixtures.au(3, 1, 8000, 40, 3), "wav")
+    val back = AudioConvert.decodeSamples(r.output)
+    assert(back.samples.toSeq == (0 until 40).map(f => (3 + f) % 4096 - 2048))
+  }
+
+  test("caf decodes both endiannesses and converts to wav sample-exactly") {
+    for (little <- Seq(true, false)) {
+      val bytes = MediaFixtures.caf(2, 22050, 60, 11, little)
+      val (m, s) = MediaCodecs.cafSamples(bytes)
+      assert(m.channels == 2 && m.rate == 22050 && m.littleEndian == little)
+      assert(s.toSeq == (0 until 120).map(f => (11 + f) % 4096 - 2048))
+      val r = AudioConvert.convert(bytes, "wav")
+      assert(AudioConvert.decodeSamples(r.output).samples.toSeq == s.toSeq)
+    }
+  }
+
+  test("ac3 frame size matches the published A/52 table") {
+    // 384 kbps @ 48 kHz = 1536 bytes/frame; 32 kbps @ 44.1 kHz = 138/140
+    val f48 = MediaFixtures.ac3(0, 28, 2, 0, nFrames = 1) // code 28 = 384 kbps
+    assert(f48.length == 1536)
+    val m = MediaCodecs.parseAc3(f48)
+    assert(m.rate == 48000 && m.channels == 2 &&
+      m.durationMs == 1536L * 1000 / 48000)
+    assert(MediaFixtures.ac3(1, 0, 2, 0, 1).length == 138)
+    assert(MediaFixtures.ac3(1, 1, 2, 0, 1).length == 140)
+  }
+
+  test("the audio header sweep parses every whitelist container") {
+    def hm(b: Array[Byte]) = MediaCodecs.audioHeader(b).get
+    val au = hm(MediaFixtures.au(1, 1, 8000, 800, 0))
+    assert(au == MediaCodecs.AudioHeaderMeta("audio/basic", 1, 8000, 100))
+    val caf = hm(MediaFixtures.caf(2, 44100, 441, 0, little = true))
+    assert(caf == MediaCodecs.AudioHeaderMeta("audio/x-caf", 2, 44100, 10))
+    val tta = hm(MediaFixtures.tta(2, 44100, 44100))
+    assert(tta == MediaCodecs.AudioHeaderMeta("audio/x-tta", 2, 44100, 1000))
+    val ape = hm(MediaFixtures.ape(2, 48000, 1024, 3, 352))
+    assert(ape == MediaCodecs.AudioHeaderMeta("audio/x-ape", 2, 48000,
+      (2 * 1024 + 352) * 1000L / 48000))
+    val wv = hm(MediaFixtures.wavpack(mono = true, rateIdx = 9, totalSamples = 44100))
+    assert(wv == MediaCodecs.AudioHeaderMeta("audio/x-wavpack", 1, 44100, 1000))
+    val aac = hm(MediaFixtures.adtsAac(freqIdx = 3, chanCfg = 2, nFrames = 5))
+    assert(aac == MediaCodecs.AudioHeaderMeta("audio/aac", 2, 48000,
+      5 * 1024L * 1000 / 48000))
+    val eac3 = hm(MediaFixtures.eac3(0, 3, 256, 7, 1, nFrames = 4))
+    assert(eac3 == MediaCodecs.AudioHeaderMeta("audio/eac3", 6, 48000,
+      4 * 6 * 256L * 1000 / 48000))
+    val dts = hm(MediaFixtures.dts(13, 9, 7, 512, nFrames = 3))
+    assert(dts == MediaCodecs.AudioHeaderMeta("audio/vnd.dts", 5, 48000,
+      3 * 256L * 1000 / 48000))
+    val thd = hm(MediaFixtures.truehd(rateNibble = 0, nAu = 120))
+    assert(thd == MediaCodecs.AudioHeaderMeta("audio/truehd", 0, 48000, 100))
+    val mlp = hm(MediaFixtures.truehd(rateNibble = 8, nAu = 120, mlp = true))
+    assert(mlp == MediaCodecs.AudioHeaderMeta("audio/mlp", 0, 44100,
+      120 * 40L * 1000 / 44100))
+    val wma = hm(MediaFixtures.asfWma(2, 44100, 2500, 3000))
+    assert(wma == MediaCodecs.AudioHeaderMeta("audio/x-ms-wma", 2, 44100, 2500))
+    val webm = hm(MediaFixtures.webm(2, 48000, 1234))
+    assert(webm == MediaCodecs.AudioHeaderMeta("audio/webm", 2, 48000, 1234))
+    val mkvVid = hm(MediaFixtures.webm(2, 48000, 500,
+      docType = "matroska", video = Some((640, 360))))
+    assert(mkvVid == MediaCodecs.AudioHeaderMeta("video/x-matroska", 2, 48000, 500))
+    val opus = hm(MediaFixtures.oggOpus(2, preSkip = 312, granule = 312 + 9600))
+    assert(opus == MediaCodecs.AudioHeaderMeta("audio/opus", 2, 48000, 200))
+    // Ogg VORBIS duration from the final granule — the existing fixture
+    // writes granule 0 everywhere, so duration reads 0 (stream length
+    // absent), channels/rate from the identification header
+    val ogg = hm(MediaFixtures.oggVorbis(2, 44100, 128000, Seq("title" -> "t")))
+    assert(ogg == MediaCodecs.AudioHeaderMeta("audio/ogg", 2, 44100, 0))
+  }
+
+  test("hostile audio headers fail named; unclaimables stay unclaimed") {
+    // truncated ADTS frame chain
+    val aac = MediaFixtures.adtsAac(3, 2, 3)
+    intercept[IllegalArgumentException](
+      MediaCodecs.parseAdts(java.util.Arrays.copyOf(aac, aac.length - 5)))
+    // AC-3 frame overrunning the payload
+    val ac3 = MediaFixtures.ac3(0, 28, 2, 0, 2)
+    intercept[IllegalArgumentException](
+      MediaCodecs.parseAc3(java.util.Arrays.copyOf(ac3, ac3.length - 2)))
+    // EBML element lying about its size (TimecodeScale: 3-byte id 2A D7 B1,
+    // then the 1-byte size varint)
+    val mk = MediaFixtures.webm(2, 48000, 100).clone()
+    val at = mk.indices.find(i => (mk(i) & 0xff) == 0x2a &&
+      (mk(i + 1) & 0xff) == 0xd7 && (mk(i + 2) & 0xff) == 0xb1).get
+    mk(at + 3) = 0xf0.toByte // claims 112 body bytes > enclosure
+    intercept[IllegalArgumentException](MediaCodecs.parseMatroska(mk))
+    // ASF with NO audio stream reports the video mime, zeroed audio params
+    val asf = MediaFixtures.asfWma(2, 44100, 1000, 0)
+    // blank out the audio-media GUID in the stream properties object
+    val spAt = 30 + 104 + 24
+    for (k <- 0 until 16) asf(spAt + k) = 0
+    val m = MediaCodecs.parseAsf(asf)
+    assert(m.mime == "video/x-ms-asf" && m.channels == 0 && m.durationMs == 1000)
+    // WavPack with unknown total samples is a NAMED error, never duration 0
+    val wv = MediaFixtures.wavpack(mono = false, rateIdx = 10, totalSamples = -1)
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWavpack(wv))
+    assert(e.getMessage.contains("unknown"), e.getMessage)
+    // headerless .raw PCM has no magic: nothing claims it
+    assert(MediaCodecs.audioHeader(Array.fill[Byte](64)(0x11)) == None)
+  }
 }
