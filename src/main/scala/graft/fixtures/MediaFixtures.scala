@@ -1152,8 +1152,10 @@ object MediaFixtures {
       out(i + 1) = (words & 0xff).toByte
       if (first) {
         out(i + 4) = 0xf8.toByte; out(i + 5) = 0x72
-        out(i + 6) = 0x6f; out(i + 7) = (if (mlp) 0xb1 else 0xba).toByte
-        out(i + 8) = (rateNibble << 4).toByte
+        out(i + 6) = 0x6f; out(i + 7) = (if (mlp) 0xbb else 0xba).toByte
+        // TrueHD: rate nibble leads format_info (byte 8); MLP format_info
+        // leads with the quantization word lengths, rate nibble at byte 9
+        out(i + (if (mlp) 9 else 8)) = (rateNibble << 4).toByte
         first = false
       }
       i += auBytes

@@ -1858,13 +1858,16 @@ object MediaCodecs {
   }
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
+  // bounds-checked wrappers over the shared little-endian readers
+  // (graft.util.LittleEndian owns the decoding in one copy)
   private def le32(b: Array[Byte], i: Int): Long = {
     require(i >= 0 && i + 4 <= b.length, s"little-endian u32 read at $i out of bounds")
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    graft.util.LittleEndian.i32(b, i).toLong & 0xffffffffL
   }
-  private def le64(b: Array[Byte], i: Int): Long =
-    le32(b, i) | (le32(b, i + 4) << 32)
+  private def le64(b: Array[Byte], i: Int): Long = {
+    require(i >= 0 && i + 8 <= b.length, s"little-endian u64 read at $i out of bounds")
+    graft.util.LittleEndian.i64(b, i)
+  }
 
   /** MSB-first bit cursor over a byte range — the framed-audio headers
     * (AC-3/E-AC-3/DTS) pack fields at bit granularity. */
@@ -2069,6 +2072,11 @@ object MediaCodecs {
     val rate = le32(bytes, h + 20).toInt
     require(channels >= 1 && channels <= 32, s"bad APE channel count $channels")
     require(rate > 0 && rate <= 768000, s"bad APE sample rate $rate")
+    // bound the u32 fields BEFORE multiplying: hostile values near 2^32
+    // would overflow the Long product into a negative duration
+    require(blocksPerFrame <= (1L << 26) && totalFrames <= (1L << 26) &&
+      finalFrameBlocks <= blocksPerFrame.max(1L),
+      "implausible APE frame geometry")
     val totalBlocks =
       if (totalFrames == 0) 0L
       else (totalFrames - 1) * blocksPerFrame + finalFrameBlocks
@@ -2102,8 +2110,20 @@ object MediaCodecs {
   private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
     24000, 22050, 16000, 12000, 11025, 8000, 7350)
 
-  def isAdts(b: Array[Byte]): Boolean =
-    b.length >= 7 && (b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0
+  /** The 12-bit ADTS sync is weak on its own (a raw PCM payload can open
+    * 0xFF 0xF1), so the probe also validates the first frame's structure:
+    * legal frequency index and channel config, and the frame length either
+    * covers the whole payload or chains to a second syncword. */
+  def isAdts(b: Array[Byte]): Boolean = {
+    if (b.length < 7 || (b(0) & 0xff) != 0xff || (b(1) & 0xf6) != 0xf0)
+      return false
+    val freqIdx = (b(2) >> 2) & 0xf
+    val chanCfg = ((b(2) & 1) << 2) | ((b(3) >> 6) & 3)
+    if (freqIdx >= 13 || chanCfg < 1 || chanCfg > 7) return false
+    val len = ((b(3) & 3) << 11) | ((b(4) & 0xff) << 3) | ((b(5) >> 5) & 7)
+    len >= 7 && (len == b.length ||
+      (len + 2 <= b.length && (b(len) & 0xff) == 0xff && (b(len + 1) & 0xf6) == 0xf0))
+  }
 
   def parseAdts(bytes: Array[Byte]): AudioHeaderMeta = {
     require(isAdts(bytes), "not an ADTS payload")
@@ -2133,8 +2153,24 @@ object MediaCodecs {
     192, 224, 256, 320, 384, 448, 512, 576, 640)
   private val Ac3FullBw = Array(2, 1, 2, 3, 3, 4, 4, 5) // by acmod (0 = 1+1 dual mono)
 
-  def isAc3Sync(b: Array[Byte]): Boolean =
-    b.length >= 8 && (b(0) & 0xff) == 0x0b && (b(1) & 0xff) == 0x77
+  /** The 16-bit AC-3 sync is weak on its own, so the probe also validates
+    * the first frame's structural fields for whichever bsid family the
+    * payload declares (AC-3: legal fscod/frmsizecod; E-AC-3: frame size
+    * within the payload). */
+  def isAc3Sync(b: Array[Byte]): Boolean = {
+    if (b.length < 8 || (b(0) & 0xff) != 0x0b || (b(1) & 0xff) != 0x77)
+      return false
+    val bsid = (b(5) >> 3) & 0x1f
+    if (bsid <= 8) {
+      val fscod = (b(4) >> 6) & 3
+      val frmsizecod = b(4) & 0x3f
+      fscod < 3 && frmsizecod < 38 && ac3FrameBytes(fscod, frmsizecod) <= b.length
+    } else if (bsid >= 11 && bsid <= 16) {
+      val frmsiz = ((b(2) & 7) << 8) | (b(3) & 0xff)
+      val fscod = (b(4) >> 6) & 3
+      (frmsiz + 1) * 2 <= b.length && (fscod != 3 || ((b(4) >> 4) & 3) < 3)
+    } else false
+  }
 
   /** AC-3 frame size in bytes from fscod/frmsizecod (A/52 frame-size
     * table as the closed forms it tabulates: 48k = 2·kbps words,
@@ -2263,19 +2299,28 @@ object MediaCodecs {
   }
 
   // ---- MLP / Dolby TrueHD (major-sync access units) ----
-  def isMlpFamily(b: Array[Byte]): Boolean =
-    b.length >= 12 && (b(4) & 0xff) == 0xf8 && (b(5) & 0xff) == 0x72 &&
-      (b(6) & 0xff) == 0x6f && ((b(7) & 0xff) == 0xb1 || (b(7) & 0xff) == 0xba)
+  /** Major sync 0xF8726FBB (MLP) / 0xF8726FBA (TrueHD) at offset 4 of the
+    * first access unit; the sync is gated on a plausible AU length so an
+    * interior 4-byte match inside an opaque payload cannot claim it. */
+  def isMlpFamily(b: Array[Byte]): Boolean = {
+    if (b.length < 12 || (b(4) & 0xff) != 0xf8 || (b(5) & 0xff) != 0x72 ||
+        (b(6) & 0xff) != 0x6f ||
+        ((b(7) & 0xff) != 0xbb && (b(7) & 0xff) != 0xba)) return false
+    val words = ((b(0) & 0x0f) << 8) | (b(1) & 0xff)
+    words * 2 >= 12 && words * 2 <= b.length
+  }
 
   /** MLP/TrueHD: access-unit walk (12-bit length in 16-bit words) with the
-    * major sync's sampling-frequency nibble (44.1k/48k family << shift).
-    * An access unit spans 40<<shift samples. Channel layout is NOT parsed
-    * (the presentation channel-assignment map is out of scope) — reported
-    * as 0, never guessed. */
+    * major sync's sampling-frequency nibble (44.1k/48k family << shift) —
+    * at byte 8 for TrueHD, byte 9 for MLP (whose format_info leads with
+    * the quantization word lengths). An access unit spans 40<<shift
+    * samples. Channel layout is NOT parsed (the presentation
+    * channel-assignment map is out of scope) — reported as 0, never
+    * guessed. */
   def parseMlp(bytes: Array[Byte]): AudioHeaderMeta = {
     require(isMlpFamily(bytes), "not an MLP/TrueHD payload")
     val trueHd = (bytes(7) & 0xff) == 0xba
-    val nib = (bytes(8) >> 4) & 0xf
+    val nib = ((if (trueHd) bytes(8) else bytes(9)) >> 4) & 0xf
     val shift = nib & 7
     require(shift <= 2, s"bad MLP sampling-frequency shift $shift")
     val rate = (if ((nib & 8) != 0) 44100 else 48000) << shift
@@ -2412,21 +2457,38 @@ object MediaCodecs {
         val (sz, szLen) = readSize(i + idLen)
         val bodyAt = i + idLen + szLen
         val bodyEnd = if (sz == -1L) {
-          require(id == 0x18538067L, "unknown EBML size outside Segment")
+          // unknown size is legal for Segment (walk inside it) and for
+          // streamed Clusters (metadata precedes them — stop the walk
+          // there); anywhere else it is a named error
+          require(id == 0x18538067L || id == 0x1f43b675L,
+            "unknown EBML size outside Segment/Cluster")
           until
         } else {
           require(sz <= until - bodyAt, s"EBML element 0x${id.toHexString} overruns enclosure")
           bodyAt + sz.toInt
         }
         id match {
+          case 0x1f43b675L => () // Cluster: frame data, never descended
           case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
             walk(bodyAt, bodyEnd, depth + 1) // EBML hdr / Segment / Info / Tracks
-          case 0xaeL => // TrackEntry: type element decides which leaf group counts
+          case 0xaeL =>
+            // TrackEntry: Matroska does not mandate child order, so find
+            // TrackType FIRST (a pre-scan of direct children), then walk
             inAudioTrack = false; inVideoTrack = false
+            var j = bodyAt
+            while (j < bodyEnd) {
+              val (cid, cIdLen) = readId(j)
+              val (csz, cSzLen) = readSize(j + cIdLen)
+              require(csz >= 0 && csz <= bodyEnd - (j + cIdLen + cSzLen),
+                "EBML TrackEntry child overruns enclosure")
+              if (cid == 0x83L) {
+                val t = uintAt(j + cIdLen + cSzLen, csz.toInt)
+                inAudioTrack = t == 2; inVideoTrack = t == 1
+              }
+              j += cIdLen + cSzLen + csz.toInt
+            }
             walk(bodyAt, bodyEnd, depth + 1)
-          case 0x83L => // TrackType: 1 = video, 2 = audio
-            val t = uintAt(bodyAt, (bodyEnd - bodyAt).toInt)
-            inAudioTrack = t == 2; inVideoTrack = t == 1
+          case 0x83L => () // TrackType: consumed by the TrackEntry pre-scan
           case 0xe1L if inAudioTrack && audioChannels == 0 =>
             // Audio element: defaults per spec, overridden by children
             audioChannels = 1; audioRate = 8000
@@ -2457,6 +2519,14 @@ object MediaCodecs {
     MatroskaMeta(docType, durationMs, audioChannels, audioRate, videoW, videoH)
   }
 
+  /** Single source of truth for the docType × hasVideo mime choice (used
+    * by [[audioHeader]] and [[Multimodal.decodeFeatures]]). */
+  def matroskaMime(m: MatroskaMeta): String = {
+    val webm = m.docType == "webm"
+    if (m.hasVideo) (if (webm) "video/webm" else "video/x-matroska")
+    else (if (webm) "audio/webm" else "audio/x-matroska")
+  }
+
   // ---- Ogg granule scan (duration for Opus/Vorbis streams) ----
   /** Last non-(-1) granule position across the page sequence — sample
     * count at the stream's nominal clock (48 kHz for Opus, the audio rate
@@ -2468,7 +2538,7 @@ object MediaCodecs {
       require(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
         bytes(i + 3) == 'S', s"Ogg page capture pattern missing at $i")
       val g = le64(bytes, i + 6)
-      if (g != -1L && g > last) last = g
+      if (g != -1L) last = g // keep the LAST granule (continuation pages carry -1)
       val nsegs = bytes(i + 26) & 0xff
       require(i + 27 + nsegs <= bytes.length, "Ogg segment table truncated")
       var dataLen = 0
@@ -2544,11 +2614,8 @@ object MediaCodecs {
     else if (isAsf(bytes)) Some(parseAsf(bytes))
     else if (isEbml(bytes)) {
       val m = parseMatroska(bytes)
-      val webm = m.docType == "webm"
-      val mime =
-        if (m.hasVideo) (if (webm) "video/webm" else "video/x-matroska")
-        else (if (webm) "audio/webm" else "audio/x-matroska")
-      Some(AudioHeaderMeta(mime, m.audioChannels, m.audioRate, m.durationMs))
+      Some(AudioHeaderMeta(matroskaMime(m), m.audioChannels, m.audioRate,
+        m.durationMs))
     } else if (isOgg(bytes)) Some(parseOggAudio(bytes))
     else None
 }

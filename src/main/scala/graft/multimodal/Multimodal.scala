@@ -129,12 +129,8 @@ object Multimodal {
               // Matroska/WebM: real EBML walk — video tracks carry their
               // pixel dimensions, audio-only streams their duration
               val mk = MediaCodecs.parseMatroska(bytes)
-              val webm = mk.docType == "webm"
-              val mime =
-                if (mk.hasVideo) (if (webm) "video/webm" else "video/x-matroska")
-                else (if (webm) "audio/webm" else "audio/x-matroska")
-              MediaFeatures(m.doc_id, mime, bytes.length.toLong,
-                mk.videoWidth, mk.videoHeight, 0,
+              MediaFeatures(m.doc_id, MediaCodecs.matroskaMime(mk),
+                bytes.length.toLong, mk.videoWidth, mk.videoHeight, 0,
                 Array(mk.durationMs / 1000f), "")
             case None =>
               // last real probes: header-level metadata for the rest of

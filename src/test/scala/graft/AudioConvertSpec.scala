@@ -323,7 +323,57 @@ class AudioConvertSpec extends AnyFunSuite {
     val wv = MediaFixtures.wavpack(mono = false, rateIdx = 10, totalSamples = -1)
     val e = intercept[IllegalArgumentException](MediaCodecs.parseWavpack(wv))
     assert(e.getMessage.contains("unknown"), e.getMessage)
-    // headerless .raw PCM has no magic: nothing claims it
+    // headerless .raw PCM has no magic: nothing claims it — including a
+    // payload whose first samples happen to spell the 12-bit ADTS sync
+    // (0xFF 0xF1 …): the structural gate (frame chaining) must reject it
     assert(MediaCodecs.audioHeader(Array.fill[Byte](64)(0x11)) == None)
+    val rawish = Array.fill[Byte](64)(0x55)
+    rawish(0) = 0xff.toByte; rawish(1) = 0xf1.toByte
+    assert(!MediaCodecs.isAdts(rawish))
+    assert(MediaCodecs.audioHeader(rawish) == None)
+    // a 0x0B77-opening payload with garbage frame codes is likewise unclaimed
+    val ac3ish = Array.fill[Byte](64)(0x3f)
+    ac3ish(0) = 0x0b; ac3ish(1) = 0x77
+    assert(!MediaCodecs.isAc3Sync(ac3ish))
+    // hostile APE geometry (u32 fields near 2^32) fails named, never a
+    // negative duration from Long overflow
+    val ape = MediaFixtures.ape(2, 48000, 1024, 3, 352).clone()
+    for (k <- 0 until 12) ape(52 + 4 + k) = 0xff.toByte // bpf/ffb/totalFrames
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.parseApe(ape))
+    assert(e2.getMessage.contains("implausible"), e2.getMessage)
+  }
+
+  test("matroska: child order, streamed clusters, and granule semantics") {
+    // Audio element BEFORE TrackType inside the TrackEntry (Matroska does
+    // not mandate child order): the pre-scan must still classify the track
+    val base = MediaFixtures.webm(2, 48000, 700)
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] =
+      id.map(_.toByte).toArray ++ Array((0x80 | body.length).toByte) ++ body
+    val audioFirst = el(Array(0xae),
+      el(Array(0xe1),
+        el(Array(0xb5), Array(0x47, 0x3b, 0x80, 0x00).map(_.toByte)) ++ // f32 48000
+          el(Array(0x9f), Array(2.toByte))) ++
+        el(Array(0x83), Array(2.toByte))) // TrackType LAST
+    // swap the fixture's Tracks body for the reordered entry
+    val tracksAt = base.indices.find(i => (base(i) & 0xff) == 0x16 &&
+      (base(i + 1) & 0xff) == 0x54 && (base(i + 2) & 0xff) == 0xae &&
+      (base(i + 3) & 0xff) == 0x6b).get
+    val reordered = base.take(tracksAt) ++
+      Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte) ++
+      Array((0x80 | audioFirst.length).toByte) ++ audioFirst
+    // fix the unknown-size Segment wrapper: it already runs to end — fine
+    val m = MediaCodecs.parseMatroska(reordered)
+    assert(m.audioChannels == 2 && m.audioRate == 48000, m.toString)
+    // a streamed unknown-size Cluster after the metadata parses fine
+    val withCluster = base ++ Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte) ++
+      Array(0xff.toByte) ++ Array.fill[Byte](10)(0)
+    val mc = MediaCodecs.parseMatroska(withCluster)
+    assert(mc.audioChannels == 2 && mc.durationMs == 700)
+    // Ogg: the LAST granule wins, not the maximum (chained streams)
+    val opus = MediaFixtures.oggOpus(1, preSkip = 0, granule = 4800)
+    val early = MediaFixtures.oggOpus(1, preSkip = 0, granule = 96000)
+    // splice: early pages (big granule) then the real tail (small granule)
+    val chained = early ++ opus
+    assert(MediaCodecs.lastOggGranule(chained) == 4800)
   }
 }
