@@ -204,6 +204,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.media_type == "application/octet-stream")
   }
 
+  test("decodeFeatures: webm video dims and audio-header durations are real") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.fixtures.MediaFixtures
+    val rows = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRow(1L, "", MediaFixtures.webm(2, 48000, 1500,
+        video = Some((1280, 720)))),
+      Multimodal.MediaRow(2L, "", MediaFixtures.au(1, 1, 8000, 4000, 0)),
+      // claimed-but-corrupt: ADTS chain truncated mid-frame → ERROR row
+      // (named), never a stub row and never fabricated metadata
+      Multimodal.MediaRow(3L, "", {
+        val a = MediaFixtures.adtsAac(3, 2, 3); java.util.Arrays.copyOf(a, a.length - 5)
+      })).toDS()).collect().sortBy(_.doc_id)
+    assert(rows(0).media_type == "video/webm" && rows(0).error == "")
+    assert(rows(0).width == 1280 && rows(0).height == 720)
+    assert(rows(0).feature.toSeq == Seq(1.5f))
+    assert(rows(1).media_type == "audio/basic" && rows(1).error == "")
+    assert(rows(1).feature.toSeq == Seq(0.5f)) // 4000 frames @ 8 kHz
+    assert(rows(2).error.nonEmpty && rows(2).error != Multimodal.StubDecodeError)
+  }
+
   test("containment: parse errors contain, VM errors propagate") {
     import graft.util.Containment
     assert(Containment.contained[String](e => "contained:" + e.getMessage) {
