@@ -853,6 +853,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video SAMPLE decode (the tier the codec stub used to cover):
+    // MJPEG-in-AVI clips whose every frame chunk is a complete JFIF image
+    // reconstructed through the full JPEG pipeline, so frames and pixel_sum
+    // are measured from decoded pixels — wrong RIFF alignment, a skipped
+    // frame, or any JPEG-stage bug breaks the closed-form oracle. Frames
+    // carry per-frame seeds (seed + f), so frame mix-ups are detectable.
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 10 + (id % 23).toInt
+          val h = 9 + (id % 20).toInt
+          val seed = (id % 150).toInt
+          val frames = 2 + (id % 4).toInt
+          val usec = (10 + (id % 30).toInt) * 1000
+          Multimodal.MediaRow(id, "",
+            graft.fixtures.MediaFixtures.aviMjpeg(w, h, frames, seed, usec))
+        }
+      Multimodal.decodeVideos(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("frames"), col("duration_ms"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // The feature-extraction kernel's full dispatch surface in one wheel:
     // WebP header dims (all three bitstream variants — lossy VP8, lossless
     // VP8L, extended VP8X still + animated), ICO largest-entry dims, real
@@ -1528,6 +1552,20 @@ object SparkEntry {
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CAST(units * 1000 // ts AS BIGINT) AS duration_ms, " +
         "CAST(1 AS INT) AS tracks FROM p ORDER BY doc_id"),
+    "mm_video_frames" ->
+      // frame f's row y holds (seed + f + y//8) % 256, no wrap (seed < 150,
+      // f < 6, <= 3 bands); per-frame sum = w*(h*(seed+f) + 4q(q-1) + rq)
+      // with q = h//8, r = h%8 — summed over f in closed form
+      ("WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 20 AS h, " +
+        "doc_id % 150 AS seed, 2 + doc_id % 4 AS f, 10 + doc_id % 30 AS msf " +
+        "FROM documents) " +
+        "SELECT doc_id, 'video/x-msvideo' AS media_type, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(f AS INT) AS frames, " +
+        "CAST(f * msf AS BIGINT) AS duration_ms, " +
+        "CAST(w * h * (f * seed + f * (f - 1) // 2) " +
+        "+ f * w * (4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
+        "AS BIGINT) AS pixel_sum FROM p ORDER BY doc_id"),
     "mm_features" ->
       ("SELECT doc_id, " +
         "CASE WHEN doc_id % 8 <= 2 THEN 'image/webp' " +

@@ -1283,4 +1283,55 @@ object MediaFixtures {
     page(0, 2, 0, head.array()) ++ page(1, 0, -1, tags) ++
       page(2, 4, granule, Array[Byte](0x0c, 0x00, 0x00)) // one SILK-ish packet
   }
+
+  /** MJPEG-in-AVI: RIFF `AVI ` with a `hdrl` LIST (avih + one `vids`/`MJPG`
+    * stream: strh + BITMAPINFOHEADER strf) and a `movi` LIST whose `00dc`
+    * chunks each carry one complete band-constant JFIF frame from
+    * [[JpegWriter.generate]] with per-frame seed `seed + f` — so the
+    * whole-clip pixel sum has the same closed form as the still-JPEG
+    * oracle, summed over frames. All RIFF fields little-endian; chunks
+    * 2-byte aligned. */
+  def aviMjpeg(width: Int, height: Int, frames: Int, seed: Int,
+               usecPerFrame: Int): Array[Byte] = {
+    val fcc = java.nio.charset.StandardCharsets.US_ASCII
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val buf = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes(fcc)).putInt(body.length).put(body)
+      buf.array() // trailing pad byte (if any) stays 0
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes(fcc) ++ body)
+    val avih = {
+      val buf = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+      buf.putInt(frames).putInt(0).putInt(1).putInt(0) // totalFrames, streams=1
+      buf.putInt(width).putInt(height)
+      buf.array() // 4 reserved dwords stay 0
+    }
+    val strh = {
+      val buf = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("vids".getBytes(fcc)).put("MJPG".getBytes(fcc))
+      buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+      buf.putInt(usecPerFrame).putInt(1000000)        // scale / rate = fps
+      buf.putInt(0).putInt(frames).putInt(0).putInt(-1).putInt(0)
+      buf.putShort(0).putShort(0)                     // rcFrame left, top
+        .putShort(width.toShort).putShort(height.toShort)
+      buf.array()
+    }
+    val strf = {
+      val buf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      buf.put("MJPG".getBytes(fcc)).putInt(width * height * 3)
+      buf.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", (0 until frames).toArray.flatMap(f =>
+      chunk("00dc", JpegWriter.generate(width, height, seed + f))))
+    val body = "AVI ".getBytes(fcc) ++ hdrl ++ movi
+    val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(fcc)).putInt(body.length).put(body)
+    buf.array()
+  }
 }

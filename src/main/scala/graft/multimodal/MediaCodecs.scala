@@ -2527,6 +2527,82 @@ object MediaCodecs {
     else (if (webm) "audio/webm" else "audio/x-matroska")
   }
 
+  // ---- AVI (RIFF) container + MJPEG frame decode ----
+
+  /** AVI clip metadata with REAL per-frame pixel decode: `pixelSum` totals
+    * [[JpegCodec.decode]] over every video frame chunk, so it is only right
+    * if the RIFF walk, chunk alignment, and the whole JPEG pipeline are. */
+  final case class AviMeta(width: Int, height: Int, frames: Int,
+                           durationMs: Long, pixelSum: Long)
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** RIFF/AVI walk: `avih` gives geometry + frame clock; every `##dc`/`##db`
+    * chunk in the `movi` LIST (including one `rec ` nesting level) is a
+    * complete MJPEG frame, decoded for real through [[JpegCodec]]. Frame
+    * dimensions must match the avih canvas — a mismatch is a named parse
+    * failure, never silently absorbed. Total decoded pixels share the
+    * 16M raster bomb cap with the still-image decoders. */
+  def parseAvi(bytes: Array[Byte]): AviMeta = {
+    require(isAvi(bytes), "not a RIFF/AVI payload")
+    var usecPerFrame = 0
+    var width = 0
+    var height = 0
+    var frames = 0
+    var pixelSum = 0L
+    var decodedPixels = 0L
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      require(depth <= 4, "AVI LIST nesting too deep")
+      var i = start
+      while (i + 8 <= end) {
+        val at = i.toInt
+        val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = i32(bytes, at + 4)
+        require(size >= 0, s"negative RIFF chunk size $size")
+        require(i + 8 + size.toLong <= end, s"AVI chunk '$id' overruns container")
+        if (id == "LIST") {
+          require(size >= 4, "AVI LIST too small for a subtype")
+          val sub = new String(bytes, at + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          // hdrl (headers), movi (frame data), rec (interleave group) all
+          // contain chunks we care about; strl only holds strh/strf, which
+          // the fixture-informed walk does not need — avih is authoritative
+          if (sub == "hdrl" || sub == "movi" || sub == "rec ")
+            walk(i + 12, i + 8 + size, depth + 1)
+        } else if (id == "avih") {
+          require(size >= 40, s"avih chunk of $size bytes is too small")
+          usecPerFrame = i32(bytes, at + 8)
+          width = i32(bytes, at + 40)
+          height = i32(bytes, at + 44)
+          require(usecPerFrame > 0, s"bad AVI frame clock $usecPerFrame us")
+          require(width > 0 && height > 0, s"bad AVI canvas ${width}x$height")
+        } else if (isFrameChunk(id) && size > 0) {
+          require(width > 0, "AVI frame chunk before avih header")
+          decodedPixels += width.toLong * height
+          require(decodedPixels <= (16L << 20),
+            s"AVI decode of $decodedPixels pixels exceeds the 16M-pixel cap")
+          val frame = java.util.Arrays.copyOfRange(bytes, at + 8, at + 8 + size)
+          require(JpegCodec.isJpeg(frame), s"AVI '$id' frame is not MJPEG")
+          val img = JpegCodec.decode(frame)
+          require(img.width == width && img.height == height,
+            s"AVI frame ${img.width}x${img.height} != canvas ${width}x$height")
+          frames += 1
+          pixelSum += img.pixelSum
+        }
+        i += 8L + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+    }
+    val total = i32(bytes, 4)
+    require(total >= 4 && 8L + total <= bytes.length, "RIFF size overruns payload")
+    walk(12L, 8L + total, 0)
+    require(width > 0, "AVI has no avih header")
+    AviMeta(width, height, frames, frames.toLong * usecPerFrame / 1000L, pixelSum)
+  }
+
   // ---- Ogg granule scan (duration for Opus/Vorbis streams) ----
   /** Last non-(-1) granule position across the page sequence — sample
     * count at the stream's nominal clock (48 kHz for Opus, the audio rate

@@ -18,8 +18,10 @@ import graft.util.Containment
   * yields a CONTAINED error row, never fake numbers. MP4 payloads get real
   * container metadata (duration/dimensions, [[MediaCodecs.parseMp4]]);
   * WebP/ICO get real header-level dimensions ([[MediaCodecs.parseWebp]] /
-  * [[MediaCodecs.parseIco]]). A payload no real parser claims (other video
-  * containers, opaque binaries) yields a row MARKED `error = "stub-decode"`
+  * [[MediaCodecs.parseIco]]). MJPEG-in-AVI clips get REAL per-frame sample
+  * decode ([[MediaCodecs.parseAvi]] — every frame through [[JpegCodec]]).
+  * A payload no real parser claims (inter-frame-compressed video samples,
+  * opaque binaries) yields a row MARKED `error = "stub-decode"`
   * with zeroed dimensions — never fabricated numbers: the reference's
   * Pillow would throw on an undecodable image
   * (/root/reference/src/converters/image_converters.py:66-69), it never
@@ -48,6 +50,7 @@ object Multimodal {
     else if (MediaCodecs.isWav(bytes)) "audio/wav"
     else if (MediaCodecs.isAiff(bytes)) "audio/aiff"
     else if (MediaCodecs.isWebp(bytes)) "image/webp"
+    else if (MediaCodecs.isAvi(bytes)) "video/x-msvideo"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "audio/riff"
     // HEIF/AVIF are ISO-BMFF too — the still-image brands must win the
     // ftyp claim before the generic movie arm
@@ -77,7 +80,8 @@ object Multimodal {
     * ...) becomes an error row.
     * WAV/AIFF go through the real RIFF/FORM parses (n_frames = PCM frame
     * count, feature(0) = duration seconds); WebP/ICO get real header
-    * dimensions.
+    * dimensions. MJPEG-in-AVI clips decode every frame (n_frames measured
+    * from pixels; feature = [duration seconds, mean pixel]).
     * An unclaimed payload yields zeroed metadata marked
     * `error = `[[StubDecodeError]] — nothing is ever fabricated. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -108,6 +112,17 @@ object Multimodal {
               val v = MediaCodecs.parseMp4(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 v.width, v.height, 0, Array(v.durationMs / 1000f), "")
+            case None if kind == "video/x-msvideo" =>
+              // REAL video sample decode: every MJPEG frame goes through
+              // JpegCodec, so n_frames and the mean-pixel feature are
+              // measured from pixels, not read from the header
+              val v = MediaCodecs.parseAvi(bytes)
+              val mean = if (v.frames == 0 || v.width == 0 || v.height == 0) 0f
+                else v.pixelSum.toFloat /
+                  (v.frames.toLong * v.width * v.height) / 255f
+              MediaFeatures(m.doc_id, kind, bytes.length.toLong,
+                v.width, v.height, v.frames,
+                Array(v.durationMs / 1000f, mean), "")
             case None if kind == "image/heif" || kind == "image/avif" =>
               // real primary-item canvas dims (pitm/ipma/ipco resolution);
               // pixel decode would need an HEVC/AV1 codec
@@ -179,6 +194,33 @@ object Multimodal {
               ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
                 "no real decoder for this payload")
           }
+        }
+      }
+    }
+  }
+
+  final case class VideoDecode(doc_id: Long, media_type: String, width: Int,
+                               height: Int, frames: Int, duration_ms: Long,
+                               pixel_sum: Long, error: String)
+
+  /** Real video SAMPLE decode as a typed batch kernel (MJPEG-in-AVI — every
+    * frame reconstructed through [[JpegCodec]]; same per-partition shape and
+    * failure containment as [[decodeImages]]); non-AVI payloads yield error
+    * rows rather than header-only metadata. */
+  def decodeVideos(media: Dataset[MediaRow]): Dataset[VideoDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        Containment.contained[VideoDecode](e =>
+          VideoDecode(m.doc_id, "unknown", 0, 0, 0, 0L, 0L, Containment.describe(e))) {
+          if (MediaCodecs.isAvi(bytes)) {
+            val v = MediaCodecs.parseAvi(bytes)
+            VideoDecode(m.doc_id, "video/x-msvideo", v.width, v.height,
+              v.frames, v.durationMs, v.pixelSum, "")
+          } else VideoDecode(m.doc_id, sniffMedia(bytes), 0, 0, 0, 0L, 0L,
+            "no sample decoder for this payload")
         }
       }
     }

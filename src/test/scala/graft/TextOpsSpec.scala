@@ -57,7 +57,8 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Multimodal.sniffMedia(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) == "image/jpeg")
     assert(Multimodal.sniffMedia("GIF89a".getBytes) == "image/gif")
     assert(Multimodal.sniffMedia("RIFFxxxxWAVE".getBytes) == "audio/wav")
-    assert(Multimodal.sniffMedia("RIFFxxxxAVI ".getBytes) == "audio/riff")
+    assert(Multimodal.sniffMedia("RIFFxxxxAVI ".getBytes) == "video/x-msvideo")
+    assert(Multimodal.sniffMedia("RIFFxxxxACON".getBytes) == "audio/riff")
     assert(Multimodal.sniffMedia("BMxxxx".getBytes) == "image/bmp")
     assert(Multimodal.sniffMedia("P6\n2 2\n255\n".getBytes) == "image/x-portable-pixmap")
     assert(Multimodal.sniffMedia("%PDF-1.4".getBytes) == "application/pdf")
@@ -223,6 +224,70 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1).media_type == "audio/basic" && rows(1).error == "")
     assert(rows(1).feature.toSeq == Seq(0.5f)) // 4000 frames @ 8 kHz
     assert(rows(2).error.nonEmpty && rows(2).error != Multimodal.StubDecodeError)
+  }
+
+  test("avi mjpeg: real frame-by-frame sample decode with closed-form sums") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val (w, h, frames, seed) = (17, 13, 3, 40)
+    val bytes = MediaFixtures.aviMjpeg(w, h, frames, seed, 40000) // 25 fps
+    assert(Multimodal.sniffMedia(bytes) == "video/x-msvideo")
+    val m = MediaCodecs.parseAvi(bytes)
+    assert((m.width, m.height, m.frames) == ((w, h, frames)))
+    assert(m.durationMs == 120L)
+    // per-frame closed form: w*(h*(seed+f) + 4q(q-1) + rq), q=h/8, r=h%8
+    val (q, r) = (h / 8, h % 8)
+    val expected = (0 until frames)
+      .map(f => w.toLong * (h * (seed + f) + 4 * q * (q - 1) + r * q)).sum
+    assert(m.pixelSum == expected)
+    // odd-length JPEG frames exercise the 2-byte chunk alignment: a width
+    // that makes the entropy stream length flip parity across frames
+    val odd = MediaCodecs.parseAvi(MediaFixtures.aviMjpeg(11, 9, 5, 7, 33000))
+    assert(odd.frames == 5 && odd.durationMs == 165L)
+  }
+
+  test("avi parse fails NAMED on canvas mismatch, decode bomb, and overrun") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val bytes = MediaFixtures.aviMjpeg(17, 13, 2, 40, 40000)
+    // avih body starts at 32 (RIFF 12 + LIST hdr 8 + 'hdrl' 4 + chunk hdr 8);
+    // dwWidth/dwHeight sit at body+32/+36
+    def patched(pairs: (Int, Int)*): Array[Byte] = {
+      val b = bytes.clone()
+      for ((off, v) <- pairs)
+        java.nio.ByteBuffer.wrap(b, off, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v)
+      b
+    }
+    val mismatch = intercept[IllegalArgumentException](
+      MediaCodecs.parseAvi(patched(64 -> 18)))
+    assert(mismatch.getMessage.contains("!= canvas"))
+    val bomb = intercept[IllegalArgumentException](
+      MediaCodecs.parseAvi(patched(64 -> 5000, 68 -> 5000)))
+    assert(bomb.getMessage.contains("16M-pixel cap"))
+    val overrun = intercept[IllegalArgumentException](
+      MediaCodecs.parseAvi(java.util.Arrays.copyOf(bytes, bytes.length - 6)))
+    assert(overrun.getMessage.contains("overruns"))
+  }
+
+  test("decodeFeatures/decodeVideos: avi frames measured from pixels") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.fixtures.MediaFixtures
+    // flat frames (h=8: one band = seed+f everywhere) make the mean exact:
+    // mean = (seed + (F-1)/2) / 255 for F odd
+    val clip = MediaFixtures.aviMjpeg(16, 8, 3, 100, 40000)
+    val feats = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(1L, "", clip)).toDS()).collect()
+    assert(feats.head.media_type == "video/x-msvideo" && feats.head.error == "")
+    assert(feats.head.width == 16 && feats.head.height == 8 && feats.head.n_frames == 3)
+    assert(feats.head.feature.toSeq == Seq(0.12f, 101f / 255f))
+    val vids = Multimodal.decodeVideos(Seq(
+      Multimodal.MediaRow(1L, "", clip),
+      Multimodal.MediaRow(2L, "", "not a clip".getBytes)).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(vids(0).frames == 3 && vids(0).pixel_sum == 16L * 8 * (3 * 100 + 3))
+    assert(vids(1).error.nonEmpty && vids(1).pixel_sum == 0L)
   }
 
   test("containment: parse errors contain, VM errors propagate") {
