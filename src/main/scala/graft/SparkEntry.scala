@@ -699,6 +699,9 @@ object SparkEntry {
     // band-constant (flat 8x8 blocks -> DC-only at quant step 8), the one
     // shape a LOSSY codec round-trips exactly, enabling a closed-form
     // oracle; geometry includes non-multiple-of-8 dims (MCU padding + crop).
+    // Every seventh payload is PROGRESSIVE (SOF2: multi-scan spectral
+    // selection + successive approximation + EOB runs) — same pixels as the
+    // baseline arm at the same (w, h, seed), so the oracle is unchanged.
     "mm_decode_jpeg" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
@@ -711,7 +714,12 @@ object SparkEntry {
           // pixels in all variants, so the closed-form oracle is unchanged
           val ri = if (id % 5 == 0) 1 + (id % 3).toInt else 0
           val bytes =
-            if (id % 6 == 0) graft.fixtures.JpegWriter.generateColor420(w, h, seed, ri)
+            if (id % 7 == 0) {
+              if (id % 3 == 0) graft.fixtures.JpegWriter.generateColorProgressive(
+                w, h, seed, subsample420 = id % 6 == 0, restartInterval = ri)
+              else graft.fixtures.JpegWriter.generateProgressive(w, h, seed, ri)
+            }
+            else if (id % 6 == 0) graft.fixtures.JpegWriter.generateColor420(w, h, seed, ri)
             else if (id % 3 == 0) graft.fixtures.JpegWriter.generateColor(w, h, seed, ri)
             else graft.fixtures.JpegWriter.generate(w, h, seed, ri)
           Multimodal.MediaRow(id, "", bytes)

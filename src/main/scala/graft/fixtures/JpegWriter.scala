@@ -236,4 +236,330 @@ object JpegWriter {
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  // ---- progressive (SOF2) writer -------------------------------------------
+
+  /** One progressive scan: component indices (0-based), spectral band
+    * Ss..Se, successive-approximation Ah/Al. DC scans (Ss=Se=0) may be
+    * interleaved; AC scans must be single-component (T.81 G.1). */
+  final case class ProgressiveScan(comps: Seq[Int], ss: Int, se: Int,
+                                   ah: Int, al: Int)
+
+  /** AC Huffman table for progressive scans: the annex-K baseline table
+    * lacks the EOB-run symbols (r<<4, r>=1), so fixtures transmit this
+    * flat 8-bit canonical table covering every symbol a progressive
+    * encoder can emit (EOBn, ZRL, run/size pairs). */
+  val ProgAcVals: Array[Int] = {
+    val b = Array.newBuilder[Int]
+    b += 0x00                                  // EOB0
+    for (n <- 1 to 14) b += (n << 4)           // EOBn run-length categories
+    b += 0xf0                                  // ZRL
+    for (run <- 0 to 15; size <- 1 to 10) b += ((run << 4) | size)
+    b.result()
+  }
+  val ProgAcCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Band-constant grayscale as a PROGRESSIVE stream — same pixels (and
+    * closed-form sum) as [[generate]] at the same (w, h, seed): DC first
+    * scan at Al=1 + DC refinement, AC band scans that are pure EOB runs.
+    * `restartInterval` > 0 exercises per-scan RSTn handling. */
+  def generateProgressive(width: Int, height: Int, seed: Int,
+                          restartInterval: Int = 0): Array[Byte] = {
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val blocks = Array.tabulate(bx * by) { b =>
+      val coef = new Array[Int](64)
+      coef(0) = (seed + b / bx) % 256 - 128
+      coef
+    }
+    fromCoeffsProgressive(width, height, blocks, 1, Seq(
+      ProgressiveScan(Seq(0), 0, 0, 0, 1),
+      ProgressiveScan(Seq(0), 1, 5, 0, 1),
+      ProgressiveScan(Seq(0), 6, 63, 0, 1),
+      ProgressiveScan(Seq(0), 1, 63, 1, 0),
+      ProgressiveScan(Seq(0), 0, 0, 1, 0)), restartInterval = restartInterval)
+  }
+
+  /** Progressive YCbCr — pixels identical to [[generateColor]] (4:4:4) or
+    * [[generateColor420]] at the same (w, h, seed): interleaved DC first
+    * scan, per-component AC band scans, per-component AC refinements,
+    * DC refinement. */
+  def generateColorProgressive(width: Int, height: Int, seed: Int,
+                               subsample420: Boolean = false,
+                               restartInterval: Int = 0): Array[Byte] = {
+    val blocks =
+      if (subsample420) {
+        val mx = (width + 15) / 16
+        val my = (height + 15) / 16
+        Array.tabulate(mx * my * 6) { i =>
+          val coef = new Array[Int](64)
+          val j = i % 6
+          if (j < 4) coef(0) = (seed + 2 * (i / 6 / mx) + j / 2) % 256 - 128
+          coef
+        }
+      } else {
+        val bx = (width + 7) / 8
+        val by = (height + 7) / 8
+        Array.tabulate(bx * by * 3) { i =>
+          val coef = new Array[Int](64)
+          if (i % 3 == 0) coef(0) = (seed + (i / 3) / bx) % 256 - 128
+          coef
+        }
+      }
+    fromCoeffsProgressive(width, height, blocks, 3, Seq(
+      ProgressiveScan(Seq(0, 1, 2), 0, 0, 0, 1),
+      ProgressiveScan(Seq(0), 1, 5, 0, 1),
+      ProgressiveScan(Seq(1), 1, 63, 0, 1),
+      ProgressiveScan(Seq(2), 1, 63, 0, 1),
+      ProgressiveScan(Seq(0), 6, 63, 0, 1),
+      ProgressiveScan(Seq(0), 1, 63, 1, 0),
+      ProgressiveScan(Seq(1), 1, 63, 1, 0),
+      ProgressiveScan(Seq(2), 1, 63, 1, 0),
+      ProgressiveScan(Seq(0, 1, 2), 0, 0, 1, 0)),
+      subsample420 = subsample420, restartInterval = restartInterval)
+  }
+
+  /** Serialize QUANTIZED coefficient blocks (same interleaved-MCU layout as
+    * [[fromCoeffs]]) as a complete PROGRESSIVE (SOF2) stream following the
+    * given scan script. Encodes the T.81 annex-G entropy layers for real:
+    * DC first scans at `coef >> Al` with predictors, DC refinement bits,
+    * AC first scans on `|coef| >> Al` magnitudes with EOB-run accumulation,
+    * and AC refinement with buffered correction bits interleaved exactly as
+    * the decoder consumes them (the libjpeg `encode_mcu_AC_refine`
+    * contract). A coefficient whose band/precision no scan covers is NOT
+    * validated — scripts are fixture-side. */
+  def fromCoeffsProgressive(width: Int, height: Int, blocks: Array[Array[Int]],
+                            comps: Int, scans: Seq[ProgressiveScan],
+                            subsample420: Boolean = false,
+                            restartInterval: Int = 0): Array[Byte] = {
+    require(!subsample420 || comps == 3, "4:2:0 requires 3 components")
+    val compOfBlock: Array[Int] =
+      if (subsample420) Array(0, 0, 0, 0, 1, 2) else (0 until comps).toArray
+    val hSamp = Array.tabulate(comps)(c => if (subsample420 && c == 0) 2 else 1)
+    val vSamp = hSamp.clone()
+    val maxH = hSamp.max
+    val mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcuRows = (height + 8 * maxH - 1) / (8 * maxH)
+    val blocksPerMcu = compOfBlock.length
+    require(blocks.length == mcuCols * mcuRows * blocksPerMcu,
+      s"${blocks.length} blocks for ${width}x$width x$comps (want ${mcuCols * mcuRows * blocksPerMcu})")
+    // per-component grids in raster order (the layout progressive scans walk)
+    val gridW = Array.tabulate(comps)(c => mcuCols * hSamp(c))
+    val grids = Array.tabulate(comps)(c =>
+      new Array[Array[Int]](gridW(c) * mcuRows * vSamp(c)))
+    locally {
+      var w = 0
+      for (mcu <- 0 until mcuCols * mcuRows; c <- 0 until comps;
+           v2 <- 0 until vSamp(c); h2 <- 0 until hSamp(c)) {
+        val mr = mcu / mcuCols
+        val mc = mcu % mcuCols
+        grids(c)((mr * vSamp(c) + v2) * gridW(c) + mc * hSamp(c) + h2) = blocks(w)
+        w += 1
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u16be(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+
+    marker(0xd8) // SOI
+    marker(0xdb) // DQT, table 0 (flat -> zigzag-order-invariant)
+    u16be(2 + 1 + 64)
+    out.write(0x00)
+    for (_ <- 0 until 64) out.write(QuantStep)
+
+    marker(0xc2) // SOF2
+    u16be(2 + 6 + 3 * comps)
+    out.write(8)
+    u16be(height); u16be(width)
+    out.write(comps)
+    for (c <- 1 to comps) {
+      out.write(c)
+      out.write(if (subsample420 && c == 1) 0x22 else 0x11)
+      out.write(0)
+    }
+
+    def dht(tcTh: Int, counts: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16be(2 + 1 + 16 + vals.length)
+      out.write(tcTh)
+      counts.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0x00, JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
+    dht(0x10, ProgAcCounts, ProgAcVals)
+
+    if (restartInterval > 0) {
+      marker(0xdd)
+      u16be(4)
+      u16be(restartInterval)
+    }
+
+    val dcCodes = JpegCodec.encodeTable(JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
+    val acCodes = JpegCodec.encodeTable(ProgAcCounts, ProgAcVals)
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >>> i) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (code, len) = codes(sym)
+      putBits(code, len)
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMagnitude(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    def flushBits(): Unit = if (bitCnt > 0) {
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      out.write(bitBuf & 0xff)
+      if ((bitBuf & 0xff) == 0xff) out.write(0x00)
+      bitBuf = 0; bitCnt = 0
+    }
+
+    for (scan <- scans) {
+      val ns = scan.comps.size
+      val isDc = scan.ss == 0
+      require(isDc || ns == 1, "AC scans must be single-component")
+      marker(0xda) // SOS
+      u16be(2 + 1 + 2 * ns + 3)
+      out.write(ns)
+      for (c <- scan.comps) { out.write(c + 1); out.write(0x00) }
+      out.write(scan.ss); out.write(scan.se)
+      out.write((scan.ah << 4) | scan.al)
+
+      val preds = new Array[Int](comps)
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+          putSymbol(acCodes, nbits << 4)
+          if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+          pending.foreach(b => putBits(b, 1))
+          pending.clear()
+        }
+      }
+      var mcusDone = 0
+      var rstCount = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && mcusDone > 0 && mcusDone % restartInterval == 0) {
+          flushEob()
+          flushBits()
+          marker(0xd0 + (rstCount % 8))
+          rstCount += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+      def encodeDcFirst(ci: Int, blk: Array[Int]): Unit = {
+        val v = blk(0) >> scan.al
+        val diff = v - preds(ci)
+        preds(ci) = v
+        val cat = category(diff)
+        require(cat <= 11, s"DC diff $diff out of range")
+        putSymbol(dcCodes, cat)
+        putMagnitude(diff, cat)
+      }
+      def encodeAcBlock(blk: Array[Int]): Unit =
+        if (scan.ah == 0) { // first scan on |coef| >> Al magnitudes
+          var r = 0
+          for (k <- scan.ss to scan.se) {
+            val v = blk(JpegCodec.ZigZag(k))
+            val t = math.abs(v) >> scan.al
+            if (t == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) { putSymbol(acCodes, 0xf0); r -= 16 }
+              val sv = if (v < 0) -t else t
+              val cat = category(sv)
+              require(cat <= 10, s"AC magnitude $sv out of range")
+              putSymbol(acCodes, (r << 4) | cat)
+              putMagnitude(sv, cat)
+              r = 0
+            }
+          }
+          if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        } else { // refinement: new ±2^Al coefficients + buffered correction bits
+          val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var r = 0
+          for (k <- scan.ss to scan.se) {
+            val v = blk(JpegCodec.ZigZag(k))
+            val t = math.abs(v) >> scan.al
+            if (t == 0) r += 1
+            else {
+              // the ZRL check runs at EVERY nonzero (libjpeg's contract):
+              // each flushed buffer holds exactly the correction bits the
+              // decoder's 16-zero ZRL walk passes over — flushing bits
+              // buffered beyond that span would misalign the stream
+              while (r > 15) {
+                flushEob()
+                putSymbol(acCodes, 0xf0)
+                r -= 16
+                br.foreach(b => putBits(b, 1))
+                br.clear()
+              }
+              if (t > 1) br += (t & 1) // already visible: correction bit
+              else {
+                flushEob()
+                putSymbol(acCodes, (r << 4) | 1)
+                putBits(if (v < 0) 0 else 1, 1)
+                br.foreach(b => putBits(b, 1))
+                br.clear()
+                r = 0
+              }
+            }
+          }
+          if (r > 0 || br.nonEmpty) {
+            eobrun += 1
+            pending ++= br
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+
+      if (isDc && ns > 1) {
+        require(ns == comps, "interleaved DC scan must carry all components")
+        for (mcu <- 0 until mcuCols * mcuRows) {
+          maybeRestart()
+          val mr = mcu / mcuCols
+          val mc = mcu % mcuCols
+          for (s <- 0 until ns; v2 <- 0 until vSamp(scan.comps(s));
+               h2 <- 0 until hSamp(scan.comps(s))) {
+            val ci = scan.comps(s)
+            val blk = grids(ci)((mr * vSamp(ci) + v2) * gridW(ci) + mc * hSamp(ci) + h2)
+            if (scan.ah == 0) encodeDcFirst(ci, blk)
+            else putBits((blk(0) >> scan.al) & 1, 1)
+          }
+          mcusDone += 1
+        }
+      } else {
+        val ci = scan.comps.head
+        val bw = ((width * hSamp(ci) + maxH - 1) / maxH + 7) / 8
+        val bh = ((height * vSamp(ci) + maxH - 1) / maxH + 7) / 8
+        for (by <- 0 until bh; bx <- 0 until bw) {
+          maybeRestart()
+          val blk = grids(ci)(by * gridW(ci) + bx)
+          if (isDc) {
+            if (scan.ah == 0) encodeDcFirst(ci, blk)
+            else putBits((blk(0) >> scan.al) & 1, 1)
+          } else encodeAcBlock(blk)
+          mcusDone += 1
+        }
+      }
+      flushEob()
+      flushBits()
+    }
+
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -11,12 +11,17 @@ package graft.multimodal
   * image_converters.py:75-145); mode "L" mirrors Pillow's name for 8-bit
   * grayscale.
   *
-  * Supported: SOF0/SOF1, 8-bit, grayscale or 3-component YCbCr in 4:4:4 or
-  * 4:2:0 interleaved scans (per-component quant tables, sampling factors,
-  * and DC predictors; JFIF color transform + replication chroma upsampling
-  * on decode), restart intervals (DRI + RST0-7 with per-interval predictor
-  * reset and marker-sequence checking). Progressive (SOF2) and other
-  * sampling layouts are explicit errors — never silent wrong pixels.
+  * Supported: SOF0/SOF1/SOF2, 8-bit, grayscale or 3-component YCbCr in
+  * 4:4:4 or 4:2:0 interleaved scans (per-component quant tables, sampling
+  * factors, and DC predictors; JFIF color transform + replication chroma
+  * upsampling on decode), restart intervals (DRI + RST0-7 with
+  * per-interval predictor reset and marker-sequence checking), and
+  * PROGRESSIVE streams (T.81 annex G): multi-scan decode with spectral
+  * selection (Ss..Se bands, non-interleaved AC scans over per-component
+  * block grids), successive approximation (DC/AC first scans at reduced
+  * precision Al, refinement scans Ah=Al+1 with correction bits), and
+  * EOB-run coding. Other sampling layouts, arithmetic coding, and
+  * hierarchical frames are explicit errors — never silent wrong pixels.
   */
 object JpegCodec {
 
@@ -266,7 +271,7 @@ object JpegCodec {
           require(all11 || is420,
             s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
           i += len
-        case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case 0xc2 => return parseProgressive(bytes)
         case 0xc4 => // DHT: one or more tables
           val len = segLen(bytes, i)
           var p = i + 2
@@ -397,6 +402,379 @@ object JpegCodec {
       }
       blocks(b) = coef
       b += 1
+    }
+    JpegParsed(width, height, nComps, quants, hSamp, vSamp, compOfBlock, blocks)
+  }
+
+  /** Progressive JPEG (SOF2, T.81 annex G): walks EVERY scan to EOI,
+    * accumulating quantized coefficients in per-component block grids.
+    * DC scans may be interleaved (all components, MCU order, padding
+    * blocks included) or single-component; AC scans are single-component
+    * by spec and walk the component's unpadded block raster. First scans
+    * (Ah=0) decode values at reduced precision (stored `<< Al`); refinement
+    * scans (Ah=Al+1) add one correction bit per already-nonzero coefficient
+    * and insert newly-visible `±2^Al` coefficients, with EOB-run coding
+    * across blocks (the libjpeg `decode_mcu_AC_refine` contract). The
+    * result is the same [[JpegParsed]] interleaved-MCU block layout the
+    * baseline path produces, so reconstruction is shared. */
+  private def parseProgressive(bytes: Array[Byte]): JpegParsed = {
+    var i = 2
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var width = 0
+    var height = 0
+    var nComps = 0
+    var compIds: Array[Int] = null
+    var compQuant: Array[Int] = null
+    var hSamp: Array[Int] = null
+    var vSamp: Array[Int] = null
+    var restartInterval = 0
+    var maxH = 1
+    var maxV = 1
+    var mcuCols = 0
+    var mcuRows = 0
+    var grids: Array[Array[Array[Int]]] = null // per comp, gridW*gridH blocks
+    var gridW: Array[Int] = null
+    var scans = 0
+
+    /** One SOS: header + entropy data; returns the offset of the next
+      * marker's 0xFF. */
+    def decodeScan(at: Int): Int = {
+      val len = segLen(bytes, at)
+      val ns = bytes(at + 2) & 0xff
+      require(ns >= 1 && ns <= nComps, s"SOS carries $ns components")
+      require(len >= 6 + 2 * ns, "SOS component list truncated")
+      val scanComp = new Array[Int](ns)
+      val dcT = new Array[HuffTable](ns)
+      val acT = new Array[HuffTable](ns)
+      var c = 0
+      while (c < ns) {
+        val id = bytes(at + 3 + 2 * c) & 0xff
+        val ci = compIds.indexOf(id)
+        require(ci >= 0, s"SOS component id $id not in SOF")
+        scanComp(c) = ci
+        val tdTa = bytes(at + 4 + 2 * c) & 0xff
+        require((tdTa >>> 4) <= 3 && (tdTa & 0xf) <= 3,
+          "SOS Huffman table ids out of range")
+        dcT(c) = dcTables(tdTa >>> 4)
+        acT(c) = acTables(tdTa & 0xf)
+        c += 1
+      }
+      val ss = bytes(at + 3 + 2 * ns) & 0xff
+      val se = bytes(at + 4 + 2 * ns) & 0xff
+      val ahAl = bytes(at + 5 + 2 * ns) & 0xff
+      val ah = ahAl >>> 4
+      val al = ahAl & 0xf
+      require(se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+      require(al <= 13 && (ah == 0 || ah == al + 1),
+        s"bad successive approximation Ah=$ah Al=$al")
+      val isDc = ss == 0
+      if (isDc) require(se == 0, "progressive DC scan must have Se=0")
+      else require(ns == 1, "progressive AC scans must be single-component")
+
+      val r = new BitReader(bytes, at + len)
+      val pred = new Array[Int](nComps)
+      var eobrun = 0
+      var mcusDone = 0
+      var rstCount = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && mcusDone > 0 && mcusDone % restartInterval == 0) {
+          r.restart(rstCount % 8)
+          rstCount += 1
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+      def decodeDcFirst(ci: Int, t: HuffTable, blk: Array[Int]): Unit = {
+        val cat = r.decode(t)
+        require(cat <= 11, s"DC category $cat out of range")
+        pred(ci) += extend(r.readBits(cat), cat)
+        blk(0) = pred(ci) << al
+      }
+
+      if (isDc && ns > 1) {
+        require(ns == nComps, "interleaved DC scan must carry all SOF components")
+        var mcu = 0
+        val mcus = mcuCols * mcuRows
+        while (mcu < mcus) {
+          maybeRestart()
+          val mr = mcu / mcuCols
+          val mc = mcu % mcuCols
+          var s = 0
+          while (s < ns) {
+            val ci = scanComp(s)
+            var v2 = 0
+            while (v2 < vSamp(ci)) {
+              var h2 = 0
+              while (h2 < hSamp(ci)) {
+                val blk = grids(ci)(
+                  (mr * vSamp(ci) + v2) * gridW(ci) + mc * hSamp(ci) + h2)
+                if (ah == 0) {
+                  require(dcT(s) != null, "SOS references missing DC table")
+                  decodeDcFirst(ci, dcT(s), blk)
+                } else if (r.readBit() == 1) blk(0) |= (1 << al)
+                h2 += 1
+              }
+              v2 += 1
+            }
+            s += 1
+          }
+          mcusDone += 1
+          mcu += 1
+        }
+      } else {
+        // single-component scan: the component's own (unpadded) block raster
+        val ci = scanComp(0)
+        val bw = ((width * hSamp(ci) + maxH - 1) / maxH + 7) / 8
+        val bh = ((height * vSamp(ci) + maxV - 1) / maxV + 7) / 8
+        val p1 = 1 << al
+        val m1 = -1 << al
+        if (!isDc) require(acT(0) != null, "SOS references missing AC table")
+        else if (ah == 0) require(dcT(0) != null, "SOS references missing DC table")
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            maybeRestart()
+            val blk = grids(ci)(by * gridW(ci) + bx)
+            if (isDc) {
+              if (ah == 0) decodeDcFirst(ci, dcT(0), blk)
+              else if (r.readBit() == 1) blk(0) |= p1
+            } else if (ah == 0) {
+              // AC first scan: run-length + EOB runs, values stored << Al
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                while (k <= se) {
+                  val rs = r.decode(acT(0))
+                  val run = rs >>> 4
+                  val sz = rs & 0xf
+                  if (sz == 0) {
+                    if (run == 15) {
+                      k += 16 // ZRL
+                      require(k <= se + 1, "ZRL past band end")
+                    } else {
+                      eobrun = (1 << run) - 1 +
+                        (if (run > 0) r.readBits(run) else 0)
+                      k = se + 1
+                    }
+                  } else {
+                    k += run
+                    require(k <= se, "AC run past band end")
+                    blk(ZigZag(k)) = extend(r.readBits(sz), sz) << al
+                    k += 1
+                  }
+                }
+              }
+            } else {
+              // AC refinement: correction bit per nonzero coefficient,
+              // newly-visible coefficients arrive as ±2^Al
+              def refineBit(z: Int): Unit =
+                if (r.readBit() == 1 && (blk(z) & p1) == 0)
+                  blk(z) += (if (blk(z) >= 0) p1 else m1)
+              var k = ss
+              if (eobrun == 0) {
+                var atEob = false
+                while (k <= se && !atEob) {
+                  val rs = r.decode(acT(0))
+                  var run = rs >>> 4
+                  val sz = rs & 0xf
+                  var newVal = 0
+                  if (sz == 0) {
+                    if (run != 15) {
+                      eobrun = (1 << run) +
+                        (if (run > 0) r.readBits(run) else 0)
+                      atEob = true
+                    } // run == 15: ZRL — skip 16 zero-history positions
+                  } else {
+                    require(sz == 1, f"AC refinement symbol 0x$rs%02x must have size 1")
+                    newVal = if (r.readBit() == 1) p1 else m1
+                  }
+                  if (!atEob) {
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val z = ZigZag(k)
+                      if (blk(z) != 0) refineBit(z)
+                      else {
+                        if (run == 0) {
+                          if (newVal != 0) blk(z) = newVal
+                          placed = true
+                        }
+                        run -= 1
+                      }
+                      k += 1
+                    }
+                    require(placed || newVal == 0, "AC refinement run past band end")
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // inside an EOB run: remaining nonzeros still take bits
+                while (k <= se) {
+                  val z = ZigZag(k)
+                  if (blk(z) != 0) refineBit(z)
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            mcusDone += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // entropy data ends exactly at the next marker; a 0xFF-valued padding
+      // byte carries its stuffed 0x00, and 0xFF fill bytes may precede the
+      // marker — anything else is unconsumed entropy data (a named error)
+      var p = r.pos
+      var scanning = true
+      while (scanning) {
+        require(p + 2 <= bytes.length, "JPEG truncated after progressive scan")
+        require((bytes(p) & 0xff) == 0xff,
+          f"unconsumed entropy byte 0x${bytes(p) & 0xff}%02x after scan data")
+        val b1 = bytes(p + 1) & 0xff
+        if (b1 == 0x00) p += 2      // stuffed padding byte
+        else if (b1 == 0xff) p += 1 // fill
+        else scanning = false
+      }
+      p
+    }
+
+    var done = false
+    while (!done) {
+      require(i + 2 <= bytes.length, "JPEG truncated before EOI")
+      require((bytes(i) & 0xff) == 0xff,
+        f"expected marker at $i, got 0x${bytes(i) & 0xff}%02x")
+      var m = bytes(i + 1) & 0xff
+      i += 2
+      while (m == 0xff) { // fill bytes
+        require(i < bytes.length, "JPEG truncated in marker fill bytes")
+        m = bytes(i) & 0xff
+        i += 1
+      }
+      m match {
+        case 0xd8 => // SOI (tolerated)
+        case 0xd9 => done = true
+        case 0xc2 =>
+          require(grids == null, "multiple SOF segments")
+          val len = segLen(bytes, i)
+          require(len >= 8, "SOF segment truncated")
+          require(bytes(i + 2) == 8, "only 8-bit precision supported")
+          height = u16be(bytes, i + 3)
+          width = u16be(bytes, i + 5)
+          val nf = bytes(i + 7) & 0xff
+          require(nf == 1 || nf == 3,
+            s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
+          require(len >= 8 + 3 * nf, "SOF component list truncated")
+          nComps = nf
+          compIds = new Array[Int](nf)
+          compQuant = new Array[Int](nf)
+          hSamp = new Array[Int](nf)
+          vSamp = new Array[Int](nf)
+          var c = 0
+          while (c < nf) {
+            compIds(c) = bytes(i + 8 + 3 * c) & 0xff
+            val sampling = bytes(i + 9 + 3 * c) & 0xff
+            hSamp(c) = sampling >>> 4
+            vSamp(c) = sampling & 0xf
+            compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
+            require(compQuant(c) <= 3, s"SOF quant table id ${compQuant(c)} out of range")
+            c += 1
+          }
+          val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
+          val is420 = nf == 3 && hSamp(0) == 2 && vSamp(0) == 2 &&
+            hSamp(1) == 1 && vSamp(1) == 1 && hSamp(2) == 1 && vSamp(2) == 1
+          require(all11 || is420,
+            s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
+          require(width > 0 && height > 0, "SOF declares empty geometry")
+          require(width.toLong * height <= (1L << 26), // decompression-bomb guard
+            s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
+          maxH = hSamp.max
+          maxV = vSamp.max
+          mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
+          mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
+          gridW = Array.tabulate(nComps)(c2 => mcuCols * hSamp(c2))
+          grids = Array.tabulate(nComps)(c2 =>
+            Array.fill(gridW(c2) * mcuRows * vSamp(c2))(new Array[Int](64)))
+          i += len
+        case 0xc0 | 0xc1 =>
+          throw new IllegalArgumentException("sequential SOF inside progressive stream")
+        case 0xc4 => // DHT
+          val len = segLen(bytes, i)
+          var p = i + 2
+          while (p < i + len) {
+            require(p + 17 <= i + len, "DHT table header overruns segment")
+            val tcTh = bytes(p) & 0xff
+            require((tcTh & 0xf) <= 3, s"DHT table id ${tcTh & 0xf} out of range")
+            val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+            val n = counts.sum
+            require(p + 17 + n <= i + len, "DHT value list overruns segment")
+            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+            val t = new HuffTable(counts, vals)
+            if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
+            p += 17 + n
+          }
+          i += len
+        case 0xdb => // DQT
+          val len = segLen(bytes, i)
+          var p = i + 2
+          while (p < i + len) {
+            require(p + 65 <= i + len, "DQT table overruns segment")
+            val pqTq = bytes(p) & 0xff
+            require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
+            require((pqTq & 0xf) <= 3, s"DQT table id ${pqTq & 0xf} out of range")
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+            quantTables(pqTq & 0xf) = q
+            p += 65
+          }
+          i += len
+        case 0xdd =>
+          val len = segLen(bytes, i)
+          require(len >= 4, "DRI segment truncated")
+          restartInterval = u16be(bytes, i + 2)
+          i += len
+        case 0xda =>
+          require(grids != null, "SOS before SOF")
+          i = decodeScan(i)
+          scans += 1
+        case x if x >= 0xe0 && x <= 0xef => i += segLen(bytes, i)
+        case 0xfe => i += segLen(bytes, i)
+        case o => throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$o%02x")
+      }
+    }
+    require(grids != null && scans > 0, "progressive JPEG has no decoded scan")
+    val quants = Array.tabulate(nComps) { c =>
+      val q = quantTables(compQuant(c))
+      require(q != null, s"SOF references missing quant table ${compQuant(c)}")
+      q
+    }
+    val compOfBlock = (0 until nComps)
+      .flatMap(c => Seq.fill(hSamp(c) * vSamp(c))(c)).toArray
+    val blocksPerMcu = compOfBlock.length
+    val blocks = new Array[Array[Int]](mcuCols * mcuRows * blocksPerMcu)
+    var mcu = 0
+    var w = 0
+    while (mcu < mcuCols * mcuRows) {
+      val mr = mcu / mcuCols
+      val mc = mcu % mcuCols
+      var c = 0
+      while (c < nComps) {
+        var v2 = 0
+        while (v2 < vSamp(c)) {
+          var h2 = 0
+          while (h2 < hSamp(c)) {
+            blocks(w) = grids(c)((mr * vSamp(c) + v2) * gridW(c) + mc * hSamp(c) + h2)
+            w += 1
+            h2 += 1
+          }
+          v2 += 1
+        }
+        c += 1
+      }
+      mcu += 1
     }
     JpegParsed(width, height, nComps, quants, hSamp, vSamp, compOfBlock, blocks)
   }

@@ -415,15 +415,87 @@ class DispatchMediaSpec extends AnyFunSuite {
     assert(parsed.quant.forall(_ == 8))
   }
 
-  test("jpeg unsupported shapes fail contained: progressive marker rejected") {
+  test("jpeg baseline stream mislabeled SOF2 fails named, not wrong pixels") {
     val good = JpegWriter.generate(8, 8, 10)
-    // rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive must be an error,
-    // not silently-wrong pixels
+    // rewrite SOF0 (FFC0) to SOF2 (FFC2): the baseline scan header
+    // (Ss=0, Se=63) is illegal in a progressive frame — must be an error,
+    // never pixels decoded under the wrong scan model
     val idx = (0 until good.length - 1).find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     val prog = good.clone(); prog(idx + 1) = 0xc2.toByte
     val e = intercept[IllegalArgumentException](graft.multimodal.JpegCodec.decode(prog))
-    assert(e.getMessage.contains("progressive"), e.getMessage)
+    assert(e.getMessage.contains("progressive DC scan"), e.getMessage)
+  }
+
+  test("progressive jpeg decodes pixel-identically to baseline (gray + color)") {
+    import graft.multimodal.JpegCodec
+    // odd dims cross block boundaries; seed 247 wraps a band mid-image
+    for ((w, h, seed) <- Seq((16, 24, 50), (13, 21, 100), (8, 8, 0), (20, 19, 247))) {
+      val base = JpegCodec.decode(JpegWriter.generate(w, h, seed))
+      val prog = JpegCodec.decode(JpegWriter.generateProgressive(w, h, seed))
+      assert(prog == base, s"gray ${(w, h, seed)}: $prog vs $base")
+    }
+    for ((w, h, seed) <- Seq((16, 16, 30), (11, 18, 190), (33, 31, 5))) {
+      val base = JpegCodec.decode(JpegWriter.generateColor(w, h, seed))
+      val prog = JpegCodec.decode(JpegWriter.generateColorProgressive(w, h, seed))
+      assert(prog == base, s"color ${(w, h, seed)}: $prog vs $base")
+      val prog420 = JpegCodec.decode(
+        JpegWriter.generateColorProgressive(w, h, seed, subsample420 = true))
+      assert(prog420 == base, s"420 ${(w, h, seed)}: $prog420 vs $base")
+    }
+  }
+
+  test("progressive jpeg with restart intervals matches the plain stream") {
+    import graft.multimodal.JpegCodec
+    for ((w, h, seed, ri) <- Seq((24, 17, 30, 1), (30, 25, 190, 3), (33, 31, 77, 2))) {
+      val plain = JpegCodec.decode(JpegWriter.generateProgressive(w, h, seed))
+      val rst = JpegCodec.decode(JpegWriter.generateProgressive(w, h, seed, ri))
+      assert(rst == plain, s"gray ri=$ri: $rst vs $plain")
+      val plainC = JpegCodec.decode(
+        JpegWriter.generateColorProgressive(w, h, seed, subsample420 = true))
+      val rstC = JpegCodec.decode(
+        JpegWriter.generateColorProgressive(w, h, seed, subsample420 = true,
+          restartInterval = ri))
+      assert(rstC == plainC, s"420 ri=$ri: $rstC vs $plainC")
+    }
+  }
+
+  test("progressive entropy layers are coefficient-exact across all scan types") {
+    import graft.multimodal.JpegCodec
+    import graft.fixtures.JpegWriter.ProgressiveScan
+    // every annex-G path in one 4-block image: DC successive approximation,
+    // AC first-scan magnitudes at Al=1 (|v|=1 stays INVISIBLE until the
+    // refinement scan inserts it), refinement correction bits (1 and 0),
+    // ZRL in both scan layers, EOB runs spanning blocks, split bands
+    val b0 = new Array[Int](64)
+    b0(0) = -70
+    b0(JpegCodec.ZigZag(1)) = 5    // visible at Al=1 (t=2), correction bit 1
+    b0(JpegCodec.ZigZag(3)) = 1    // newly visible only in the refinement
+    b0(JpegCodec.ZigZag(7)) = -3   // negative: t=1 first scan, bit 1 refine
+    b0(JpegCodec.ZigZag(30)) = 127 // long run: ZRL in the first scan
+    b0(JpegCodec.ZigZag(63)) = 1   // new at band END: ZRL x2 in refinement
+    val b1 = new Array[Int](64)
+    b1(0) = 33                     // AC-empty: EOB-run member in every scan
+    val b2 = new Array[Int](64)
+    b2(0) = -70
+    b2(JpegCodec.ZigZag(2)) = -128 // big negative magnitude (t=64, cat 7)
+    b2(JpegCodec.ZigZag(40)) = -1  // new in refine after a long zero run
+    val b3 = new Array[Int](64)
+    b3(JpegCodec.ZigZag(63)) = 2   // visible (t=1), refinement bit 0
+    val blocks = Array(b0, b1, b2, b3)
+    val prog = JpegWriter.fromCoeffsProgressive(32, 8, blocks, 1, Seq(
+      ProgressiveScan(Seq(0), 0, 0, 0, 1),
+      ProgressiveScan(Seq(0), 1, 5, 0, 1),
+      ProgressiveScan(Seq(0), 6, 63, 0, 1),
+      ProgressiveScan(Seq(0), 1, 63, 1, 0),
+      ProgressiveScan(Seq(0), 0, 0, 1, 0)))
+    val parsed = JpegCodec.parse(prog)
+    for (i <- blocks.indices)
+      assert(parsed.blocks(i).sameElements(blocks(i)),
+        s"block $i: ${parsed.blocks(i).mkString(",")}")
+    // and the decoded pixels match the baseline encoding of the same blocks
+    val base = JpegCodec.decode(JpegWriter.fromCoeffs(32, 8, blocks))
+    assert(JpegCodec.decode(prog) == base)
   }
 
   test("truncated jpeg fails with a named error at every cut point, not AIOOBE") {
