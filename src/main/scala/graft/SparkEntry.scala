@@ -1184,9 +1184,12 @@ object SparkEntry {
 
     // Audio header sweep for the REST of the reference's pydub/mutagen
     // input whitelist (audio_converters.py:40-44): au/caf/tta/ape/wv/aac/
-    // ac3/eac3/dts/mlp+truehd/wma/webm/mkv/opus — the audio analog of
+    // ac3/eac3/dts/mlp+truehd/wma/webm/mkv/opus/mp3 — the audio analog of
     // mm_headers. Channels/rate/duration all recomputed closed-form from
     // the fixture wheel (MLP/TrueHD report channels 0: layout not parsed).
+    // The mp3 arm walks real MPEG-1/2 Layer III frame headers (duration =
+    // frames x samples-per-frame / rate), half of them ID3v2-prefixed and
+    // half ID3v1-terminated.
     "ac_headers" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id")).as[Long]
@@ -1194,7 +1197,7 @@ object SparkEntry {
           import graft.fixtures.MediaFixtures
           import graft.multimodal.MediaCodecs
           val ch = 1 + (id % 2).toInt
-          val bytes = (id % 14) match {
+          val bytes = (id % 15) match {
             case 0 => MediaFixtures.au(1, ch, 8000, 800 + (id % 5).toInt * 80, 0)
             case 1 => MediaFixtures.caf(ch, 44100, 441 * (1 + (id % 4).toInt),
               (id % 50).toInt, little = id % 2 == 0)
@@ -1223,8 +1226,14 @@ object SparkEntry {
             case 11 => MediaFixtures.webm(ch, 48000, 500 + (id % 8).toInt * 125)
             case 12 => MediaFixtures.webm(ch, 48000, 500 + (id % 8).toInt * 125,
               docType = "matroska", video = Some((640, 360)))
-            case _ => MediaFixtures.oggOpus(ch, preSkip = 312,
+            case 13 => MediaFixtures.oggOpus(ch, preSkip = 312,
               granule = 312L + 4800 * (1 + (id % 4)))
+            case _ => MediaFixtures.mp3Frames(mpeg2 = id % 2 == 1,
+              bitrateIdx = Seq(5, 9, 14, 1)((id % 4).toInt),
+              freqIdx = (id % 3).toInt, mono = id % 2 == 0,
+              nFrames = 2 + (id % 3).toInt,
+              id3 = if (id % 4 == 0) Seq("TIT2" -> s"T$id") else Nil,
+              id3v1 = id % 8 < 4)
           }
           val m = MediaCodecs.audioHeader(bytes).get
           (id, m.mime, m.channels, m.rate, m.durationMs)
@@ -1711,12 +1720,14 @@ object SparkEntry {
       // from each container's published code tables (wavpack/adts/ac3/dts
       // indices), durations from the sample/frame arithmetic in the query
       // comment; MLP/TrueHD channels are 0 by contract (layout not parsed)
-      ("WITH p AS (SELECT doc_id, doc_id % 14 AS arm, 1 + doc_id % 2 AS ch, " +
+      ("WITH p AS (SELECT doc_id, doc_id % 15 AS arm, 1 + doc_id % 2 AS ch, " +
         "doc_id % 2 AS odd, doc_id % 3 AS m3, doc_id % 4 AS m4, " +
         "doc_id % 5 AS m5 FROM documents), " +
         "q AS (SELECT *, " +
         "CASE arm WHEN 2 THEN (CASE m4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
         "WHEN 2 THEN 22050 ELSE 44100 END) " +
+        "WHEN 14 THEN (CASE m3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) " +
+        "// (1 + odd) " +
         "WHEN 4 THEN (CASE m4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
         "WHEN 2 THEN 44100 ELSE 48000 END) " +
         "WHEN 5 THEN (CASE m4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 " +
@@ -1737,7 +1748,8 @@ object SparkEntry {
         "WHEN 8 THEN 'audio/vnd.dts' " +
         "WHEN 9 THEN (CASE WHEN odd = 0 THEN 'audio/mlp' ELSE 'audio/truehd' END) " +
         "WHEN 10 THEN 'audio/x-ms-wma' WHEN 11 THEN 'audio/webm' " +
-        "WHEN 12 THEN 'video/x-matroska' ELSE 'audio/opus' END AS media_type, " +
+        "WHEN 12 THEN 'video/x-matroska' WHEN 13 THEN 'audio/opus' " +
+        "ELSE 'audio/mpeg' END AS media_type, " +
         "CAST(CASE arm WHEN 6 THEN 2 + odd WHEN 7 THEN 5 + odd " +
         "WHEN 8 THEN (CASE m4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 5 END) " +
         "WHEN 9 THEN 0 ELSE ch END AS INT) AS channels, " +
@@ -1758,7 +1770,9 @@ object SparkEntry {
         "WHEN 10 THEN 1000 + (doc_id % 10) * 100 " +
         "WHEN 11 THEN 500 + (doc_id % 8) * 125 " +
         "WHEN 12 THEN 500 + (doc_id % 8) * 125 " +
-        "ELSE 100 * (1 + m4) END AS BIGINT) AS duration_ms " +
+        "WHEN 13 THEN 100 * (1 + m4) " +
+        "ELSE (2 + m3) * (CASE WHEN odd = 1 THEN 576 ELSE 1152 END) * 1000 // rate " +
+        "END AS BIGINT) AS duration_ms " +
         "FROM q ORDER BY doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:

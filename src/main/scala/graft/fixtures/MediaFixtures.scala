@@ -360,6 +360,34 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Bare MPEG audio (.mp3): `nFrames` Layer III frame headers with zeroed
+    * frame bodies — MPEG-1 (1152 samples/frame) or MPEG-2 (576), optional
+    * leading ID3v2 tag and trailing 128-byte ID3v1 `TAG` block. Frame
+    * length: (MPEG-1 ? 144000 : 72000) * kbps / rate, no padding bit. */
+  def mp3Frames(mpeg2: Boolean, bitrateIdx: Int, freqIdx: Int, mono: Boolean,
+                nFrames: Int, id3: Seq[(String, String)] = Nil,
+                id3v1: Boolean = false): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && freqIdx >= 0 && freqIdx <= 2)
+    val kbps = (if (mpeg2) Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+                else Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))(bitrateIdx)
+    val rate = Seq(44100, 48000, 32000)(freqIdx) >> (if (mpeg2) 1 else 0)
+    val len = (if (mpeg2) 72000 else 144000) * kbps / rate
+    val frame = new Array[Byte](len)
+    frame(0) = 0xff.toByte
+    frame(1) = (0xe0 | ((if (mpeg2) 2 else 3) << 3) | (1 << 1) | 1).toByte
+    frame(2) = ((bitrateIdx << 4) | (freqIdx << 2)).toByte
+    frame(3) = (if (mono) 0xc0 else 0x00).toByte
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3.nonEmpty) out.write(mp3Id3(id3))
+    for (_ <- 0 until nFrames) out.write(frame)
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      out.write(tag)
+    }
+    out.toByteArray
+  }
+
   /** P6 (RGB) or, with `gray`, P5 (PGM) binary raster. */
   def ppm(width: Int, height: Int, seed: Int, gray: Boolean = false): Array[Byte] = {
     val channels = if (gray) 1 else 3

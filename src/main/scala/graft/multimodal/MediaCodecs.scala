@@ -2147,6 +2147,102 @@ object MediaCodecs {
     AudioHeaderMeta("audio/aac", channels, rate, frames * 1024L * 1000L / rate)
   }
 
+  // ---- bare MPEG audio / .mp3 (frame headers walked, never decoded) ----
+  // kbps by (version, layer); -1 marks the reserved index slots
+  private val MpegKbpsV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // L3
+  private val MpegKbpsV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // L2/L3
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val MpegRatesV1 = Array(44100, 48000, 32000)
+
+  /** Frame geometry from the 4-byte header at `i`: (frameBytes,
+    * samplesPerFrame, sampleRate, channels), or null if the sync word or
+    * any field is invalid/reserved. Free-format (bitrate index 0) is
+    * unclaimable — its frame length is not derivable from the header. */
+  private def mpegFrame(b: Array[Byte], i: Int): Array[Int] = {
+    if (i + 4 > b.length || (b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0)
+      return null
+    val verBits = (b(i + 1) >> 3) & 3   // 0=MPEG-2.5, 2=MPEG-2, 3=MPEG-1
+    val layerBits = (b(i + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+    if (verBits == 1 || layerBits == 0) return null
+    val layer = 3 - layerBits           // 0=L1, 1=L2, 2=L3
+    val brIdx = (b(i + 2) >> 4) & 0xf
+    val frIdx = (b(i + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || frIdx == 3) return null
+    val kbps = (if (verBits == 3) MpegKbpsV1 else MpegKbpsV2)(layer)(brIdx)
+    val rate = MpegRatesV1(frIdx) >> (verBits match {
+      case 3 => 0; case 2 => 1; case _ => 2 })
+    val pad = (b(i + 2) >> 1) & 1
+    val len = layer match {
+      case 0 => (12000 * kbps / rate + pad) * 4
+      case 1 => 144000 * kbps / rate + pad
+      case _ => (if (verBits == 3) 144000 else 72000) * kbps / rate + pad
+    }
+    val spf = layer match {
+      case 0 => 384
+      case 1 => 1152
+      case _ => if (verBits == 3) 1152 else 576
+    }
+    val channels = if (((b(i + 3) >> 6) & 3) == 3) 1 else 2
+    Array(len, spf, rate, channels)
+  }
+
+  /** Offset of the first MPEG audio frame (skipping a leading ID3v2 tag),
+    * or -1 when the payload is not claimable. Like [[isAdts]], the claim
+    * needs the first frame to either fill the payload (up to a trailing
+    * ID3v1 tag) or chain onto a second valid sync — the bare 11-bit sync
+    * word alone is far too weak. */
+  def mpegAudioStart(b: Array[Byte]): Int = {
+    var i = 0
+    if (isId3v2(b)) {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + size + (if ((b(5) & 0x10) != 0) 10 else 0)
+      if (i < 0 || i >= b.length) return -1
+    }
+    val f = mpegFrame(b, i)
+    if (f == null) return -1
+    val end = i + f(0)
+    val tailOk = end == b.length ||
+      (end + 3 <= b.length && b(end) == 'T' && b(end + 1) == 'A' && b(end + 2) == 'G')
+    if (tailOk || mpegFrame(b, end) != null) i else -1
+  }
+
+  def isMpegAudio(b: Array[Byte]): Boolean = mpegAudioStart(b) >= 0
+
+  /** Bare MPEG-1/2/2.5 Layer I/II/III stream (.mp3): frame-header walk —
+    * duration accumulates samples-per-frame per frame against the stream's
+    * sample rate (so VBR streams, where the bitrate index changes frame to
+    * frame, total correctly: the pydub `len(audio)` contract,
+    * /root/reference/src/converters/audio_converters.py:114). A trailing
+    * 128-byte ID3v1 `TAG` block is skipped; a mid-stream sync loss or a
+    * rate change is a named error, never a silently-short duration. */
+  def parseMpegAudio(bytes: Array[Byte]): AudioHeaderMeta = {
+    val start = mpegAudioStart(bytes)
+    require(start >= 0, "not an MPEG audio payload")
+    val first = mpegFrame(bytes, start)
+    var i = start
+    var samples = 0L
+    var frames = 0
+    while (i < bytes.length &&
+      !(i + 3 <= bytes.length && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
+        bytes(i + 2) == 'G')) {
+      val f = mpegFrame(bytes, i)
+      require(f != null, s"MPEG audio frame sync lost at $i")
+      require(f(2) == first(2), s"MPEG audio sample rate changed at $i")
+      require(i + f(0) <= bytes.length, s"MPEG audio frame at $i overruns payload")
+      samples += f(1)
+      frames += 1
+      require(frames <= (1 << 20), "MPEG audio stream exceeds the 1M-frame cap")
+      i += f(0)
+    }
+    AudioHeaderMeta("audio/mpeg", first(3), first(2), samples * 1000L / first(2))
+  }
+
   // ---- AC-3 / E-AC-3 (syncframe headers; frames walked, never decoded) ----
   private val Ac3Rates = Array(48000, 44100, 32000)
   private val Ac3Kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
@@ -2684,6 +2780,7 @@ object MediaCodecs {
     else if (isApe(bytes)) Some(parseApe(bytes))
     else if (isWavpack(bytes)) Some(parseWavpack(bytes))
     else if (isAdts(bytes)) Some(parseAdts(bytes))
+    else if (isMpegAudio(bytes)) Some(parseMpegAudio(bytes))
     else if (isAc3Sync(bytes)) Some(parseAc3(bytes))
     else if (isDts(bytes)) Some(parseDts(bytes))
     else if (isMlpFamily(bytes)) Some(parseMlp(bytes))

@@ -343,6 +343,57 @@ class AudioConvertSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("implausible"), e2.getMessage)
   }
 
+  test("mpeg audio (.mp3): frame walk, ID3 wrappers, both versions") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    // MPEG-1 Layer III stereo, 128 kbps (idx 9) @ 44.1 kHz, 3 frames
+    val v1 = MediaFixtures.mp3Frames(mpeg2 = false, 9, 0, mono = false, 3)
+    val m1 = MediaCodecs.audioHeader(v1).get
+    assert(m1.mime == "audio/mpeg" && m1.channels == 2 && m1.rate == 44100)
+    assert(m1.durationMs == 3L * 1152 * 1000 / 44100) // 78 ms
+    // MPEG-2 mono (576 samples/frame, halved rate), ID3v2-prefixed and
+    // ID3v1-terminated: both wrappers skipped, duration unchanged
+    val v2 = MediaFixtures.mp3Frames(mpeg2 = true, 5, 1, mono = true, 4,
+      id3 = Seq("TIT2" -> "t"), id3v1 = true)
+    val m2 = MediaCodecs.parseMpegAudio(v2)
+    assert(m2.channels == 1 && m2.rate == 24000)
+    assert(m2.durationMs == 4L * 576 * 1000 / 24000) // 96 ms
+    // VBR: bitrate index changes per frame; duration still frames x spf
+    val a = MediaFixtures.mp3Frames(mpeg2 = false, 9, 0, mono = false, 1)
+    val b = MediaFixtures.mp3Frames(mpeg2 = false, 14, 0, mono = false, 2)
+    val vbr = MediaCodecs.parseMpegAudio(a ++ b)
+    assert(vbr.durationMs == 3L * 1152 * 1000 / 44100)
+  }
+
+  test("mpeg audio hostile shapes: weak syncs unclaimed, corruption named") {
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    val good = MediaFixtures.mp3Frames(mpeg2 = false, 9, 0, mono = false, 3)
+    // free-format (bitrate index 0) has no derivable frame length: unclaimed
+    val free = good.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(!MediaCodecs.isMpegAudio(free))
+    // reserved version bits: unclaimed
+    val resVer = good.clone(); resVer(1) = (resVer(1) & ~0x18 | 0x08).toByte
+    assert(!MediaCodecs.isMpegAudio(resVer))
+    // a lone sync word that neither fills the payload nor chains: unclaimed
+    assert(!MediaCodecs.isMpegAudio(good.take(50) ++ Array.fill[Byte](60)(0)))
+    // truncation mid-frame is NAMED once claimed (first frame still chains)
+    val cut = intercept[IllegalArgumentException](
+      MediaCodecs.parseMpegAudio(java.util.Arrays.copyOf(good, good.length - 10)))
+    assert(cut.getMessage.contains("MPEG audio"), cut.getMessage)
+    // a mid-stream sample-rate change is NAMED, never a wrong duration
+    val other = MediaFixtures.mp3Frames(mpeg2 = false, 9, 1, mono = false, 2)
+    val mixed = intercept[IllegalArgumentException](
+      MediaCodecs.parseMpegAudio(good ++ other))
+    assert(mixed.getMessage.contains("sample rate changed"), mixed.getMessage)
+    // an mp3 payload reaches decodeFeatures as REAL metadata, not a stub row
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = graft.multimodal.Multimodal.decodeFeatures(
+      Seq(graft.multimodal.Multimodal.MediaRow(1L, "", good)).toDS()).collect()
+    assert(rows.head.media_type == "audio/mpeg" && rows.head.error == "")
+  }
+
   test("matroska: child order, streamed clusters, and granule semantics") {
     // Audio element BEFORE TrackType inside the TrackEntry (Matroska does
     // not mandate child order): the pre-scan must still classify the track
