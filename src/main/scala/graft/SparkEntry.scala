@@ -659,7 +659,7 @@ object SparkEntry {
           val w = 5 + (id % 9).toInt
           val h = 3 + (id % 5).toInt
           val seed = (id % 200).toInt
-          val colorType = Seq(0, 2, 3, 6)((id % 4).toInt)
+          val colorType = Seq(0, 2, 3, 6, 4)((id % 5).toInt)
           // every third payload Adam7-interlaced: the passes partition the
           // pixels, so the closed-form oracle sum is unchanged
           Multimodal.MediaRow(id, "",
@@ -1501,9 +1501,10 @@ object SparkEntry {
         "doc_id % 200 AS seed FROM documents) " +
         "SELECT doc_id, 'image/png' AS media_type, " +
         "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
-        "CASE doc_id % 4 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB' WHEN 2 THEN 'P' " +
-        "ELSE 'RGBA' END AS mode, " +
-        "CAST((CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 4 END) " +
+        "CASE doc_id % 5 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB' WHEN 2 THEN 'P' " +
+        "WHEN 3 THEN 'RGBA' ELSE 'LA' END AS mode, " +
+        "CAST((CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 " +
+        "WHEN 3 THEN 4 ELSE 2 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_gif" ->

@@ -417,7 +417,7 @@ object MediaFixtures {
   def png(width: Int, height: Int, colorType: Int, seed: Int,
           adam7: Boolean = false): Array[Byte] = {
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case o => throw new IllegalArgumentException(s"color type $o")
     }
     // pass sub-images: (imageRowOf(passRow), passWidth) per pass; the

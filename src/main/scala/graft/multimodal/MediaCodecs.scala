@@ -290,7 +290,8 @@ object MediaCodecs {
     * Adam7 (each of the 7 passes is an independently-filtered sub-image;
     * the passes partition the pixels, so summing reconstructed pass bytes
     * IS the image pixelSum), color types 0 (gray → "L"), 2 ("RGB"),
-    * 3 (palette → "P", pixelSum over indices like 8-bpp BMP), 6 ("RGBA").
+    * 3 (palette → "P", pixelSum over indices like 8-bpp BMP),
+    * 4 (gray+alpha → "LA"), 6 ("RGBA").
     * pixelSum is over the UNFILTERED bytes, so a wrong filter
     * reconstruction (the part uncompressed formats never exercise) is
     * caught arithmetically. */
@@ -342,11 +343,13 @@ object MediaCodecs {
       case 0 => 1
       case 2 => 3
       case 3 => 1
+      case 4 => 2
       case 6 => 4
       case o => throw new IllegalArgumentException(s"unsupported PNG color type $o")
     }
     val mode = colorType match {
-      case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 6 => "RGBA"
+      case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 4 => "LA"
+      case 6 => "RGBA"
     }
     if (sink != null && colorType == 3)
       require(sink.palette != null, "PNG color type 3 has no PLTE chunk")

@@ -230,6 +230,15 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("png gray+alpha (color type 4) decodes as LA with a 2-channel sum") {
+    import graft.multimodal.MediaCodecs
+    val m = MediaCodecs.decodePng(MediaFixtures.png(7, 5, 4, 60))
+    assert(m.mode == "LA" && m.width == 7 && m.height == 5)
+    assert(m.pixelSum == 2L * 7 * (5 * 60 + 5 * 4 / 2))
+    val a7 = MediaCodecs.decodePng(MediaFixtures.png(7, 5, 4, 60, adam7 = true))
+    assert(a7 == m)
+  }
+
   test("png Adam7 interlace: 7 filtered passes decode to the plain sum") {
     // dims exercise empty passes (w or h < pass origin) and ragged strides
     for ((w, h) <- Seq((16, 16), (7, 3), (1, 1), (9, 20), (2, 2));
