@@ -1188,8 +1188,8 @@ object SparkEntry {
     // mm_headers. Channels/rate/duration all recomputed closed-form from
     // the fixture wheel (MLP/TrueHD report channels 0: layout not parsed).
     // The mp3 arm walks real MPEG-1/2 Layer III frame headers (duration =
-    // frames x samples-per-frame / rate), half of them ID3v2-prefixed and
-    // half ID3v1-terminated.
+    // frames x samples-per-frame / rate), a quarter of them ID3v2-prefixed
+    // and half ID3v1-terminated.
     "ac_headers" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id")).as[Long]

@@ -22,6 +22,43 @@ object JpegWriter {
 
   private val QuantStep = 8
 
+  /** Entropy-segment bit packer shared by the baseline and progressive
+    * writers: MSB-first, 0xFF00 byte stuffing, 1-padded flush at marker
+    * boundaries — the exact dual of the decoder's BitReader. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >>> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (code, len) = codes(sym)
+      putBits(code, len)
+    }
+    /** One's-complement magnitude bits (T.81 F.1.2.2.1). */
+    def putMagnitude(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    /** Pad to the byte boundary with 1s (before a marker). */
+    def flush(): Unit = if (cnt > 0) {
+      buf = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      out.write(buf & 0xff)
+      if ((buf & 0xff) == 0xff) out.write(0x00)
+      buf = 0; cnt = 0
+    }
+  }
+
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
   /** Band-constant grayscale: rows `8b..8b+7` hold `(seed + b) % 256`.
     * Width/height need NOT be multiples of 8 — edge blocks are padded with
     * the same band value (flat blocks stay flat), and the decoder crops.
@@ -156,35 +193,11 @@ object JpegWriter {
     // ---- entropy-coded segment
     val dcCodes = JpegCodec.encodeTable(JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
     val acCodes = JpegCodec.encodeTable(JpegCodec.StdAcCounts, JpegCodec.StdAcVals)
-    var bitBuf = 0
-    var bitCnt = 0
-    def putBits(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        bitBuf = (bitBuf << 1) | ((v >>> i) & 1)
-        bitCnt += 1
-        if (bitCnt == 8) {
-          out.write(bitBuf & 0xff)
-          if ((bitBuf & 0xff) == 0xff) out.write(0x00) // byte stuffing
-          bitBuf = 0; bitCnt = 0
-        }
-        i -= 1
-      }
-    }
-    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (code, len) = codes(sym)
-      putBits(code, len)
-    }
-    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putMagnitude(v: Int, cat: Int): Unit =
-      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
-
-    def flushBits(): Unit = if (bitCnt > 0) { // pad to the byte boundary with 1s
-      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
-      out.write(bitBuf & 0xff)
-      if ((bitBuf & 0xff) == 0xff) out.write(0x00)
-      bitBuf = 0; bitCnt = 0
-    }
+    val bits = new BitWriter(out)
+    def putBits(v: Int, n: Int): Unit = bits.putBits(v, n)
+    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = bits.putSymbol(codes, sym)
+    def putMagnitude(v: Int, cat: Int): Unit = bits.putMagnitude(v, cat)
+    def flushBits(): Unit = bits.flush()
 
     val preds = new Array[Int](comps) // per-component DC predictors
     var rstCount = 0
@@ -339,11 +352,12 @@ object JpegWriter {
     val hSamp = Array.tabulate(comps)(c => if (subsample420 && c == 0) 2 else 1)
     val vSamp = hSamp.clone()
     val maxH = hSamp.max
+    val maxV = vSamp.max
     val mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcuRows = (height + 8 * maxH - 1) / (8 * maxH)
+    val mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
     val blocksPerMcu = compOfBlock.length
     require(blocks.length == mcuCols * mcuRows * blocksPerMcu,
-      s"${blocks.length} blocks for ${width}x$width x$comps (want ${mcuCols * mcuRows * blocksPerMcu})")
+      s"${blocks.length} blocks for ${width}x$height x$comps (want ${mcuCols * mcuRows * blocksPerMcu})")
     // per-component grids in raster order (the layout progressive scans walk)
     val gridW = Array.tabulate(comps)(c => mcuCols * hSamp(c))
     val grids = Array.tabulate(comps)(c =>
@@ -398,34 +412,11 @@ object JpegWriter {
 
     val dcCodes = JpegCodec.encodeTable(JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
     val acCodes = JpegCodec.encodeTable(ProgAcCounts, ProgAcVals)
-    var bitBuf = 0
-    var bitCnt = 0
-    def putBits(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        bitBuf = (bitBuf << 1) | ((v >>> i) & 1)
-        bitCnt += 1
-        if (bitCnt == 8) {
-          out.write(bitBuf & 0xff)
-          if ((bitBuf & 0xff) == 0xff) out.write(0x00)
-          bitBuf = 0; bitCnt = 0
-        }
-        i -= 1
-      }
-    }
-    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (code, len) = codes(sym)
-      putBits(code, len)
-    }
-    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putMagnitude(v: Int, cat: Int): Unit =
-      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
-    def flushBits(): Unit = if (bitCnt > 0) {
-      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
-      out.write(bitBuf & 0xff)
-      if ((bitBuf & 0xff) == 0xff) out.write(0x00)
-      bitBuf = 0; bitCnt = 0
-    }
+    val bits = new BitWriter(out)
+    def putBits(v: Int, n: Int): Unit = bits.putBits(v, n)
+    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = bits.putSymbol(codes, sym)
+    def putMagnitude(v: Int, cat: Int): Unit = bits.putMagnitude(v, cat)
+    def flushBits(): Unit = bits.flush()
 
     for (scan <- scans) {
       val ns = scan.comps.size
@@ -544,7 +535,7 @@ object JpegWriter {
       } else {
         val ci = scan.comps.head
         val bw = ((width * hSamp(ci) + maxH - 1) / maxH + 7) / 8
-        val bh = ((height * vSamp(ci) + maxH - 1) / maxH + 7) / 8
+        val bh = ((height * vSamp(ci) + maxV - 1) / maxV + 7) / 8
         for (by <- 0 until bh; bx <- 0 until bw) {
           maybeRestart()
           val blk = grids(ci)(by * gridW(ci) + bx)

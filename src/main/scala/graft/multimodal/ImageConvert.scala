@@ -76,6 +76,9 @@ object ImageConvert {
       var r = 0; var g = 0; var b = 0; var a = 255
       buf.mode match {
         case "L" => r = buf.data(i) & 0xff; g = r; b = r
+        case "LA" =>
+          r = buf.data(i * 2) & 0xff; g = r; b = r
+          a = buf.data(i * 2 + 1) & 0xff
         case "P" =>
           val idx = (buf.data(i) & 0xff) * 3
           r = buf.palette(idx) & 0xff
@@ -353,7 +356,9 @@ object ImageConvert {
     require(images.nonEmpty, "images_to_pdf needs at least one image")
     val bufs = images.map { bytes =>
       val b = decodePixels(bytes)._2
-      if (b.mode == "RGBA" || b.mode == "P") convertMode(b, "RGB") else b
+      if (b.mode == "RGBA" || b.mode == "P") convertMode(b, "RGB")
+      else if (b.mode == "LA") convertMode(b, "L") // DeviceGray, alpha dropped
+      else b
     }
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
@@ -471,14 +476,18 @@ object ImageConvert {
   def encode(buf: PixelBuf, fmt: String): Array[Byte] =
     fmt.toLowerCase.stripPrefix(".") match {
       case "png" => encodePng(buf)
-      case "bmp" => encodeBmp(buf)
+      // formats without an alpha-plus-gray layout drop LA's alpha channel
+      // to L (the gray value IS the luma — exact, like RGBA→RGB's drop)
+      case "bmp" => encodeBmp(if (buf.mode == "LA") convertMode(buf, "L") else buf)
       case "ppm" | "pgm" | "pnm" =>
         if (buf.mode == "L") encodePnm(buf)
+        else if (buf.mode == "LA") encodePnm(convertMode(buf, "L"))
         else encodePnm(if (buf.mode == "RGB") buf else convertMode(buf, "RGB"))
       case "tiff" | "tif" =>
         if (buf.mode == "L" || buf.mode == "RGB") encodeTiff(buf)
+        else if (buf.mode == "LA") encodeTiff(convertMode(buf, "L"))
         else encodeTiff(convertMode(buf, "RGB"))
-      case "gif" => encodeGif(buf)
+      case "gif" => encodeGif(if (buf.mode == "LA") convertMode(buf, "L") else buf)
       case "jpeg" | "jpg" | "webp" | "ico" => throw new IllegalArgumentException(
         s"$fmt encode unsupported (lossy/container codec out of scope)")
       case o => throw new IllegalArgumentException(
@@ -488,7 +497,8 @@ object ImageConvert {
   /** PNG: color type from mode, filter 0 everywhere, one zlib stream. */
   def encodePng(buf: PixelBuf): Array[Byte] = {
     val colorType = buf.mode match {
-      case "L" => 0; case "RGB" => 2; case "P" => 3; case "RGBA" => 6
+      case "L" => 0; case "RGB" => 2; case "P" => 3; case "LA" => 4
+      case "RGBA" => 6
     }
     val channels = PixelBuf.channelsOf(buf.mode)
     val rowBytes = buf.width * channels

@@ -207,6 +207,84 @@ object JpegCodec {
     b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
 
+  // ---- marker segments shared by the baseline and progressive walks --------
+
+  private final case class SofInfo(width: Int, height: Int, nComps: Int,
+                                   compIds: Array[Int], compQuant: Array[Int],
+                                   hSamp: Array[Int], vSamp: Array[Int])
+
+  /** SOF0/1/2 body: 8-bit precision, geometry, component list, the
+    * 4:4:4/gray-or-4:2:0 sampling restriction, and the decompression-bomb
+    * guard — one source of truth for both frame types. */
+  private def readSof(bytes: Array[Byte], i: Int, len: Int): SofInfo = {
+    require(len >= 8, "SOF segment truncated")
+    require(bytes(i + 2) == 8, "only 8-bit precision supported")
+    val height = u16be(bytes, i + 3)
+    val width = u16be(bytes, i + 5)
+    val nf = bytes(i + 7) & 0xff
+    require(nf == 1 || nf == 3,
+      s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
+    require(len >= 8 + 3 * nf, "SOF component list truncated")
+    val compIds = new Array[Int](nf)
+    val compQuant = new Array[Int](nf)
+    val hSamp = new Array[Int](nf)
+    val vSamp = new Array[Int](nf)
+    var c = 0
+    while (c < nf) {
+      compIds(c) = bytes(i + 8 + 3 * c) & 0xff
+      val sampling = bytes(i + 9 + 3 * c) & 0xff
+      hSamp(c) = sampling >>> 4
+      vSamp(c) = sampling & 0xf
+      compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
+      require(compQuant(c) <= 3, s"SOF quant table id ${compQuant(c)} out of range")
+      c += 1
+    }
+    val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
+    val is420 = nf == 3 && hSamp(0) == 2 && vSamp(0) == 2 &&
+      hSamp(1) == 1 && vSamp(1) == 1 && hSamp(2) == 1 && vSamp(2) == 1
+    require(all11 || is420,
+      s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
+    require(width > 0 && height > 0, "SOF declares empty geometry")
+    require(width.toLong * height <= (1L << 26), // decompression-bomb guard
+      s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
+    SofInfo(width, height, nf, compIds, compQuant, hSamp, vSamp)
+  }
+
+  /** DHT segment: one or more canonical tables into the dc/ac slots. */
+  private def readDht(bytes: Array[Byte], i: Int, len: Int,
+                      dcTables: Array[HuffTable], acTables: Array[HuffTable]): Unit = {
+    var p = i + 2
+    while (p < i + len) {
+      require(p + 17 <= i + len, "DHT table header overruns segment")
+      val tcTh = bytes(p) & 0xff
+      require((tcTh & 0xf) <= 3, s"DHT table id ${tcTh & 0xf} out of range")
+      val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+      val n = counts.sum
+      require(p + 17 + n <= i + len, "DHT value list overruns segment")
+      val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+      val t = new HuffTable(counts, vals)
+      if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
+      p += 17 + n
+    }
+  }
+
+  /** DQT segment: 8-bit tables, entries transmitted in zigzag order. */
+  private def readDqt(bytes: Array[Byte], i: Int, len: Int,
+                      quantTables: Array[Array[Int]]): Unit = {
+    var p = i + 2
+    while (p < i + len) {
+      require(p + 65 <= i + len, "DQT table overruns segment")
+      val pqTq = bytes(p) & 0xff
+      require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
+      require((pqTq & 0xf) <= 3, s"DQT table id ${pqTq & 0xf} out of range")
+      val q = new Array[Int](64)
+      var k = 0
+      while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
+      quantTables(pqTq & 0xf) = q
+      p += 65
+    }
+  }
+
   /** Segment walk + entropy decode to QUANTIZED coefficient blocks in MCU
     * (row-major block) order — separated from reconstruction so the entropy
     * layer is testable coefficient-exactly, with no IDCT in the loop. */
@@ -242,66 +320,23 @@ object JpegCodec {
         case 0xd9 => throw new IllegalArgumentException("EOI before any scan")
         case 0xc0 | 0xc1 => // baseline / extended-sequential SOF
           val len = segLen(bytes, i)
-          require(len >= 8, "SOF segment truncated")
-          require(bytes(i + 2) == 8, "only 8-bit precision supported")
-          height = u16be(bytes, i + 3)
-          width = u16be(bytes, i + 5)
-          val nf = bytes(i + 7) & 0xff
-          require(nf == 1 || nf == 3,
-            s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
-          require(len >= 8 + 3 * nf, "SOF component list truncated")
-          nComps = nf
-          compIds = new Array[Int](nf)
-          compQuant = new Array[Int](nf)
-          hSamp = new Array[Int](nf)
-          vSamp = new Array[Int](nf)
-          var c = 0
-          while (c < nf) {
-            compIds(c) = bytes(i + 8 + 3 * c) & 0xff
-            val sampling = bytes(i + 9 + 3 * c) & 0xff
-            hSamp(c) = sampling >>> 4
-            vSamp(c) = sampling & 0xf
-            compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
-            require(compQuant(c) <= 3, s"SOF quant table id ${compQuant(c)} out of range")
-            c += 1
-          }
-          val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
-          val is420 = nf == 3 && hSamp(0) == 2 && vSamp(0) == 2 &&
-            hSamp(1) == 1 && vSamp(1) == 1 && hSamp(2) == 1 && vSamp(2) == 1
-          require(all11 || is420,
-            s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
+          val sof = readSof(bytes, i, len)
+          width = sof.width
+          height = sof.height
+          nComps = sof.nComps
+          compIds = sof.compIds
+          compQuant = sof.compQuant
+          hSamp = sof.hSamp
+          vSamp = sof.vSamp
           i += len
         case 0xc2 => return parseProgressive(bytes)
         case 0xc4 => // DHT: one or more tables
           val len = segLen(bytes, i)
-          var p = i + 2
-          while (p < i + len) {
-            require(p + 17 <= i + len, "DHT table header overruns segment")
-            val tcTh = bytes(p) & 0xff
-            require((tcTh & 0xf) <= 3, s"DHT table id ${tcTh & 0xf} out of range")
-            val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
-            val n = counts.sum
-            require(p + 17 + n <= i + len, "DHT value list overruns segment")
-            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
-            val t = new HuffTable(counts, vals)
-            if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
-            p += 17 + n
-          }
+          readDht(bytes, i, len, dcTables, acTables)
           i += len
         case 0xdb => // DQT: entries arrive in zigzag order
           val len = segLen(bytes, i)
-          var p = i + 2
-          while (p < i + len) {
-            require(p + 65 <= i + len, "DQT table overruns segment")
-            val pqTq = bytes(p) & 0xff
-            require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
-            require((pqTq & 0xf) <= 3, s"DQT table id ${pqTq & 0xf} out of range")
-            val q = new Array[Int](64)
-            var k = 0
-            while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
-            quantTables(pqTq & 0xf) = q
-            p += 65
-          }
+          readDqt(bytes, i, len, quantTables)
           i += len
         case 0xdd => // DRI: MCUs between restart markers (0 disables)
           val len = segLen(bytes, i)
@@ -336,8 +371,7 @@ object JpegCodec {
       }
     }
     require(width > 0 && height > 0, "JPEG has no SOF before SOS")
-    require(width.toLong * height <= (1L << 26), // decompression-bomb guard
-      s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
+    // (geometry and the decompression-bomb cap were validated in readSof)
     val quants = Array.tabulate(nComps) { c =>
       val q = quantTables(compQuant(c))
       require(q != null, s"SOF references missing quant table ${compQuant(c)}")
@@ -442,6 +476,7 @@ object JpegCodec {
       * marker's 0xFF. */
     def decodeScan(at: Int): Int = {
       val len = segLen(bytes, at)
+      require(len >= 3, "SOS segment truncated")
       val ns = bytes(at + 2) & 0xff
       require(ns >= 1 && ns <= nComps, s"SOS carries $ns components")
       require(len >= 6 + 2 * ns, "SOS component list truncated")
@@ -659,37 +694,14 @@ object JpegCodec {
         case 0xc2 =>
           require(grids == null, "multiple SOF segments")
           val len = segLen(bytes, i)
-          require(len >= 8, "SOF segment truncated")
-          require(bytes(i + 2) == 8, "only 8-bit precision supported")
-          height = u16be(bytes, i + 3)
-          width = u16be(bytes, i + 5)
-          val nf = bytes(i + 7) & 0xff
-          require(nf == 1 || nf == 3,
-            s"only grayscale or 3-component (YCbCr) JPEG supported, got $nf")
-          require(len >= 8 + 3 * nf, "SOF component list truncated")
-          nComps = nf
-          compIds = new Array[Int](nf)
-          compQuant = new Array[Int](nf)
-          hSamp = new Array[Int](nf)
-          vSamp = new Array[Int](nf)
-          var c = 0
-          while (c < nf) {
-            compIds(c) = bytes(i + 8 + 3 * c) & 0xff
-            val sampling = bytes(i + 9 + 3 * c) & 0xff
-            hSamp(c) = sampling >>> 4
-            vSamp(c) = sampling & 0xf
-            compQuant(c) = bytes(i + 10 + 3 * c) & 0xff
-            require(compQuant(c) <= 3, s"SOF quant table id ${compQuant(c)} out of range")
-            c += 1
-          }
-          val all11 = (0 until nf).forall(c2 => hSamp(c2) == 1 && vSamp(c2) == 1)
-          val is420 = nf == 3 && hSamp(0) == 2 && vSamp(0) == 2 &&
-            hSamp(1) == 1 && vSamp(1) == 1 && hSamp(2) == 1 && vSamp(2) == 1
-          require(all11 || is420,
-            s"sampling ${hSamp.zip(vSamp).mkString(",")} unsupported (4:4:4/gray or 4:2:0 only)")
-          require(width > 0 && height > 0, "SOF declares empty geometry")
-          require(width.toLong * height <= (1L << 26), // decompression-bomb guard
-            s"JPEG decode size ${width}x$height exceeds 64 MiB cap")
+          val sof = readSof(bytes, i, len)
+          width = sof.width
+          height = sof.height
+          nComps = sof.nComps
+          compIds = sof.compIds
+          compQuant = sof.compQuant
+          hSamp = sof.hSamp
+          vSamp = sof.vSamp
           maxH = hSamp.max
           maxV = vSamp.max
           mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
@@ -702,34 +714,11 @@ object JpegCodec {
           throw new IllegalArgumentException("sequential SOF inside progressive stream")
         case 0xc4 => // DHT
           val len = segLen(bytes, i)
-          var p = i + 2
-          while (p < i + len) {
-            require(p + 17 <= i + len, "DHT table header overruns segment")
-            val tcTh = bytes(p) & 0xff
-            require((tcTh & 0xf) <= 3, s"DHT table id ${tcTh & 0xf} out of range")
-            val counts = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
-            val n = counts.sum
-            require(p + 17 + n <= i + len, "DHT value list overruns segment")
-            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
-            val t = new HuffTable(counts, vals)
-            if ((tcTh >>> 4) == 0) dcTables(tcTh & 0xf) = t else acTables(tcTh & 0xf) = t
-            p += 17 + n
-          }
+          readDht(bytes, i, len, dcTables, acTables)
           i += len
         case 0xdb => // DQT
           val len = segLen(bytes, i)
-          var p = i + 2
-          while (p < i + len) {
-            require(p + 65 <= i + len, "DQT table overruns segment")
-            val pqTq = bytes(p) & 0xff
-            require((pqTq >>> 4) == 0, "16-bit quant tables unsupported")
-            require((pqTq & 0xf) <= 3, s"DQT table id ${pqTq & 0xf} out of range")
-            val q = new Array[Int](64)
-            var k = 0
-            while (k < 64) { q(ZigZag(k)) = bytes(p + 1 + k) & 0xff; k += 1 }
-            quantTables(pqTq & 0xf) = q
-            p += 65
-          }
+          readDqt(bytes, i, len, quantTables)
           i += len
         case 0xdd =>
           val len = segLen(bytes, i)

@@ -57,6 +57,7 @@ object MediaCodecs {
   object PixelBuf {
     def channelsOf(mode: String): Int = mode match {
       case "L" | "P" => 1
+      case "LA" => 2
       case "RGB" => 3
       case "RGBA" => 4
       case o => throw new IllegalArgumentException(s"unknown image mode $o")
@@ -2638,23 +2639,14 @@ object MediaCodecs {
     b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
-  /** RIFF/AVI walk: `avih` gives geometry + frame clock; every `##dc`/`##db`
-    * chunk in the `movi` LIST (including one `rec ` nesting level) is a
-    * complete MJPEG frame, decoded for real through [[JpegCodec]]. Frame
-    * dimensions must match the avih canvas — a mismatch is a named parse
-    * failure, never silently absorbed. Total decoded pixels share the
-    * 16M raster bomb cap with the still-image decoders. */
-  def parseAvi(bytes: Array[Byte]): AviMeta = {
-    require(isAvi(bytes), "not a RIFF/AVI payload")
-    var usecPerFrame = 0
-    var width = 0
-    var height = 0
-    var frames = 0
-    var pixelSum = 0L
-    var decodedPixels = 0L
-    def isFrameChunk(id: String): Boolean =
-      id.length == 4 && id(0).isDigit && id(1).isDigit &&
-        (id.endsWith("dc") || id.endsWith("db"))
+  /** The codec fourcc of the first `vids` stream: `strf` BITMAPINFOHEADER
+    * biCompression, falling back to the `strh` handler when strf is absent;
+    * null when the hdrl declares no video stream. */
+  private final case class AviHeader(width: Int, height: Int,
+                                     usecPerFrame: Int, videoFourcc: String)
+
+  private def walkAvi(bytes: Array[Byte])(
+      onChunk: (String, Int, Int) => Unit): Unit = {
     def walk(start: Long, end: Long, depth: Int): Unit = {
       require(depth <= 4, "AVI LIST nesting too deep")
       var i = start
@@ -2667,39 +2659,101 @@ object MediaCodecs {
         if (id == "LIST") {
           require(size >= 4, "AVI LIST too small for a subtype")
           val sub = new String(bytes, at + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
-          // hdrl (headers), movi (frame data), rec (interleave group) all
-          // contain chunks we care about; strl only holds strh/strf, which
-          // the fixture-informed walk does not need — avih is authoritative
-          if (sub == "hdrl" || sub == "movi" || sub == "rec ")
+          // hdrl (headers), strl (one stream's strh/strf), movi (frame
+          // data), rec (interleave group) all contain chunks we care about
+          if (sub == "hdrl" || sub == "strl" || sub == "movi" || sub == "rec ")
             walk(i + 12, i + 8 + size, depth + 1)
-        } else if (id == "avih") {
-          require(size >= 40, s"avih chunk of $size bytes is too small")
-          usecPerFrame = i32(bytes, at + 8)
-          width = i32(bytes, at + 40)
-          height = i32(bytes, at + 44)
-          require(usecPerFrame > 0, s"bad AVI frame clock $usecPerFrame us")
-          require(width > 0 && height > 0, s"bad AVI canvas ${width}x$height")
-        } else if (isFrameChunk(id) && size > 0) {
-          require(width > 0, "AVI frame chunk before avih header")
-          decodedPixels += width.toLong * height
-          require(decodedPixels <= (16L << 20),
-            s"AVI decode of $decodedPixels pixels exceeds the 16M-pixel cap")
-          val frame = java.util.Arrays.copyOfRange(bytes, at + 8, at + 8 + size)
-          require(JpegCodec.isJpeg(frame), s"AVI '$id' frame is not MJPEG")
-          val img = JpegCodec.decode(frame)
-          require(img.width == width && img.height == height,
-            s"AVI frame ${img.width}x${img.height} != canvas ${width}x$height")
-          frames += 1
-          pixelSum += img.pixelSum
-        }
+        } else onChunk(id, at + 8, size)
         i += 8L + size + (size & 1) // RIFF chunks are 2-byte aligned
       }
     }
     val total = i32(bytes, 4)
     require(total >= 4 && 8L + total <= bytes.length, "RIFF size overruns payload")
     walk(12L, 8L + total, 0)
+  }
+
+  private def fourcc(bytes: Array[Byte], at: Int): String =
+    new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** hdrl-level parse only: avih geometry/clock + the video stream's codec
+    * fourcc (no frame data touched). */
+  private def parseAviHeader(bytes: Array[Byte]): AviHeader = {
+    require(isAvi(bytes), "not a RIFF/AVI payload")
+    var usecPerFrame = 0
+    var width = 0
+    var height = 0
+    var inVideoStream = false
+    var videoFourcc: String = null
+    walkAvi(bytes) { (id, body, size) =>
+      id match {
+        case "avih" =>
+          require(size >= 40, s"avih chunk of $size bytes is too small")
+          usecPerFrame = i32(bytes, body)
+          width = i32(bytes, body + 32)
+          height = i32(bytes, body + 36)
+          require(usecPerFrame > 0, s"bad AVI frame clock $usecPerFrame us")
+          require(width > 0 && height > 0, s"bad AVI canvas ${width}x$height")
+        case "strh" if size >= 8 =>
+          inVideoStream = fourcc(bytes, body) == "vids"
+          if (inVideoStream && videoFourcc == null)
+            videoFourcc = fourcc(bytes, body + 4)
+        case "strf" if inVideoStream && size >= 20 =>
+          // BITMAPINFOHEADER biCompression is authoritative over the
+          // strh handler (encoders routinely leave the handler blank)
+          videoFourcc = fourcc(bytes, body + 16)
+          inVideoStream = false
+        case _ => ()
+      }
+    }
     require(width > 0, "AVI has no avih header")
-    AviMeta(width, height, frames, frames.toLong * usecPerFrame / 1000L, pixelSum)
+    AviHeader(width, height, usecPerFrame, videoFourcc)
+  }
+
+  /** True only for an AVI whose video stream declares the MJPG codec — the
+    * one AVI family with a real sample decoder here. Other codecs (Xvid,
+    * H.264, DIB, ...) stay UNCLAIMED so the dispatcher's marked-stub
+    * contract holds; corrupt containers also stay unclaimed (the claim
+    * probe never throws). */
+  def isMjpegAvi(b: Array[Byte]): Boolean =
+    isAvi(b) && (try {
+      val f = parseAviHeader(b).videoFourcc
+      f == "MJPG" || f == "mjpg"
+    } catch { case _: IllegalArgumentException => false })
+
+  /** RIFF/AVI walk: `avih` gives geometry + frame clock, the `vids` stream
+    * must declare MJPG, and every `##dc`/`##db` chunk in the `movi` LIST
+    * (including one `rec ` nesting level) is a complete MJPEG frame,
+    * decoded for real through [[JpegCodec]]. Frame dimensions must match
+    * the avih canvas — a mismatch is a named parse failure, never silently
+    * absorbed. Total decoded pixels share the 16M raster bomb cap with the
+    * still-image decoders. */
+  def parseAvi(bytes: Array[Byte]): AviMeta = {
+    val hdr = parseAviHeader(bytes)
+    require(hdr.videoFourcc == "MJPG" || hdr.videoFourcc == "mjpg",
+      s"AVI video codec '${hdr.videoFourcc}' is not MJPEG")
+    val width = hdr.width
+    val height = hdr.height
+    var frames = 0
+    var pixelSum = 0L
+    var decodedPixels = 0L
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    walkAvi(bytes) { (id, body, size) =>
+      if (isFrameChunk(id) && size > 0) {
+        decodedPixels += width.toLong * height
+        require(decodedPixels <= (16L << 20),
+          s"AVI decode of $decodedPixels pixels exceeds the 16M-pixel cap")
+        val frame = java.util.Arrays.copyOfRange(bytes, body, body + size)
+        require(JpegCodec.isJpeg(frame), s"AVI '$id' frame is not MJPEG")
+        val img = JpegCodec.decode(frame)
+        require(img.width == width && img.height == height,
+          s"AVI frame ${img.width}x${img.height} != canvas ${width}x$height")
+        frames += 1
+        pixelSum += img.pixelSum
+      }
+    }
+    AviMeta(width, height, frames, frames.toLong * hdr.usecPerFrame / 1000L, pixelSum)
   }
 
   // ---- Ogg granule scan (duration for Opus/Vorbis streams) ----

@@ -112,10 +112,13 @@ object Multimodal {
               val v = MediaCodecs.parseMp4(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 v.width, v.height, 0, Array(v.durationMs / 1000f), "")
-            case None if kind == "video/x-msvideo" =>
+            case None if kind == "video/x-msvideo" && MediaCodecs.isMjpegAvi(bytes) =>
               // REAL video sample decode: every MJPEG frame goes through
               // JpegCodec, so n_frames and the mean-pixel feature are
-              // measured from pixels, not read from the header
+              // measured from pixels, not read from the header. AVIs whose
+              // video stream declares any OTHER codec (Xvid/H.264/DIB)
+              // fall through to the marked stub row — the inter-frame
+              // contract below
               val v = MediaCodecs.parseAvi(bytes)
               val mean = if (v.frames == 0 || v.width == 0 || v.height == 0) 0f
                 else v.pixelSum.toFloat /
@@ -215,7 +218,7 @@ object Multimodal {
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
         Containment.contained[VideoDecode](e =>
           VideoDecode(m.doc_id, "unknown", 0, 0, 0, 0L, 0L, Containment.describe(e))) {
-          if (MediaCodecs.isAvi(bytes)) {
+          if (MediaCodecs.isMjpegAvi(bytes)) {
             val v = MediaCodecs.parseAvi(bytes)
             VideoDecode(m.doc_id, "video/x-msvideo", v.width, v.height,
               v.frames, v.durationMs, v.pixelSum, "")

@@ -36,7 +36,7 @@ class ImageConvertSpec extends AnyFunSuite {
   // ---- lossless encoder round-trips ----------------------------------------
 
   test("png encode/decode is pixel-identical for every mode") {
-    for (mode <- Seq("L", "P", "RGB", "RGBA")) {
+    for (mode <- Seq("L", "LA", "P", "RGB", "RGBA")) {
       val src = mkBuf(mode, 13, 7)
       val (meta, back) = ImageConvert.decodePixels(ImageConvert.encodePng(src))
       assert(meta.format == "png")
@@ -194,6 +194,34 @@ class ImageConvertSpec extends AnyFunSuite {
     val l = mkBuf("L", 5, 5)
     assertSame(l, ImageConvert.convertMode(ImageConvert.convertMode(l, "RGB"), "L"),
       "L->RGB->L")
+    // LA: gray replicates (L conversion is exact), alpha carried to RGBA
+    val la = mkBuf("LA", 4, 3)
+    val laL = ImageConvert.convertMode(la, "L")
+    val laRgba = ImageConvert.convertMode(la, "RGBA")
+    for (i <- 0 until 12) {
+      assert(laL.data(i) == la.data(i * 2), s"LA->L pixel $i")
+      for (c <- 0 until 3)
+        assert(laRgba.data(i * 4 + c) == la.data(i * 2), s"LA->RGBA pixel $i ch $c")
+      assert(laRgba.data(i * 4 + 3) == la.data(i * 2 + 1), s"LA->RGBA alpha $i")
+    }
+  }
+
+  test("LA sources convert to every target: png keeps LA, the rest drop alpha") {
+    val la = MediaFixtures.png(9, 5, 4, 60) // gray == alpha == (seed+y)%256
+    for (dst <- ImageConvert.encodeFormats) {
+      val (meta, sink) = ImageConvert.decodePixels(ImageConvert.convertImage(la, dst))
+      assert(meta.width == 9 && meta.height == 5, s"LA->$dst geometry")
+      val expectedGray = ImageConvert.convertMode(
+        ImageConvert.decodePixels(la)._2, "L")
+      assertSame(ImageConvert.convertMode(sink, "L"), expectedGray,
+        s"LA->$dst gray plane")
+      if (dst == "png") assert(sink.mode == "LA", "png must keep LA natively")
+      else assert(!sink.mode.contains("A"), s"LA->$dst kept alpha unexpectedly")
+    }
+    // multi-page PDF embeds LA pages as DeviceGray
+    val pdf = ImageConvert.imagesToPdf(Seq(la))
+    assert(new String(pdf, 0, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .startsWith("%PDF"))
   }
 
   // ---- cross-format convert + errors ----------------------------------------

@@ -270,6 +270,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(overrun.getMessage.contains("overruns"))
   }
 
+  test("non-MJPEG avi stays on the marked stub row, never an error row") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.fixtures.MediaFixtures
+    import graft.multimodal.MediaCodecs
+    // rewrite both MJPG fourccs (strh handler + strf biCompression) to XVID:
+    // an inter-frame codec this engine has no sample decoder for
+    val xvid = MediaFixtures.aviMjpeg(17, 13, 2, 40, 40000)
+    var found = 0
+    for (i <- 0 until xvid.length - 4
+         if xvid(i) == 'M' && xvid(i + 1) == 'J' && xvid(i + 2) == 'P' && xvid(i + 3) == 'G') {
+      "XVID".getBytes.copyToArray(xvid, i)
+      found += 1
+    }
+    assert(found == 2, s"expected 2 MJPG fourccs, found $found")
+    assert(!MediaCodecs.isMjpegAvi(xvid))
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseAvi(xvid))
+    assert(e.getMessage.contains("not MJPEG"), e.getMessage)
+    // dispatcher contract: the payload sniffs as AVI but is UNCLAIMED, so
+    // the row is a marked stub — distinguishable in the data, never an
+    // error row and never fabricated dims
+    val rows = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(1L, "", xvid)).toDS()).collect()
+    assert(rows.head.media_type == "video/x-msvideo")
+    assert(rows.head.error == Multimodal.StubDecodeError)
+    assert(rows.head.width == 0 && rows.head.n_frames == 0)
+    // truncated/corrupt containers also stay unclaimed by the probe
+    assert(!MediaCodecs.isMjpegAvi(java.util.Arrays.copyOf(xvid, 40)))
+  }
+
   test("decodeFeatures/decodeVideos: avi frames measured from pixels") {
     val spark = SparkTestSession.spark
     import spark.implicits._
