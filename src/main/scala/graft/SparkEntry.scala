@@ -1298,6 +1298,61 @@ object SparkEntry {
         .orderBy("format_from")
     }),
 
+    // Stateful streaming dedup: two parquet files drained as TWO
+    // micro-batches (maxFilesPerTrigger=1 + mtime ordering), so the
+    // seen-set genuinely crosses the state store between batches. Batch 0
+    // is the corpus; batch 1 carries re-arrivals of every fifth document
+    // (same digest, higher id — the state must swallow them) plus new
+    // revisions of every seventh (new digest — must survive). The oracle
+    // is GROUP BY digest -> MIN(doc_id) over the union, equal to
+    // keep-first here because re-arrivals always carry higher ids than
+    // their batch-0 originals. A leaked duplicate or a dropped revision
+    // breaks the hash.
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("digest"))
+      val tmp = freshScratchDir("graft_q_streamdedup", dir)
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                     mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(in, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(docs, "batch0", now - 60000)
+      writeBatch(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("digest"))
+          .unionByName(s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id").cast("long") + 200000L).as("doc_id"),
+              md5(concat(col("text"), lit("v2"))).as("digest"))),
+        "batch1", now)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[
+          graft.streaming.StreamingDedup.KeyedDoc].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.getPath)
+        .as[graft.streaming.StreamingDedup.KeyedDoc]
+      val q = graft.streaming.StreamingDedup.firstSeen(stream).writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("digest"), col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("digest")
+    }),
+
     // flatMapGroupsWithState sessionization, batch mode: one invocation per
     // user with all events + empty state — must equal the window/lag SQL
     "stream_sessions" -> ((s, dir) => {
@@ -1985,6 +2040,17 @@ object SparkEntry {
       ("WITH r AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
         "FROM orders) SELECT o_custkey, o_orderkey, latest_date FROM r WHERE rn = 1 ORDER BY o_custkey"),
+    "stream_dedup" ->
+      // keep-first across micro-batches == MIN per digest here: batch-1
+      // re-arrivals always carry ids +100000 above their batch-0 originals
+      ("WITH all_rows AS (" +
+        "SELECT md5(text) AS digest, doc_id FROM documents " +
+        "UNION ALL SELECT md5(text) AS digest, doc_id + 100000 FROM documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT md5(text || 'v2') AS digest, doc_id + 200000 " +
+        "FROM documents WHERE doc_id % 7 = 0) " +
+        "SELECT digest, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM all_rows " +
+        "GROUP BY digest ORDER BY digest"),
     "stream_sessions" ->
       ("WITH x AS (SELECT user_id, ts, event_id, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +

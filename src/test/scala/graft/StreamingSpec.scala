@@ -78,6 +78,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRes == latest)
   }
 
+  test("streaming dedup: seen-set carries across micro-batches, append-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.KeyedDoc
+
+    // batch 1: digests a (two arrivals, min id wins) and b; batch 2: a
+    // re-arrives (must emit nothing) and c is new (must emit)
+    val batch1 = Seq(KeyedDoc(7, "a"), KeyedDoc(3, "a"), KeyedDoc(5, "b"))
+    val batch2 = Seq(KeyedDoc(1, "a"), KeyedDoc(9, "c"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KeyedDoc]
+    val q = StreamingDedup.firstSeen(stream.toDS()).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_test")
+      .as[(String, Long)].collect().toMap
+    // keep-FIRST: digest a's batch-2 id 1 is lower but arrives later —
+    // the batch-1 survivor (min WITHIN its first batch) already holds
+    assert(got == Map("a" -> 3L, "b" -> 5L, "c" -> 9L), got.toString)
+
+    // batch mode over the union: empty state, one invocation per digest ->
+    // plain GROUP BY digest MIN(doc_id)
+    val batchRes = StreamingDedup.firstSeen((batch1 ++ batch2).toDS())
+      .collect().map(s => s.digest -> s.doc_id).toMap
+    assert(batchRes == Map("a" -> 1L, "b" -> 5L, "c" -> 9L), batchRes.toString)
+  }
+
   test("windowed ingest metrics aggregate by event-time window and lang") {
     val pages = Corpus.materialize(spark, "/root/testdata/sf0.001")
     // batch execution of the same streaming aggregation plan
