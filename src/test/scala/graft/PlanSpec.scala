@@ -85,7 +85,7 @@ class PlanSpec extends AnyFunSuite {
     // read of already-written output — asserting on that read would burn
     // minutes per `sbt test` without inspecting the heavy jobs. Their join
     // shapes are covered by their own specs.
-    val eagerExcluded = Set("pipeline_resume", "stream_metrics",
+    val eagerExcluded = Set("pipeline_resume", "stream_metrics", "stream_dedup",
       "dedup_clusters", "dc_header_union")
     for ((name, fn) <- SparkEntry.queries if !eagerExcluded(name)) {
       val plan = planString(fn(spark, sfDir))
@@ -113,6 +113,18 @@ class PlanSpec extends AnyFunSuite {
     val pages = Corpus.materialize(spark, sfDir)
     val df = graft.streaming.StreamingExtraction.extractStream(pages).toDF()
     assert(countShuffles(df) == 0, planString(df))
+  }
+
+  test("streaming dedup is ONE exchange on the digest key (state-store shape)") {
+    import spark.implicits._
+    val docs = Seq(graft.streaming.StreamingDedup.KeyedDoc(1L, "a")).toDS()
+    val df = graft.streaming.StreamingDedup.firstSeen(docs).toDF()
+    val s = planString(df)
+    // batch mode lowers flatMapGroupsWithState to MapGroups (no state
+    // store); the streaming lowering shares the same exchange shape
+    assert(s.contains("MapGroups"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(countShuffles(df) == 1, s) // hash-partition by digest, nothing else
   }
 
   test("one cluster-propagation round: equi-joins + partial-agg min, no cartesian") {
