@@ -1099,6 +1099,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Production JPEG ENCODE (the reference's `img.save(..., "JPEG",
+    // quality=...)` direction, image_converters.py:118-137): band-constant
+    // sources re-encode through convertImage and our own (already-oracled)
+    // decoder reads the output back. Flat 8x8 blocks have DC-only DCTs and
+    // at quality 95 the scaled luma DC step (2) divides 8*(v-128), so the
+    // lossy path is EXACTLY verifiable: the closed-form pixel sum is the
+    // same as the decode oracle's. Color rows carry neutral chroma; half of
+    // them also exercise the reference's grayscale preprocessing knob.
+    "ic_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 10 + (id % 23).toInt
+          val h = 9 + (id % 20).toInt
+          val seed = (id % 200).toInt
+          val color = id % 3 == 0
+          val src =
+            if (color) graft.fixtures.JpegWriter.generateColor(w, h, seed)
+            else graft.fixtures.JpegWriter.generate(w, h, seed)
+          val out = graft.multimodal.ImageConvert.convertImage(
+            src, "jpeg",
+            graft.multimodal.ImageConvert.ImageOpts(
+              grayscale = color && id % 2 == 0, quality = 95))
+          val meta = graft.multimodal.MediaCodecs.decodeImage(out).get
+          (id, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -1727,6 +1760,19 @@ object SparkEntry {
         "CASE doc_id % 4 WHEN 0 THEN 127 + 2 * t.y WHEN 1 THEN 249 " +
         "WHEN 2 THEN 0 ELSE seed + t.y * t.y - 1 END) " +
         "FROM generate_series(1, 8) AS t(y) WHERE t.y < h - 1) " +
+        "AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_jpeg" ->
+      // band-constant row y holds (seed + y//8) % 256 (no wrap: seed < 200,
+      // <= 4 bands); exact round-trip at q95, so the sum is the decode
+      // oracle's closed form; color ids (doc_id%3=0) stay RGB (x3) unless
+      // the grayscale knob fires (doc_id%6=0 -> L, r=g=b so L = v exactly)
+      ("WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 20 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE WHEN doc_id % 6 = 3 THEN 'RGB' ELSE 'L' END AS mode, " +
+        "CAST((CASE WHEN doc_id % 6 = 3 THEN 3 ELSE 1 END) " +
+        "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_ops" ->

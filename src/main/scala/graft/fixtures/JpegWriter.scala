@@ -22,42 +22,8 @@ object JpegWriter {
 
   private val QuantStep = 8
 
-  /** Entropy-segment bit packer shared by the baseline and progressive
-    * writers: MSB-first, 0xFF00 byte stuffing, 1-padded flush at marker
-    * boundaries — the exact dual of the decoder's BitReader. */
-  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
-    private var buf = 0
-    private var cnt = 0
-    def putBits(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        buf = (buf << 1) | ((v >>> i) & 1)
-        cnt += 1
-        if (cnt == 8) {
-          out.write(buf & 0xff)
-          if ((buf & 0xff) == 0xff) out.write(0x00) // byte stuffing
-          buf = 0; cnt = 0
-        }
-        i -= 1
-      }
-    }
-    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (code, len) = codes(sym)
-      putBits(code, len)
-    }
-    /** One's-complement magnitude bits (T.81 F.1.2.2.1). */
-    def putMagnitude(v: Int, cat: Int): Unit =
-      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
-    /** Pad to the byte boundary with 1s (before a marker). */
-    def flush(): Unit = if (cnt > 0) {
-      buf = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
-      out.write(buf & 0xff)
-      if ((buf & 0xff) == 0xff) out.write(0x00)
-      buf = 0; cnt = 0
-    }
-  }
-
-  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+  private type BitWriter = JpegCodec.BitWriter
+  private def category(v: Int): Int = JpegCodec.category(v)
 
   /** Band-constant grayscale: rows `8b..8b+7` hold `(seed + b) % 256`.
     * Width/height need NOT be multiples of 8 — edge blocks are padded with

@@ -28,7 +28,9 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   */
 object ImageConvert {
 
-  /** Formats convertImage can WRITE. */
+  /** LOSSLESS formats convertImage can write (the pixel-identity matrix).
+    * JPEG is also writable — lossy, via [[JpegEncoder]] — but lives outside
+    * this list because round-trips are quantization-bounded, not exact. */
   val encodeFormats: IndexedSeq[String] = IndexedSeq("png", "bmp", "ppm", "tiff", "gif")
 
   /** Decode any supported image to pixels + its native metadata. */
@@ -331,7 +333,8 @@ object ImageConvert {
                              cropBox: Option[(Int, Int, Int, Int)] = None,
                              rotateDeg: Option[Int] = None,
                              flipDir: Option[String] = None,
-                             grayscale: Boolean = false)
+                             grayscale: Boolean = false,
+                             quality: Int = 95)
 
   def convertImage(bytes: Array[Byte], targetFmt: String, opts: ImageOpts): Array[Byte] = {
     var buf = decodePixels(bytes)._2
@@ -340,7 +343,7 @@ object ImageConvert {
     for (d <- opts.rotateDeg) buf = rotate(buf, d)
     for (d <- opts.flipDir) buf = flip(buf, d)
     if (opts.grayscale && buf.mode != "L") buf = convertMode(buf, "L")
-    encode(buf, targetFmt)
+    encode(buf, targetFmt, opts.quality)
   }
 
   // ---- images → PDF (create_pdf, image_converters.py:181-222) ---------------
@@ -473,7 +476,7 @@ object ImageConvert {
 
   /** pixels → target-format bytes, auto-adapting the mode where the format
     * requires it (RGBA→RGB for ppm/tiff/gif like Pillow's save paths). */
-  def encode(buf: PixelBuf, fmt: String): Array[Byte] =
+  def encode(buf: PixelBuf, fmt: String, quality: Int = 95): Array[Byte] =
     fmt.toLowerCase.stripPrefix(".") match {
       case "png" => encodePng(buf)
       // formats without an alpha-plus-gray layout drop LA's alpha channel
@@ -488,7 +491,16 @@ object ImageConvert {
         else if (buf.mode == "LA") encodeTiff(convertMode(buf, "L"))
         else encodeTiff(convertMode(buf, "RGB"))
       case "gif" => encodeGif(if (buf.mode == "LA") convertMode(buf, "L") else buf)
-      case "jpeg" | "jpg" | "webp" | "ico" => throw new IllegalArgumentException(
+      case "jpeg" | "jpg" =>
+        // the reference's save path forces RGB for RGBA/P before a JPEG
+        // save (image_converters.py:110-112); LA keeps its gray plane
+        val adapted = buf.mode match {
+          case "RGBA" | "P" => convertMode(buf, "RGB")
+          case "LA" => convertMode(buf, "L")
+          case _ => buf
+        }
+        JpegEncoder.encode(adapted, quality)
+      case "webp" | "ico" => throw new IllegalArgumentException(
         s"$fmt encode unsupported (lossy/container codec out of scope)")
       case o => throw new IllegalArgumentException(
         s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")

@@ -61,6 +61,45 @@ object JpegCodec {
     }
   }
 
+  /** Entropy-segment bit packer shared by the production encoder and the
+    * fixture writers: MSB-first, 0xFF00 byte stuffing, 1-padded flush at
+    * marker boundaries — the exact dual of the decoder's BitReader. */
+  private[graft] final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >>> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (code, len) = codes(sym)
+      putBits(code, len)
+    }
+    /** One's-complement magnitude bits (T.81 F.1.2.2.1). */
+    def putMagnitude(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    /** Pad to the byte boundary with 1s (before a marker). */
+    def flush(): Unit = if (cnt > 0) {
+      buf = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      out.write(buf & 0xff)
+      if ((buf & 0xff) == 0xff) out.write(0x00)
+      buf = 0; cnt = 0
+    }
+  }
+
+  /** Magnitude category (bit length) of a DC diff / AC value. */
+  private[graft] def category(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
   /** Encode side (fixtures/tests): symbol -> (code, bit length), assigned in
     * canonical order — byte-identical to what `HuffTable` decodes. */
   def encodeTable(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {

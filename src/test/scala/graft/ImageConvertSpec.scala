@@ -246,6 +246,46 @@ class ImageConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg ENCODE: band-constant content round-trips exactly at q>=50") {
+    // flat 8x8 blocks have DC-only DCTs; at quality 95 the scaled luma DC
+    // step is 2, which divides 8*(v-128) — so our own decoder (already
+    // oracled) must read back the EXACT source pixels
+    for ((w, h, seed) <- Seq((16, 24, 50), (13, 21, 100), (20, 19, 247))) {
+      val srcBytes = graft.fixtures.JpegWriter.generate(w, h, seed)
+      val src = JpegCodec.decode(srcBytes)
+      val re = JpegCodec.decode(ImageConvert.convertImage(srcBytes, "jpeg"))
+      assert(re == src, s"gray ${(w, h, seed)}: $re vs $src")
+    }
+    // color: neutral-chroma band content survives the RGB->YCbCr->RGB trip
+    val colorSrc = graft.fixtures.JpegWriter.generateColor(16, 16, 30)
+    val reC = JpegCodec.decode(ImageConvert.convertImage(colorSrc, "jpeg"))
+    assert(reC == JpegCodec.decode(colorSrc), s"$reC")
+  }
+
+  test("jpeg ENCODE: non-flat content is quantization-bounded, knobs behave") {
+    val src = mkBuf("RGB", 24, 16)
+    val q95 = graft.multimodal.JpegEncoder.encode(src, 95)
+    val (meta, back) = ImageConvert.decodePixels(q95)
+    assert(meta.width == 24 && meta.height == 16 && meta.mode == "RGB")
+    // error bound: mean absolute channel error small at q95
+    val n = src.data.length
+    var err = 0L
+    for (i <- 0 until n) err += math.abs((src.data(i) & 0xff) - (back.data(i) & 0xff))
+    assert(err.toDouble / n < 8.0, s"mean abs error ${err.toDouble / n}")
+    // lower quality -> coarser tables -> smaller file
+    val q30 = graft.multimodal.JpegEncoder.encode(src, 30)
+    assert(q30.length < q95.length, s"${q30.length} !< ${q95.length}")
+    // quality range + mode adaptation contracts
+    intercept[IllegalArgumentException](graft.multimodal.JpegEncoder.encode(src, 0))
+    intercept[IllegalArgumentException](graft.multimodal.JpegEncoder.encode(src, 101))
+    val p = mkBuf("P", 6, 4)
+    val (pm, _) = ImageConvert.decodePixels(ImageConvert.encode(p, "jpeg"))
+    assert(pm.mode == "RGB") // P forced to RGB like the reference save path
+    val la = mkBuf("LA", 6, 4)
+    val (lam, _) = ImageConvert.decodePixels(ImageConvert.encode(la, "jpeg"))
+    assert(lam.mode == "L") // LA keeps its gray plane
+  }
+
   // ---- pixel geometry ops ---------------------------------------------------
 
   test("crop extracts the exact box; out-of-bounds boxes are named errors") {
@@ -461,9 +501,9 @@ class ImageConvertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("65535"), e.getMessage)
   }
 
-  test("lossy/unsupported encode targets are named errors, never fake bytes") {
+  test("unsupported encode targets are named errors, never fake bytes") {
     val buf = mkBuf("RGB", 4, 4)
-    for (fmt <- Seq("jpeg", "jpg", "webp", "ico"))
+    for (fmt <- Seq("webp", "ico"))
       assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, fmt))
         .getMessage.contains("unsupported"))
     assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, "xyz"))
