@@ -1132,6 +1132,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ICO + EPS ENCODE (the last two raster formats in the reference's
+    // output whitelist, image_converters.py:50-52): row-content BMP sources
+    // convert to a PNG-in-ICO icon (even ids) or an EpsImagePlugin-shaped
+    // hex-raster EPS (odd ids) and re-decode through decodePixels — both
+    // lossless, so dims/mode/pixel-sum verify in closed form; half the rows
+    // also push the grayscale knob through each target (r=g=b so L = v).
+    "ic_ico" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 4 + (id % 6).toInt
+          val seed = (id % 200).toInt
+          val src = graft.fixtures.MediaFixtures.bmp(w, h, 24, seed)
+          val dst = if (id % 2 == 0) "ico" else "eps"
+          val gray = id % 4 == 1 || id % 4 == 2
+          val out = graft.multimodal.ImageConvert.convertImage(
+            src, dst, graft.multimodal.ImageConvert.ImageOpts(grayscale = gray))
+          val (meta, _) = graft.multimodal.ImageConvert.decodePixels(out)
+          (id, dst, meta.format, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "dst_fmt", "format", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"), col("dst_fmt"), col("format"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -1774,6 +1802,21 @@ object SparkEntry {
         "CAST((CASE WHEN doc_id % 6 = 3 THEN 3 ELSE 1 END) " +
         "* w * (h * seed + 4 * (h // 8) * ((h // 8) - 1) + (h % 8) * (h // 8)) " +
         "AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_ico" ->
+      // BMP row y carries value seed+y in every channel (no wrap: seed<200,
+      // h<=9); both targets are lossless, so sum = factor * w * (h*seed +
+      // h(h-1)/2) with factor 3 for RGB rows, 1 for grayscale-knob rows
+      // (r=g=b makes the L conversion exact)
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'ico' ELSE 'eps' END AS dst_fmt, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'ico' ELSE 'eps' END AS format, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CASE WHEN doc_id % 4 IN (1, 2) THEN 'L' ELSE 'RGB' END AS mode, " +
+        "CAST((CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 3 END) " +
+        "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_ops" ->
       // crop drops the first/last row+column of a row-constant raster;

@@ -30,8 +30,11 @@ object ImageConvert {
 
   /** LOSSLESS formats convertImage can write (the pixel-identity matrix).
     * JPEG is also writable — lossy, via [[JpegEncoder]] — but lives outside
-    * this list because round-trips are quantization-bounded, not exact. */
-  val encodeFormats: IndexedSeq[String] = IndexedSeq("png", "bmp", "ppm", "tiff", "gif")
+    * this list because round-trips are quantization-bounded, not exact.
+    * NOTE: queries index the first five positions (`(id/6)%5` wheels) —
+    * only append, never reorder. */
+  val encodeFormats: IndexedSeq[String] =
+    IndexedSeq("png", "bmp", "ppm", "tiff", "gif", "ico", "eps")
 
   /** Decode any supported image to pixels + its native metadata. */
   def decodePixels(bytes: Array[Byte]): (ImageMeta, PixelBuf) = {
@@ -43,8 +46,10 @@ object ImageConvert {
       else if (MediaCodecs.isGif(bytes)) MediaCodecs.decodeGif(bytes, sink)
       else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes, sink)
       else if (MediaCodecs.isTiff(bytes)) MediaCodecs.decodeTiff(bytes, sink)
+      else if (MediaCodecs.isIco(bytes)) decodeIco(bytes, sink)
+      else if (isEps(bytes)) decodeEps(bytes, sink)
       else throw new IllegalArgumentException(
-        "unsupported image input (bmp/pnm/png/gif/jpeg/tiff)")
+        "unsupported image input (bmp/pnm/png/gif/jpeg/tiff/ico/eps)")
     (meta, sink)
   }
 
@@ -500,7 +505,9 @@ object ImageConvert {
           case _ => buf
         }
         JpegEncoder.encode(adapted, quality)
-      case "webp" | "ico" => throw new IllegalArgumentException(
+      case "ico" => encodeIco(if (buf.mode == "LA") convertMode(buf, "L") else buf)
+      case "eps" => encodeEps(buf)
+      case "webp" => throw new IllegalArgumentException(
         s"$fmt encode unsupported (lossy/container codec out of scope)")
       case o => throw new IllegalArgumentException(
         s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")
@@ -648,6 +655,146 @@ object ImageConvert {
   /** GIF89a, one frame, global color table. P/L encode directly; RGB(A)
     * palettizes exactly when the image has ≤256 distinct colors and is a
     * named error otherwise (no quantization loop — deterministic output). */
+  /** ICO: one PNG-compressed directory entry at the raster's native size —
+    * the layout Pillow's IcoImagePlugin has saved since PNG-in-ICO became
+    * its default (the reference's `.ico` output arm,
+    * /root/reference/src/converters/image_converters.py:50-52). The ICONDIR
+    * codes each axis in a single byte (0 means 256), capping dims at 256. */
+  def encodeIco(buf: PixelBuf): Array[Byte] = {
+    require(buf.width >= 1 && buf.width <= 256 && buf.height >= 1 && buf.height <= 256,
+      s"ICO dims ${buf.width}x${buf.height} out of the format's 1-256 range")
+    val png = encodePng(buf)
+    val out = new ByteArrayOutputStream(22 + png.length)
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    u16le(0); u16le(1); u16le(1)            // reserved / type=icon / count
+    out.write(buf.width & 0xff)             // 256 is coded as 0
+    out.write(buf.height & 0xff)
+    out.write(0); out.write(0)              // no palette / reserved
+    u16le(1)                                // color planes
+    u16le(PixelBuf.channelsOf(buf.mode) * 8) // bit-depth hint
+    u16le(png.length & 0xffff); u16le(png.length >>> 16)
+    u16le(22); u16le(0)                     // data offset: ICONDIR(6)+entry(16)
+    out.write(png, 0, png.length)
+    out.toByteArray
+  }
+
+  /** Decode an ICO's LARGEST directory entry (the frame Pillow opens by
+    * default — same selection as [[MediaCodecs.parseIco]]'s reported dims).
+    * PNG-compressed entries only: a classic DIB entry is a named error,
+    * never a wrong-pixels guess. */
+  private def decodeIco(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
+    MediaCodecs.parseIco(bytes) // validates the directory + entry bounds
+    def le32(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    val count = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    var best = 0
+    var bestPx = -1L
+    for (k <- 0 until count) {
+      val at = 6 + k * 16
+      val w = { val v = bytes(at) & 0xff; if (v == 0) 256 else v }
+      val h = { val v = bytes(at + 1) & 0xff; if (v == 0) 256 else v }
+      if (w.toLong * h > bestPx) { bestPx = w.toLong * h; best = k }
+    }
+    val at = 6 + best * 16
+    val slice = java.util.Arrays.copyOfRange(
+      bytes, le32(at + 12), le32(at + 12) + le32(at + 8))
+    require(MediaCodecs.isPng(slice),
+      "ICO entry is not PNG-compressed (classic DIB entries unsupported)")
+    val m = MediaCodecs.decodePng(slice, sink)
+    ImageMeta("ico", m.width, m.height, m.mode, m.pixelSum)
+  }
+
+  // ---- EPS (EpsImagePlugin save shape: hex raster + image operator) ----------
+
+  private[multimodal] def isEps(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == '%' && b(1) == '!' && b(2) == 'P' && b(3) == 'S'
+
+  private val EpsBBoxRe = "%%BoundingBox:\\s+0 0 (\\d+) (\\d+)".r
+  private val EpsMatrixRe = "(?m)^(\\d+) (\\d+) 8 \\[".r
+
+  /** EPS: level-2 PostScript raster the way Pillow's EpsImagePlugin saves —
+    * `%%BoundingBox: 0 0 w h`, a `readhexstring` image operator (`image`
+    * for L, `false 3 colorimage` for RGB), rows top-down as hex pairs.
+    * LA drops alpha to L; P/RGBA force RGB (PostScript rasters have no
+    * alpha or palette). */
+  def encodeEps(buf: PixelBuf): Array[Byte] = {
+    val b = buf.mode match {
+      case "L" | "RGB" => buf
+      case "LA" => convertMode(buf, "L")
+      case _ => convertMode(buf, "RGB")
+    }
+    val comps = PixelBuf.channelsOf(b.mode)
+    val sb = new java.lang.StringBuilder(256 + b.data.length * 2)
+    sb.append("%!PS-Adobe-3.0 EPSF-3.0\n")
+    sb.append("%%BoundingBox: 0 0 ").append(b.width).append(' ')
+      .append(b.height).append('\n')
+    sb.append("%%Pages: 1\n%%EndComments\n")
+    sb.append("gsave\n")
+    sb.append("/picstr ").append(b.width * comps).append(" string def\n")
+    sb.append(b.width).append(' ').append(b.height).append(" scale\n")
+    sb.append(b.width).append(' ').append(b.height).append(" 8 [")
+      .append(b.width).append(" 0 0 -").append(b.height).append(" 0 ")
+      .append(b.height).append("]\n")
+    sb.append("{ currentfile picstr readhexstring pop }\n")
+    sb.append(if (comps == 1) "image\n" else "false 3 colorimage\n")
+    val hex = "0123456789abcdef"
+    var i = 0
+    while (i < b.data.length) {
+      val v = b.data(i) & 0xff
+      sb.append(hex.charAt(v >>> 4)).append(hex.charAt(v & 0xf))
+      i += 1
+      if (i % (b.width * comps) == 0) sb.append('\n')
+    }
+    sb.append("grestore\nshowpage\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Parse the raster back out of an [[encodeEps]]-shaped stream (general
+    * PostScript needs an interpreter — anything without a readhexstring
+    * raster is a named error, matching Pillow's ghostscript-less refusal). */
+  private def decodeEps(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bbox = EpsBBoxRe.findFirstMatchIn(text).getOrElse(throw
+      new IllegalArgumentException("EPS has no origin-anchored %%BoundingBox"))
+    val w = bbox.group(1).toInt
+    val h = bbox.group(2).toInt
+    val m = EpsMatrixRe.findFirstMatchIn(text).getOrElse(throw
+      new IllegalArgumentException("EPS carries no hex raster image matrix"))
+    require(m.group(1).toInt == w && m.group(2).toInt == h,
+      s"EPS raster ${m.group(1)}x${m.group(2)} disagrees with BoundingBox ${w}x$h")
+    val isColor = text.indexOf("false 3 colorimage\n", m.end) >= 0
+    val op = if (isColor) "false 3 colorimage\n" else "image\n"
+    val opAt = text.indexOf(op, m.end)
+    require(opAt >= 0, "EPS image operator not found after the matrix")
+    val comps = if (isColor) 3 else 1
+    require(w >= 1 && h >= 1 && w.toLong * h * comps <= (64L << 20),
+      s"EPS raster ${w}x$h exceeds the 64 MiB decode cap")
+    sink.init(if (isColor) "RGB" else "L", w, h)
+    val need = w * h * comps
+    var sum = 0L
+    var outAt = 0
+    var hi = -1
+    var i = opAt + op.length
+    while (outAt < need && i < text.length) {
+      val c = text.charAt(i)
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else {
+          val v = (hi << 4) | d
+          sink.data(outAt) = v.toByte
+          sum += v
+          outAt += 1
+          hi = -1
+        }
+      } else require(c == '\n' || c == '\r' || c == ' ' || c == '\t',
+        s"EPS hex data interrupted by '$c'")
+      i += 1
+    }
+    require(outAt == need, s"EPS hex data truncated: $outAt of $need bytes")
+    ImageMeta("eps", w, h, sink.mode, sum)
+  }
+
   def encodeGif(buf: PixelBuf): Array[Byte] = {
     // the logical screen descriptor stores u16 dimensions: oversize input
     // must be a named error, not a silently truncated (corrupt) file

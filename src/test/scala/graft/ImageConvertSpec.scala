@@ -286,6 +286,58 @@ class ImageConvertSpec extends AnyFunSuite {
     assert(lam.mode == "L") // LA keeps its gray plane
   }
 
+  test("ico encode embeds a PNG entry; decode picks the largest entry back") {
+    for (mode <- Seq("L", "RGB", "RGBA", "P")) {
+      val src = mkBuf(mode, 9, 7)
+      val ico = ImageConvert.encode(src, "ico")
+      assert(graft.multimodal.MediaCodecs.isIco(ico))
+      // the header-level parser (Multimodal's dispatch) sees the same dims
+      val hdr = graft.multimodal.MediaCodecs.parseIco(ico)
+      assert(hdr.width == 9 && hdr.height == 7 && hdr.frames == 1)
+      val (meta, sink) = ImageConvert.decodePixels(ico)
+      assert(meta.format == "ico" && meta.width == 9 && meta.height == 7)
+      assertSame(ImageConvert.convertMode(sink, "RGB"),
+        ImageConvert.convertMode(src, "RGB"), s"ico $mode pixels")
+    }
+    // 256 axis is coded as 0 per the ICONDIR convention and reads back
+    val big = mkBuf("L", 256, 2)
+    val (bm, _) = ImageConvert.decodePixels(ImageConvert.encode(big, "ico"))
+    assert(bm.width == 256 && bm.height == 2)
+    // oversize and DIB-entry payloads are named errors
+    val huge = new PixelBuf
+    huge.init("L", 257, 1)
+    assert(intercept[IllegalArgumentException](ImageConvert.encodeIco(huge))
+      .getMessage.contains("256"))
+    val dib = ImageConvert.encode(mkBuf("L", 4, 4), "ico")
+    dib(22) = 0x28 // stomp the PNG magic into a BITMAPINFOHEADER size byte
+    assert(intercept[Exception](ImageConvert.decodePixels(dib))
+      .getMessage.toLowerCase.contains("png"))
+  }
+
+  test("eps encode writes a hex raster its own parser reads back exactly") {
+    for (mode <- Seq("L", "RGB")) {
+      val src = mkBuf(mode, 11, 6)
+      val eps = ImageConvert.encode(src, "eps")
+      val text = new String(eps, java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(text.startsWith("%!PS-Adobe-3.0 EPSF-3.0"))
+      assert(text.contains("%%BoundingBox: 0 0 11 6"))
+      val (meta, sink) = ImageConvert.decodePixels(eps)
+      assert(meta.format == "eps" && meta.width == 11 && meta.height == 6)
+      assert(sink.mode == mode)
+      assertSame(sink, src, s"eps $mode pixels")
+    }
+    // P and RGBA force RGB; LA keeps its gray plane (alpha-less format)
+    assert(ImageConvert.decodePixels(
+      ImageConvert.encode(mkBuf("P", 5, 4), "eps"))._1.mode == "RGB")
+    assert(ImageConvert.decodePixels(
+      ImageConvert.encode(mkBuf("LA", 5, 4), "eps"))._1.mode == "L")
+    // truncated hex data is a named error, not short pixels
+    val eps = ImageConvert.encode(mkBuf("L", 8, 8), "eps")
+    val cut = java.util.Arrays.copyOfRange(eps, 0, eps.length - 40)
+    assert(intercept[IllegalArgumentException](ImageConvert.decodePixels(cut))
+      .getMessage.contains("truncated"))
+  }
+
   // ---- pixel geometry ops ---------------------------------------------------
 
   test("crop extracts the exact box; out-of-bounds boxes are named errors") {
@@ -503,7 +555,7 @@ class ImageConvertSpec extends AnyFunSuite {
 
   test("unsupported encode targets are named errors, never fake bytes") {
     val buf = mkBuf("RGB", 4, 4)
-    for (fmt <- Seq("webp", "ico"))
+    for (fmt <- Seq("webp"))
       assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, fmt))
         .getMessage.contains("unsupported"))
     assert(intercept[IllegalArgumentException](ImageConvert.encode(buf, "xyz"))
