@@ -1160,6 +1160,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WebP ENCODE (the reference's `.webp` output arm,
+    // image_converters.py:50-52 and :122-126): cross-format sources (BMP,
+    // PNG, GIF, TIFF) convert to lossless VP8L and re-decode through the
+    // codec's own conforming reader — pixel-exact, so dims/mode/sums verify
+    // closed-form. Half the rows push the grayscale knob; webp has no gray
+    // layout, so they come back as gray RGB (the same 3x sum).
+    "ic_webp" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 4 + (id % 6).toInt
+          val seed = (id % 200).toInt
+          import graft.fixtures.MediaFixtures
+          val src = (id % 4) match {
+            case 0 => MediaFixtures.bmp(w, h, 24, seed)
+            case 1 => MediaFixtures.png(w, h, 2, seed)
+            case 2 => MediaFixtures.gif(w, h, seed)
+            case _ => MediaFixtures.tiff(w, h, rgb = true,
+              bigEndian = id % 8 == 3, seed)
+          }
+          val out = graft.multimodal.ImageConvert.convertImage(
+            src, "webp",
+            graft.multimodal.ImageConvert.ImageOpts(grayscale = id % 2 == 1))
+          val (meta, _) = graft.multimodal.ImageConvert.decodePixels(out)
+          (id, meta.format, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "format", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"), col("format"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -1817,6 +1851,17 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 IN (1, 2) THEN 'L' ELSE 'RGB' END AS mode, " +
         "CAST((CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 3 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_webp" ->
+      // every source format carries value seed+y in each channel at row y
+      // (gif via its gray palette), and VP8L is lossless with RGB the only
+      // non-alpha layout — so mode is always RGB and the sum is always
+      // 3 * w * (h*seed + h(h-1)/2), grayscale knob or not (r=g=b)
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, 'webp' AS format, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'RGB' AS mode, " +
+        "CAST(3 * w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_ops" ->
       // crop drops the first/last row+column of a row-constant raster;

@@ -34,7 +34,7 @@ object ImageConvert {
     * NOTE: queries index the first five positions (`(id/6)%5` wheels) —
     * only append, never reorder. */
   val encodeFormats: IndexedSeq[String] =
-    IndexedSeq("png", "bmp", "ppm", "tiff", "gif", "ico", "eps")
+    IndexedSeq("png", "bmp", "ppm", "tiff", "gif", "ico", "eps", "webp")
 
   /** Decode any supported image to pixels + its native metadata. */
   def decodePixels(bytes: Array[Byte]): (ImageMeta, PixelBuf) = {
@@ -48,8 +48,9 @@ object ImageConvert {
       else if (MediaCodecs.isTiff(bytes)) MediaCodecs.decodeTiff(bytes, sink)
       else if (MediaCodecs.isIco(bytes)) decodeIco(bytes, sink)
       else if (isEps(bytes)) decodeEps(bytes, sink)
+      else if (MediaCodecs.isWebp(bytes)) WebpCodec.decode(bytes, sink)
       else throw new IllegalArgumentException(
-        "unsupported image input (bmp/pnm/png/gif/jpeg/tiff/ico/eps)")
+        "unsupported image input (bmp/pnm/png/gif/jpeg/tiff/ico/eps/webp)")
     (meta, sink)
   }
 
@@ -507,8 +508,12 @@ object ImageConvert {
         JpegEncoder.encode(adapted, quality)
       case "ico" => encodeIco(if (buf.mode == "LA") convertMode(buf, "L") else buf)
       case "eps" => encodeEps(buf)
-      case "webp" => throw new IllegalArgumentException(
-        s"$fmt encode unsupported (lossy/container codec out of scope)")
+      case "webp" =>
+        // webp has no gray/palette layout: everything except RGBA forces
+        // RGB (Pillow's webp save shape); VP8L keeps it lossless
+        WebpCodec.encode(
+          if (buf.mode == "RGB" || buf.mode == "RGBA") buf
+          else convertMode(buf, "RGB"))
       case o => throw new IllegalArgumentException(
         s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")
     }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.MediaFixtures
+import graft.multimodal.{ImageConvert, WebpCodec}
+import graft.multimodal.MediaCodecs
+import graft.multimodal.MediaCodecs.PixelBuf
+
+class WebpCodecSpec extends AnyFunSuite {
+
+  private def mkBuf(mode: String, w: Int, h: Int, seed: Int = 0): PixelBuf = {
+    val buf = new PixelBuf
+    buf.init(mode, w, h)
+    var i = 0
+    // LCG covers the full byte range incl. 0x00/0xff boundaries
+    var s = seed * 2654435761L + 1
+    while (i < buf.data.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      buf.data(i) = (s >>> 33).toByte
+      i += 1
+    }
+    buf
+  }
+
+  test("VP8L header bytes match the spec bit layout, not just our own reader") {
+    // 1x1 RGB: payload starts after the 20-byte RIFF/WEBP/VP8L framing.
+    // Hand-derived LSB-first stream: signature 0x2f; then width-1 (14 bits
+    // of 0) + height-1 (14 bits of 0) + alpha_hint 0 + version 000 = 32
+    // zero bits (bytes 1-4); byte 5 carries transform=0, cache=0, meta=0,
+    // green-code is_simple=0, then num_code_lengths-4 = 8 = 0b1000 written
+    // LSB-first (0,0,0,1) -> bits [0,0,0,0,0,0,0,1] = 0x80; byte 6 carries
+    // the first code-length-code lengths in kCodeLengthCodeOrder: 17 -> 2
+    // (0,1,0), 18 -> 2 (0,1,0), 0 -> 0 (0,0) -> bits [0,1,0,0,1,0,0,0] =
+    // 0x12.
+    val buf = new PixelBuf
+    buf.init("RGB", 1, 1)
+    buf.data(0) = 120.toByte; buf.data(1) = 200.toByte; buf.data(2) = 31.toByte
+    val enc = WebpCodec.encode(buf)
+    assert(new String(enc, 0, 4, "ISO-8859-1") == "RIFF")
+    assert(new String(enc, 8, 8, "ISO-8859-1") == "WEBPVP8L")
+    assert((enc(20) & 0xff) == 0x2f, "VP8L signature")
+    for (k <- 21 to 24) assert(enc(k) == 0, s"dims/version byte $k")
+    assert((enc(25) & 0xff) == 0x80, "transform/cache/meta + CL count byte")
+    assert((enc(26) & 0xff) == 0x12, "first three code-length-code lengths")
+    // the header-level parser reads the same dims from the same bits
+    val hdr = MediaCodecs.parseWebp(enc)
+    assert(hdr.width == 1 && hdr.height == 1 && hdr.variant == "vp8l")
+  }
+
+  test("RGB and RGBA rasters round-trip pixel-exactly through VP8L") {
+    for ((mode, w, h, seed) <- Seq(("RGB", 9, 5, 1), ("RGB", 16, 16, 7),
+                                   ("RGBA", 7, 11, 3), ("RGBA", 1, 1, 9))) {
+      val src = mkBuf(mode, w, h, seed)
+      val enc = WebpCodec.encode(src)
+      val sink = new PixelBuf
+      val meta = WebpCodec.decode(enc, sink)
+      assert(meta.format == "webp" && meta.width == w && meta.height == h)
+      assert(meta.mode == mode, s"$mode came back ${meta.mode}")
+      assert(java.util.Arrays.equals(sink.data, src.data), s"$mode $w x $h pixels")
+      val hdr = MediaCodecs.parseWebp(enc)
+      assert(hdr.width == w && hdr.height == h)
+    }
+  }
+
+  test("convert surface: every mode reaches webp; gray planes survive as RGB") {
+    for (srcMode <- Seq("L", "LA", "P", "RGB", "RGBA")) {
+      val src = {
+        val b = mkBuf(srcMode, 6, 4, 5)
+        if (srcMode == "P")
+          b.palette = Array.tabulate[Byte](768)(i => ((i * 11 + 5) % 256).toByte)
+        b
+      }
+      val out = ImageConvert.encode(src, "webp")
+      val (meta, sink) = ImageConvert.decodePixels(out)
+      assert(meta.width == 6 && meta.height == 4)
+      assert(meta.mode == (if (srcMode == "RGBA") "RGBA" else "RGB"))
+      val want = ImageConvert.convertMode(
+        if (srcMode == "LA") ImageConvert.convertMode(src, "L") else src,
+        meta.mode)
+      assert(java.util.Arrays.equals(sink.data, want.data), s"$srcMode pixels")
+    }
+  }
+
+  test("lossy, extended, and transformed streams are named errors, not guesses") {
+    val sink = new PixelBuf
+    val lossy = MediaFixtures.webp(8, 8, variant = 0)
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(lossy, sink))
+      .getMessage.contains("lossy"))
+    val extended = MediaFixtures.webp(8, 8, variant = 2)
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(extended, sink))
+      .getMessage.contains("extended"))
+    // flip the transforms-present bit (payload byte 5, bit 0) on a real stream
+    val enc = WebpCodec.encode(mkBuf("RGB", 3, 3))
+    enc(25) = (enc(25) | 1).toByte
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(enc, sink))
+      .getMessage.contains("transform"))
+    // truncated payloads are named errors, not short pixels: a short file
+    // fails the chunk-bounds walk; a chunk whose declared size cuts the
+    // entropy data fails the bit reader
+    val cut = java.util.Arrays.copyOfRange(enc, 0, enc.length - 4)
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(cut, sink))
+      .getMessage.contains("overruns"))
+    val short = WebpCodec.encode(mkBuf("RGB", 3, 3)) // fresh: enc has the flipped bit
+    val declared = (short(16) & 0xff) | ((short(17) & 0xff) << 8)
+    short(16) = ((declared - 4) & 0xff).toByte // shrink the VP8L chunk size
+    assert(intercept[IllegalArgumentException](
+      WebpCodec.decode(java.util.Arrays.copyOfRange(short, 0, short.length - 4), sink))
+      .getMessage.contains("truncated"))
+  }
+}
