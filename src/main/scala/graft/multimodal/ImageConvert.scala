@@ -688,21 +688,11 @@ object ImageConvert {
     * PNG-compressed entries only: a classic DIB entry is a named error,
     * never a wrong-pixels guess. */
   private def decodeIco(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
-    MediaCodecs.parseIco(bytes) // validates the directory + entry bounds
-    def le32(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
-      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
-    val count = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
-    var best = 0
-    var bestPx = -1L
-    for (k <- 0 until count) {
-      val at = 6 + k * 16
-      val w = { val v = bytes(at) & 0xff; if (v == 0) 256 else v }
-      val h = { val v = bytes(at + 1) & 0xff; if (v == 0) 256 else v }
-      if (w.toLong * h > bestPx) { bestPx = w.toLong * h; best = k }
-    }
-    val at = 6 + best * 16
+    // parseIco validates the directory + entry bounds and hands back the
+    // largest entry's location — the SAME entry its reported dims describe
+    val dir = MediaCodecs.parseIco(bytes)
     val slice = java.util.Arrays.copyOfRange(
-      bytes, le32(at + 12), le32(at + 12) + le32(at + 8))
+      bytes, dir.bestOffset, dir.bestOffset + dir.bestSize)
     require(MediaCodecs.isPng(slice),
       "ICO entry is not PNG-compressed (classic DIB entries unsupported)")
     val m = MediaCodecs.decodePng(slice, sink)

@@ -1808,8 +1808,11 @@ object MediaCodecs {
 
   /** ICO directory metadata: dims of the LARGEST directory entry (the size
     * Pillow reports for a multi-resolution icon) and the entry count as
-    * `frames`; the 0-coded axis means 256 per the ICONDIR convention. */
-  final case class IcoMeta(width: Int, height: Int, frames: Int)
+    * `frames`; the 0-coded axis means 256 per the ICONDIR convention.
+    * `bestOffset`/`bestSize` locate the winning entry's image data so the
+    * convert surface decodes the SAME entry these dims describe. */
+  final case class IcoMeta(width: Int, height: Int, frames: Int,
+                           bestOffset: Int, bestSize: Int)
 
   def isIco(b: Array[Byte]): Boolean =
     b.length >= 6 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 &&
@@ -1821,6 +1824,8 @@ object MediaCodecs {
     require(6 + count * 16 <= bytes.length, "ICONDIR overruns payload")
     var bestW = 0
     var bestH = 0
+    var bestOffset = 0
+    var bestSize = 0
     var k = 0
     while (k < count) {
       val at = 6 + k * 16
@@ -1830,10 +1835,12 @@ object MediaCodecs {
       val offset = i32(bytes, at + 12)
       require(sizeInRes >= 0 && offset >= 0 && offset.toLong + sizeInRes <= bytes.length,
         s"ICO entry $k image data overruns payload")
-      if (w.toLong * h > bestW.toLong * bestH) { bestW = w; bestH = h }
+      if (w.toLong * h > bestW.toLong * bestH) {
+        bestW = w; bestH = h; bestOffset = offset; bestSize = sizeInRes
+      }
       k += 1
     }
-    IcoMeta(bestW, bestH, count)
+    IcoMeta(bestW, bestH, count, bestOffset, bestSize)
   }
 
   // ==========================================================================

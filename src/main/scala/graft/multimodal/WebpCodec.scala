@@ -277,22 +277,25 @@ object WebpCodec {
     * on [[MediaCodecs.parseWebp]]. */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
-    var i = 12
+    // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
+    // wraps negative on a crafted size and bypasses the bounds require
+    var i = 12L
     var at = -1
     var end = -1
     while (at < 0 && i + 8 <= bytes.length) {
-      val fourcc = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val size = graft.util.LittleEndian.i32(bytes, i + 4)
-      require(size >= 0 && i + 8 + size <= bytes.length, s"RIFF chunk $fourcc overruns payload")
+      val fourcc = new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
+      require(size >= 0 && i + 8 + size.toLong <= bytes.length,
+        s"RIFF chunk $fourcc overruns payload")
       fourcc match {
-        case "VP8L" => at = i + 8; end = at + size
+        case "VP8L" => at = i.toInt + 8; end = at + size
         case "VP8 " => throw new IllegalArgumentException(
           "lossy (VP8) WebP sample decode unsupported — header metadata only")
         case "VP8X" => throw new IllegalArgumentException(
           "extended (VP8X) WebP sample decode unsupported — header metadata only")
         case _ => ()
       }
-      i += 8 + size + (size & 1)
+      i += 8L + size + (size & 1)
     }
     require(at >= 0, "WebP has no VP8L chunk")
     val in = new LsbReader(bytes, at, end)

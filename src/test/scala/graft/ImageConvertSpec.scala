@@ -296,8 +296,9 @@ class ImageConvertSpec extends AnyFunSuite {
       assert(hdr.width == 9 && hdr.height == 7 && hdr.frames == 1)
       val (meta, sink) = ImageConvert.decodePixels(ico)
       assert(meta.format == "ico" && meta.width == 9 && meta.height == 7)
-      assertSame(ImageConvert.convertMode(sink, "RGB"),
-        ImageConvert.convertMode(src, "RGB"), s"ico $mode pixels")
+      // PNG-in-ICO is mode-preserving: compare raw planes (incl. alpha for
+      // RGBA — an RGB-space compare would mask a dropped/shuffled channel)
+      assertSame(sink, src, s"ico $mode pixels")
     }
     // 256 axis is coded as 0 per the ICONDIR convention and reads back
     val big = mkBuf("L", 256, 2)
