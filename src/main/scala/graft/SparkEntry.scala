@@ -1405,9 +1405,9 @@ object SparkEntry {
     // breaks the hash.
     "stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long").as("doc_id"),
-          md5(col("text")).as("digest"))
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val docs = base.select(col("doc_id"), md5(col("text")).as("digest"))
       val tmp = freshScratchDir("graft_q_streamdedup", dir)
       val in = new java.io.File(s"$tmp/in"); in.mkdirs()
       def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
@@ -1418,16 +1418,19 @@ object SparkEntry {
           .find(_.getName.endsWith(".parquet")).get
         val dest = new java.io.File(in, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(mtime)
+        // micro-batch ORDER rides on mtime (file source lists oldest
+        // first): a silent setLastModified failure would leave the two
+        // batches tie-broken by listing order and flip survivors
+        require(dest.setLastModified(mtime), s"cannot set mtime on $dest")
       }
       val now = System.currentTimeMillis()
       writeBatch(docs, "batch0", now - 60000)
       writeBatch(
         docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("digest"))
-          .unionByName(s.read.parquet(s"$dir/documents.parquet")
+          .unionByName(base
             .filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id").cast("long") + 200000L).as("doc_id"),
+            .select((col("doc_id") + 200000L).as("doc_id"),
               md5(concat(col("text"), lit("v2"))).as("digest"))),
         "batch1", now)
       val stream = s.readStream

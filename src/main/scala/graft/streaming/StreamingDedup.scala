@@ -27,37 +27,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDedup {
 
   final case class KeyedDoc(doc_id: Long, digest: String)
-  final case class SeenState(firstDocId: Long)
   final case class Survivor(digest: String, doc_id: Long)
+
+  /** Per-key transition, factored out so the timeout branches are unit-
+    * testable against `TestGroupState` (the e2e query only exercises the
+    * unbounded path). State is a bare presence marker — at 10^12 docs every
+    * state-store byte per distinct digest is checkpoint size, so nothing
+    * beyond "seen" is carried. */
+  private[graft] def transition(ttl: Option[String])(
+      digest: String, it: Iterator[KeyedDoc],
+      state: GroupState[Boolean]): Iterator[Survivor] =
+    if (state.hasTimedOut) {
+      // TTL eviction tick: drop the seen-marker, emit nothing
+      state.remove()
+      Iterator.empty
+    } else if (state.exists) {
+      // duplicate arrival: keep the marker alive, emit nothing
+      ttl.foreach(state.setTimeoutDuration)
+      Iterator.empty
+    } else {
+      var first = Long.MaxValue
+      it.foreach(d => if (d.doc_id < first) first = d.doc_id)
+      state.update(true)
+      ttl.foreach(state.setTimeoutDuration)
+      Iterator.single(Survivor(digest, first))
+    }
 
   /** Keep-first dedup; `ttl` (e.g. "24 hours") bounds state for unbounded
     * streams, None keeps every digest forever (exact, unbounded state). */
   def firstSeen(docs: Dataset[KeyedDoc],
                 ttl: Option[String] = None): Dataset[Survivor] = {
-    implicit val stEnc = Encoders.product[SeenState]
+    implicit val stEnc = Encoders.scalaBoolean
     implicit val outEnc = Encoders.product[Survivor]
     implicit val keyEnc = Encoders.STRING
     val timeout =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     docs.groupByKey(_.digest)
-      .flatMapGroupsWithState[SeenState, Survivor](OutputMode.Append(), timeout) {
-        case (digest, it, state: GroupState[SeenState]) =>
-          if (state.hasTimedOut) {
-            // TTL eviction tick: drop the seen-marker, emit nothing
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            // duplicate arrival: keep the marker alive, emit nothing
-            ttl.foreach(state.setTimeoutDuration)
-            Iterator.empty
-          } else {
-            var first = Long.MaxValue
-            it.foreach(d => if (d.doc_id < first) first = d.doc_id)
-            state.update(SeenState(first))
-            ttl.foreach(state.setTimeoutDuration)
-            Iterator.single(Survivor(digest, first))
-          }
-      }
+      .flatMapGroupsWithState[Boolean, Survivor](
+        OutputMode.Append(), timeout)(transition(ttl))
   }
 }

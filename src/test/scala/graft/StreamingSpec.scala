@@ -111,6 +111,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRes == Map("a" -> 1L, "b" -> 5L, "c" -> 9L), batchRes.toString)
   }
 
+  test("streaming dedup TTL branches: eviction drops state, duplicates re-arm") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.KeyedDoc
+
+    val ttl = Some("10 minutes")
+    val step = StreamingDedup.transition(ttl) _
+    def state(existing: Optional[Boolean], timedOut: Boolean) =
+      TestGroupState.create[Boolean](existing,
+        GroupStateTimeout.ProcessingTimeTimeout, 1000000L,
+        Optional.empty[Long](), timedOut)
+
+    // first arrival: emits the min id, stores the marker, arms the timer
+    val fresh = state(Optional.empty(), timedOut = false)
+    val out = step("d", Iterator(KeyedDoc(9, "d"), KeyedDoc(4, "d")), fresh).toSeq
+    assert(out.map(s => (s.digest, s.doc_id)) == Seq(("d", 4L)))
+    assert(fresh.isUpdated && fresh.get)
+    assert(fresh.getTimeoutTimestampMs.get() == 1000000L + 600000L)
+
+    // duplicate arrival: emits nothing and RE-ARMS the timer (a hot digest
+    // must not expire while it keeps arriving)
+    val seen = state(Optional.of(true), timedOut = false)
+    assert(step("d", Iterator(KeyedDoc(7, "d")), seen).isEmpty)
+    assert(!seen.isRemoved)
+    assert(seen.getTimeoutTimestampMs.get() == 1000000L + 600000L)
+
+    // TTL tick: state is dropped so a later re-arrival re-emits — the
+    // explicit bounded-state trade documented on firstSeen
+    val expired = state(Optional.of(true), timedOut = true)
+    assert(step("d", Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved)
+    val back = state(Optional.empty(), timedOut = false)
+    assert(step("d", Iterator(KeyedDoc(11, "d")), back).toSeq
+      .map(_.doc_id) == Seq(11L))
+  }
+
   test("windowed ingest metrics aggregate by event-time window and lang") {
     val pages = Corpus.materialize(spark, "/root/testdata/sf0.001")
     // batch execution of the same streaming aggregation plan
