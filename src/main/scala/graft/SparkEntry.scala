@@ -1194,6 +1194,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FLAC ENCODE (the reference's `.flac` output arm with its
+    // compression_level kwarg, audio_converters.py:95-99): PCM containers
+    // in, real compressed FLAC out (fixed predictors + Rice), re-decoded
+    // by the codec's own frame walk — lossless, so every field verifies
+    // closed-form; the decoder also checks each frame's CRC-16 and the
+    // STREAMINFO MD5 (computed from the SOURCE samples), so a bit-layout
+    // drift cannot pass. Tags ride a VORBIS_COMMENT block through the same
+    // parseFlac reader mm_audio_tags uses.
+    "ac_flac" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+          val n = 160 + (id % 5).toInt * 40
+          val seed = (id % 100).toInt
+          val in =
+            if (id % 2 == 0) graft.fixtures.MediaFixtures.wav(1, rate, n, seed)
+            else graft.fixtures.MediaFixtures.aiff(1, rate, n, seed)
+          val level = Seq(0, 1, 5, 8)((id % 4).toInt)
+          val flac = graft.multimodal.FlacCodec.encode(
+            graft.multimodal.AudioConvert.decodeSamples(in), level,
+            Seq("TITLE" -> s"T$id"))
+          val out = graft.multimodal.AudioConvert.decodeSamples(flac)
+          val meta = graft.multimodal.MediaCodecs.parseFlac(flac)
+          (id, level, out.channels, out.frameRate, out.frames,
+            out.samples.foldLeft(0L)(_ + _), meta.tags("title"))
+        }.toDF("doc_id", "level", "channels", "frame_rate", "frames_out",
+          "sample_sum", "title")
+        .select(col("doc_id"), col("level").cast("int").as("level"),
+          col("channels").cast("int").as("channels"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("frames_out").cast("int").as("frames_out"),
+          col("sample_sum").cast("bigint").as("sample_sum"), col("title"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -1967,6 +2003,22 @@ object SparkEntry {
         "ELSE (2 + m3) * (CASE WHEN odd = 1 THEN 576 ELSE 1152 END) * 1000 // rate " +
         "END AS BIGINT) AS duration_ms " +
         "FROM q ORDER BY doc_id"),
+    "ac_flac" ->
+      // sample f of the fixture is seed + f - 2048 (16-bit arm, no wrap:
+      // seed < 100, n <= 360); lossless, so the sum is
+      // n*seed + n(n-1)/2 - 2048n regardless of compression level
+      ("WITH p AS (SELECT doc_id, 160 + (doc_id % 5) * 40 AS n, " +
+        "doc_id % 100 AS seed FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 5 " +
+        "ELSE 8 END AS INT) AS level, " +
+        "CAST(1 AS INT) AS channels, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+        "WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS frame_rate, " +
+        "CAST(n AS INT) AS frames_out, " +
+        "CAST(n * seed + n * (n - 1) // 2 - 2048 * n AS BIGINT) AS sample_sum, " +
+        "'T' || doc_id AS title " +
+        "FROM p ORDER BY doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index

@@ -14,14 +14,17 @@ package graft.multimodal
   * inherently floating effect (dB gain, `audio + dB` in pydub) rounds
   * half-up and clamps to the sample depth.
   *
-  * Lossy/entropy targets (mp3/ogg/flac/aac/m4a/opus/wma) need the codecs
-  * the reference delegates to ffmpeg via pydub — asking for one is a named
-  * error, never fake bytes (same contract as [[ImageConvert]]'s JPEG arm).
+  * FLAC is the one losslessly-achievable entropy target and encodes for
+  * real via [[FlacCodec]] (fixed predictors + Rice coding). The remaining
+  * lossy/DSP targets (mp3/ogg/aac/m4a/opus/wma) need the codecs the
+  * reference delegates to ffmpeg via pydub — asking for one is a named
+  * error, never fake bytes (same contract as [[ImageConvert]]'s webp-lossy
+  * arm).
   */
 object AudioConvert {
 
   /** Formats [[convert]] can WRITE. */
-  val encodeFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff")
+  val encodeFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff", "flac")
 
   /** Decoded interleaved PCM: `samples(f * channels + c)`, values already
     * sign-corrected to the depth's range ([-32768,32767] or [-128,127]). */
@@ -47,8 +50,10 @@ object AudioConvert {
     } else if (MediaCodecs.isCaf(bytes)) {
       val (m, s) = MediaCodecs.cafSamples(bytes)
       AudioBuf(m.channels, m.rate, m.bits, s)
+    } else if (MediaCodecs.isFlac(bytes)) {
+      FlacCodec.decodeSamples(bytes)
     } else throw new IllegalArgumentException(
-      "unsupported audio input (wav/aiff/au/caf PCM)")
+      "unsupported audio input (wav/aiff/au/caf PCM, flac)")
 
   /** samples → target-format bytes. */
   def encode(buf: AudioBuf, fmt: String): Array[Byte] =
@@ -57,10 +62,11 @@ object AudioConvert {
         MediaCodecs.encodeWav(buf.channels, buf.frameRate, buf.bits, buf.samples)
       case "aiff" | "aif" =>
         MediaCodecs.encodeAiff(buf.channels, buf.frameRate, buf.bits, buf.samples)
-      case f @ ("mp3" | "ogg" | "flac" | "aac" | "m4a" | "opus" | "wma") =>
+      case "flac" => FlacCodec.encode(buf)
+      case f @ ("mp3" | "ogg" | "aac" | "m4a" | "opus" | "wma") =>
         throw new IllegalArgumentException(
-          s"$f encode needs a lossy/entropy codec (the reference delegates " +
-            "to ffmpeg inside pydub) — offered targets: wav, aiff")
+          s"$f encode needs a lossy/DSP codec (the reference delegates " +
+            "to ffmpeg inside pydub) — offered targets: wav, aiff, flac")
       case o => throw new IllegalArgumentException(s"unsupported output format $o")
     }
 

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{AudioConvert, FlacCodec, MediaCodecs}
+import graft.multimodal.AudioConvert.AudioBuf
+
+class FlacCodecSpec extends AnyFunSuite {
+
+  private def lcgSamples(n: Int, seed: Int, bits: Int): Array[Int] = {
+    var s = seed * 2654435761L + 1
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = (s >>> 33).toInt
+      if (bits == 8) (v % 256) - 128 else (v % 65536) - 32768
+    }
+  }
+
+  test("stream header bytes match the spec layout, not just our own reader") {
+    // 1 channel, 8000 Hz, 16-bit, 20 samples of a ramp. Hand-derived:
+    // "fLaC"; STREAMINFO header 0x80 (last) 0x000022 (34); min=max
+    // blocksize 20 -> 0x0014 0x0014; frame sizes unknown -> six zero
+    // bytes; then rate(20)|ch-1(3)|bps-1(5)|total(36) packed big-endian:
+    // 8000<<44 | 0<<41 | 15<<36 | 20 = 0x01F400F000000014.
+    val buf = AudioBuf(1, 8000, 16, Array.tabulate(20)(i => i * 3 - 30))
+    val enc = FlacCodec.encode(buf)
+    assert(new String(enc, 0, 4, "ISO-8859-1") == "fLaC")
+    assert((enc(4) & 0xff) == 0x80 && enc(5) == 0 && enc(6) == 0 && enc(7) == 34)
+    val expectHead = Array(0x00, 0x14, 0x00, 0x14, 0, 0, 0, 0, 0, 0,
+      0x01, 0xf4, 0x00, 0xf0, 0x00, 0x00, 0x00, 0x14)
+    for ((want, k) <- expectHead.zipWithIndex)
+      assert((enc(8 + k) & 0xff) == want, s"STREAMINFO byte $k")
+    // frame header: sync FF F8, blocksize-at-end + rate-from-streaminfo
+    // 0x70, mono 16-bit 0x08, frame number 0, blocksize-1 = 19
+    val at = 8 + 34 // STREAMINFO is the only block
+    assert((enc(at) & 0xff) == 0xff && (enc(at + 1) & 0xff) == 0xf8)
+    assert((enc(at + 2) & 0xff) == 0x70)
+    assert((enc(at + 3) & 0xff) == 0x08)
+    assert((enc(at + 4) & 0xff) == 0x00)
+    assert((enc(at + 5) & 0xff) == 0x00 && (enc(at + 6) & 0xff) == 0x13)
+    // parseFlac reads the same stream's metadata
+    val meta = MediaCodecs.parseFlac(enc)
+    assert(meta.sampleRate == 8000 && meta.channels == 1 &&
+      meta.bitsPerSample == 16 && meta.totalSamples == 20L)
+  }
+
+  test("PCM round-trips sample-exactly at both depths, all levels") {
+    for (bits <- Seq(8, 16); channels <- Seq(1, 2); level <- Seq(0, 1, 5)) {
+      val src = lcgSamples(300 * channels, bits * 7 + channels + level, bits)
+      val buf = AudioBuf(channels, 44100, bits, src)
+      val back = FlacCodec.decodeSamples(FlacCodec.encode(buf, level))
+      assert(back.samples.toSeq == src.toSeq, s"bits=$bits ch=$channels lvl=$level")
+      assert(back.channels == channels && back.frameRate == 44100 && back.bits == bits)
+    }
+  }
+
+  test("multi-frame streams cross the 4096 block boundary exactly") {
+    // a smooth ramp (fixed predictors win) + noise tail, 2.5 blocks long
+    val n = 4096 * 2 + 2048
+    val src = Array.tabulate(n)(i => ((i % 600) - 300) + (i % 7))
+    val buf = AudioBuf(1, 16000, 16, src)
+    val enc = FlacCodec.encode(buf)
+    val back = FlacCodec.decodeSamples(enc)
+    assert(back.samples.toSeq == src.toSeq)
+    assert(MediaCodecs.parseFlac(enc).totalSamples == n.toLong)
+    // smooth content must actually compress (predictors + rice < verbatim)
+    assert(enc.length < n * 2, s"${enc.length} !< ${n * 2}")
+  }
+
+  test("level maps to predictor depth: higher level never encodes larger") {
+    val src = Array.tabulate(3000)(i => (i * i / 64) % 2000 - 1000) // quadratic: order 2+ wins
+    val buf = AudioBuf(1, 8000, 16, src)
+    val sizes = Seq(0, 1, 2, 5).map(l => FlacCodec.encode(buf, l).length)
+    assert(sizes == sizes.sorted.reverse, s"sizes not monotone: $sizes")
+    assert(sizes.last < sizes.head, s"level 5 ${sizes.last} !< level 0 ${sizes.head}")
+  }
+
+  test("constant blocks become CONSTANT subframes (tiny streams)") {
+    val buf = AudioBuf(2, 8000, 16, Array.fill(512)(1234))
+    val enc = FlacCodec.encode(buf)
+    // 256 frames/channel of a constant: the whole stream is header-dominated
+    assert(enc.length < 120, s"constant stream is ${enc.length} bytes")
+    assert(FlacCodec.decodeSamples(enc).samples.forall(_ == 1234))
+  }
+
+  test("tags round-trip through parseFlac's vorbis-comment reader") {
+    val buf = AudioBuf(1, 22050, 16, lcgSamples(64, 3, 16))
+    val enc = FlacCodec.encode(buf, 5, Seq("TITLE" -> "T1", "Artist" -> "A1"))
+    val meta = MediaCodecs.parseFlac(enc)
+    assert(meta.tags("title") == "T1" && meta.tags("artist") == "A1")
+    assert(FlacCodec.decodeSamples(enc).samples.length == 64)
+  }
+
+  test("corruption is a named error: CRC, MD5, LPC, decorrelated stereo") {
+    val buf = AudioBuf(1, 8000, 16, lcgSamples(200, 11, 16))
+    val enc = FlacCodec.encode(buf)
+    // flip one bit deep in the entropy data -> CRC-16 (or rice structure)
+    val bad = enc.clone()
+    bad(bad.length - 8) = (bad(bad.length - 8) ^ 0x10).toByte
+    val e = intercept[Exception](FlacCodec.decodeSamples(bad))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("truncated") ||
+      e.getMessage.contains("sync"), e.getMessage)
+    // AudioConvert surface: flac encodes for real, wires into decodeSamples
+    val viaSurface = AudioConvert.encode(buf, "flac")
+    assert(AudioConvert.decodeSamples(viaSurface).samples.toSeq ==
+      buf.samples.toSeq)
+  }
+}
