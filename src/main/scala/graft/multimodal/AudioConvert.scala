@@ -55,14 +55,16 @@ object AudioConvert {
     } else throw new IllegalArgumentException(
       "unsupported audio input (wav/aiff/au/caf PCM, flac)")
 
-  /** samples → target-format bytes. */
-  def encode(buf: AudioBuf, fmt: String): Array[Byte] =
+  /** samples → target-format bytes. `flacLevel` is the reference's flac
+    * `compression_level` export kwarg (audio_converters.py:97-99); the
+    * other targets ignore it like pydub does. */
+  def encode(buf: AudioBuf, fmt: String, flacLevel: Int = 5): Array[Byte] =
     fmt.toLowerCase.stripPrefix(".") match {
       case "wav" =>
         MediaCodecs.encodeWav(buf.channels, buf.frameRate, buf.bits, buf.samples)
       case "aiff" | "aif" =>
         MediaCodecs.encodeAiff(buf.channels, buf.frameRate, buf.bits, buf.samples)
-      case "flac" => FlacCodec.encode(buf)
+      case "flac" => FlacCodec.encode(buf, flacLevel)
       case f @ ("mp3" | "ogg" | "aac" | "m4a" | "opus" | "wma") =>
         throw new IllegalArgumentException(
           s"$f encode needs a lossy/DSP codec (the reference delegates " +
@@ -205,14 +207,15 @@ object AudioConvert {
     * audio_converters.py:70-87). */
   def convert(bytes: Array[Byte], targetFmt: String, gainDbArg: Double = 0.0,
               fadeInMs: Int = 0, fadeOutMs: Int = 0, startMs: Long = 0L,
-              endMs: Long = Long.MaxValue, speed: Int = 1): AudioResult = {
+              endMs: Long = Long.MaxValue, speed: Int = 1,
+              compressionLevel: Int = 5): AudioResult = {
     var buf = decodeSamples(bytes)
     buf = gainDb(buf, gainDbArg)
     if (fadeInMs > 0) buf = fadeIn(buf, fadeInMs)
     if (fadeOutMs > 0) buf = fadeOut(buf, fadeOutMs)
     if (speed != 1) buf = speedup(buf, speed)
     if (startMs != 0L || endMs != Long.MaxValue) buf = slice(buf, startMs, endMs)
-    val out = encode(buf, targetFmt)
+    val out = encode(buf, targetFmt, compressionLevel)
     AudioResult(out, targetFmt.toLowerCase.stripPrefix("."), buf.channels,
       buf.frameRate, buf.bits / 8, buf.durationMs, bytes.length.toLong,
       out.length.toLong)

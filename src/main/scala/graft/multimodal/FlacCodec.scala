@@ -15,8 +15,9 @@ import graft.multimodal.AudioConvert.AudioBuf
   * polynomial family) with Rice-coded residuals, fixed 4096-sample blocks,
   * UTF-8 frame numbers, CRC-8 header + CRC-16 frame checks, and the
   * unencoded-PCM MD5 in STREAMINFO. `compression_level` maps to the
-  * predictor search depth (0 = store only, N caps the fixed order at
-  * min(N,4)) — the same knob shape pydub forwards to flac.
+  * predictor search depth (level N caps the fixed order at min(N,4);
+  * level 0 still entropy-codes, like flac's own -0 — fastest, not a
+  * store mode) — the same knob shape pydub forwards to flac.
   *
   * DECODE walks frames generally within that family: any blocksize/rate
   * code, both Rice methods (4- and 5-bit params) incl. escape partitions
@@ -49,13 +50,13 @@ object FlacCodec {
       r = if ((r & 0x8000) != 0) ((r << 1) ^ 0x8005) & 0xffff else (r << 1) & 0xffff
     r
   }
-  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+  private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
     var r = 0
     var i = from
     while (i < until) { r = Crc8Table(r ^ (b(i) & 0xff)); i += 1 }
     r
   }
-  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+  private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
     var r = 0
     var i = from
     while (i < until) { r = Crc16Table(((r >> 8) ^ (b(i) & 0xff)) & 0xff) ^ ((r << 8) & 0xffff); i += 1 }
@@ -64,7 +65,7 @@ object FlacCodec {
 
   // ---- MSB-first bit IO (FLAC is big-endian bit-packed) ----------------------
 
-  private final class MsbWriter {
+  private[graft] final class MsbWriter {
     private val out = new ByteArrayOutputStream()
     private var acc = 0L
     private var n = 0
@@ -167,18 +168,6 @@ object FlacCodec {
     md.digest(buf)
   }
 
-  /** Successive differencing: residuals of fixed order o over x. */
-  private def diffOrder(x: Array[Int], o: Int): Array[Int] = {
-    var cur = x
-    for (_ <- 0 until o) {
-      val next = new Array[Int](cur.length)
-      var i = cur.length - 1
-      while (i >= 1) { next(i) = cur(i) - cur(i - 1); i -= 1 }
-      cur = next
-    }
-    cur // valid from index o
-  }
-
   private def riceCost(res: Array[Int], from: Int, k: Int): Long = {
     var bits = 0L
     var i = from
@@ -205,8 +194,11 @@ object FlacCodec {
   // ---- encode ---------------------------------------------------------------
 
   /** Encode PCM as FLAC. `level` 0-8: fixed-predictor search depth
-    * min(level, 4); 0 stores frames verbatim. `tags` become a
-    * VORBIS_COMMENT block ([[MediaCodecs.parseFlac]] reads them back). */
+    * min(level, 4) — level 0 still entropy-codes (order-0 Rice where it
+    * beats verbatim, like flac's own -0: fastest, not a store mode).
+    * `tags` become a VORBIS_COMMENT block ([[MediaCodecs.parseFlac]] reads
+    * them back). Zero-sample PCM is a valid stream: STREAMINFO only, no
+    * frames (the wav/aiff arms encode empty clips too). */
   def encode(buf: AudioBuf, level: Int = 5,
              tags: Seq[(String, String)] = Nil): Array[Byte] = {
     require(level >= 0 && level <= 8, s"FLAC compression level $level out of 0-8")
@@ -215,15 +207,17 @@ object FlacCodec {
     require(buf.channels >= 1 && buf.channels <= 8, s"FLAC channels ${buf.channels}")
     require(buf.frameRate >= 1 && buf.frameRate < (1 << 20), s"rate ${buf.frameRate}")
     val frames = buf.frames
-    require(frames >= 1, "empty PCM")
     val maxOrder = math.min(level, 4)
     val bps = buf.bits
 
     val out = new ByteArrayOutputStream()
     out.write("fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    // STREAMINFO (34 bytes), last-block flag set iff no tags follow
+    // STREAMINFO (34 bytes), last-block flag set iff no tags follow.
+    // The declared blocksize must sit in the spec's 16-65535 range even
+    // for sub-16-sample clips — a single short frame is legal (it is the
+    // LAST frame), a sub-16 STREAMINFO blocksize is not.
     val si = new MsbWriter
-    val block = math.min(BlockSize, frames)
+    val block = math.max(16, math.min(BlockSize, frames))
     si.put(block, 16); si.put(block, 16) // min/max blocksize (last may be shorter)
     si.put(0, 24); si.put(0, 24)         // min/max frame size unknown
     si.put(buf.frameRate, 20)
@@ -308,16 +302,27 @@ object FlacCodec {
       w.putSigned(x(0), bps)
       return
     }
-    // search fixed orders (order < n) against verbatim
+    // search fixed orders (order < n) against verbatim: each order's
+    // residuals are ONE differencing pass over the previous order's (the
+    // fixed-predictor family is iterated differencing), and the winner's
+    // array is kept — no recomputation on the hot per-block path
+    val top = math.min(maxOrder, n - 1)
     var bestOrder = -1
     var bestK = 0
+    var bestRes: Array[Int] = null
     var bestCost = n.toLong * bps // verbatim payload
+    var cur = x
     var o = 0
-    while (o <= math.min(maxOrder, n - 1)) {
-      val res = diffOrder(x, o)
-      val (k, riceBits) = bestRiceK(res, o)
+    while (o <= top) {
+      val (k, riceBits) = bestRiceK(cur, o)
       val cost = o.toLong * bps + 2 + 4 + 4 + riceBits
-      if (cost < bestCost) { bestCost = cost; bestOrder = o; bestK = k }
+      if (cost < bestCost) { bestCost = cost; bestOrder = o; bestK = k; bestRes = cur }
+      if (o < top) {
+        val next = new Array[Int](n)
+        var i = n - 1
+        while (i >= 1) { next(i) = cur(i) - cur(i - 1); i -= 1 }
+        cur = next
+      }
       o += 1
     }
     if (bestOrder < 0) {
@@ -328,12 +333,11 @@ object FlacCodec {
       w.put(0, 1); w.put(8 + bestOrder, 6); w.put(0, 1) // FIXED order
       var j = 0
       while (j < bestOrder) { w.putSigned(x(j), bps); j += 1 }
-      val res = diffOrder(x, bestOrder)
       w.put(0, 2)       // residual method: rice, 4-bit params
       w.put(0, 4)       // partition order 0
       w.put(bestK, 4)
       j = bestOrder
-      while (j < n) { w.putRice(res(j), bestK); j += 1 }
+      while (j < n) { w.putRice(bestRes(j), bestK); j += 1 }
     }
   }
 
@@ -346,17 +350,16 @@ object FlacCodec {
   def decodeSamples(bytes: Array[Byte]): AudioBuf = {
     require(MediaCodecs.isFlac(bytes), "not a FLAC payload")
     val meta = MediaCodecs.parseFlac(bytes) // validates blocks, rate, bps
-    require(meta.totalSamples > 0, "FLAC with unknown total samples unsupported")
     require(meta.bitsPerSample == 8 || meta.bitsPerSample == 16,
       s"FLAC ${meta.bitsPerSample}-bit depth outside the 8/16 PCM contract")
-    // find the end of the metadata blocks (parseFlac validated the walk)
-    var at = 4
-    var last = false
-    while (!last) {
-      last = (bytes(at) & 0x80) != 0
-      val len = ((bytes(at + 1) & 0xff) << 16) | ((bytes(at + 2) & 0xff) << 8) |
-        (bytes(at + 3) & 0xff)
-      at += 4 + len
+    var at = meta.frameDataOffset
+    if (meta.totalSamples == 0) {
+      // 0 is the spec's "unknown" — but a stream with no frames at all is
+      // a legitimately EMPTY clip (our encoder writes it for empty PCM)
+      require(at >= bytes.length,
+        "FLAC with unknown total samples (frames present) unsupported")
+      return AudioBuf(meta.channels, meta.sampleRate, meta.bitsPerSample,
+        Array.empty[Int])
     }
     val ch = meta.channels
     val bps = meta.bitsPerSample

@@ -864,10 +864,13 @@ object MediaCodecs {
 
   /** FLAC container metadata: STREAMINFO audio parameters and the raw
     * VORBIS_COMMENT tag map (the inputs the K6 mutagen-normalization
-    * layer, [[MediaOps.audioMetadata]], expects). */
+    * layer, [[MediaOps.audioMetadata]], expects). `frameDataOffset` is the
+    * byte offset just past the metadata blocks — where the audio frames
+    * start — so [[FlacCodec.decodeSamples]] never re-walks the (already
+    * bounds-validated) block chain itself. */
   final case class FlacMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
                             totalSamples: Long, durationMs: Long,
-                            tags: Map[String, String])
+                            tags: Map[String, String], frameDataOffset: Int)
 
   def isFlac(b: Array[Byte]): Boolean =
     b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
@@ -921,7 +924,7 @@ object MediaCodecs {
     }
     require(sawStreamInfo && sampleRate > 0, "FLAC has no STREAMINFO")
     FlacMeta(sampleRate, channels, bps, totalSamples,
-      totalSamples * 1000L / sampleRate, tags)
+      totalSamples * 1000L / sampleRate, tags, i)
   }
 
   /** Vorbis-comment structure (shared verbatim by FLAC's VORBIS_COMMENT

@@ -91,6 +91,68 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decodeSamples(enc).samples.length == 64)
   }
 
+  test("foreign frame shapes decode: 5-bit rice method, partitions, escape") {
+    // Hand-packed stream exercising what OUR encoder never writes: residual
+    // method 1 (5-bit params), partition order 1, and an escape partition
+    // with raw 4-bit residuals. x = [5,7,8,10,9,7,4,0], fixed order 1 ->
+    // residuals [2,1,2,-1,-2,-3,-4]; partition 0 (3 values) rice k=2,
+    // partition 1 (4 values) escaped raw. MD5 zeroed (spec: unknown) so
+    // the decode is checked against the hand-derived samples alone.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    val si = new FlacCodec.MsbWriter
+    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(8, 36)
+    val sib = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(sib, 0, sib.length)
+    out.write(new Array[Byte](16), 0, 16)
+    val w = new FlacCodec.MsbWriter
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+    w.put(6, 4)            // blocksize: 8-bit value at end of header
+    w.put(0, 4)            // rate from STREAMINFO
+    w.put(0, 4)            // mono
+    w.put(4, 3); w.put(0, 1) // 16-bit
+    w.put(0, 8)            // UTF-8 frame number 0
+    w.put(7, 8)            // blocksize-1 = 7
+    val head = w.toBytes
+    val frame = new FlacCodec.MsbWriter
+    for (b <- head) frame.put(b & 0xff, 8)
+    frame.put(FlacCodec.crc8(head, 0, head.length), 8)
+    frame.put(0, 1); frame.put(9, 6); frame.put(0, 1) // FIXED order 1
+    frame.putSigned(5, 16)                            // warmup
+    frame.put(1, 2)  // residual method 1: 5-bit params
+    frame.put(1, 4)  // partition order 1 (2 partitions of 4)
+    frame.put(2, 5)  // partition 0: rice k=2 (4-1=3 residuals)
+    for (r <- Seq(2, 1, 2)) frame.putRice(r, 2)
+    frame.put(31, 5) // partition 1: escape
+    frame.put(4, 5)  // raw width 4
+    for (r <- Seq(-1, -2, -3, -4)) frame.putSigned(r, 4)
+    frame.alignByte()
+    val body = frame.toBytes
+    out.write(body, 0, body.length)
+    val c16 = FlacCodec.crc16(body, 0, body.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    val got = FlacCodec.decodeSamples(out.toByteArray)
+    assert(got.samples.toSeq == Seq(5, 7, 8, 10, 9, 7, 4, 0))
+    assert(got.frameRate == 8000 && got.channels == 1 && got.bits == 16)
+  }
+
+  test("sub-16-frame and empty clips stay spec-shaped") {
+    // a 8-frame clip: STREAMINFO must still declare a >=16 blocksize (the
+    // short frame is legal as the LAST frame; a sub-16 declared blocksize
+    // is not), and the samples round-trip
+    val tiny = AudioBuf(1, 8000, 16, Array(3, -4, 5, -6, 7, -8, 9, -10))
+    val enc = FlacCodec.encode(tiny)
+    assert(((enc(8) & 0xff) << 8 | (enc(9) & 0xff)) >= 16, "declared blocksize")
+    assert(FlacCodec.decodeSamples(enc).samples.toSeq == tiny.samples.toSeq)
+    // empty PCM: STREAMINFO-only stream, decodes to an empty clip (the
+    // wav/aiff arms encode empty clips too — no arm asymmetry)
+    val empty = FlacCodec.encode(AudioBuf(2, 44100, 16, Array.empty[Int]))
+    val back = FlacCodec.decodeSamples(empty)
+    assert(back.samples.isEmpty && back.channels == 2 && back.frameRate == 44100)
+  }
+
   test("corruption is a named error: CRC, MD5, LPC, decorrelated stereo") {
     val buf = AudioBuf(1, 8000, 16, lcgSamples(200, 11, 16))
     val enc = FlacCodec.encode(buf)
