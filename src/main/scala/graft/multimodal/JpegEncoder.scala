@@ -55,22 +55,36 @@ object JpegEncoder {
   }
 
   /** Forward 2D DCT (T.81 A.3.3) of one level-shifted 8x8 block, quantized
-    * against `quant` — the exact inverse pairing of [[JpegCodec.reconstruct]]. */
+    * against `quant` — the exact inverse pairing of [[JpegCodec.reconstruct]].
+    * Separable (rows then columns): same sum reassociated, 8x fewer
+    * multiplies than the direct double sum on the per-block hot path. */
   private[multimodal] def forwardBlock(samples: Array[Int], quant: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64) // tmp(y*8+u) = sum_x s(y,x) C(x,u)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) {
+          acc += (samples(y * 8 + x) - 128) * CosTable(x * 8 + u)
+          x += 1
+        }
+        tmp(y * 8 + u) = acc
+        u += 1
+      }
+      y += 1
+    }
     val out = new Array[Int](64)
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var acc = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            acc += (samples(y * 8 + x) - 128) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
-            x += 1
-          }
-          y += 1
+        var yy = 0
+        while (yy < 8) {
+          acc += tmp(yy * 8 + u) * CosTable(yy * 8 + v)
+          yy += 1
         }
         val cu = if (u == 0) 0.70710678118654752440 else 1.0
         val cv = if (v == 0) 0.70710678118654752440 else 1.0
