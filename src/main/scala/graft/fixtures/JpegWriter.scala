@@ -160,9 +160,6 @@ object JpegWriter {
     val dcCodes = JpegCodec.encodeTable(JpegCodec.StdDcCounts, JpegCodec.StdDcVals)
     val acCodes = JpegCodec.encodeTable(JpegCodec.StdAcCounts, JpegCodec.StdAcVals)
     val bits = new BitWriter(out)
-    def putBits(v: Int, n: Int): Unit = bits.putBits(v, n)
-    def putSymbol(codes: Map[Int, (Int, Int)], sym: Int): Unit = bits.putSymbol(codes, sym)
-    def putMagnitude(v: Int, cat: Int): Unit = bits.putMagnitude(v, cat)
     def flushBits(): Unit = bits.flush()
 
     val preds = new Array[Int](comps) // per-component DC predictors
@@ -179,36 +176,8 @@ object JpegWriter {
         }
       }
       val comp = compOfBlock(bi % blocksPerMcu)
-      val diff = coef(0) - preds(comp)
-      preds(comp) = coef(0)
       bi += 1
-      val cat = category(diff)
-      require(cat <= 11, s"DC diff $diff out of baseline range")
-      putSymbol(dcCodes, cat)
-      putMagnitude(diff, cat)
-      // AC in zigzag order with run-length coding
-      var lastNonZero = 0
-      var k = 63
-      while (k >= 1 && lastNonZero == 0) {
-        if (coef(JpegCodec.ZigZag(k)) != 0) lastNonZero = k
-        k -= 1
-      }
-      var run = 0
-      var z = 1
-      while (z <= lastNonZero) {
-        val v = coef(JpegCodec.ZigZag(z))
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) { putSymbol(acCodes, 0xf0); run -= 16 } // ZRL
-          val c = category(v)
-          require(c >= 1 && c <= 10, s"AC magnitude $v out of baseline range")
-          putSymbol(acCodes, (run << 4) | c)
-          putMagnitude(v, c)
-          run = 0
-        }
-        z += 1
-      }
-      if (lastNonZero < 63) putSymbol(acCodes, 0x00) // EOB
+      preds(comp) = JpegCodec.writeBaselineBlock(bits, coef, preds(comp), dcCodes, acCodes)
     }
     flushBits()
 

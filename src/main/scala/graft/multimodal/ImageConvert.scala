@@ -13,14 +13,18 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   * Coverage, honestly scoped:
   *  - decode (pixel-accurate): BMP (8/24/32 bpp, RLE8), PNM (P5/P6),
   *    PNG (color types 0/2/3/6, Adam7), GIF (incl. interlace), TIFF
-  *    (none/LZW/PackBits, both endians), baseline JPEG;
+  *    (none/LZW/PackBits, both endians), baseline JPEG, ICO
+  *    (PNG-compressed entries), EPS (our hex-raster shape), WebP
+  *    (lossless VP8L literal streams, [[WebpCodec]]);
   *  - encode: PNG (lossless for every mode incl. palettes), BMP
   *    (P/L → 8 bpp indexed, RGB → 24, RGBA → 32), PPM/PGM, TIFF
   *    (L/RGB uncompressed, little-endian), GIF (P/L, or RGB/RGBA when the
-  *    image has ≤256 distinct colors — exact palettization, no dithering);
-  *  - NOT offered: JPEG/WebP ENCODE (lossy codecs whose rate-distortion
-  *    loop is out of scope; the reference delegates that to libjpeg/libwebp
-  *    inside Pillow). Asking for them is a named error, never a fake file.
+  *    image has ≤256 distinct colors — exact palettization, no dithering),
+  *    JPEG (baseline, quality 1-100, [[JpegEncoder]] — the one LOSSY
+  *    target), lossless WebP (VP8L), ICO (PNG-in-ICO), EPS — the
+  *    reference's complete raster output whitelist;
+  *  - NOT offered: lossy WebP (VP8) ENCODE — a DSP codec out of scope.
+  *    Asking for it is a named error, never a fake file.
   *
   * Mode adaptation mirrors Pillow's `Image.convert` defaults: palette
   * expansion P→RGB, alpha dropped RGBA→RGB, ITU-R 601 luma for →L

@@ -100,6 +100,45 @@ object JpegCodec {
   private[graft] def category(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** Baseline-encode one quantized block (natural-order coefficients):
+    * DC diff vs `pred`, then zigzag AC run-length with ZRL/EOB. Returns
+    * the new DC predictor. THE entropy layer, shared by the production
+    * encoder ([[JpegEncoder]]) and the fixture writer
+    * ([[graft.fixtures.JpegWriter]]) so its conventions live in exactly
+    * one place. */
+  private[graft] def writeBaselineBlock(bits: BitWriter, coef: Array[Int],
+                                        pred: Int, dcCodes: Map[Int, (Int, Int)],
+                                        acCodes: Map[Int, (Int, Int)]): Int = {
+    val diff = coef(0) - pred
+    val cat = category(diff)
+    require(cat <= 11, s"DC diff $diff out of baseline range")
+    bits.putSymbol(dcCodes, cat)
+    bits.putMagnitude(diff, cat)
+    var lastNonZero = 0
+    var k = 63
+    while (k >= 1 && lastNonZero == 0) {
+      if (coef(ZigZag(k)) != 0) lastNonZero = k
+      k -= 1
+    }
+    var run = 0
+    var z = 1
+    while (z <= lastNonZero) {
+      val v = coef(ZigZag(z))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { bits.putSymbol(acCodes, 0xf0); run -= 16 } // ZRL
+        val c = category(v)
+        require(c >= 1 && c <= 10, s"AC magnitude $v out of baseline range")
+        bits.putSymbol(acCodes, (run << 4) | c)
+        bits.putMagnitude(v, c)
+        run = 0
+      }
+      z += 1
+    }
+    if (lastNonZero < 63) bits.putSymbol(acCodes, 0x00) // EOB
+    coef(0)
+  }
+
   /** Encode side (fixtures/tests): symbol -> (code, bit length), assigned in
     * canonical order — byte-identical to what `HuffTable` decodes. */
   def encodeTable(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {

@@ -103,6 +103,10 @@ object JpegEncoder {
   def encode(buf: PixelBuf, quality: Int): Array[Byte] = {
     require(buf.mode == "L" || buf.mode == "RGB",
       s"JPEG encode takes L or RGB input, got ${buf.mode}")
+    // SOF codes dims as u16: oversize must be a named error, not a
+    // silently truncated (corrupt) stream — same contract as encodeGif
+    require(buf.width <= 0xffff && buf.height <= 0xffff,
+      s"JPEG geometry ${buf.width}x${buf.height} exceeds the format's 65535 limit")
     val comps = if (buf.mode == "L") 1 else 3
     val lumaQ = scaleTable(BaseLuma, quality)
     val chromaQ = scaleTable(BaseChroma, quality)
@@ -203,34 +207,7 @@ object JpegEncoder {
           k += 1
         }
         val coef = forwardBlock(block, if (c == 0) lumaQ else chromaQ)
-        val diff = coef(0) - preds(c)
-        preds(c) = coef(0)
-        val cat = JpegCodec.category(diff)
-        require(cat <= 11, s"DC diff $diff out of baseline range")
-        bits.putSymbol(dcCodes, cat)
-        bits.putMagnitude(diff, cat)
-        var lastNonZero = 0
-        k = 63
-        while (k >= 1 && lastNonZero == 0) {
-          if (coef(JpegCodec.ZigZag(k)) != 0) lastNonZero = k
-          k -= 1
-        }
-        var run = 0
-        var z = 1
-        while (z <= lastNonZero) {
-          val v = coef(JpegCodec.ZigZag(z))
-          if (v == 0) run += 1
-          else {
-            while (run >= 16) { bits.putSymbol(acCodes, 0xf0); run -= 16 }
-            val vc = JpegCodec.category(v)
-            require(vc >= 1 && vc <= 10, s"AC magnitude $v out of baseline range")
-            bits.putSymbol(acCodes, (run << 4) | vc)
-            bits.putMagnitude(v, vc)
-            run = 0
-          }
-          z += 1
-        }
-        if (lastNonZero < 63) bits.putSymbol(acCodes, 0x00) // EOB
+        preds(c) = JpegCodec.writeBaselineBlock(bits, coef, preds(c), dcCodes, acCodes)
         c += 1
       }
       mcu += 1

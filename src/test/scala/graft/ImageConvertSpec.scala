@@ -547,11 +547,16 @@ class ImageConvertSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ImageConvert.convertMode(p, "RGB"))
   }
 
-  test("gif encode rejects dimensions past the format's u16 limit by name") {
+  test("gif/jpeg encode reject dimensions past the format's u16 limit by name") {
     val wide = new PixelBuf
     wide.init("L", 70000, 2)
     val e = intercept[IllegalArgumentException](ImageConvert.encodeGif(wide))
     assert(e.getMessage.contains("65535"), e.getMessage)
+    // SOF codes dims as u16 too: must be a named error, never a stream
+    // whose declared width silently wrapped mod 65536
+    val e2 = intercept[IllegalArgumentException](
+      graft.multimodal.JpegEncoder.encode(wide, 95))
+    assert(e2.getMessage.contains("65535"), e2.getMessage)
   }
 
   test("unsupported encode targets are named errors, never fake bytes") {
