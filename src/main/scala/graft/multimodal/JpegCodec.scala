@@ -855,26 +855,38 @@ object JpegCodec {
 
   /** Dequantize + full 2D IDCT (T.81 A.3.3) + level shift, one 8x8 block. */
   def reconstruct(coefQ: Array[Int], quant: Array[Int]): Array[Int] = {
+    // separable IDCT (columns of u first, then v): the same double sum
+    // reassociated, 8x fewer multiplies on the per-block hot path; the
+    // cu/cv normalization folds into the dequantized coefficients
     val f = new Array[Double](64)
     var k = 0
-    while (k < 64) { f(k) = coefQ(k).toDouble * quant(k); k += 1 }
+    while (k < 64) {
+      val cu = if (k % 8 == 0) 0.70710678118654752440 else 1.0
+      val cv = if (k / 8 == 0) 0.70710678118654752440 else 1.0
+      f(k) = coefQ(k).toDouble * quant(k) * cu * cv
+      k += 1
+    }
+    val tmp = new Array[Double](64) // tmp(v*8+x) = sum_u f(v,u) C(x,u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += f(v * 8 + u) * CosTable(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var acc = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            val cu = if (u == 0) 0.70710678118654752440 else 1.0
-            val cv = if (v == 0) 0.70710678118654752440 else 1.0
-            acc += cu * cv * f(v * 8 + u) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
-            u += 1
-          }
-          v += 1
-        }
+        var vv = 0
+        while (vv < 8) { acc += tmp(vv * 8 + x) * CosTable(y * 8 + vv); vv += 1 }
         val p = math.round(acc / 4.0).toInt + 128
         out(y * 8 + x) = math.max(0, math.min(255, p))
         x += 1
