@@ -12,18 +12,22 @@ import graft.multimodal.AudioConvert.AudioBuf
   *
   * ENCODE writes real compressed frames: per-channel subframe search over
   * CONSTANT / VERBATIM / FIXED predictors (orders 0-4, the spec's closed
-  * polynomial family) with Rice-coded residuals, fixed 4096-sample blocks,
-  * UTF-8 frame numbers, CRC-8 header + CRC-16 frame checks, and the
-  * unencoded-PCM MD5 in STREAMINFO. `compression_level` maps to the
-  * predictor search depth (level N caps the fixed order at min(N,4);
-  * level 0 still entropy-codes, like flac's own -0 — fastest, not a
-  * store mode) — the same knob shape pydub forwards to flac.
+  * polynomial family) with Rice-coded residuals, stereo decorrelation by
+  * cost (left-side / right-side / mid-side channel assignments — the big
+  * stereo win: correlated channels make the side channel nearly silent),
+  * fixed 4096-sample blocks, UTF-8 frame numbers, CRC-8 header + CRC-16
+  * frame checks, and the unencoded-PCM MD5 in STREAMINFO.
+  * `compression_level` maps to the predictor search depth (level N caps
+  * the fixed order at min(N,4); level 0 still entropy-codes, like flac's
+  * own -0 — fastest, not a store mode) — the same knob shape pydub
+  * forwards to flac.
   *
   * DECODE walks frames generally within that family: any blocksize/rate
   * code, both Rice methods (4- and 5-bit params) incl. escape partitions
-  * and partition orders > 0, fixed orders 0-4. LPC subframes, stereo
-  * decorrelation (left/right/mid-side), wasted bits, and 12/20/24/32-bit
-  * depths are NAMED errors — never wrong samples. Every frame's CRC-16 is
+  * and partition orders > 0, fixed orders 0-4, all three decorrelated
+  * stereo assignments, and wasted bits. LPC subframes and
+  * 12/20/24/32-bit depths are NAMED errors — never wrong samples. Every
+  * frame's CRC-16 is
   * verified, and the decoded stream's MD5 must match STREAMINFO when
   * present, so an encoder/decoder convention drift cannot round-trip
   * silently (the MD5 is computed from the SOURCE samples before any bit
@@ -256,13 +260,45 @@ object FlacCodec {
     var done = 0
     while (done < frames) {
       val n = math.min(BlockSize, frames - done)
+      val chans = Array.tabulate(ch) { c =>
+        val x = new Array[Int](n)
+        var i = 0
+        while (i < n) { x(i) = buf.samples((done + i) * ch + c); i += 1 }
+        x
+      }
+      // stereo decorrelation (spec channel assignments 8/9/10): plan all
+      // four layouts and keep the cheapest — correlated channels make the
+      // side channel (l-r, one extra bit deep) nearly silent, the big
+      // stereo win real encoders get; fully independent content falls
+      // back to assignment ch-1 by cost
+      var assign = ch - 1
+      var emitChans = chans
+      var emitBits = Array.fill(ch)(bps)
+      var plans = chans.map(x => planSubframe(x, bps, maxOrder))
+      if (ch == 2) {
+        val l = chans(0)
+        val r = chans(1)
+        val side = new Array[Int](n)
+        val mid = new Array[Int](n)
+        var i = 0
+        while (i < n) { side(i) = l(i) - r(i); mid(i) = (l(i) + r(i)) >> 1; i += 1 }
+        val pS = planSubframe(side, bps + 1, maxOrder)
+        val pM = planSubframe(mid, bps, maxOrder)
+        val cands = Seq(
+          (1, Array(l, r), Array(bps, bps), Array(plans(0), plans(1))),
+          (8, Array(l, side), Array(bps, bps + 1), Array(plans(0), pS)),
+          (9, Array(side, r), Array(bps + 1, bps), Array(pS, plans(1))),
+          (10, Array(mid, side), Array(bps, bps + 1), Array(pM, pS)))
+        val best = cands.minBy(_._4.map(_.cost).sum)
+        assign = best._1; emitChans = best._2; emitBits = best._3; plans = best._4
+      }
       val w = new MsbWriter
       w.put(0x3ffe, 14) // sync
       w.put(0, 1)       // reserved
       w.put(0, 1)       // fixed blocksize strategy
       w.put(0x7, 4)     // blocksize: 16-bit at end of header
       w.put(0, 4)       // sample rate: from STREAMINFO
-      w.put(ch - 1, 4)  // independent channels
+      w.put(assign, 4)  // independent count-1, or 8/9/10 decorrelated
       w.put(if (bps == 8) 1 else 4, 3)
       w.put(0, 1)
       utf8Encode(w, frameIdx)
@@ -274,10 +310,7 @@ object FlacCodec {
 
       var c = 0
       while (c < ch) {
-        val x = new Array[Int](n)
-        var i = 0
-        while (i < n) { x(i) = buf.samples((done + i) * ch + c); i += 1 }
-        writeSubframe(frame, x, bps, maxOrder)
+        emitSubframe(frame, emitChans(c), emitBits(c), plans(c))
         c += 1
       }
       frame.alignByte()
@@ -291,62 +324,70 @@ object FlacCodec {
     out.toByteArray
   }
 
-  private def writeSubframe(w: MsbWriter, x: Array[Int], bps: Int,
-                            maxOrder: Int): Unit = {
+  /** A planned subframe: kind -1 = constant, -2 = verbatim, >=0 = fixed
+    * order, with the chosen rice parameter, the winning residual array,
+    * and the total bit cost (payload + subframe header). */
+  private final case class SubPlan(kind: Int, k: Int, res: Array[Int], cost: Long)
+
+  /** Cost out the best CONSTANT / VERBATIM / FIXED-order subframe for one
+    * channel without emitting a bit: each order's residuals are ONE
+    * differencing pass over the previous order's (the fixed-predictor
+    * family is iterated differencing), and the winner's array is kept —
+    * no recomputation on the hot per-block path. */
+  private def planSubframe(x: Array[Int], bps: Int, maxOrder: Int): SubPlan = {
     val n = x.length
     var allEqual = true
     var i = 1
     while (allEqual && i < n) { allEqual = x(i) == x(0); i += 1 }
-    if (allEqual) {
-      w.put(0, 1); w.put(0, 6); w.put(0, 1) // CONSTANT
-      w.putSigned(x(0), bps)
-      return
-    }
-    // search fixed orders (order < n) against verbatim: each order's
-    // residuals are ONE differencing pass over the previous order's (the
-    // fixed-predictor family is iterated differencing), and the winner's
-    // array is kept — no recomputation on the hot per-block path
+    if (allEqual) return SubPlan(-1, 0, x, 8L + bps)
     val top = math.min(maxOrder, n - 1)
-    var bestOrder = -1
-    var bestK = 0
-    var bestRes: Array[Int] = null
-    var bestCost = n.toLong * bps // verbatim payload
+    var best = SubPlan(-2, 0, x, 8L + n.toLong * bps) // verbatim
     var cur = x
     var o = 0
     while (o <= top) {
       val (k, riceBits) = bestRiceK(cur, o)
-      val cost = o.toLong * bps + 2 + 4 + 4 + riceBits
-      if (cost < bestCost) { bestCost = cost; bestOrder = o; bestK = k; bestRes = cur }
+      val cost = 8L + o.toLong * bps + 2 + 4 + 4 + riceBits
+      if (cost < best.cost) best = SubPlan(o, k, cur, cost)
       if (o < top) {
         val next = new Array[Int](n)
-        var i = n - 1
-        while (i >= 1) { next(i) = cur(i) - cur(i - 1); i -= 1 }
+        var j = n - 1
+        while (j >= 1) { next(j) = cur(j) - cur(j - 1); j -= 1 }
         cur = next
       }
       o += 1
     }
-    if (bestOrder < 0) {
+    best
+  }
+
+  private def emitSubframe(w: MsbWriter, x: Array[Int], bps: Int,
+                           plan: SubPlan): Unit = {
+    val n = x.length
+    if (plan.kind == -1) {
+      w.put(0, 1); w.put(0, 6); w.put(0, 1) // CONSTANT
+      w.putSigned(x(0), bps)
+    } else if (plan.kind == -2) {
       w.put(0, 1); w.put(1, 6); w.put(0, 1) // VERBATIM
       var j = 0
       while (j < n) { w.putSigned(x(j), bps); j += 1 }
     } else {
-      w.put(0, 1); w.put(8 + bestOrder, 6); w.put(0, 1) // FIXED order
+      val order = plan.kind
+      w.put(0, 1); w.put(8 + order, 6); w.put(0, 1) // FIXED order
       var j = 0
-      while (j < bestOrder) { w.putSigned(x(j), bps); j += 1 }
+      while (j < order) { w.putSigned(x(j), bps); j += 1 }
       w.put(0, 2)       // residual method: rice, 4-bit params
       w.put(0, 4)       // partition order 0
-      w.put(bestK, 4)
-      j = bestOrder
-      while (j < n) { w.putRice(bestRes(j), bestK); j += 1 }
+      w.put(plan.k, 4)
+      j = order
+      while (j < n) { w.putRice(plan.res(j), plan.k); j += 1 }
     }
   }
 
   // ---- decode ---------------------------------------------------------------
 
-  /** Decode a FLAC stream's samples. General within the independent-channel,
-    * fixed-predictor family; LPC / decorrelated stereo / wasted bits /
-    * exotic depths are named errors. CRC-16 verified per frame; MD5
-    * verified against STREAMINFO when present. */
+  /** Decode a FLAC stream's samples. General within the fixed-predictor
+    * family incl. decorrelated stereo and wasted bits; LPC / exotic
+    * depths are named errors. CRC-16 verified per frame; MD5 verified
+    * against STREAMINFO when present. */
   def decodeSamples(bytes: Array[Byte]): AudioBuf = {
     require(MediaCodecs.isFlac(bytes), "not a FLAC payload")
     val meta = MediaCodecs.parseFlac(bytes) // validates blocks, rate, bps
@@ -375,9 +416,10 @@ object FlacCodec {
       val bsCode = in.read(4).toInt
       val srCode = in.read(4).toInt
       val chCode = in.read(4).toInt
-      require(chCode < 8,
-        "decorrelated stereo (left/right/mid-side) decode unsupported")
-      require(chCode + 1 == ch, s"frame channels ${chCode + 1} != STREAMINFO $ch")
+      require(chCode <= 10, s"reserved channel assignment $chCode")
+      val decorrelated = chCode >= 8
+      val frameCh = if (decorrelated) 2 else chCode + 1
+      require(frameCh == ch, s"frame channels $frameCh != STREAMINFO $ch")
       val ssCode = in.read(3).toInt
       val frameBps = ssCode match {
         case 0 => bps
@@ -407,15 +449,42 @@ object FlacCodec {
       require(in.byteAligned, "FLAC frame header not byte-aligned")
       require(in.read(8).toInt == crc8(bytes, at, headEnd), "FLAC header CRC-8 mismatch")
       require(done + blockSize <= total, "FLAC frames overrun STREAMINFO total")
-      var c = 0
-      while (c < ch) {
-        val x = readSubframe(in, blockSize, bps)
+      // the side channel of a decorrelated pair is one bit deeper (it
+      // carries l-r); which subframe is the side one depends on the code
+      val sideIdx = chCode match {
+        case 8 | 10 => 1
+        case 9 => 0
+        case _ => -1
+      }
+      val decoded = Array.tabulate(ch) { c =>
+        readSubframe(in, blockSize, if (c == sideIdx) bps + 1 else bps)
+      }
+      if (decorrelated) {
+        // spec reconstruction: 8 = left/side, 9 = side/right, 10 = mid/side
+        // (mid = (l+r)>>1 floor; l+r's dropped LSB is side's parity)
         var i = 0
         while (i < blockSize) {
-          samples(((done + i) * ch + c).toInt) = x(i)
+          val (l, r) = chCode match {
+            case 8 => (decoded(0)(i), decoded(0)(i) - decoded(1)(i))
+            case 9 => (decoded(1)(i) + decoded(0)(i), decoded(1)(i))
+            case _ =>
+              val mid2 = (decoded(0)(i) << 1) | (decoded(1)(i) & 1)
+              ((mid2 + decoded(1)(i)) >> 1, (mid2 - decoded(1)(i)) >> 1)
+          }
+          samples(((done + i) * 2).toInt) = l
+          samples(((done + i) * 2 + 1).toInt) = r
           i += 1
         }
-        c += 1
+      } else {
+        var c = 0
+        while (c < ch) {
+          var i = 0
+          while (i < blockSize) {
+            samples(((done + i) * ch + c).toInt) = decoded(c)(i)
+            i += 1
+          }
+          c += 1
+        }
       }
       in.alignByte()
       val bodyEnd = in.pos
@@ -434,11 +503,15 @@ object FlacCodec {
   /** Offset of STREAMINFO's MD5 field (STREAMINFO is always first). */
   private def metaMd5Offset(bytes: Array[Byte]): Int = 4 + 4 + 18
 
-  private def readSubframe(in: MsbReader, n: Int, bps: Int): Array[Int] = {
+  private def readSubframe(in: MsbReader, n: Int, fullBps: Int): Array[Int] = {
     require(in.read(1) == 0, "subframe padding bit set")
     val tpe = in.read(6).toInt
-    require(in.read(1) == 0, "wasted-bits decode unsupported")
-    if (tpe == 0) {
+    // wasted bits: samples are stored shifted right by `wasted` (the flag
+    // is followed by unary-coded wasted-1) and shifted back after decode
+    val wasted = if (in.read(1) == 1) in.readUnary() + 1 else 0
+    require(wasted < fullBps, s"$wasted wasted bits leave no sample bits")
+    val bps = fullBps - wasted
+    val x: Array[Int] = if (tpe == 0) {
       val v = in.readSigned(bps)
       Array.fill(n)(v)
     } else if (tpe == 1) {
@@ -469,6 +542,11 @@ object FlacCodec {
     } else if (tpe >= 32) throw new IllegalArgumentException(
       "FLAC LPC subframe decode unsupported (fixed-predictor family only)")
     else throw new IllegalArgumentException(s"reserved subframe type $tpe")
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { x(i) = x(i) << wasted; i += 1 }
+    }
+    x
   }
 
   private def readResiduals(in: MsbReader, n: Int, order: Int,

@@ -91,6 +91,112 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decodeSamples(enc).samples.length == 64)
   }
 
+  test("stereo decorrelation: correlated channels pick a side assignment") {
+    // r = l + slowly-varying offset: the side channel is nearly silent, so
+    // a decorrelated assignment must win the cost search and the stream
+    // must be MUCH smaller than independent coding of two noise channels
+    val n = 600
+    val l = lcgSamples(n, 21, 16)
+    val r = Array.tabulate(n)(i => math.max(-32768, math.min(32767, l(i) + i / 50)))
+    val inter = new Array[Int](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = l(i); inter(2 * i + 1) = r(i) }
+    val buf = AudioBuf(2, 44100, 16, inter)
+    val enc = FlacCodec.encode(buf)
+    // frame header byte 3 upper nibble = channel assignment (frame starts
+    // right after the 42-byte fLaC + STREAMINFO prologue)
+    val assign = (enc(42 + 3) & 0xff) >> 4
+    assert(assign >= 8 && assign <= 10, s"expected decorrelated, got $assign")
+    assert(FlacCodec.decodeSamples(enc).samples.toSeq == inter.toSeq)
+    // independent noise keeps assignment 1 (two channels, code ch-1)
+    val noise = AudioBuf(2, 44100, 16, lcgSamples(2 * n, 77, 16))
+    val encN = FlacCodec.encode(noise)
+    assert(((encN(42 + 3) & 0xff) >> 4) == 1, "noise must stay independent")
+    assert(FlacCodec.decodeSamples(encN).samples.toSeq == noise.samples.toSeq)
+    // and the correlated stream must actually be smaller
+    assert(enc.length < encN.length * 3 / 4, s"${enc.length} vs ${encN.length}")
+  }
+
+  test("hand-packed decorrelated frames pin the reconstruction formulas") {
+    // one VERBATIM frame per assignment over samples with ODD side values
+    // (the mid-side LSB-recovery case) and negatives
+    val l = Array(5, -7, 100, -32768)
+    val r = Array(2, -4, 99, 32767)
+    for (assign <- Seq(8, 9, 10)) {
+      val side = Array.tabulate(4)(i => l(i) - r(i))
+      val mid = Array.tabulate(4)(i => (l(i) + r(i)) >> 1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("ISO-8859-1"))
+      val si = new FlacCodec.MsbWriter
+      si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
+      si.put(8000, 20); si.put(1, 3); si.put(15, 5); si.put(4, 36)
+      val sib = si.toBytes
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      out.write(sib, 0, sib.length)
+      out.write(new Array[Byte](16), 0, 16)
+      val w = new FlacCodec.MsbWriter
+      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+      w.put(6, 4); w.put(0, 4)
+      w.put(assign, 4)
+      w.put(4, 3); w.put(0, 1)
+      w.put(0, 8); w.put(3, 8) // frame 0, blocksize-1 = 3
+      val head = w.toBytes
+      val frame = new FlacCodec.MsbWriter
+      for (b <- head) frame.put(b & 0xff, 8)
+      frame.put(FlacCodec.crc8(head, 0, head.length), 8)
+      val (ch0, b0, ch1, b1) = assign match {
+        case 8 => (l, 16, side, 17)
+        case 9 => (side, 17, r, 16)
+        case _ => (mid, 16, side, 17)
+      }
+      for ((chan, bits) <- Seq((ch0, b0), (ch1, b1))) {
+        frame.put(0, 1); frame.put(1, 6); frame.put(0, 1) // VERBATIM
+        for (v <- chan) frame.putSigned(v, bits)
+      }
+      frame.alignByte()
+      val body = frame.toBytes
+      out.write(body, 0, body.length)
+      val c16 = FlacCodec.crc16(body, 0, body.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      val got = FlacCodec.decodeSamples(out.toByteArray)
+      val want = (0 until 4).flatMap(i => Seq(l(i), r(i)))
+      assert(got.samples.toSeq == want, s"assignment $assign")
+    }
+  }
+
+  test("wasted-bits subframes decode: samples shifted back by the count") {
+    // mono frame of 4 samples, all multiples of 4 (2 wasted bits), coded
+    // VERBATIM at 14 bits with wasted=2 (flag 1, unary 1 -> one 0 then 1)
+    val x = Array(4, -8, 1024, -32768)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    val si = new FlacCodec.MsbWriter
+    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(4, 36)
+    val sib = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(sib, 0, sib.length)
+    out.write(new Array[Byte](16), 0, 16)
+    val w = new FlacCodec.MsbWriter
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+    w.put(6, 4); w.put(0, 4); w.put(0, 4)
+    w.put(4, 3); w.put(0, 1)
+    w.put(0, 8); w.put(3, 8)
+    val head = w.toBytes
+    val frame = new FlacCodec.MsbWriter
+    for (b <- head) frame.put(b & 0xff, 8)
+    frame.put(FlacCodec.crc8(head, 0, head.length), 8)
+    frame.put(0, 1); frame.put(1, 6)
+    frame.put(1, 1)          // wasted-bits flag
+    frame.put(1, 2)          // unary 1 (one 0 then the terminating 1) -> wasted = 2
+    for (v <- x) frame.putSigned(v >> 2, 14)
+    frame.alignByte()
+    val body = frame.toBytes
+    out.write(body, 0, body.length)
+    val c16 = FlacCodec.crc16(body, 0, body.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    assert(FlacCodec.decodeSamples(out.toByteArray).samples.toSeq == x.toSeq)
+  }
+
   test("foreign frame shapes decode: 5-bit rice method, partitions, escape") {
     // Hand-packed stream exercising what OUR encoder never writes: residual
     // method 1 (5-bit params), partition order 1, and an escape partition
