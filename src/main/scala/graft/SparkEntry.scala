@@ -1209,9 +1209,16 @@ object SparkEntry {
           val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
           val n = 160 + (id % 5).toInt * 40
           val seed = (id % 100).toInt
+          // every third row is STEREO: the fixture interleaves one ramp
+          // across both channels (r = l + 1), so the encoder's stereo
+          // decorrelation fires (near-silent side channel) and the
+          // decoder's side-channel reconstruction is oracled, not just
+          // unit-tested; sample_sum stays one closed form over the
+          // interleaved index
+          val ch = if (id % 3 == 0) 2 else 1
           val in =
-            if (id % 2 == 0) graft.fixtures.MediaFixtures.wav(1, rate, n, seed)
-            else graft.fixtures.MediaFixtures.aiff(1, rate, n, seed)
+            if (id % 2 == 0) graft.fixtures.MediaFixtures.wav(ch, rate, n, seed)
+            else graft.fixtures.MediaFixtures.aiff(ch, rate, n, seed)
           val level = Seq(0, 1, 5, 8)((id % 4).toInt)
           val flac = graft.multimodal.FlacCodec.encode(
             graft.multimodal.AudioConvert.decodeSamples(in), level,
@@ -2004,19 +2011,21 @@ object SparkEntry {
         "END AS BIGINT) AS duration_ms " +
         "FROM q ORDER BY doc_id"),
     "ac_flac" ->
-      // sample f of the fixture is seed + f - 2048 (16-bit arm, no wrap:
-      // seed < 100, n <= 360); lossless, so the sum is
-      // n*seed + n(n-1)/2 - 2048n regardless of compression level
-      ("WITH p AS (SELECT doc_id, 160 + (doc_id % 5) * 40 AS n, " +
-        "doc_id % 100 AS seed FROM documents) " +
+      // interleaved sample j of the fixture is seed + j - 2048 (16-bit
+      // arm, no wrap: seed < 100, n*ch <= 720); lossless (incl. the
+      // stereo-decorrelated rows), so over m = n*ch samples the sum is
+      // m*seed + m(m-1)/2 - 2048m regardless of compression level
+      ("WITH p AS (SELECT doc_id, doc_id % 100 AS seed, " +
+        "(160 + (doc_id % 5) * 40) * " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m FROM documents) " +
         "SELECT doc_id, " +
         "CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 5 " +
         "ELSE 8 END AS INT) AS level, " +
-        "CAST(1 AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels, " +
         "CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
         "WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS frame_rate, " +
-        "CAST(n AS INT) AS frames_out, " +
-        "CAST(n * seed + n * (n - 1) // 2 - 2048 * n AS BIGINT) AS sample_sum, " +
+        "CAST(160 + (doc_id % 5) * 40 AS INT) AS frames_out, " +
+        "CAST(m * seed + m * (m - 1) // 2 - 2048 * m AS BIGINT) AS sample_sum, " +
         "'T' || doc_id AS title " +
         "FROM p ORDER BY doc_id"),
     "ac_convert" ->

@@ -16,6 +16,42 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Build a complete one-frame 16-bit/8kHz FLAC stream by hand (zeroed
+    * MD5, so decode is checked against hand-derived samples alone) — the
+    * foreign-shape vector scaffolding shared by the conformance tests. */
+  private def handStream(channels: Int, total: Int, chAssign: Int,
+                         blockSize: Int)(
+      subframes: FlacCodec.MsbWriter => Unit): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    val si = new FlacCodec.MsbWriter
+    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(channels - 1, 3); si.put(15, 5); si.put(total, 36)
+    val sib = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(sib, 0, sib.length)
+    out.write(new Array[Byte](16), 0, 16)
+    val w = new FlacCodec.MsbWriter
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+    w.put(6, 4)                 // blocksize: 8-bit value at end of header
+    w.put(0, 4)                 // rate from STREAMINFO
+    w.put(chAssign, 4)
+    w.put(4, 3); w.put(0, 1)    // 16-bit
+    w.put(0, 8)                 // UTF-8 frame number 0
+    w.put(blockSize - 1, 8)
+    val head = w.toBytes
+    val frame = new FlacCodec.MsbWriter
+    for (b <- head) frame.put(b & 0xff, 8)
+    frame.put(FlacCodec.crc8(head, 0, head.length), 8)
+    subframes(frame)
+    frame.alignByte()
+    val body = frame.toBytes
+    out.write(body, 0, body.length)
+    val c16 = FlacCodec.crc16(body, 0, body.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    out.toByteArray
+  }
+
   test("stream header bytes match the spec layout, not just our own reader") {
     // 1 channel, 8000 Hz, 16-bit, 20 samples of a ramp. Hand-derived:
     // "fLaC"; STREAMINFO header 0x80 (last) 0x000022 (34); min=max
@@ -124,40 +160,18 @@ class FlacCodecSpec extends AnyFunSuite {
     for (assign <- Seq(8, 9, 10)) {
       val side = Array.tabulate(4)(i => l(i) - r(i))
       val mid = Array.tabulate(4)(i => (l(i) + r(i)) >> 1)
-      val out = new java.io.ByteArrayOutputStream()
-      out.write("fLaC".getBytes("ISO-8859-1"))
-      val si = new FlacCodec.MsbWriter
-      si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
-      si.put(8000, 20); si.put(1, 3); si.put(15, 5); si.put(4, 36)
-      val sib = si.toBytes
-      out.write(0x80); out.write(0); out.write(0); out.write(34)
-      out.write(sib, 0, sib.length)
-      out.write(new Array[Byte](16), 0, 16)
-      val w = new FlacCodec.MsbWriter
-      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
-      w.put(6, 4); w.put(0, 4)
-      w.put(assign, 4)
-      w.put(4, 3); w.put(0, 1)
-      w.put(0, 8); w.put(3, 8) // frame 0, blocksize-1 = 3
-      val head = w.toBytes
-      val frame = new FlacCodec.MsbWriter
-      for (b <- head) frame.put(b & 0xff, 8)
-      frame.put(FlacCodec.crc8(head, 0, head.length), 8)
-      val (ch0, b0, ch1, b1) = assign match {
-        case 8 => (l, 16, side, 17)
-        case 9 => (side, 17, r, 16)
-        case _ => (mid, 16, side, 17)
+      val flac = handStream(2, 4, assign, 4) { frame =>
+        val (ch0, b0, ch1, b1) = assign match {
+          case 8 => (l, 16, side, 17)
+          case 9 => (side, 17, r, 16)
+          case _ => (mid, 16, side, 17)
+        }
+        for ((chan, bits) <- Seq((ch0, b0), (ch1, b1))) {
+          frame.put(0, 1); frame.put(1, 6); frame.put(0, 1) // VERBATIM
+          for (v <- chan) frame.putSigned(v, bits)
+        }
       }
-      for ((chan, bits) <- Seq((ch0, b0), (ch1, b1))) {
-        frame.put(0, 1); frame.put(1, 6); frame.put(0, 1) // VERBATIM
-        for (v <- chan) frame.putSigned(v, bits)
-      }
-      frame.alignByte()
-      val body = frame.toBytes
-      out.write(body, 0, body.length)
-      val c16 = FlacCodec.crc16(body, 0, body.length)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
-      val got = FlacCodec.decodeSamples(out.toByteArray)
+      val got = FlacCodec.decodeSamples(flac)
       val want = (0 until 4).flatMap(i => Seq(l(i), r(i)))
       assert(got.samples.toSeq == want, s"assignment $assign")
     }
@@ -167,34 +181,21 @@ class FlacCodecSpec extends AnyFunSuite {
     // mono frame of 4 samples, all multiples of 4 (2 wasted bits), coded
     // VERBATIM at 14 bits with wasted=2 (flag 1, unary 1 -> one 0 then 1)
     val x = Array(4, -8, 1024, -32768)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("fLaC".getBytes("ISO-8859-1"))
-    val si = new FlacCodec.MsbWriter
-    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
-    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(4, 36)
-    val sib = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(34)
-    out.write(sib, 0, sib.length)
-    out.write(new Array[Byte](16), 0, 16)
-    val w = new FlacCodec.MsbWriter
-    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
-    w.put(6, 4); w.put(0, 4); w.put(0, 4)
-    w.put(4, 3); w.put(0, 1)
-    w.put(0, 8); w.put(3, 8)
-    val head = w.toBytes
-    val frame = new FlacCodec.MsbWriter
-    for (b <- head) frame.put(b & 0xff, 8)
-    frame.put(FlacCodec.crc8(head, 0, head.length), 8)
-    frame.put(0, 1); frame.put(1, 6)
-    frame.put(1, 1)          // wasted-bits flag
-    frame.put(1, 2)          // unary 1 (one 0 then the terminating 1) -> wasted = 2
-    for (v <- x) frame.putSigned(v >> 2, 14)
-    frame.alignByte()
-    val body = frame.toBytes
-    out.write(body, 0, body.length)
-    val c16 = FlacCodec.crc16(body, 0, body.length)
-    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
-    assert(FlacCodec.decodeSamples(out.toByteArray).samples.toSeq == x.toSeq)
+    val flac = handStream(1, 4, 0, 4) { frame =>
+      frame.put(0, 1); frame.put(1, 6)
+      frame.put(1, 1) // wasted-bits flag
+      frame.put(1, 2) // unary 1 (one 0 then the terminating 1) -> wasted = 2
+      for (v <- x) frame.putSigned(v >> 2, 14)
+    }
+    assert(FlacCodec.decodeSamples(flac).samples.toSeq == x.toSeq)
+  }
+
+  test("LPC subframes are a named error, never wrong samples") {
+    val flac = handStream(1, 4, 0, 4) { frame =>
+      frame.put(0, 1); frame.put(32, 6); frame.put(0, 1) // LPC order 1
+    }
+    assert(intercept[IllegalArgumentException](FlacCodec.decodeSamples(flac))
+      .getMessage.contains("LPC"))
   }
 
   test("foreign frame shapes decode: 5-bit rice method, partitions, escape") {
@@ -204,42 +205,18 @@ class FlacCodecSpec extends AnyFunSuite {
     // residuals [2,1,2,-1,-2,-3,-4]; partition 0 (3 values) rice k=2,
     // partition 1 (4 values) escaped raw. MD5 zeroed (spec: unknown) so
     // the decode is checked against the hand-derived samples alone.
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("fLaC".getBytes("ISO-8859-1"))
-    val si = new FlacCodec.MsbWriter
-    si.put(16, 16); si.put(16, 16); si.put(0, 24); si.put(0, 24)
-    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(8, 36)
-    val sib = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(34)
-    out.write(sib, 0, sib.length)
-    out.write(new Array[Byte](16), 0, 16)
-    val w = new FlacCodec.MsbWriter
-    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
-    w.put(6, 4)            // blocksize: 8-bit value at end of header
-    w.put(0, 4)            // rate from STREAMINFO
-    w.put(0, 4)            // mono
-    w.put(4, 3); w.put(0, 1) // 16-bit
-    w.put(0, 8)            // UTF-8 frame number 0
-    w.put(7, 8)            // blocksize-1 = 7
-    val head = w.toBytes
-    val frame = new FlacCodec.MsbWriter
-    for (b <- head) frame.put(b & 0xff, 8)
-    frame.put(FlacCodec.crc8(head, 0, head.length), 8)
-    frame.put(0, 1); frame.put(9, 6); frame.put(0, 1) // FIXED order 1
-    frame.putSigned(5, 16)                            // warmup
-    frame.put(1, 2)  // residual method 1: 5-bit params
-    frame.put(1, 4)  // partition order 1 (2 partitions of 4)
-    frame.put(2, 5)  // partition 0: rice k=2 (4-1=3 residuals)
-    for (r <- Seq(2, 1, 2)) frame.putRice(r, 2)
-    frame.put(31, 5) // partition 1: escape
-    frame.put(4, 5)  // raw width 4
-    for (r <- Seq(-1, -2, -3, -4)) frame.putSigned(r, 4)
-    frame.alignByte()
-    val body = frame.toBytes
-    out.write(body, 0, body.length)
-    val c16 = FlacCodec.crc16(body, 0, body.length)
-    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
-    val got = FlacCodec.decodeSamples(out.toByteArray)
+    val flac = handStream(1, 8, 0, 8) { frame =>
+      frame.put(0, 1); frame.put(9, 6); frame.put(0, 1) // FIXED order 1
+      frame.putSigned(5, 16)                            // warmup
+      frame.put(1, 2)  // residual method 1: 5-bit params
+      frame.put(1, 4)  // partition order 1 (2 partitions of 4)
+      frame.put(2, 5)  // partition 0: rice k=2 (4-1=3 residuals)
+      for (r <- Seq(2, 1, 2)) frame.putRice(r, 2)
+      frame.put(31, 5) // partition 1: escape
+      frame.put(4, 5)  // raw width 4
+      for (r <- Seq(-1, -2, -3, -4)) frame.putSigned(r, 4)
+    }
+    val got = FlacCodec.decodeSamples(flac)
     assert(got.samples.toSeq == Seq(5, 7, 8, 10, 9, 7, 4, 0))
     assert(got.frameRate == 8000 && got.channels == 1 && got.bits == 16)
   }
@@ -259,7 +236,7 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(back.samples.isEmpty && back.channels == 2 && back.frameRate == 44100)
   }
 
-  test("corruption is a named error: CRC, MD5, LPC, decorrelated stereo") {
+  test("corrupt streams are named errors; the convert surface is wired") {
     val buf = AudioBuf(1, 8000, 16, lcgSamples(200, 11, 16))
     val enc = FlacCodec.encode(buf)
     // flip one bit deep in the entropy data -> CRC-16 (or rice structure)
