@@ -22,12 +22,13 @@ import graft.multimodal.AudioConvert.AudioBuf
   * own -0 — fastest, not a store mode) — the same knob shape pydub
   * forwards to flac.
   *
-  * DECODE walks frames generally within that family: any blocksize/rate
-  * code, both Rice methods (4- and 5-bit params) incl. escape partitions
-  * and partition orders > 0, fixed orders 0-4, all three decorrelated
-  * stereo assignments, and wasted bits. LPC subframes and
-  * 12/20/24/32-bit depths are NAMED errors — never wrong samples. Every
-  * frame's CRC-16 is
+  * DECODE walks general FLAC frames: any blocksize/rate code, both Rice
+  * methods (4- and 5-bit params) incl. escape partitions and partition
+  * orders > 0, fixed orders 0-4, LPC subframes (the quantized predictor
+  * is carried in the stream — only LPC *encode* needs Levinson-Durbin),
+  * all three decorrelated stereo assignments, and wasted bits.
+  * 12/20/24/32-bit depths are NAMED errors — never wrong samples (the
+  * AudioBuf surface is 8/16-bit PCM). Every frame's CRC-16 is
   * verified, and the decoded stream's MD5 must match STREAMINFO when
   * present, so an encoder/decoder convention drift cannot round-trip
   * silently (the MD5 is computed from the SOURCE samples before any bit
@@ -384,10 +385,10 @@ object FlacCodec {
 
   // ---- decode ---------------------------------------------------------------
 
-  /** Decode a FLAC stream's samples. General within the fixed-predictor
-    * family incl. decorrelated stereo and wasted bits; LPC / exotic
-    * depths are named errors. CRC-16 verified per frame; MD5 verified
-    * against STREAMINFO when present. */
+  /** Decode a FLAC stream's samples: constant/verbatim/fixed/LPC
+    * subframes, decorrelated stereo, wasted bits; exotic depths are named
+    * errors. CRC-16 verified per frame; MD5 verified against STREAMINFO
+    * when present. */
   def decodeSamples(bytes: Array[Byte]): AudioBuf = {
     require(MediaCodecs.isFlac(bytes), "not a FLAC payload")
     val meta = MediaCodecs.parseFlac(bytes) // validates blocks, rate, bps
@@ -539,9 +540,35 @@ object FlacCodec {
         i += 1
       }
       x
-    } else if (tpe >= 32) throw new IllegalArgumentException(
-      "FLAC LPC subframe decode unsupported (fixed-predictor family only)")
-    else throw new IllegalArgumentException(s"reserved subframe type $tpe")
+    } else if (tpe >= 32) {
+      // LPC: the predictor is carried IN the stream (quantized coefficients
+      // + shift), so decode needs no model of its own — reconstruction is
+      // a dot product; only the ENCODE side (Levinson-Durbin) is out of
+      // scope here
+      val order = (tpe & 31) + 1
+      require(order <= n, s"LPC order $order exceeds blocksize $n")
+      val x = new Array[Int](n)
+      var i = 0
+      while (i < order) { x(i) = in.readSigned(bps); i += 1 }
+      val precision = in.read(4).toInt + 1
+      require(precision <= 15, "invalid LPC coefficient precision 16")
+      val shift = in.readSigned(5)
+      require(shift >= 0, s"negative LPC shift $shift")
+      val qlp = Array.fill(order)(in.readSigned(precision))
+      val res = new Array[Int](n)
+      readResiduals(in, n, order, res)
+      i = order
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += qlp(j).toLong * x(i - 1 - j); j += 1 }
+        val v = (acc >> shift) + res(i)
+        require(v >= Int.MinValue && v <= Int.MaxValue, "LPC prediction overflow")
+        x(i) = v.toInt
+        i += 1
+      }
+      x
+    } else throw new IllegalArgumentException(s"reserved subframe type $tpe")
     if (wasted > 0) {
       var i = 0
       while (i < n) { x(i) = x(i) << wasted; i += 1 }

@@ -190,12 +190,26 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decodeSamples(flac).samples.toSeq == x.toSeq)
   }
 
-  test("LPC subframes are a named error, never wrong samples") {
+  test("hand-packed LPC subframe decodes via the in-stream predictor") {
+    // order 2, coefficients [3, -2], shift 1: x(i) = ((3x(i-1) - 2x(i-2))
+    // >> 1) + res(i). Warmup [10, 20], residuals [1, -1] ->
+    // x2 = ((60-20)>>1)+1 = 21, x3 = ((63-40)>>1)-1 = 10.
     val flac = handStream(1, 4, 0, 4) { frame =>
-      frame.put(0, 1); frame.put(32, 6); frame.put(0, 1) // LPC order 1
+      frame.put(0, 1); frame.put(33, 6); frame.put(0, 1) // LPC order 2
+      frame.putSigned(10, 16); frame.putSigned(20, 16)   // warmup
+      frame.put(3, 4)        // precision-1 = 3 -> 4-bit coefficients
+      frame.putSigned(1, 5)  // shift 1
+      frame.putSigned(3, 4); frame.putSigned(-2, 4)      // most recent first
+      frame.put(0, 2); frame.put(0, 4); frame.put(0, 4)  // rice, 1 partition, k=0
+      frame.putRice(1, 0); frame.putRice(-1, 0)
     }
-    assert(intercept[IllegalArgumentException](FlacCodec.decodeSamples(flac))
-      .getMessage.contains("LPC"))
+    assert(FlacCodec.decodeSamples(flac).samples.toSeq == Seq(10, 20, 21, 10))
+    // reserved subframe types stay named errors
+    val bad = handStream(1, 4, 0, 4) { frame =>
+      frame.put(0, 1); frame.put(2, 6); frame.put(0, 1)
+    }
+    assert(intercept[IllegalArgumentException](FlacCodec.decodeSamples(bad))
+      .getMessage.contains("reserved subframe type"))
   }
 
   test("foreign frame shapes decode: 5-bit rice method, partitions, escape") {
