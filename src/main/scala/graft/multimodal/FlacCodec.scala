@@ -504,6 +504,11 @@ object FlacCodec {
   /** Offset of STREAMINFO's MD5 field (STREAMINFO is always first). */
   private def metaMd5Offset(bytes: Array[Byte]): Int = 4 + 4 + 18
 
+  /** The fixed predictors' constant coefficient sets (RFC 9639): fixed
+    * order o is LPC with these weights and shift 0. */
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array.empty, Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
   private def readSubframe(in: MsbReader, n: Int, fullBps: Int): Array[Int] = {
     require(in.read(1) == 0, "subframe padding bit set")
     val tpe = in.read(6).toInt
@@ -517,44 +522,26 @@ object FlacCodec {
       Array.fill(n)(v)
     } else if (tpe == 1) {
       Array.fill(n)(in.readSigned(bps))
-    } else if (tpe >= 8 && tpe <= 12) {
-      val order = tpe - 8
-      require(order <= n, s"fixed order $order exceeds blocksize $n")
+    } else if ((tpe >= 8 && tpe <= 12) || tpe >= 32) {
+      // one reconstruction path for FIXED and LPC: fixed orders 0-4 ARE
+      // LPC with the spec's constant coefficient sets and shift 0, while
+      // a true LPC subframe carries its quantized predictor IN the stream
+      // (so decode needs no model of its own — only the ENCODE side,
+      // Levinson-Durbin, is out of scope here)
+      val order = if (tpe < 32) tpe - 8 else (tpe & 31) + 1
+      require(order <= n, s"predictor order $order exceeds blocksize $n")
       val x = new Array[Int](n)
       var i = 0
       while (i < order) { x(i) = in.readSigned(bps); i += 1 }
-      val res = new Array[Int](n)
-      readResiduals(in, n, order, res)
-      i = order
-      while (i < n) {
-        val p: Long = order match {
-          case 0 => 0L
-          case 1 => x(i - 1).toLong
-          case 2 => 2L * x(i - 1) - x(i - 2)
-          case 3 => 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
-          case _ => 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
+      val (qlp, shift) =
+        if (tpe < 32) (FixedCoefs(order), 0)
+        else {
+          val precision = in.read(4).toInt + 1
+          require(precision <= 15, "invalid LPC coefficient precision 16")
+          val sh = in.readSigned(5)
+          require(sh >= 0, s"negative LPC shift $sh")
+          (Array.fill(order)(in.readSigned(precision)), sh)
         }
-        val v = p + res(i)
-        require(v >= Int.MinValue && v <= Int.MaxValue, "fixed prediction overflow")
-        x(i) = v.toInt
-        i += 1
-      }
-      x
-    } else if (tpe >= 32) {
-      // LPC: the predictor is carried IN the stream (quantized coefficients
-      // + shift), so decode needs no model of its own — reconstruction is
-      // a dot product; only the ENCODE side (Levinson-Durbin) is out of
-      // scope here
-      val order = (tpe & 31) + 1
-      require(order <= n, s"LPC order $order exceeds blocksize $n")
-      val x = new Array[Int](n)
-      var i = 0
-      while (i < order) { x(i) = in.readSigned(bps); i += 1 }
-      val precision = in.read(4).toInt + 1
-      require(precision <= 15, "invalid LPC coefficient precision 16")
-      val shift = in.readSigned(5)
-      require(shift >= 0, s"negative LPC shift $shift")
-      val qlp = Array.fill(order)(in.readSigned(precision))
       val res = new Array[Int](n)
       readResiduals(in, n, order, res)
       i = order
@@ -563,7 +550,7 @@ object FlacCodec {
         var j = 0
         while (j < order) { acc += qlp(j).toLong * x(i - 1 - j); j += 1 }
         val v = (acc >> shift) + res(i)
-        require(v >= Int.MinValue && v <= Int.MaxValue, "LPC prediction overflow")
+        require(v >= Int.MinValue && v <= Int.MaxValue, "prediction overflow")
         x(i) = v.toInt
         i += 1
       }
