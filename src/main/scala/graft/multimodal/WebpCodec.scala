@@ -38,7 +38,7 @@ object WebpCodec {
 
   // ---- LSB-first bit IO -------------------------------------------------
 
-  private final class LsbWriter {
+  private[graft] final class LsbWriter {
     private val out = new ByteArrayOutputStream()
     private var acc = 0
     private var n = 0

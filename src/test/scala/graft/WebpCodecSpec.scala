@@ -82,6 +82,79 @@ class WebpCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("foreign code shapes decode: simple 2-symbol, CL repeat-16, max_symbol") {
+    // Hand-packed 2x1 RGBA VP8L stream exercising what OUR encoder never
+    // writes: a normal green code transmitted via the max_symbol shortcut
+    // (4 CL reads cover symbols 10 and 20, rest zeroed by the cap), a
+    // single-symbol red code, a blue code whose lengths use CL symbol 16
+    // (repeat previous nonzero), and a simple TWO-symbol alpha code.
+    // Pixels: (r,g,b,a) = (7,10,5,200), (7,20,8,255).
+    val w = new WebpCodec.LsbWriter
+    w.put(0x2f, 8)
+    w.put(1, 14); w.put(0, 14) // 2x1
+    w.put(1, 1)                // alpha used
+    w.put(0, 3)                // version
+    w.put(0, 1); w.put(0, 1); w.put(0, 1) // no transform/cache/meta
+    // GREEN (alphabet 280): normal code, CL lens over ClOrder[0..3] =
+    // [17,18,0,1] -> [1,0,0,1]; max_symbol = 2 + 2 (nbits 2); reads:
+    // 17(+3 extra: 10 zeros), sym10 len 1, 17(+6: 9 zeros), sym20 len 1
+    w.put(0, 1)        // not simple
+    w.put(0, 4)        // num_code_lengths = 4
+    w.put(1, 3); w.put(0, 3); w.put(0, 3); w.put(1, 3)
+    w.put(1, 1)        // use max_symbol
+    w.put(0, 3)        // length_nbits = 2
+    w.put(2, 2)        // max_symbol = 2 + 2 = 4 reads
+    // CL canonical: sym1 -> code 0 (len 1), sym17 -> code 1
+    w.putCode(1, 1); w.put(7, 3)  // 17: 3+7 = 10 zeros
+    w.putCode(0, 1)               // symbol 10 gets length 1
+    w.putCode(1, 1); w.put(6, 3)  // 17: 3+6 = 9 zeros
+    w.putCode(0, 1)               // symbol 20 gets length 1
+    // RED: simple single-symbol 7 (0 bits per pixel)
+    w.put(1, 1); w.put(0, 1); w.put(1, 1); w.put(7, 8)
+    // BLUE: normal code, lens 5..8 -> 2 via one literal + CL 16 repeat;
+    // CL lens over ClOrder[0..8] = [17,18,0,1,2,3,4,5,16] ->
+    // [3,3,0,0,1,0,0,0,2]; canonical: 2->0(1), 16->10(2), 17->110, 18->111
+    w.put(0, 1)
+    w.put(5, 4)        // num_code_lengths = 9
+    for (l <- Seq(3, 3, 0, 0, 1, 0, 0, 0, 2)) w.put(l, 3)
+    w.put(0, 1)        // no max_symbol
+    w.putCode(6, 3); w.put(2, 3)  // 17: 3+2 = 5 zeros (symbols 0-4)
+    w.putCode(0, 1)               // symbol 5 -> length 2
+    w.putCode(2, 2); w.put(0, 2)  // 16: repeat len 2 x(3+0) -> symbols 6,7,8
+    w.putCode(7, 3); w.put(127, 7) // 18: 138 zeros
+    w.putCode(7, 3); w.put(98, 7)  // 18: 109 zeros (247 total)
+    // ALPHA: simple TWO symbols {200, 255} -> 1 bit per pixel
+    w.put(1, 1); w.put(1, 1); w.put(1, 1); w.put(200, 8); w.put(255, 8)
+    // DISTANCE: simple single-symbol 0
+    w.put(1, 1); w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    // pixels: green(1 bit), blue(2 bits), alpha(1 bit); red is 0 bits
+    w.putCode(0, 1)               // g = 10
+    w.putCode(0, 2)               // b = 5  (canonical code 00)
+    w.putCode(0, 1)               // a = 200
+    w.putCode(1, 1)               // g = 20
+    w.putCode(3, 2)               // b = 8  (canonical code 11)
+    w.putCode(1, 1)               // a = 255
+    val payload = w.toBytes
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    u32le(4 + 8 + payload.length + (payload.length & 1))
+    out.write("WEBP".getBytes("ISO-8859-1"))
+    out.write("VP8L".getBytes("ISO-8859-1"))
+    u32le(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    val sink = new PixelBuf
+    val meta = WebpCodec.decode(out.toByteArray, sink)
+    assert(meta.width == 2 && meta.height == 1 && meta.mode == "RGBA")
+    assert(sink.data.toSeq.map(_ & 0xff) ==
+      Seq(7, 10, 5, 200, 7, 20, 8, 255), sink.data.toSeq)
+    assert(meta.pixelSum == 512)
+  }
+
   test("lossy, extended, and transformed streams are named errors, not guesses") {
     val sink = new PixelBuf
     val lossy = MediaFixtures.webp(8, 8, variant = 0)
