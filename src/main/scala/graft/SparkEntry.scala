@@ -1194,6 +1194,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lanczos-3 resize (the reference's LANCZOS resampler,
+    // image_converters.py:82-84) with closed-form arms: a horizontal-only
+    // resize of row-banded content keeps every row's value (weights
+    // normalize to 1 within a constant row), and any resize of constant
+    // content keeps the constant — so the windowed-sinc path verifies
+    // exactly without pinning library float bytes. Even ids go through the
+    // full convertImage preprocessing chain (resize knob + png encode).
+    "ic_resize" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.multimodal.ImageConvert
+          val w = 5 + (id % 9).toInt
+          val h = 4 + (id % 6).toInt
+          val seed = (id % 200).toInt
+          val out =
+            if (id % 2 == 0) {
+              // banded rows, horizontal-only stretch via the full surface
+              val bmp = graft.fixtures.MediaFixtures.bmp(w, h, 24, seed)
+              ImageConvert.convertImage(bmp, "png",
+                ImageConvert.ImageOpts(resize = Some((w + 3, h))))
+            } else {
+              // constant raster (one source row), both axes resized
+              val bmp = graft.fixtures.MediaFixtures.bmp(w, 1, 24, seed)
+              ImageConvert.encode(ImageConvert.resizeLanczos(
+                ImageConvert.decodePixels(bmp)._2, w + 2, h + 5), "png")
+            }
+          val meta = graft.multimodal.MediaCodecs.decodeImage(out).get
+          (id, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // FLAC ENCODE (the reference's `.flac` output arm with its
     // compression_level kwarg, audio_converters.py:95-99): PCM containers
     // in, real compressed FLAC out (fixed predictors + Rice), re-decoded
@@ -1897,6 +1934,21 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 IN (1, 2) THEN 'L' ELSE 'RGB' END AS mode, " +
         "CAST((CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 3 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_resize" ->
+      // even ids: horizontal-only stretch of row-banded content (row y is
+      // seed+y in every channel, wrap-free) -> rows keep their value, sum =
+      // 3*(w+3)*(h*seed + h(h-1)/2); odd ids: a constant raster (seed) to
+      // (w+2)x(h+5) -> sum = 3*(w+2)*(h+5)*seed
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN w + 3 ELSE w + 2 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN h ELSE h + 5 END AS INT) AS height, " +
+        "'RGB' AS mode, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 " +
+        "THEN 3 * (w + 3) * (h * seed + h * (h - 1) // 2) " +
+        "ELSE 3 * (w + 2) * (h + 5) * seed END AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_webp" ->
       // every source format carries value seed+y in each channel at row y

@@ -228,6 +228,92 @@ object ImageConvert {
     * Pillow LANCZOS, image_converters.py:84 — a windowed-sinc whose exact
     * bytes are library-defined; nearest is the deterministic resampler, and
     * the kernel swap point is this one function.) */
+  /** Lanczos-3 resize — the reference's default resampler
+    * (`Image.Resampling.LANCZOS`, image_converters.py:84): separable
+    * windowed-sinc with the standard downscale filter stretch (support
+    * 3·max(1, src/dst)) and per-tap weight normalization. Our pinned
+    * deterministic variant accumulates in float64 through both passes and
+    * rounds+clamps ONCE at the end (Pillow quantizes to 8 bits between
+    * passes with fixed-point weights — a library-defined byte layout);
+    * the properties that matter are pinned in tests: identity at the same
+    * size, exactness on constant content, mirror symmetry. P-mode (and
+    * Pillow's mode "1") cannot be interpolated — palette indices are not
+    * magnitudes — so P falls back to nearest, exactly Pillow's own
+    * `resize` rule. */
+  def resizeLanczos(buf: PixelBuf, w: Int, h: Int): PixelBuf = {
+    require(w > 0 && h > 0, s"bad resize target ${w}x$h")
+    if (buf.mode == "P") return resizeNearest(buf, w, h)
+    val ch = channels(buf)
+    def lanczos(t: Double): Double =
+      if (math.abs(t) >= 3.0) 0.0
+      else if (math.abs(t) < 1e-12) 1.0
+      else {
+        val pt = math.Pi * t
+        3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+      }
+    /** Per destination index: (first source tap, normalized weights). */
+    def taps(src: Int, dst: Int): Array[(Int, Array[Double])] = {
+      val scale = src.toDouble / dst
+      val fscale = math.max(1.0, scale)
+      val support = 3.0 * fscale
+      Array.tabulate(dst) { i =>
+        val center = (i + 0.5) * scale
+        val lo = math.max(0, math.floor(center - support).toInt)
+        val hi = math.min(src, math.ceil(center + support).toInt)
+        val ws = Array.tabulate(hi - lo)(j => lanczos((lo + j + 0.5 - center) / fscale))
+        val sum = ws.sum
+        (lo, ws.map(_ / sum))
+      }
+    }
+    val hTaps = taps(buf.width, w)
+    val vTaps = taps(buf.height, h)
+    // horizontal pass (float64 intermediate), then vertical
+    val mid = new Array[Double](w * buf.height * ch)
+    var y = 0
+    while (y < buf.height) {
+      var x = 0
+      while (x < w) {
+        val (lo, ws) = hTaps(x)
+        var c = 0
+        while (c < ch) {
+          var acc = 0.0
+          var j = 0
+          while (j < ws.length) {
+            acc += ws(j) * (buf.data((y * buf.width + lo + j) * ch + c) & 0xff)
+            j += 1
+          }
+          mid((y * w + x) * ch + c) = acc
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = blank(buf, w, h)
+    y = 0
+    while (y < h) {
+      val (lo, ws) = vTaps(y)
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          var acc = 0.0
+          var j = 0
+          while (j < ws.length) {
+            acc += ws(j) * mid(((lo + j) * w + x) * ch + c)
+            j += 1
+          }
+          out.data((y * w + x) * ch + c) =
+            math.max(0, math.min(255, math.round(acc))).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def resizeNearest(buf: PixelBuf, w: Int, h: Int): PixelBuf = {
     require(w > 0 && h > 0, s"bad resize target ${w}x$h")
     val ch = channels(buf)
@@ -348,7 +434,9 @@ object ImageConvert {
 
   def convertImage(bytes: Array[Byte], targetFmt: String, opts: ImageOpts): Array[Byte] = {
     var buf = decodePixels(bytes)._2
-    for ((w, h) <- opts.resize) buf = resizeNearest(buf, w, h)
+    // the reference resizes with LANCZOS (image_converters.py:82-84);
+    // resizeLanczos itself falls back to nearest for P, Pillow's own rule
+    for ((w, h) <- opts.resize) buf = resizeLanczos(buf, w, h)
     for ((l, t, r, b) <- opts.cropBox) buf = crop(buf, l, t, r, b)
     for (d <- opts.rotateDeg) buf = rotate(buf, d)
     for (d <- opts.flipDir) buf = flip(buf, d)

@@ -393,6 +393,36 @@ class ImageConvertSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ImageConvert.flip(buf, "diagonal"))
   }
 
+  test("resizeLanczos: identity, constant-exact, symmetric, P falls to nearest") {
+    // same-size resize is the identity (integer-offset sinc taps vanish)
+    val src = mkBuf("RGB", 9, 7)
+    assertSame(ImageConvert.resizeLanczos(src, 9, 7), src, "identity")
+    // constant content stays exact at any geometry (weights normalize to 1)
+    val const = new PixelBuf
+    const.init("L", 10, 6)
+    java.util.Arrays.fill(const.data, 77.toByte)
+    for ((w, h) <- Seq((25, 3), (4, 13), (10, 6), (1, 1))) {
+      val r = ImageConvert.resizeLanczos(const, w, h)
+      assert(r.width == w && r.height == h)
+      assert(r.data.forall(_ == 77.toByte), s"constant ${w}x$h")
+    }
+    // mirror symmetry: flip(resize(x)) == resize(flip(x))
+    val a = ImageConvert.flip(ImageConvert.resizeLanczos(src, 14, 5), "horizontal")
+    val b = ImageConvert.resizeLanczos(ImageConvert.flip(src, "horizontal"), 14, 5)
+    assertSame(a, b, "mirror symmetry")
+    // horizontal-only resize of row-constant content keeps every row's value
+    val banded = new PixelBuf
+    banded.init("L", 8, 5)
+    for (y <- 0 until 5; x <- 0 until 8) banded.data(y * 8 + x) = (40 + y * 3).toByte
+    val hOnly = ImageConvert.resizeLanczos(banded, 13, 5)
+    for (y <- 0 until 5; x <- 0 until 13)
+      assert(hOnly.data(y * 13 + x) == (40 + y * 3).toByte, s"row $y col $x")
+    // P mode cannot be interpolated: falls back to nearest (Pillow's rule)
+    val p = mkBuf("P", 6, 4)
+    assertSame(ImageConvert.resizeLanczos(p, 12, 8),
+      ImageConvert.resizeNearest(p, 12, 8), "P nearest fallback")
+  }
+
   test("resizeNearest samples the center-mapped grid") {
     // 4x4 L with value = x + 4*y; downscale to 2x2: centers map to src 1,3
     val buf = new PixelBuf
