@@ -988,7 +988,10 @@ object SparkEntry {
             graft.fixtures.MediaFixtures.bmp(w, h, 24, seed))._2
           val (opName, out) = (id % 5) match {
             case 0 => ("crop", ImageConvert.crop(buf, 1, 1, w - 1, h - 1))
-            case 1 => ("rotate90", ImageConvert.rotate(buf, 90))
+            // the GENERAL inverse-mapped rotation (arbitrary-angle path),
+            // which must land pixel-identical to the exact 90 move — so
+            // the closed-form oracle covers the transform math too
+            case 1 => ("rotate90", ImageConvert.rotateGeneral(buf, 90.0))
             case 2 => ("flip_h", ImageConvert.flip(buf, "horizontal"))
             case 3 => ("resize", ImageConvert.resizeNearest(buf, 2 * w, h + 3))
             case _ => ("invert", ImageConvert.invert(buf))

@@ -160,6 +160,63 @@ object ImageConvert {
     * convention); arbitrary angles need a resampling filter whose output is
     * library-version-defined, so they are a named error, never approximated
     * silently. */
+  /** Arbitrary-angle rotate — the reference's `image.rotate(angle,
+    * expand=True)` shape (image_converters.py:93-94; Pillow resamples
+    * rotation with NEAREST by default). Right-angle multiples delegate to
+    * the exact lossless path; other angles inverse-map each output pixel
+    * center through the rotation and nearest-sample, black outside the
+    * source (our pinned deterministic variant — Pillow's affine rounding
+    * is library-defined). The general path is cross-checked against the
+    * exact path at 90/180/270 in tests. */
+  def rotateAny(buf: PixelBuf, degrees: Double): PixelBuf = {
+    val norm = ((degrees % 360) + 360) % 360
+    if (norm == math.rint(norm) && math.rint(norm).toInt % 90 == 0)
+      rotate(buf, math.rint(norm).toInt)
+    else rotateGeneral(buf, norm)
+  }
+
+  private[graft] def rotateGeneral(buf: PixelBuf, degrees: Double): PixelBuf = {
+    val rad = math.toRadians(degrees)
+    val cos = math.cos(rad)
+    val sin = math.sin(rad)
+    val w = buf.width
+    val h = buf.height
+    // expand: the rotated bounding box (epsilon guards float ceil jitter
+    // at exact right angles so 90.0 and 89.999999999 agree on dims)
+    val w2 = math.max(1, math.ceil(w * math.abs(cos) + h * math.abs(sin) - 1e-9).toInt)
+    val h2 = math.max(1, math.ceil(w * math.abs(sin) + h * math.abs(cos) - 1e-9).toInt)
+    val ch = channels(buf)
+    val out = blank(buf, w2, h2)
+    val cx = w / 2.0
+    val cy = h / 2.0
+    val cx2 = w2 / 2.0
+    val cy2 = h2 / 2.0
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        // screen y grows DOWN, so a visually-CCW rotation is a math-CW
+        // one; the inverse map back into the source is therefore R(+θ)
+        val dx = x + 0.5 - cx2
+        val dy = y + 0.5 - cy2
+        val sx = cos * dx - sin * dy + cx
+        val sy = sin * dx + cos * dy + cy
+        val ix = math.floor(sx).toInt
+        val iy = math.floor(sy).toInt
+        if (ix >= 0 && ix < w && iy >= 0 && iy < h) {
+          var c = 0
+          while (c < ch) {
+            out.data((y * w2 + x) * ch + c) = buf.data((iy * w + ix) * ch + c)
+            c += 1
+          }
+        } // else: stays 0 (black / transparent), Pillow's default fill
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def rotate(buf: PixelBuf, degrees: Int): PixelBuf = {
     val deg = ((degrees % 360) + 360) % 360
     require(deg % 90 == 0, s"rotate supports right angles only, got $degrees")
@@ -438,7 +495,7 @@ object ImageConvert {
     // resizeLanczos itself falls back to nearest for P, Pillow's own rule
     for ((w, h) <- opts.resize) buf = resizeLanczos(buf, w, h)
     for ((l, t, r, b) <- opts.cropBox) buf = crop(buf, l, t, r, b)
-    for (d <- opts.rotateDeg) buf = rotate(buf, d)
+    for (d <- opts.rotateDeg) buf = rotateAny(buf, d) // expand=True, :93-94
     for (d <- opts.flipDir) buf = flip(buf, d)
     if (opts.grayscale && buf.mode != "L") buf = convertMode(buf, "L")
     encode(buf, targetFmt, opts.quality)

@@ -423,6 +423,33 @@ class ImageConvertSpec extends AnyFunSuite {
       ImageConvert.resizeNearest(p, 12, 8), "P nearest fallback")
   }
 
+  test("rotateGeneral matches the exact path at right angles; 45 behaves") {
+    val src = mkBuf("RGB", 7, 5)
+    // the general inverse-mapped path must reproduce the lossless moves
+    // pixel-exactly (pins center handling, expand dims, and the CW/CCW
+    // screen-coordinate convention)
+    for (deg <- Seq(90, 180, 270))
+      assertSame(ImageConvert.rotateGeneral(src, deg),
+        ImageConvert.rotate(src, deg), s"general vs exact at $deg")
+    // rotateAny delegates right angles to the exact path, others expand
+    assertSame(ImageConvert.rotateAny(src, 450.0), ImageConvert.rotate(src, 90),
+      "450 normalizes to the exact 90")
+    val r45 = ImageConvert.rotateAny(src, 45.0)
+    // expand box: ceil((7+5)/sqrt(2)) = 9 on both axes
+    assert(r45.width == 9 && r45.height == 9, s"${r45.width}x${r45.height}")
+    // a constant raster rotates to its own color inside, black outside:
+    // the center pixel is inside, the corners are fill
+    val const = new PixelBuf
+    const.init("L", 8, 8)
+    java.util.Arrays.fill(const.data, 99.toByte)
+    val c45 = ImageConvert.rotateAny(const, 45.0)
+    val mid = (c45.height / 2) * c45.width + c45.width / 2
+    assert(c45.data(mid) == 99.toByte, "center survives")
+    assert(c45.data(0) == 0 && c45.data(c45.data.length - 1) == 0, "corners fill")
+    // every non-fill pixel carries the source color, never an invented one
+    assert(c45.data.forall(v => v == 0 || v == 99.toByte))
+  }
+
   test("resizeNearest samples the center-mapped grid") {
     // 4x4 L with value = x + 4*y; downscale to 2x2: centers map to src 1,3
     val buf = new PixelBuf
