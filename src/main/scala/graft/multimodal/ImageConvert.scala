@@ -155,11 +155,6 @@ object ImageConvert {
     out
   }
 
-  /** Pillow `image.rotate(deg, expand=True)` (image_converters.py:95-96),
-    * restricted to the lossless right angles (counter-clockwise, Pillow's
-    * convention); arbitrary angles need a resampling filter whose output is
-    * library-version-defined, so they are a named error, never approximated
-    * silently. */
   /** Arbitrary-angle rotate — the reference's `image.rotate(angle,
     * expand=True)` shape (image_converters.py:93-94; Pillow resamples
     * rotation with NEAREST by default). Right-angle multiples delegate to
@@ -487,7 +482,8 @@ object ImageConvert {
                              rotateDeg: Option[Int] = None,
                              flipDir: Option[String] = None,
                              grayscale: Boolean = false,
-                             quality: Int = 95)
+                             quality: Int = 95,
+                             pngCompressLevel: Int = 6)
 
   def convertImage(bytes: Array[Byte], targetFmt: String, opts: ImageOpts): Array[Byte] = {
     var buf = decodePixels(bytes)._2
@@ -498,7 +494,7 @@ object ImageConvert {
     for (d <- opts.rotateDeg) buf = rotateAny(buf, d) // expand=True, :93-94
     for (d <- opts.flipDir) buf = flip(buf, d)
     if (opts.grayscale && buf.mode != "L") buf = convertMode(buf, "L")
-    encode(buf, targetFmt, opts.quality)
+    encode(buf, targetFmt, opts.quality, opts.pngCompressLevel)
   }
 
   // ---- images → PDF (create_pdf, image_converters.py:181-222) ---------------
@@ -631,9 +627,10 @@ object ImageConvert {
 
   /** pixels → target-format bytes, auto-adapting the mode where the format
     * requires it (RGBA→RGB for ppm/tiff/gif like Pillow's save paths). */
-  def encode(buf: PixelBuf, fmt: String, quality: Int = 95): Array[Byte] =
+  def encode(buf: PixelBuf, fmt: String, quality: Int = 95,
+             pngCompressLevel: Int = 6): Array[Byte] =
     fmt.toLowerCase.stripPrefix(".") match {
-      case "png" => encodePng(buf)
+      case "png" => encodePng(buf, pngCompressLevel)
       // formats without an alpha-plus-gray layout drop LA's alpha channel
       // to L (the gray value IS the luma — exact, like RGBA→RGB's drop)
       case "bmp" => encodeBmp(if (buf.mode == "LA") convertMode(buf, "L") else buf)
@@ -667,8 +664,13 @@ object ImageConvert {
         s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")
     }
 
-  /** PNG: color type from mode, filter 0 everywhere, one zlib stream. */
-  def encodePng(buf: PixelBuf): Array[Byte] = {
+  /** PNG: color type from mode, filter 0 everywhere, one zlib stream.
+    * `compressLevel` 0-9 is the reference's png `compress_level` save
+    * kwarg (image_converters.py:119-121) — a pure speed/size dial on the
+    * zlib stage, bit-identical pixels at every level. */
+  def encodePng(buf: PixelBuf, compressLevel: Int = 6): Array[Byte] = {
+    require(compressLevel >= 0 && compressLevel <= 9,
+      s"png compress_level $compressLevel out of 0-9")
     val colorType = buf.mode match {
       case "L" => 0; case "RGB" => 2; case "P" => 3; case "LA" => 4
       case "RGBA" => 6
@@ -701,7 +703,7 @@ object ImageConvert {
       requirePalette(buf)
       chunk("PLTE", buf.palette.clone())
     }
-    val deflater = new java.util.zip.Deflater()
+    val deflater = new java.util.zip.Deflater(compressLevel)
     deflater.setInput(raw)
     deflater.finish()
     val z = new ByteArrayOutputStream(raw.length / 2 + 64)

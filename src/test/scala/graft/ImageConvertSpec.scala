@@ -450,6 +450,22 @@ class ImageConvertSpec extends AnyFunSuite {
     assert(c45.data.forall(v => v == 0 || v == 99.toByte))
   }
 
+  test("png compress_level is a pure size dial: identical pixels, 0 >= 9") {
+    val src = mkBuf("RGB", 40, 30)
+    val stored = ImageConvert.encodePng(src, 0)
+    val max = ImageConvert.encodePng(src, 9)
+    assert(stored.length > max.length, s"${stored.length} !> ${max.length}")
+    for (enc <- Seq(stored, max))
+      assertSame(ImageConvert.decodePixels(enc)._2, src, "level pixels")
+    intercept[IllegalArgumentException](ImageConvert.encodePng(src, 10))
+    // and through the convert surface's kwarg
+    val bmp = MediaFixtures.bmp(9, 5, 24, 60)
+    val viaOpts = ImageConvert.convertImage(bmp, "png",
+      ImageConvert.ImageOpts(pngCompressLevel = 1))
+    assertSame(ImageConvert.decodePixels(viaOpts)._2,
+      ImageConvert.decodePixels(bmp)._2, "kwarg path pixels")
+  }
+
   test("resizeNearest samples the center-mapped grid") {
     // 4x4 L with value = x + 4*y; downscale to 2x2: centers map to src 1,3
     val buf = new PixelBuf
