@@ -164,9 +164,13 @@ object ImageConvert {
     * is library-defined). The general path is cross-checked against the
     * exact path at 90/180/270 in tests. */
   def rotateAny(buf: PixelBuf, degrees: Double): PixelBuf = {
+    require(!degrees.isNaN && !degrees.isInfinite, s"rotate angle $degrees")
     val norm = ((degrees % 360) + 360) % 360
-    if (norm == math.rint(norm) && math.rint(norm).toInt % 90 == 0)
-      rotate(buf, math.rint(norm).toInt)
+    // snap float jitter onto the exact lossless path (89.999999999 IS a
+    // right angle for any raster size the 64 MiB cap admits)
+    val nearest = math.rint(norm / 90.0) * 90.0
+    if (math.abs(norm - nearest) < 1e-9)
+      rotate(buf, (nearest.toInt % 360 + 360) % 360)
     else rotateGeneral(buf, norm)
   }
 
@@ -176,8 +180,9 @@ object ImageConvert {
     val sin = math.sin(rad)
     val w = buf.width
     val h = buf.height
-    // expand: the rotated bounding box (epsilon guards float ceil jitter
-    // at exact right angles so 90.0 and 89.999999999 agree on dims)
+    // expand: the rotated bounding box (near-right angles were already
+    // snapped to the exact path by rotateAny; the epsilon only absorbs
+    // float noise in the trig products themselves)
     val w2 = math.max(1, math.ceil(w * math.abs(cos) + h * math.abs(sin) - 1e-9).toInt)
     val h2 = math.max(1, math.ceil(w * math.abs(sin) + h * math.abs(cos) - 1e-9).toInt)
     val ch = channels(buf)
@@ -317,51 +322,70 @@ object ImageConvert {
         (lo, ws.map(_ / sum))
       }
     }
-    val hTaps = taps(buf.width, w)
-    val vTaps = taps(buf.height, h)
-    // horizontal pass (float64 intermediate), then vertical
-    val mid = new Array[Double](w * buf.height * ch)
-    var y = 0
-    while (y < buf.height) {
-      var x = 0
-      while (x < w) {
-        val (lo, ws) = hTaps(x)
-        var c = 0
-        while (c < ch) {
-          var acc = 0.0
-          var j = 0
-          while (j < ws.length) {
-            acc += ws(j) * (buf.data((y * buf.width + lo + j) * ch + c) & 0xff)
-            j += 1
+    if (w == buf.width && h == buf.height) return buf // exact identity
+    // horizontal pass (float64 intermediate), then vertical — an unchanged
+    // axis skips its convolution entirely (identity by construction)
+    val mid: Array[Double] =
+      if (w == buf.width) {
+        val m = new Array[Double](w * buf.height * ch)
+        var i = 0
+        while (i < m.length) { m(i) = buf.data(i) & 0xff; i += 1 }
+        m
+      } else {
+        val hTaps = taps(buf.width, w)
+        val m = new Array[Double](w * buf.height * ch)
+        var y = 0
+        while (y < buf.height) {
+          var x = 0
+          while (x < w) {
+            val (lo, ws) = hTaps(x)
+            var c = 0
+            while (c < ch) {
+              var acc = 0.0
+              var j = 0
+              while (j < ws.length) {
+                acc += ws(j) * (buf.data((y * buf.width + lo + j) * ch + c) & 0xff)
+                j += 1
+              }
+              m((y * w + x) * ch + c) = acc
+              c += 1
+            }
+            x += 1
           }
-          mid((y * w + x) * ch + c) = acc
-          c += 1
+          y += 1
         }
-        x += 1
+        m
       }
-      y += 1
-    }
     val out = blank(buf, w, h)
-    y = 0
-    while (y < h) {
-      val (lo, ws) = vTaps(y)
-      var x = 0
-      while (x < w) {
-        var c = 0
-        while (c < ch) {
-          var acc = 0.0
-          var j = 0
-          while (j < ws.length) {
-            acc += ws(j) * mid(((lo + j) * w + x) * ch + c)
-            j += 1
-          }
-          out.data((y * w + x) * ch + c) =
-            math.max(0, math.min(255, math.round(acc))).toByte
-          c += 1
-        }
-        x += 1
+    if (h == buf.height) {
+      var i = 0
+      while (i < out.data.length) {
+        out.data(i) = math.max(0, math.min(255, math.round(mid(i)))).toByte
+        i += 1
       }
-      y += 1
+    } else {
+      val vTaps = taps(buf.height, h)
+      var y = 0
+      while (y < h) {
+        val (lo, ws) = vTaps(y)
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < ch) {
+            var acc = 0.0
+            var j = 0
+            while (j < ws.length) {
+              acc += ws(j) * mid(((lo + j) * w + x) * ch + c)
+              j += 1
+            }
+            out.data((y * w + x) * ch + c) =
+              math.max(0, math.min(255, math.round(acc))).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
     }
     out
   }
@@ -479,7 +503,7 @@ object ImageConvert {
     * pixels, then encode. */
   final case class ImageOpts(resize: Option[(Int, Int)] = None,
                              cropBox: Option[(Int, Int, Int, Int)] = None,
-                             rotateDeg: Option[Int] = None,
+                             rotateDeg: Option[Double] = None,
                              flipDir: Option[String] = None,
                              grayscale: Boolean = false,
                              quality: Int = 95,

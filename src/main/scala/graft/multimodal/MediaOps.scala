@@ -46,12 +46,16 @@ object MediaOps {
   }
 
   /** rotate with expand=True (image_converters.py:95-96): bounding box of
-    * the rotated frame. Exact for right angles; rounded for others. */
+    * the rotated frame — the SAME ceil(bbox - 1e-9) the pixel layer
+    * ([[ImageConvert.rotateGeneral]]) allocates, so metadata dims and
+    * actual converted output agree at every angle, not just right ones. */
   def rotate(df: DataFrame, degrees: Double): DataFrame = {
     val rad = math.toRadians(degrees)
     val (c, s) = (math.abs(math.cos(rad)), math.abs(math.sin(rad)))
-    df.withColumn("new_width", round(col("width") * c + col("height") * s).cast("int"))
-      .withColumn("new_height", round(col("width") * s + col("height") * c).cast("int"))
+    df.withColumn("new_width",
+        greatest(lit(1), ceil(col("width") * c + col("height") * s - 1e-9)).cast("int"))
+      .withColumn("new_height",
+        greatest(lit(1), ceil(col("width") * s + col("height") * c - 1e-9)).cast("int"))
       .drop("width", "height")
       .withColumnRenamed("new_width", "width")
       .withColumnRenamed("new_height", "height")

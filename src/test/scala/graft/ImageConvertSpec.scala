@@ -448,6 +448,12 @@ class ImageConvertSpec extends AnyFunSuite {
     assert(c45.data(0) == 0 && c45.data(c45.data.length - 1) == 0, "corners fill")
     // every non-fill pixel carries the source color, never an invented one
     assert(c45.data.forall(v => v == 0 || v == 99.toByte))
+    // non-finite angles are named errors, never a fabricated 1x1 raster
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+      intercept[IllegalArgumentException](ImageConvert.rotateAny(src, bad))
+    // float jitter next to a right angle snaps onto the exact path
+    assertSame(ImageConvert.rotateAny(src, 89.9999999999),
+      ImageConvert.rotate(src, 90), "snap to 90")
   }
 
   test("png compress_level is a pure size dial: identical pixels, 0 >= 9") {
@@ -522,7 +528,7 @@ class ImageConvertSpec extends AnyFunSuite {
     // 8x6 bmp24, rows are constant (seed + y) % 256
     val bytes = MediaFixtures.bmp(8, 6, 24, seed = 40)
     val out = ImageConvert.convertImage(bytes, "png",
-      ImageConvert.ImageOpts(cropBox = Some((2, 1, 6, 5)), rotateDeg = Some(90),
+      ImageConvert.ImageOpts(cropBox = Some((2, 1, 6, 5)), rotateDeg = Some(90.0),
         grayscale = true))
     val (meta, buf) = ImageConvert.decodePixels(out)
     assert(meta.width == 4 && meta.height == 4 && buf.mode == "L")
