@@ -1106,10 +1106,12 @@ object SparkEntry {
     // quality=...)` direction, image_converters.py:118-137): band-constant
     // sources re-encode through convertImage and our own (already-oracled)
     // decoder reads the output back. Flat 8x8 blocks have DC-only DCTs and
-    // at quality 95 the scaled luma DC step (2) divides 8*(v-128), so the
-    // lossy path is EXACTLY verifiable: the closed-form pixel sum is the
-    // same as the decode oracle's. Color rows carry neutral chroma; half of
-    // them also exercise the reference's grayscale preprocessing knob.
+    // at qualities 95 AND 93 the scaled DC steps are 2 for both luma
+    // ((16*10+50)/100 = (16*14+50)/100 = 2) and chroma, dividing the even
+    // 8*(v-128), so the lossy path is EXACTLY verifiable at both settings:
+    // the closed-form pixel sum is the same as the decode oracle's, and the
+    // quality knob itself is oracle-covered. Color rows carry neutral
+    // chroma; half also exercise the grayscale preprocessing knob.
     "ic_jpeg" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id")).as[Long]
@@ -1124,7 +1126,8 @@ object SparkEntry {
           val out = graft.multimodal.ImageConvert.convertImage(
             src, "jpeg",
             graft.multimodal.ImageConvert.ImageOpts(
-              grayscale = color && id % 2 == 0, quality = 95))
+              grayscale = color && id % 2 == 0,
+              quality = if (id % 2 == 0) 95 else 93))
           val meta = graft.multimodal.MediaCodecs.decodeImage(out).get
           (id, meta.width, meta.height, meta.mode, meta.pixelSum)
         }.toDF("doc_id", "width", "height", "mode", "pixel_sum")
@@ -1912,7 +1915,8 @@ object SparkEntry {
         "FROM p ORDER BY doc_id"),
     "ic_jpeg" ->
       // band-constant row y holds (seed + y//8) % 256 (no wrap: seed < 200,
-      // <= 4 bands); exact round-trip at q95, so the sum is the decode
+      // <= 4 bands); exact round-trip at q95 (even ids) and q93 (odd ids —
+      // both scale the DC steps to 2), so the sum is the decode
       // oracle's closed form; color ids (doc_id%3=0) stay RGB (x3) unless
       // the grayscale knob fires (doc_id%6=0 -> L, r=g=b so L = v exactly)
       ("WITH p AS (SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 20 AS h, " +

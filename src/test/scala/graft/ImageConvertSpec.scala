@@ -247,14 +247,17 @@ class ImageConvertSpec extends AnyFunSuite {
   }
 
   test("jpeg ENCODE: band-constant content round-trips exactly at q>=50") {
-    // flat 8x8 blocks have DC-only DCTs; at quality 95 the scaled luma DC
-    // step is 2, which divides 8*(v-128) — so our own decoder (already
-    // oracled) must read back the EXACT source pixels
-    for ((w, h, seed) <- Seq((16, 24, 50), (13, 21, 100), (20, 19, 247))) {
+    // flat 8x8 blocks have DC-only DCTs; at qualities 95 and 93 the scaled
+    // luma DC step is 2 ((16*10+50)/100 = (16*14+50)/100 = 2), which
+    // divides 8*(v-128) — so our own decoder (already oracled) must read
+    // back the EXACT source pixels at both settings
+    for ((w, h, seed) <- Seq((16, 24, 50), (13, 21, 100), (20, 19, 247));
+         q <- Seq(95, 93)) {
       val srcBytes = graft.fixtures.JpegWriter.generate(w, h, seed)
       val src = JpegCodec.decode(srcBytes)
-      val re = JpegCodec.decode(ImageConvert.convertImage(srcBytes, "jpeg"))
-      assert(re == src, s"gray ${(w, h, seed)}: $re vs $src")
+      val re = JpegCodec.decode(ImageConvert.convertImage(
+        srcBytes, "jpeg", ImageConvert.ImageOpts(quality = q)))
+      assert(re == src, s"gray ${(w, h, seed)} q$q: $re vs $src")
     }
     // color: neutral-chroma band content survives the RGB->YCbCr->RGB trip
     val colorSrc = graft.fixtures.JpegWriter.generateColor(16, 16, 30)
