@@ -752,6 +752,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real-ecosystem VP8L conformance in the oracle gate: the committed
+    // fixtures were produced by the SYSTEM libwebp encoder
+    // (scripts/gen_webp_fixtures.py) and together exercise every VP8L
+    // feature — predictor, cross-color, subtract-green, palette at all
+    // four bundling widths, color cache, LZ77 backrefs, meta-prefix
+    // groups. The oracle's dims/mode/pixel sums are constants computed
+    // from the SOURCE pixel generators, so a decoder bit misread cannot
+    // round-trip its way to green.
+    "mm_decode_webp" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRow(id, "", graft.multimodal.WebpFixtures.bytes(
+            graft.multimodal.WebpFixtures.names((id % 12).toInt)))
+        }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mode"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Production image CONVERT surface (the reference's image direction,
     // image_converters.py:118-137): decode source pixels -> re-encode as
     // the wheel's target format -> RE-DECODE the produced bytes. The
@@ -886,8 +907,9 @@ object SparkEntry {
     }),
 
     // The feature-extraction kernel's full dispatch surface in one wheel:
-    // WebP header dims (all three bitstream variants — lossy VP8, lossless
-    // VP8L, extended VP8X still + animated), ICO largest-entry dims, real
+    // WebP across all three bitstream variants (lossy VP8 and extended
+    // VP8X still + animated on the header path; lossless VP8L through the
+    // REAL full pixel decoder), ICO largest-entry dims, real
     // WAV frame counts, and — the point of this query — an UNCLAIMED opaque
     // payload whose row is MARKED error='stub-decode' with zeroed dims:
     // fabricated metadata must be distinguishable from real decodes IN THE
@@ -901,8 +923,19 @@ object SparkEntry {
           val bytes = (id % 8) match {
             case 0 => graft.fixtures.MediaFixtures.webp(
               16 + (id % 100).toInt, 16 + (id % 50).toInt, variant = 0)
-            case 1 => graft.fixtures.MediaFixtures.webp(
-              1 + (id % 200).toInt, 1 + (id % 100).toInt, variant = 1)
+            case 1 =>
+              // a REAL lossless stream (our encoder): rides the full
+              // VP8L pixel-decode path, not the header walk
+              val w = 1 + (id % 200).toInt
+              val h = 1 + (id % 100).toInt
+              val buf = new graft.multimodal.MediaCodecs.PixelBuf
+              buf.init("RGB", w, h)
+              var i = 0
+              while (i < buf.data.length) {
+                buf.data(i) = ((id + i) % 251).toByte
+                i += 1
+              }
+              graft.multimodal.WebpCodec.encode(buf)
             case 2 =>
               // half still (a VP8 fragment whose dims must NOT override the
               // canvas), half animated with an ANMF frame count
@@ -1762,6 +1795,21 @@ object SparkEntry {
         "CAST((CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
+    "mm_decode_webp" ->
+      // constants computed from the fixture SOURCE pixel generators by
+      // scripts/gen_webp_fixtures.py (r+g+b per pixel, +a when the
+      // stream's alpha-hint bit makes the decode RGBA)
+      ("WITH f(k, width, height, mode, pixel_sum) AS (VALUES " +
+        "(0, 33, 29, 'RGB', 366348), (1, 40, 32, 'RGB', 398080), " +
+        "(2, 41, 17, 'RGB', 323970), (3, 37, 23, 'RGB', 250811), " +
+        "(4, 29, 31, 'RGB', 304437), (5, 26, 22, 'RGB', 218718), " +
+        "(6, 48, 30, 'RGB', 554892), (7, 32, 32, 'RGBA', 527420), " +
+        "(8, 160, 120, 'RGB', 7171040), (9, 144, 112, 'RGB', 6011379), " +
+        "(10, 64, 48, 'RGB', 1026464), (11, 60, 51, 'RGB', 1151181)) " +
+        "SELECT d.doc_id, 'image/webp' AS media_type, " +
+        "CAST(f.width AS INT) AS width, CAST(f.height AS INT) AS height, " +
+        "f.mode, CAST(f.pixel_sum AS BIGINT) AS pixel_sum " +
+        "FROM documents d JOIN f ON f.k = d.doc_id % 12 ORDER BY d.doc_id"),
     "mm_decode_jpeg" ->
       // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);
       // sum_y (y//8) for h = 8q+r is 4q(q-1) + rq

@@ -852,7 +852,10 @@ object MediaCodecs {
     ImageMeta("tiff", width.toInt, height.toInt, mode, sum)
   }
 
-  /** Dispatch by magic; None for formats without a real decoder here. */
+  /** Dispatch by magic; None for formats without a real decoder here.
+    * WebP is claimed only in its simple-lossless (VP8L) shape — the one
+    * with a full pixel decoder; lossy VP8 / extended VP8X stay on the
+    * [[parseWebp]] header path. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
@@ -860,6 +863,7 @@ object MediaCodecs {
     else if (isGif(bytes)) Some(decodeGif(bytes))
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
+    else if (WebpCodec.isLossless(bytes)) Some(WebpCodec.decode(bytes, new PixelBuf))
     else None
 
   /** FLAC container metadata: STREAMINFO audio parameters and the raw

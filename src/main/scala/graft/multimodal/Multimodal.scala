@@ -75,12 +75,12 @@ object Multimodal {
     * failure containment (error rows for parse failures; fatal VM errors
     * propagate and fail the task, [[graft.util.Containment]]). Image
     * payloads [[MediaCodecs.decodeImage]] recognizes (BMP/PNM/PNG/GIF/JPEG/
-    * TIFF) get REAL width/height/pixel-mean/frame-count; a recognized
-    * format outside the supported profile (progressive JPEG, JPEG-in-TIFF,
-    * ...) becomes an error row.
+    * TIFF/lossless WebP) get REAL width/height/pixel-mean/frame-count; a
+    * recognized format outside the supported profile (JPEG-in-TIFF, ...)
+    * becomes an error row.
     * WAV/AIFF go through the real RIFF/FORM parses (n_frames = PCM frame
-    * count, feature(0) = duration seconds); WebP/ICO get real header
-    * dimensions. MJPEG-in-AVI clips decode every frame (n_frames measured
+    * count, feature(0) = duration seconds); lossy/extended WebP and ICO
+    * get real header dimensions. MJPEG-in-AVI clips decode every frame (n_frames measured
     * from pixels; feature = [duration seconds, mean pixel]).
     * An unclaimed payload yields zeroed metadata marked
     * `error = `[[StubDecodeError]] — nothing is ever fabricated. */
@@ -133,8 +133,10 @@ object Multimodal {
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.items, Array.empty[Float], "")
             case None if kind == "image/webp" =>
-              // real header-level dimensions (VP8/VP8L/VP8X); pixel decode
-              // would need the VP8 codec, so no feature is emitted
+              // lossy VP8 / extended VP8X only (lossless VP8L is claimed by
+              // decodeImage above with full pixel decode): real header-level
+              // dimensions; pixel decode would need the VP8 codec, so no
+              // feature is emitted
               val d = MediaCodecs.parseWebp(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.frames, Array.empty[Float], "")

@@ -16,13 +16,16 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   * for CONFORMANCE, not compression (matching the repo-wide "deterministic
   * writer + real decoder" discipline).
   *
-  * DECODE handles the general no-transform, no-cache literal stream with
-  * arbitrary prefix codes (simple 1-2 symbol codes and code-length-coded
-  * normal codes, including 16/17/18 repeats and the max_symbol variant).
-  * Spatial/color/palette transforms, color-cache hits, and LZ77 backward
-  * references — what libwebp's own encoder emits — are NAMED errors, never
-  * a wrong-pixels guess; real-web `.webp` metadata stays on the
-  * [[MediaCodecs.parseWebp]] header path.
+  * DECODE handles the full VP8L spec: arbitrary prefix codes (simple 1-2
+  * symbol codes and code-length-coded normal codes, including 16/17/18
+  * repeats and the max_symbol variant), all four transforms (predictor,
+  * cross-color, subtract-green, color indexing with pixel bundling),
+  * color cache, LZ77 backward references, and meta-prefix code groups —
+  * i.e. the streams libwebp's own encoder emits, pinned pixel-exact in
+  * WebpCodecSpec against committed fixtures produced by the real libwebp
+  * encoder. Lossy (`VP8 `) and extended (`VP8X`) containers are NAMED
+  * errors; their metadata stays on the [[MediaCodecs.parseWebp]] header
+  * path.
   *
   * Bit conventions (WebP Lossless Bitstream Specification): the stream is
   * read LSB-first; canonical prefix codes are transmitted bit-reversed and
@@ -271,10 +274,323 @@ object WebpCodec {
 
   // ---- decode ---------------------------------------------------------------
 
-  /** Decode a lossless WebP's pixels into `sink`. Lossy (`VP8 `) and
-    * extended (`VP8X`) containers, transforms, color caches and backward
-    * references are named errors — header-level metadata for those stays
-    * on [[MediaCodecs.parseWebp]]. */
+  /** kCodeToPlane: the spec's 120-entry short-distance neighborhood map
+    * (distance codes 1..120 address the 16x8 window above/left of the
+    * current pixel, ordered by squared distance). Entry = (y << 4) |
+    * (8 - x); distance = y * width + x. Extracted from the system
+    * libwebp and validated monotone-by-squared-distance with 120 unique
+    * (x, y) pairs before embedding. */
+  private val CodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a, 0x26, 0x2a,
+    0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a, 0x25, 0x2b, 0x48, 0x04,
+    0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b, 0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45,
+    0x4b, 0x34, 0x3c, 0x03, 0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d,
+    0x44, 0x4c, 0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b, 0x32, 0x3e,
+    0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f, 0x64, 0x6c, 0x42, 0x4e,
+    0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b, 0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e,
+    0x00, 0x74, 0x7c, 0x41, 0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d,
+    0x51, 0x5f, 0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  /** ceil(size / 2^bits): sub-image (transform / entropy / packed-index)
+    * dimensions. */
+  private def subSize(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  /** Per-channel mod-256 add of two ARGB pixels (the predictor residual
+    * add and the palette delta sum). Carries out of alpha/green land in
+    * masked-off bits, so two masked adds cover all four channels. */
+  private def addPixels(a: Int, b: Int): Int = {
+    val ag = ((a & 0xff00ff00) + (b & 0xff00ff00)) & 0xff00ff00
+    val rb = ((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff
+    ag | rb
+  }
+
+  /** Per-channel floor average of two ARGB pixels. */
+  private def average2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Predictor 11: return whichever of L/T is closer (Manhattan over the
+    * four channels) to the per-channel gradient estimate L + T - TL;
+    * ties go to T. */
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    var pl = 0
+    var pt = 0
+    var s = 0
+    while (s < 32) {
+      val lc = (l >>> s) & 0xff
+      val tc = (t >>> s) & 0xff
+      val p = lc + tc - ((tl >>> s) & 0xff)
+      pl += math.abs(p - lc)
+      pt += math.abs(p - tc)
+      s += 8
+    }
+    if (pl < pt) l else t
+  }
+
+  /** Predictor 12: per-channel clamp(L + T - TL). */
+  private def casFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0
+    var s = 0
+    while (s < 32) {
+      out |= clamp255(((l >>> s) & 0xff) + ((t >>> s) & 0xff) -
+        ((tl >>> s) & 0xff)) << s
+      s += 8
+    }
+    out
+  }
+
+  /** Predictor 13: a = avg(L,T) per channel; clamp(a + (a - TL) / 2) with
+    * C-style truncation toward zero (Scala Int `/` matches). */
+  private def casHalf(l: Int, t: Int, tl: Int): Int = {
+    val ave = average2(l, t)
+    var out = 0
+    var s = 0
+    while (s < 32) {
+      val a = (ave >>> s) & 0xff
+      out |= clamp255(a + (a - ((tl >>> s) & 0xff)) / 2) << s
+      s += 8
+    }
+    out
+  }
+
+  /** LZ77 prefix-coded value (shared by length and distance): codes 0..3
+    * are the value itself + 1; above that, (extra-bit count, offset)
+    * grow geometrically. */
+  private def lz77Value(in: LsbReader, prefix: Int): Int =
+    if (prefix < 4) prefix + 1
+    else {
+      val extra = (prefix - 2) >> 1
+      val offset = (2 + (prefix & 1)) << extra
+      offset + in.read(extra) + 1
+    }
+
+  /** Distance codes 1..120 map through the neighborhood table; beyond
+    * that the code is the scanline distance + 120. */
+  private def planeToDistance(w: Int, code: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val v = CodeToPlane(code - 1)
+      val d = (v >> 4) * w + 8 - (v & 0xf)
+      if (d >= 1) d else 1
+    }
+
+  /** One meta-prefix group: the five prefix codes an LZ77-coded pixel
+    * stream draws from. Green's alphabet carries literals + 24 length
+    * codes + the color-cache indices. */
+  private final class Group(in: LsbReader, cacheSize: Int) {
+    val green: PrefixCode = readCode(in, 256 + 24 + cacheSize)
+    val red: PrefixCode = readCode(in, 256)
+    val blue: PrefixCode = readCode(in, 256)
+    val alpha: PrefixCode = readCode(in, 256)
+    val dist: PrefixCode = readCode(in, 40)
+  }
+
+  /** Decode one entropy-coded ARGB plane of `w` x `h` pixels: optional
+    * color cache, optional meta-prefix group image (top level only —
+    * sub-images always use a single group), then the LZ77-coded pixel
+    * stream (literals, backward references, cache hits). Used for the
+    * main image AND for every sub-image (transform data, entropy image,
+    * palette), which the spec defines with the same grammar. */
+  private def decodePlane(in: LsbReader, w: Int, h: Int, topLevel: Boolean): Array[Int] = {
+    val cacheBits =
+      if (in.read(1) == 1) {
+        val b = in.read(4)
+        require(b >= 1 && b <= 11, s"VP8L color-cache bits $b outside 1..11")
+        b
+      } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+    var metaBits = 0
+    var metaW = 0
+    var meta: Array[Int] = null
+    var numGroups = 1
+    if (topLevel && in.read(1) == 1) {
+      metaBits = in.read(3) + 2
+      metaW = subSize(w, metaBits)
+      meta = decodePlane(in, metaW, subSize(h, metaBits), topLevel = false)
+      var mx = 0
+      var i = 0
+      while (i < meta.length) {
+        val v = (meta(i) >>> 8) & 0xffff // group index = (red << 8) | green
+        if (v > mx) mx = v
+        i += 1
+      }
+      numGroups = mx + 1
+    }
+    val groups = Array.fill(numGroups)(new Group(in, cacheSize))
+    val n = w * h
+    val pix = new Array[Int](n)
+    var pos = 0
+    while (pos < n) {
+      val g =
+        if (meta == null) groups(0)
+        else groups((meta(((pos / w) >> metaBits) * metaW +
+          ((pos % w) >> metaBits)) >>> 8) & 0xffff)
+      val sym = g.green.decode(in)
+      if (sym < 256) { // literal: green carried by the symbol itself,
+        // then red, blue, alpha in STREAM order
+        val r = g.red.decode(in)
+        val b = g.blue.decode(in)
+        val a = g.alpha.decode(in)
+        val argb = (a << 24) | (r << 16) | (sym << 8) | b
+        pix(pos) = argb
+        if (cache != null) cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+        pos += 1
+      } else if (sym < 280) { // backward reference
+        val length = lz77Value(in, sym - 256)
+        val dist = planeToDistance(w, lz77Value(in, g.dist.decode(in)))
+        require(dist <= pos, "VP8L backward reference before image start")
+        require(length <= n - pos, "VP8L backward reference overruns image")
+        var k = 0
+        while (k < length) { // overlapping copies are legal, so pixel-wise
+          val argb = pix(pos - dist)
+          pix(pos) = argb
+          if (cache != null) cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+          pos += 1
+          k += 1
+        }
+      } else { // color-cache hit
+        val idx = sym - 280
+        require(cache != null && idx < cacheSize,
+          "VP8L cache index without/outside the color cache")
+        pix(pos) = cache(idx)
+        pos += 1
+      }
+    }
+    pix
+  }
+
+  // ---- inverse transforms --------------------------------------------------
+
+  private sealed trait Transform
+  private final case class PredictorT(bits: Int, sub: Array[Int], subW: Int) extends Transform
+  private final case class ColorT(bits: Int, sub: Array[Int], subW: Int) extends Transform
+  private case object SubtractGreenT extends Transform
+  private final case class PaletteT(widthBits: Int, table: Array[Int], unpackedW: Int) extends Transform
+
+  /** Inverse predictor transform: per 2^bits block, the sub-image's green
+    * channel picks one of 14 predictors; each pixel is residual + predicted
+    * mod 256 per channel. Border rules override the block mode: (0,0)
+    * predicts opaque black, the top row predicts L, the left column T.
+    * TR for the rightmost column reads the CURRENT row's leftmost pixel
+    * (the spec pins the flat-scanline-memory behavior), which flat
+    * indexing gives for free. */
+  private def inversePredictor(pix: Array[Int], w: Int, h: Int, bits: Int,
+                               sub: Array[Int], subW: Int): Unit = {
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (y == 0) { if (x == 0) 0xff000000 else pix(i - 1) }
+          else if (x == 0) pix(i - w)
+          else {
+            val l = pix(i - 1)
+            val t = pix(i - w)
+            val tl = pix(i - w - 1)
+            val tr = pix(i - w + 1)
+            (sub((y >> bits) * subW + (x >> bits)) >>> 8) & 0xff match {
+              case 0 => 0xff000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => average2(average2(l, tr), t)
+              case 6 => average2(l, tl)
+              case 7 => average2(l, t)
+              case 8 => average2(tl, t)
+              case 9 => average2(t, tr)
+              case 10 => average2(average2(l, tl), average2(t, tr))
+              case 11 => select(l, t, tl)
+              case 12 => casFull(l, t, tl)
+              case 13 => casHalf(l, t, tl)
+              case m => throw new IllegalArgumentException(
+                s"VP8L predictor mode $m outside 0..13")
+            }
+          }
+        pix(i) = addPixels(pix(i), pred)
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Inverse cross-color transform: per block, three signed 3.5 fixed-
+    * point multipliers ride in the sub-image (green_to_red in blue,
+    * green_to_blue in green, red_to_blue in red); deltas (m * c) >> 5 on
+    * SIGNED byte values are added back, red first (the red_to_blue delta
+    * reads the already-restored red). */
+  private def inverseColor(pix: Array[Int], w: Int, h: Int, bits: Int,
+                           sub: Array[Int], subW: Int): Unit = {
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = sub((y >> bits) * subW + (x >> bits))
+        val argb = pix(i)
+        val g = ((argb >>> 8) & 0xff).toByte
+        val r = (((argb >>> 16) & 0xff) + (((cte & 0xff).toByte * g) >> 5)) & 0xff
+        val b = ((argb & 0xff) + ((((cte >>> 8) & 0xff).toByte * g) >> 5) +
+          ((((cte >>> 16) & 0xff).toByte * r.toByte) >> 5)) & 0xff
+        pix(i) = (argb & 0xff00ff00) | (r << 16) | b
+        x += 1
+        i += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Inverse subtract-green: add green back onto red and blue, mod 256. */
+  private def inverseSubtractGreen(pix: Array[Int]): Unit = {
+    var i = 0
+    while (i < pix.length) {
+      val argb = pix(i)
+      val g = (argb >>> 8) & 0xff
+      pix(i) = (argb & 0xff00ff00) |
+        (((((argb >>> 16) & 0xff) + g) & 0xff) << 16) |
+        (((argb & 0xff) + g) & 0xff)
+      i += 1
+    }
+  }
+
+  /** Inverse color-indexing: unpack bundled indices from the green channel
+    * (LSB-first, 8 >> widthBits bits each) and look them up; indices past
+    * the table are transparent black, matching libwebp's zero-padded
+    * lookup. Returns the widened plane. */
+  private def inversePalette(pix: Array[Int], pw: Int, h: Int, widthBits: Int,
+                             table: Array[Int], outW: Int): Array[Int] = {
+    val bpp = 8 >> widthBits
+    val xMask = (1 << widthBits) - 1
+    val idxMask = (1 << bpp) - 1
+    val lut = new Array[Int](idxMask + 1)
+    System.arraycopy(table, 0, lut, 0, math.min(table.length, lut.length))
+    val out = new Array[Int](outW * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < outW) {
+        val green = (pix(y * pw + (x >> widthBits)) >>> 8) & 0xff
+        out(y * outW + x) = lut((green >>> ((x & xMask) * bpp)) & idxMask)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a lossless WebP's pixels into `sink` — the full VP8L spec:
+    * all four transforms (predictor, cross-color, subtract-green, color
+    * indexing with pixel bundling), color cache, LZ77 backward references
+    * and meta-prefix code groups, i.e. the streams libwebp's own encoder
+    * emits. Pinned pixel-exact against committed libwebp-encoded fixtures
+    * in WebpCodecSpec. Lossy (`VP8 `) and extended (`VP8X`) containers
+    * need the VP8 codec and are named errors — header-level metadata for
+    * those stays on [[MediaCodecs.parseWebp]]. */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
     // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
@@ -304,36 +620,104 @@ object WebpCodec {
     val h = in.read(14) + 1
     val alphaHint = in.read(1)
     require(in.read(3) == 0, "unknown VP8L version")
-    require(in.read(1) == 0,
-      "VP8L transform decode unsupported (predictor/color/palette transforms)")
-    val cache = in.read(1)
-    require(cache == 0, "VP8L color-cache decode unsupported")
-    require(in.read(1) == 0, "VP8L meta-prefix image decode unsupported")
-    val green = readCode(in, 280)
-    val red = readCode(in, 256)
-    val blue = readCode(in, 256)
-    val alpha = readCode(in, 256)
-    readCode(in, 40) // distance: must parse even if never referenced
     val mode = if (alphaHint == 1) "RGBA" else "RGB"
-    sink.init(mode, w, h)
+    sink.init(mode, w, h) // raster bomb cap BEFORE any plane allocation
+    // Transforms are read in stream order (each type at most once; only
+    // color indexing changes the coded width, for everything read after
+    // it) and inverted in reverse order after the pixel plane decodes.
+    var curW = w
+    val transforms = scala.collection.mutable.ListBuffer.empty[Transform]
+    var seenMask = 0
+    while (in.read(1) == 1) {
+      val t = in.read(2)
+      require((seenMask & (1 << t)) == 0, "VP8L transform type repeated")
+      seenMask |= 1 << t
+      t match {
+        case 0 | 1 =>
+          val bits = in.read(3) + 2
+          val subW = subSize(curW, bits)
+          val img = decodePlane(in, subW, subSize(h, bits), topLevel = false)
+          transforms += (if (t == 0) PredictorT(bits, img, subW)
+                         else ColorT(bits, img, subW))
+        case 2 => transforms += SubtractGreenT
+        case _ =>
+          val tableSize = in.read(8) + 1
+          val table = decodePlane(in, tableSize, 1, topLevel = false)
+          var i = 1
+          while (i < tableSize) { // entries are per-channel deltas
+            table(i) = addPixels(table(i), table(i - 1))
+            i += 1
+          }
+          val widthBits =
+            if (tableSize > 16) 0 else if (tableSize > 4) 1
+            else if (tableSize > 2) 2 else 3
+          transforms += PaletteT(widthBits, table, curW)
+          curW = subSize(curW, widthBits)
+      }
+    }
+    var pix = decodePlane(in, curW, h, topLevel = true)
+    var pw = curW
+    transforms.reverseIterator.foreach {
+      case PredictorT(bits, sub, subW) => inversePredictor(pix, pw, h, bits, sub, subW)
+      case ColorT(bits, sub, subW) => inverseColor(pix, pw, h, bits, sub, subW)
+      case SubtractGreenT => inverseSubtractGreen(pix)
+      case PaletteT(widthBits, table, unpackedW) =>
+        pix = inversePalette(pix, pw, h, widthBits, table, unpackedW)
+        pw = unpackedW
+    }
+    require(pw == w, s"VP8L transform width $pw != header width $w")
     val ch = PixelBuf.channelsOf(mode)
     val n = w * h
     var sum = 0L
     var px = 0
     while (px < n) {
-      val g = green.decode(in)
-      require(g < 256,
-        "VP8L backward-reference decode unsupported (length/distance codes)")
-      val r = red.decode(in)
-      val b = blue.decode(in)
-      val a = alpha.decode(in)
+      val argb = pix(px)
+      val r = (argb >>> 16) & 0xff
+      val g = (argb >>> 8) & 0xff
+      val b = argb & 0xff
       sink.data(px * ch) = r.toByte
       sink.data(px * ch + 1) = g.toByte
       sink.data(px * ch + 2) = b.toByte
       sum += r + g + b
-      if (ch == 4) { sink.data(px * ch + 3) = a.toByte; sum += a }
+      if (ch == 4) {
+        val a = argb >>> 24
+        sink.data(px * ch + 3) = a.toByte
+        sum += a
+      }
       px += 1
     }
     ImageMeta("webp", w, h, mode, sum)
   }
+
+  /** True when the payload is a simple lossless container (first chunk
+    * `VP8L`) — the shape [[decode]] handles end-to-end. Lossy and
+    * VP8X-extended files stay on the header-metadata path. */
+  def isLossless(bytes: Array[Byte]): Boolean =
+    MediaCodecs.isWebp(bytes) && bytes.length >= 16 &&
+      bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'L'
+}
+
+/** The committed libwebp-encoded VP8L conformance fixtures
+  * (src/main/resources/webp, produced by scripts/gen_webp_fixtures.py with
+  * the SYSTEM libwebp encoder from deterministic pixel generators):
+  * together they exercise every VP8L feature — predictor, cross-color,
+  * subtract-green, palette at all four bundling widths, color cache, LZ77
+  * backward references, and meta-prefix groups. Loaded once per JVM from
+  * the classpath, so executors read them without filesystem access; the
+  * `mm_decode_webp` oracle pins dims/mode/pixel sums computed from the
+  * SOURCE generators, independent of any JVM decoder. */
+object WebpFixtures {
+  val names: IndexedSeq[String] = IndexedSeq(
+    "noise_rgb", "gradient", "palette2", "palette4", "palette16",
+    "palette200", "repeat", "rgba_alpha", "photo_large", "mixed_large",
+    "correlated", "tc_repeat")
+
+  private lazy val all: Map[String, Array[Byte]] = names.map { n =>
+    val is = getClass.getResourceAsStream(s"/webp/$n.webp")
+    require(is != null, s"webp fixture $n missing from classpath")
+    try n -> is.readAllBytes()
+    finally is.close()
+  }.toMap
+
+  def bytes(name: String): Array[Byte] = all(name)
 }

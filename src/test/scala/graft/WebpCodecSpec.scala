@@ -155,7 +155,7 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(meta.pixelSum == 512)
   }
 
-  test("lossy, extended, and transformed streams are named errors, not guesses") {
+  test("lossy, extended, and truncated streams are named errors, not guesses") {
     val sink = new PixelBuf
     val lossy = MediaFixtures.webp(8, 8, variant = 0)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(lossy, sink))
@@ -163,22 +163,122 @@ class WebpCodecSpec extends AnyFunSuite {
     val extended = MediaFixtures.webp(8, 8, variant = 2)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(extended, sink))
       .getMessage.contains("extended"))
-    // flip the transforms-present bit (payload byte 5, bit 0) on a real stream
-    val enc = WebpCodec.encode(mkBuf("RGB", 3, 3))
-    enc(25) = (enc(25) | 1).toByte
-    assert(intercept[IllegalArgumentException](WebpCodec.decode(enc, sink))
-      .getMessage.contains("transform"))
     // truncated payloads are named errors, not short pixels: a short file
     // fails the chunk-bounds walk; a chunk whose declared size cuts the
     // entropy data fails the bit reader
+    val enc = WebpCodec.encode(mkBuf("RGB", 3, 3))
     val cut = java.util.Arrays.copyOfRange(enc, 0, enc.length - 4)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(cut, sink))
       .getMessage.contains("overruns"))
-    val short = WebpCodec.encode(mkBuf("RGB", 3, 3)) // fresh: enc has the flipped bit
+    val short = WebpCodec.encode(mkBuf("RGB", 3, 3))
     val declared = (short(16) & 0xff) | ((short(17) & 0xff) << 8)
     short(16) = ((declared - 4) & 0xff).toByte // shrink the VP8L chunk size
     assert(intercept[IllegalArgumentException](
       WebpCodec.decode(java.util.Arrays.copyOfRange(short, 0, short.length - 4), sink))
       .getMessage.contains("truncated"))
+  }
+
+  // ---- libwebp conformance fixtures ----------------------------------------
+  // src/main/resources/webp/*.webp were produced by the SYSTEM libwebp
+  // encoder (scripts/gen_webp_fixtures.py) from the deterministic pixel
+  // generators mirrored below — predictor / cross-color / subtract-green /
+  // palette transforms, color cache, LZ77 backrefs, the streams the real
+  // web carries. Decoding them pixel-exactly anchors the decoder against
+  // the ecosystem encoder, not our own encoder's dialect.
+
+  /** Mirror of gen_webp_fixtures.lcg_bytes: 31-bit LCG, byte = bits 16-23. */
+  private def lcgBytes(seed: Int, n: Int): Array[Byte] = {
+    var s = seed & 0x7fffffff
+    Array.fill(n) {
+      s = (s * 1103515245 + 12345) & 0x7fffffff
+      ((s >> 16) & 0xff).toByte
+    }
+  }
+
+  private def fromRgb(w: Int, h: Int)(px: (Int, Int) => Seq[Int]): PixelBuf = {
+    val buf = new PixelBuf
+    val chans = px(0, 0).length
+    buf.init(if (chans == 4) "RGBA" else "RGB", w, h)
+    for (y <- 0 until h; x <- 0 until w; (v, c) <- px(x, y).zipWithIndex)
+      buf.data((y * w + x) * chans + c) = v.toByte
+    buf
+  }
+
+  private def paletteSrc(w: Int, h: Int, seed: Int, ncolors: Int): PixelBuf = {
+    val pal = lcgBytes(seed, ncolors * 3)
+    val idx = lcgBytes(seed + 1, w * h)
+    fromRgb(w, h) { (x, y) =>
+      val k = ((idx(y * w + x) & 0xff) % ncolors) * 3
+      Seq(pal(k) & 0xff, pal(k + 1) & 0xff, pal(k + 2) & 0xff)
+    }
+  }
+
+  private def tiledSrc(w: Int, h: Int, seed: Int, tw: Int, th: Int): PixelBuf = {
+    val tile = lcgBytes(seed, tw * th * 3)
+    fromRgb(w, h) { (x, y) =>
+      val t = ((y % th) * tw + (x % tw)) * 3
+      Seq(tile(t) & 0xff, tile(t + 1) & 0xff, tile(t + 2) & 0xff)
+    }
+  }
+
+  private def noiseSrc(w: Int, h: Int, seed: Int): PixelBuf = {
+    val b = lcgBytes(seed, w * h * 3)
+    fromRgb(w, h) { (x, y) =>
+      val i = (y * w + x) * 3
+      Seq(b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)
+    }
+  }
+
+  private val fixtureSources: Seq[(String, PixelBuf)] = Seq(
+    "noise_rgb" -> noiseSrc(33, 29, 7),
+    "gradient" -> fromRgb(40, 32)((x, y) =>
+      Seq((x * 5) & 0xff, (x * 3 + y * 3) & 0xff, (y * 7) & 0xff)),
+    "palette2" -> paletteSrc(41, 17, 11, 2),
+    "palette4" -> paletteSrc(37, 23, 13, 4),
+    "palette16" -> paletteSrc(29, 31, 17, 16),
+    "palette200" -> paletteSrc(26, 22, 19, 200),
+    "repeat" -> tiledSrc(48, 30, 23, 7, 5),
+    "rgba_alpha" -> {
+      val rgb = lcgBytes(29, 32 * 32 * 3)
+      fromRgb(32, 32) { (x, y) =>
+        val i = (y * 32 + x) * 3
+        Seq(rgb(i) & 0xff, rgb(i + 1) & 0xff, rgb(i + 2) & 0xff,
+          1 + (x * 7 + y * 3) % 255)
+      }
+    },
+    "photo_large" -> fromRgb(160, 120)((x, y) =>
+      Seq(((x * x + y * y) >> 3) & 0xff, ((x * y) >> 2) & 0xff,
+        ((x * 3 + y * 5) >> 1) & 0xff)),
+    "mixed_large" -> {
+      val noise = lcgBytes(31, 144 * 112 * 3)
+      fromRgb(144, 112) { (x, y) =>
+        if (x < 72) Seq((x * 5) & 0xff, (x * 3 + y * 3) & 0xff, (y * 7) & 0xff)
+        else {
+          val i = (y * 144 + x) * 3
+          Seq(noise(i) & 0xff, noise(i + 1) & 0xff, noise(i + 2) & 0xff)
+        }
+      }
+    },
+    "correlated" -> {
+      val noise = lcgBytes(37, 64 * 48)
+      fromRgb(64, 48) { (x, y) =>
+        val g = (x * 2 + y * 3) & 0xff
+        Seq((g + (noise(y * 64 + x) & 7)) & 0xff, g, ((g >> 1) + (x & 3)) & 0xff)
+      }
+    },
+    "tc_repeat" -> tiledSrc(60, 51, 41, 20, 17))
+
+  test("committed libwebp-encoded fixtures decode pixel-exactly") {
+    for ((name, src) <- fixtureSources) {
+      val is = getClass.getResourceAsStream(s"/webp/$name.webp")
+      assert(is != null, s"fixture $name.webp missing from resources")
+      val bytes = try is.readAllBytes() finally is.close()
+      assert(WebpCodec.isLossless(bytes), s"$name is not a simple VP8L file")
+      val sink = new PixelBuf
+      val meta = WebpCodec.decode(bytes, sink)
+      assert(meta.width == src.width && meta.height == src.height, name)
+      assert(meta.mode == src.mode, s"$name mode ${meta.mode} != ${src.mode}")
+      assert(java.util.Arrays.equals(sink.data, src.data), s"$name pixels")
+    }
   }
 }
