@@ -11,7 +11,9 @@ source. Because the bytes were produced by libwebp's real encoder (predictor
 backrefs, meta-prefix groups), this anchors the decoder against the actual
 ecosystem, not against our own encoder's dialect.
 
-Run: python3 scripts/gen_webp_fixtures.py  (writes src/test/resources/webp/)
+Run: python3 scripts/gen_webp_fixtures.py  (writes src/main/resources/webp/;
+main, not test, resources — the mm_decode_webp production query reads the
+fixtures from the classpath too, see SparkEntry)
 It also header-parses every stream and prints which VP8L features it uses,
 and round-trips each through WebPDecodeRGBA as a sanity check.
 """

@@ -46,15 +46,21 @@ object MediaCodecs {
       * decompression-bomb cap as the PNG/GIF decoders, in Long arithmetic
       * (an Int product would wrap and allocate a too-short array). */
     def init(mode: String, w: Int, h: Int): Unit = {
-      val bytes = w.toLong * h * PixelBuf.channelsOf(mode)
-      require(w > 0 && h > 0 && bytes <= (1L << 26),
-        s"raster ${w}x$h $mode exceeds 64 MiB pixel cap")
+      PixelBuf.checkCap(mode, w, h)
       this.mode = mode; this.width = w; this.height = h
-      this.data = new Array[Byte](bytes.toInt)
+      this.data = new Array[Byte](w * h * PixelBuf.channelsOf(mode))
     }
   }
 
   object PixelBuf {
+    /** The shared decompression-bomb gate, also used by decoders that hold
+      * intermediate planes without a sink (VP8L's Int plane). */
+    def checkCap(mode: String, w: Int, h: Int): Unit = {
+      val bytes = w.toLong * h * channelsOf(mode)
+      require(w > 0 && h > 0 && bytes <= (1L << 26),
+        s"raster ${w}x$h $mode exceeds 64 MiB pixel cap")
+    }
+
     def channelsOf(mode: String): Int = mode match {
       case "L" | "P" => 1
       case "LA" => 2
@@ -854,8 +860,10 @@ object MediaCodecs {
 
   /** Dispatch by magic; None for formats without a real decoder here.
     * WebP is claimed only in its simple-lossless (VP8L) shape — the one
-    * with a full pixel decoder; lossy VP8 / extended VP8X stay on the
-    * [[parseWebp]] header path. */
+    * with a full pixel decoder — and only under the raster cap; lossy
+    * VP8 / extended VP8X, and legal-but-over-cap VP8L, stay on the
+    * [[parseWebp]] header path so they keep real dims instead of
+    * degrading to an error row. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
@@ -863,7 +871,8 @@ object MediaCodecs {
     else if (isGif(bytes)) Some(decodeGif(bytes))
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
-    else if (WebpCodec.isLossless(bytes)) Some(WebpCodec.decode(bytes, new PixelBuf))
+    else if (WebpCodec.isLossless(bytes) && WebpCodec.rasterWithinCap(bytes))
+      Some(WebpCodec.decode(bytes, null)) // meta+sum only: skip the sink copy
     else None
 
   /** FLAC container metadata: STREAMINFO audio parameters and the raw

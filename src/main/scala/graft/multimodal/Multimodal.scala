@@ -133,10 +133,10 @@ object Multimodal {
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.items, Array.empty[Float], "")
             case None if kind == "image/webp" =>
-              // lossy VP8 / extended VP8X only (lossless VP8L is claimed by
-              // decodeImage above with full pixel decode): real header-level
-              // dimensions; pixel decode would need the VP8 codec, so no
-              // feature is emitted
+              // lossy VP8 / extended VP8X, plus legal-but-over-raster-cap
+              // VP8L (in-cap lossless is claimed by decodeImage above with
+              // full pixel decode): real header-level dimensions; no
+              // feature is emitted (VP8 needs a codec, over-cap is bounded)
               val d = MediaCodecs.parseWebp(bytes)
               MediaFeatures(m.doc_id, kind, bytes.length.toLong,
                 d.width, d.height, d.frames, Array.empty[Float], "")

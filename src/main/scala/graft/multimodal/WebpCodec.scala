@@ -423,11 +423,13 @@ object WebpCodec {
     val n = w * h
     val pix = new Array[Int](n)
     var pos = 0
+    var x = 0 // (column, row) of `pos`, tracked incrementally — the
+    var y = 0 // meta-group lookup must not pay two divisions per symbol
     while (pos < n) {
       val g =
         if (meta == null) groups(0)
-        else groups((meta(((pos / w) >> metaBits) * metaW +
-          ((pos % w) >> metaBits)) >>> 8) & 0xffff)
+        else groups((meta((y >> metaBits) * metaW +
+          (x >> metaBits)) >>> 8) & 0xffff)
       val sym = g.green.decode(in)
       if (sym < 256) { // literal: green carried by the symbol itself,
         // then red, blue, alpha in STREAM order
@@ -438,6 +440,7 @@ object WebpCodec {
         pix(pos) = argb
         if (cache != null) cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
         pos += 1
+        x += 1; if (x == w) { x = 0; y += 1 }
       } else if (sym < 280) { // backward reference
         val length = lz77Value(in, sym - 256)
         val dist = planeToDistance(w, lz77Value(in, g.dist.decode(in)))
@@ -451,12 +454,14 @@ object WebpCodec {
           pos += 1
           k += 1
         }
+        x += length; if (x >= w) { y += x / w; x %= w }
       } else { // color-cache hit
         val idx = sym - 280
         require(cache != null && idx < cacheSize,
           "VP8L cache index without/outside the color cache")
         pix(pos) = cache(idx)
         pos += 1
+        x += 1; if (x == w) { x = 0; y += 1 }
       }
     }
     pix
@@ -590,7 +595,10 @@ object WebpCodec {
     * emits. Pinned pixel-exact against committed libwebp-encoded fixtures
     * in WebpCodecSpec. Lossy (`VP8 `) and extended (`VP8X`) containers
     * need the VP8 codec and are named errors — header-level metadata for
-    * those stays on [[MediaCodecs.parseWebp]]. */
+    * those stays on [[MediaCodecs.parseWebp]]. A null `sink` skips the
+    * raster copy-out (metadata/pixel-sum callers) but still pays the full
+    * pixel decode and the 64 MiB bomb cap — the decoder's own Int plane is
+    * the allocation the cap exists for. */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
     // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
@@ -621,7 +629,11 @@ object WebpCodec {
     val alphaHint = in.read(1)
     require(in.read(3) == 0, "unknown VP8L version")
     val mode = if (alphaHint == 1) "RGBA" else "RGB"
-    sink.init(mode, w, h) // raster bomb cap BEFORE any plane allocation
+    // raster bomb cap BEFORE any plane allocation — the decoder's own Int
+    // plane is 4 bytes/pixel, so the cap guards metadata-only (null-sink)
+    // callers too
+    if (sink != null) sink.init(mode, w, h)
+    else MediaCodecs.PixelBuf.checkCap(mode, w, h)
     // Transforms are read in stream order (each type at most once; only
     // color indexing changes the coded width, for everything read after
     // it) and inverted in reverse order after the pixel plane decodes.
@@ -668,6 +680,7 @@ object WebpCodec {
     require(pw == w, s"VP8L transform width $pw != header width $w")
     val ch = PixelBuf.channelsOf(mode)
     val n = w * h
+    val out = if (sink == null) null else sink.data
     var sum = 0L
     var px = 0
     while (px < n) {
@@ -675,13 +688,15 @@ object WebpCodec {
       val r = (argb >>> 16) & 0xff
       val g = (argb >>> 8) & 0xff
       val b = argb & 0xff
-      sink.data(px * ch) = r.toByte
-      sink.data(px * ch + 1) = g.toByte
-      sink.data(px * ch + 2) = b.toByte
       sum += r + g + b
+      if (out != null) {
+        out(px * ch) = r.toByte
+        out(px * ch + 1) = g.toByte
+        out(px * ch + 2) = b.toByte
+      }
       if (ch == 4) {
         val a = argb >>> 24
-        sink.data(px * ch + 3) = a.toByte
+        if (out != null) out(px * ch + 3) = a.toByte
         sum += a
       }
       px += 1
@@ -695,6 +710,23 @@ object WebpCodec {
   def isLossless(bytes: Array[Byte]): Boolean =
     MediaCodecs.isWebp(bytes) && bytes.length >= 16 &&
       bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'L'
+
+  /** Cheap pre-probe for [[MediaCodecs.decodeImage]]: false when the
+    * header dims of a (isLossless) stream would trip the 64 MiB raster
+    * cap inside [[decode]] — a LEGAL VP8L file can be up to 16384x16384
+    * RGBA = 1 GiB, and an over-cap-but-valid file should keep its real
+    * header-dims metadata row (the [[MediaCodecs.parseWebp]] path), not
+    * degrade to an error row. Malformed/truncated headers return true so
+    * [[decode]] names the actual parse error. */
+  def rasterWithinCap(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 25) return true // truncated — let decode name it
+    val in = new LsbReader(bytes, 20, 25) // VP8L chunk data starts at 20
+    if (in.read(8) != 0x2f) return true
+    val w = in.read(14) + 1L
+    val h = in.read(14) + 1L
+    val ch = if (in.read(1) == 1) 4L else 3L
+    w * h * ch <= (1L << 26)
+  }
 }
 
 /** The committed libwebp-encoded VP8L conformance fixtures

@@ -281,4 +281,36 @@ class WebpCodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(sink.data, src.data), s"$name pixels")
     }
   }
+
+  test("null-sink decode returns identical metadata without a raster copy") {
+    for (name <- Seq("mixed_large", "rgba_alpha", "palette200")) {
+      val is = getClass.getResourceAsStream(s"/webp/$name.webp")
+      val bytes = try is.readAllBytes() finally is.close()
+      val withSink = WebpCodec.decode(bytes, new PixelBuf)
+      val noSink = WebpCodec.decode(bytes, null)
+      assert(noSink == withSink, s"$name metadata diverged on null sink")
+      assert(WebpCodec.rasterWithinCap(bytes), name)
+      assert(MediaCodecs.decodeImage(bytes).contains(withSink), name)
+    }
+  }
+
+  test("legal-but-over-cap VP8L keeps the header-dims path, not an error row") {
+    // hand-packed 16384x16384 RGB header (LSB-first: 14+14 one-bits, then
+    // alpha=0, version=0) — a legal size the 64 MiB raster cap rejects
+    val out = new java.io.ByteArrayOutputStream
+    def u32le(v: Int): Unit = { out.write(v); out.write(v >> 8); out.write(v >> 16); out.write(v >> 24) }
+    out.write("RIFF".getBytes("ISO-8859-1")); u32le(22)
+    out.write("WEBPVP8L".getBytes("ISO-8859-1")); u32le(10)
+    out.write(0x2f); out.write(0xff); out.write(0xff); out.write(0xff); out.write(0x0f)
+    out.write(Array.fill[Byte](5)(0))
+    val big = out.toByteArray
+    assert(WebpCodec.isLossless(big))
+    assert(!WebpCodec.rasterWithinCap(big), "16384x16384 RGB must exceed the cap")
+    assert(MediaCodecs.decodeImage(big).isEmpty, "over-cap must fall to parseWebp")
+    val hdr = MediaCodecs.parseWebp(big)
+    assert(hdr.width == 16384 && hdr.height == 16384, "header dims stay real")
+    // and the cap still guards the decoder itself for a direct call
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(big, null))
+      .getMessage.contains("64 MiB"))
+  }
 }
