@@ -53,13 +53,17 @@ object MediaCodecs {
   }
 
   object PixelBuf {
+    /** The shared decompression-bomb predicate — kept as ONE definition so
+      * pre-probes (WebpCodec.rasterWithinCap) can never diverge from the
+      * enforcing gate below. */
+    def fitsCap(mode: String, w: Int, h: Int): Boolean =
+      w > 0 && h > 0 && w.toLong * h * channelsOf(mode) <= (1L << 26)
+
     /** The shared decompression-bomb gate, also used by decoders that hold
       * intermediate planes without a sink (VP8L's Int plane). */
-    def checkCap(mode: String, w: Int, h: Int): Unit = {
-      val bytes = w.toLong * h * channelsOf(mode)
-      require(w > 0 && h > 0 && bytes <= (1L << 26),
+    def checkCap(mode: String, w: Int, h: Int): Unit =
+      require(fitsCap(mode, w, h),
         s"raster ${w}x$h $mode exceeds 64 MiB pixel cap")
-    }
 
     def channelsOf(mode: String): Int = mode match {
       case "L" | "P" => 1

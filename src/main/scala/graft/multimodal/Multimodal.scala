@@ -195,6 +195,11 @@ object Multimodal {
             case Some(img) =>
               ImageDecode(m.doc_id, sniffMedia(bytes), img.width, img.height,
                 img.mode, img.pixelSum, "")
+            case None if WebpCodec.isLossless(bytes) =>
+              // decodeImage's cap pre-probe declined it — a format we DO
+              // decode, rejected by size: name the cap, not the format
+              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
+                "raster exceeds 64 MiB pixel cap")
             case None =>
               ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
                 "no real decoder for this payload")

@@ -597,8 +597,8 @@ object WebpCodec {
     * need the VP8 codec and are named errors — header-level metadata for
     * those stays on [[MediaCodecs.parseWebp]]. A null `sink` skips the
     * raster copy-out (metadata/pixel-sum callers) but still pays the full
-    * pixel decode and the 64 MiB bomb cap — the decoder's own Int plane is
-    * the allocation the cap exists for. */
+    * pixel decode and the same 64 MiB bomb cap as sinked decode, which
+    * bounds the decoder's own Int plane (4 B/px) at 4/3 of the cap. */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
     // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
@@ -629,9 +629,12 @@ object WebpCodec {
     val alphaHint = in.read(1)
     require(in.read(3) == 0, "unknown VP8L version")
     val mode = if (alphaHint == 1) "RGBA" else "RGB"
-    // raster bomb cap BEFORE any plane allocation — the decoder's own Int
-    // plane is 4 bytes/pixel, so the cap guards metadata-only (null-sink)
-    // callers too
+    // raster bomb cap BEFORE any plane allocation. It counts OUTPUT raster
+    // bytes (3/px for RGB), so the decoder's 4-byte/px Int plane is bounded
+    // at 4/3 of the 64 MiB cap, not the cap itself — same convention as the
+    // PNG/GIF decoders, whose intermediate buffers also ride above the cap.
+    // Null-sink (metadata) callers must hit the SAME gate as sinked ones so
+    // the two paths accept identical files.
     if (sink != null) sink.init(mode, w, h)
     else MediaCodecs.PixelBuf.checkCap(mode, w, h)
     // Transforms are read in stream order (each type at most once; only
@@ -720,12 +723,16 @@ object WebpCodec {
     * [[decode]] names the actual parse error. */
   def rasterWithinCap(bytes: Array[Byte]): Boolean = {
     if (bytes.length < 25) return true // truncated — let decode name it
+    // honor the declared VP8L chunk size: a short chunk must not have its
+    // dims read from whatever bytes follow it
+    val size = graft.util.LittleEndian.i32(bytes, 16)
+    if (size < 5) return true // malformed — let decode name it
     val in = new LsbReader(bytes, 20, 25) // VP8L chunk data starts at 20
     if (in.read(8) != 0x2f) return true
-    val w = in.read(14) + 1L
-    val h = in.read(14) + 1L
-    val ch = if (in.read(1) == 1) 4L else 3L
-    w * h * ch <= (1L << 26)
+    val w = in.read(14) + 1
+    val h = in.read(14) + 1
+    val mode = if (in.read(1) == 1) "RGBA" else "RGB"
+    MediaCodecs.PixelBuf.fitsCap(mode, w, h) // the SAME predicate decode enforces
   }
 }
 

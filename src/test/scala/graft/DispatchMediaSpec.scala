@@ -789,14 +789,26 @@ class DispatchMediaSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val spark = SparkTestSession.spark
     import spark.implicits._
+    // legal 16384x16384 VP8L header: a format we DO decode, over the cap
+    val overCap = {
+      val o = new java.io.ByteArrayOutputStream
+      def u32le(v: Int): Unit = { o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24) }
+      o.write("RIFF".getBytes("ISO-8859-1")); u32le(22)
+      o.write("WEBPVP8L".getBytes("ISO-8859-1")); u32le(10)
+      o.write(0x2f); o.write(0xff); o.write(0xff); o.write(0xff); o.write(0x0f)
+      o.write(Array.fill[Byte](5)(0)); o.toByteArray
+    }
     val rows = Seq(
       graft.multimodal.Multimodal.MediaRow(1L, "", "BMnot-a-real-bmp".getBytes),
       graft.multimodal.Multimodal.MediaRow(2L, "", Array[Byte](0, 1, 2)),
-      graft.multimodal.Multimodal.MediaRow(3L, "", MediaFixtures.bmp(4, 3, 24, 9)))
+      graft.multimodal.Multimodal.MediaRow(3L, "", MediaFixtures.bmp(4, 3, 24, 9)),
+      graft.multimodal.Multimodal.MediaRow(4L, "", overCap))
     val out = graft.multimodal.Multimodal.decodeImages(rows.toDS()).collect()
       .sortBy(_.doc_id)
     assert(out(0).error.nonEmpty && out(1).error.nonEmpty)
     assert(out(2).error.isEmpty && out(2).width == 4 && out(2).pixel_sum > 0)
+    // the size-cap rejection must be NAMED, not blamed on the format
+    assert(out(3).error.contains("64 MiB"), out(3).error)
   }
 
   // ---- content-refined mime -------------------------------------------------

@@ -312,5 +312,10 @@ class WebpCodecSpec extends AnyFunSuite {
     // and the cap still guards the decoder itself for a direct call
     assert(intercept[IllegalArgumentException](WebpCodec.decode(big, null))
       .getMessage.contains("64 MiB"))
+    // a VP8L chunk declaring size < 5 must not have dims probed from the
+    // bytes that follow it: the probe defers to decode's named error
+    val short = big.clone()
+    short(16) = 4; short(17) = 0; short(18) = 0; short(19) = 0
+    assert(WebpCodec.rasterWithinCap(short), "short chunk defers to decode")
   }
 }
