@@ -11,13 +11,16 @@ import graft.util.Containment
   * `mapInPandas` batches).
   *
   * Image formats with a real pure-JVM decoder (BMP incl. RLE8, PNM, PNG
-  * incl. Adam7, GIF incl. interlace/animation, baseline JPEG incl. 4:2:0 +
-  * DRI, TIFF incl. PackBits/LZW — [[MediaCodecs]]/[[JpegCodec]]) and
+  * incl. Adam7, GIF incl. interlace/animation, JPEG baseline AND
+  * progressive incl. 4:2:0 + DRI, TIFF incl. PackBits/LZW, lossless WebP
+  * full-spec VP8L — [[MediaCodecs]]/[[JpegCodec]]/[[WebpCodec]]) and
   * RIFF/WAVE PCM decode for real; a payload in one of those families but
-  * outside the supported profile (progressive JPEG, JPEG-in-TIFF, ...)
-  * yields a CONTAINED error row, never fake numbers. MP4 payloads get real
-  * container metadata (duration/dimensions, [[MediaCodecs.parseMp4]]);
-  * WebP/ICO get real header-level dimensions ([[MediaCodecs.parseWebp]] /
+  * outside the supported profile (JPEG-in-TIFF, arithmetic-coded JPEG,
+  * over-raster-cap VP8L, ...) yields a CONTAINED error row — or falls to
+  * its header-metadata path where one exists — never fake numbers. MP4
+  * payloads get real container metadata (duration/dimensions,
+  * [[MediaCodecs.parseMp4]]); lossy/extended WebP and ICO get real
+  * header-level dimensions ([[MediaCodecs.parseWebp]] /
   * [[MediaCodecs.parseIco]]). MJPEG-in-AVI clips get REAL per-frame sample
   * decode ([[MediaCodecs.parseAvi]] — every frame through [[JpegCodec]]).
   * A payload no real parser claims (inter-frame-compressed video samples,
