@@ -137,7 +137,11 @@ object PdfParser {
         else if (c == '[') pending = lexArray()
         else if (c == ']') { i += 1 } // stray
         else if (c == '/') pending = lexName()
-        else if (c == '<' || c == '>') { i += 1 } // hex strings / dicts unused in content
+        else if (c == '<') {
+          if (i + 1 < n && s.charAt(i + 1) == '<') i += 2 // dict open — skip
+          else pending = lexHexString()
+        }
+        else if (c == '>') { i += 1 } // dict close / stray
         else if (c == '-' || c == '+' || c == '.' || c.isDigit) pending = lexNumber()
         else pending = lexOp()
       }
@@ -181,12 +185,32 @@ object PdfParser {
         val c = s.charAt(i)
         if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
         else if (c == '(') items += lexString()
+        else if (c == '<') items += lexHexString() // TJ arrays mix <hex> and (lit)
         else if (c == '/') items += lexName()
         else if (c == '-' || c == '+' || c == '.' || c.isDigit) items += lexNumber()
         else i += 1
       }
       if (i < n) i += 1 // skip ]
       TArr(items.result())
+    }
+    /** `<48656C6C6F>` — hex pairs, whitespace allowed anywhere inside, an
+      * odd trailing digit is padded with 0 (ISO 32000-1 §7.3.4.3). */
+    private def lexHexString(): TStr = {
+      i += 1 // skip <
+      val sb = new java.lang.StringBuilder
+      var hi = -1
+      while (i < n && s.charAt(i) != '>') {
+        val c = s.charAt(i)
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+        } // non-hex (incl. whitespace) is ignored per spec tolerance
+        i += 1
+      }
+      if (hi >= 0) sb.append((hi << 4).toChar) // odd count: pad low nibble 0
+      if (i < n) i += 1 // skip >
+      TStr(sb.toString)
     }
     private def lexName(): TName = {
       i += 1

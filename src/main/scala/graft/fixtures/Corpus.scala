@@ -34,7 +34,7 @@ object Corpus {
     * templates/encodings/routing invalidates stale cached corpora instead of
     * silently serving the old fixtures to Verify/Bench. */
   def fixtureVersion: String =
-    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r9"
+    s"f${HtmlTemplates.numTemplates}t${HtmlTemplates.numEncodings}e${DocxWriter.numVariants}d_r10"
 
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
 
@@ -65,7 +65,7 @@ object Corpus {
         HtmlTemplates.encode(encId, (meta, extra) =>
           HtmlTemplates.render(tid, doc.doc_id, paragraphs, meta, extra))
       case "docx" => DocxWriter.generate(paragraphs, r % DocxWriter.numVariants)
-      case "pdf" => PdfWriter.generate(paragraphs, r % 5)
+      case "pdf" => PdfWriter.generate(paragraphs, r % PdfWriter.numVariants)
       case "pptx" => PptxWriter.generate(paragraphs, r % PptxWriter.numVariants)
       case "xlsx" => XlsxWriter.generate(paragraphs, (r % 2) * 2) // 0/2 preserve
       case "odt" => OdfWriter.generate("odt", paragraphs, r % 3) // 0-2 preserve

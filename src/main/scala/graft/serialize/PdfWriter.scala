@@ -18,6 +18,10 @@ import java.util.zip.Deflater
   *       classic xref table — the modern-web layout ubiquitous in
   *       Common-Crawl PDFs (content streams stay top-level: ISO 32000-1
   *       §7.5.7 forbids stream objects inside object streams)
+  *   5 — hex strings (ISO 32000-1 §7.3.4.3): absolute Tm positioning with
+  *       `<hex> Tj` shows, long lines as TJ arrays mixing hex and literal
+  *       strings with embedded whitespace in the hex run — the other string
+  *       syntax real-world generators emit
   *
   * Layout contract shared with graft.extract.pdf.PdfParser:
   * leading 12pt within a paragraph, 24pt between paragraphs (parser splits
@@ -25,6 +29,8 @@ import java.util.zip.Deflater
   * x-gap > 100), paragraphs never straddle a column/page boundary.
   */
 object PdfWriter {
+
+  val numVariants = 6
 
   private val pageW = 612
   private val pageH = 792
@@ -45,6 +51,21 @@ object PdfWriter {
     }
     if (cur.nonEmpty) lines += cur.toString
     lines.result()
+  }
+
+  /** `<48 65 6C...>`: Latin-1 bytes as hex pairs; a space every four pairs
+    * exercises the parser's whitespace-inside-hex tolerance. */
+  private def hex(s: String): String = {
+    val sb = new StringBuilder(s.length * 2 + 8)
+    sb.append('<')
+    var k = 0
+    s.foreach { c =>
+      if (k > 0 && k % 4 == 0) sb.append(' ')
+      sb.append(f"${c.toInt & 0xff}%02X")
+      k += 1
+    }
+    sb.append('>')
+    sb.toString
   }
 
   private def esc(s: String): String = {
@@ -120,6 +141,14 @@ object PdfWriter {
       case 1 | 2 | 4 => // absolute Tm per line
         for (l <- lines)
           sb.append(s"1 0 0 1 ${l.x} ${l.y} Tm\n(${esc(l.text)}) Tj\n")
+      case 5 => // absolute Tm, hex-string shows (+ mixed-syntax TJ arrays)
+        for (l <- lines) {
+          sb.append(s"1 0 0 1 ${l.x} ${l.y} Tm\n")
+          if (l.text.length > 8) {
+            val mid = l.text.length / 2
+            sb.append(s"[${hex(l.text.substring(0, mid))} 15 (${esc(l.text.substring(mid))})] TJ\n")
+          } else sb.append(s"${hex(l.text)} Tj\n")
+        }
       case 3 => // TL/T* plus TJ kerning arrays (mid-word split: pure concat)
         sb.append(s"$leading TL\n")
         var px = 0; var py = 0; var started = false

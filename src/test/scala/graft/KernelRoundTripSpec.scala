@@ -76,16 +76,31 @@ class KernelRoundTripSpec extends AnyFunSuite {
     assert(!r.success && r.error.nonEmpty, s"expected failure row, got $r")
   }
 
-  test("pdf parser handles all five layout variants directly") {
+  test("pdf parser handles all layout variants directly") {
     val paras = Vector(
       "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november",
       "oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three",
       "four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen")
-    for (v <- 0 to 4) {
+    for (v <- 0 until PdfWriter.numVariants) {
       val pdf = PdfWriter.generate(paras, v)
       val got = PdfParser.extract(pdf)
       assert(got == paras.mkString("\n"), s"variant $v:\n$got")
     }
+  }
+
+  test("pdf hex strings: whitespace inside the run, odd digit, dict skip") {
+    // hand-packed content stream exercising §7.3.4.3 edge shapes the
+    // writer never emits: an odd trailing digit (pads low nibble 0) and a
+    // << dict >> adjacent to a hex show
+    val content = "BT /F1 10 Tf 1 0 0 1 50 700 Tm " +
+      "<48 65\n6C6C 6F> Tj " + // "Hello" with whitespace mid-run
+      "1 0 0 1 50 688 Tm [<4 1> -20 (B)] TJ " + // odd digit: 0x41 'A' + "B"
+      "/X << /K /V >> BDC 1 0 0 1 50 676 Tm (end) Tj EMC ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length " + content.length +
+      " >> stream\n" + content + "\nendstream endobj\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    // 12pt leading keeps all three lines in one block (split is y-gap > 18)
+    assert(PdfParser.extract(pdf) == "Hello AB end")
   }
 
   test("pdf 1.5 variant paginates: multi-page ObjStm numbering stays valid") {

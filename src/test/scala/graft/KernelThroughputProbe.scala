@@ -29,7 +29,7 @@ object KernelThroughputProbe {
 
     import LegacyOfficeWriters.{DocWriter, PptWriter, XlsWriter}
     probe("html", i => HtmlTemplates.encode(0, (m, e) => HtmlTemplates.render(i % 7, i, parasOf(i), m, e)))
-    probe("pdf", i => PdfWriter.generate(parasOf(i), i % 5))
+    probe("pdf", i => PdfWriter.generate(parasOf(i), i % PdfWriter.numVariants))
     probe("docx", i => DocxWriter.generate(parasOf(i), i % DocxWriter.numVariants))
     probe("pptx", i => PptxWriter.generate(parasOf(i), i % PptxWriter.numVariants))
     probe("xlsx", i => XlsxWriter.generate(parasOf(i), (i % 2) * 2))
