@@ -301,6 +301,11 @@ object ImageConvert {
     require(w > 0 && h > 0, s"bad resize target ${w}x$h")
     if (buf.mode == "P") return resizeNearest(buf, w, h)
     val ch = channels(buf)
+    // cap-gate the TARGET and the horizontal-pass intermediate up front:
+    // both endpoints can individually pass the 64 MiB cap while
+    // w * srcHeight * ch overflows Int (or allocates gigabytes of float64)
+    MediaCodecs.PixelBuf.checkCap(buf.mode, w, h)
+    MediaCodecs.PixelBuf.checkCap(buf.mode, w, buf.height)
     def lanczos(t: Double): Double =
       if (math.abs(t) >= 3.0) 0.0
       else if (math.abs(t) < 1e-12) 1.0
@@ -416,9 +421,14 @@ object ImageConvert {
     * (image_converters.py:251-259): every channel becomes 255-v, except an
     * RGBA alpha channel, which is preserved (the reference splits, inverts
     * RGB, re-merges with the original alpha). Palette mode is a named error,
-    * exactly as ImageOps.invert raises on P images. */
+    * exactly as ImageOps.invert raises on P images — and so is LA: the
+    * reference special-cases only RGBA and hands everything else to
+    * ImageOps.invert, which raises on alpha-bearing LA, so flipping an LA
+    * alpha to transparency here would fabricate behavior the reference
+    * never produces. */
   def invert(buf: PixelBuf): PixelBuf = {
     require(buf.mode != "P", "invert does not support palette mode (convert first)")
+    require(buf.mode != "LA", "invert does not support mode LA (ImageOps.invert raises)")
     val ch = channels(buf)
     val out = blank(buf, buf.width, buf.height)
     var i = 0
@@ -471,8 +481,11 @@ object ImageConvert {
       while (x < buf.width - r) {
         var c = 0
         while (c < ch) {
-          if (buf.mode == "RGBA" && c == 3) {
-            // alpha passes through (Pillow filters the bands it can)
+          val alphaBand = c == ch - 1 && (buf.mode == "RGBA" || buf.mode == "LA")
+          if (alphaBand) {
+            // alpha passes through for BOTH alpha-bearing modes (Pillow
+            // filters the bands it can) — blurring a hard mask into
+            // intermediate alpha would be silent data damage
           } else {
             var acc = 0
             var ky = 0
@@ -518,7 +531,12 @@ object ImageConvert {
     for (d <- opts.rotateDeg) buf = rotateAny(buf, d) // expand=True, :93-94
     for (d <- opts.flipDir) buf = flip(buf, d)
     if (opts.grayscale && buf.mode != "L") buf = convertMode(buf, "L")
-    encode(buf, targetFmt, opts.quality, opts.pngCompressLevel)
+    // the reference's `if kwargs.get('compress_level'):` is a TRUTHINESS
+    // check (image_converters.py:119-121): level 0 is falsy there and
+    // silently falls back to Pillow's default 6 — mirror that at this
+    // reference-semantics surface (encodePng itself honors a literal 0)
+    val pngLevel = if (opts.pngCompressLevel == 0) 6 else opts.pngCompressLevel
+    encode(buf, targetFmt, opts.quality, pngLevel)
   }
 
   // ---- images → PDF (create_pdf, image_converters.py:181-222) ---------------
@@ -558,14 +576,7 @@ object ImageConvert {
       val content = s"q ${b.width} 0 0 ${b.height} 0 0 cm /Im$i Do Q"
       beginObj()
       w(s"$contN 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
-      val deflater = new java.util.zip.Deflater()
-      deflater.setInput(b.data)
-      deflater.finish()
-      val z = new ByteArrayOutputStream(b.data.length / 2 + 64)
-      val tmp = new Array[Byte](8192)
-      while (!deflater.finished()) z.write(tmp, 0, deflater.deflate(tmp))
-      deflater.end()
-      val data = z.toByteArray
+      val data = deflateBytes(b.data, java.util.zip.Deflater.DEFAULT_COMPRESSION)
       val cs = if (b.mode == "L") "/DeviceGray" else "/DeviceRGB"
       beginObj()
       w(s"$imgN 0 obj\n<< /Type /XObject /Subtype /Image /Width ${b.width} " +
@@ -617,7 +628,10 @@ object ImageConvert {
         var dataStart = dictEnd + "stream".length
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        require(dataStart + len <= bytes.length, "stream body truncated")
+        // Long: a hostile /Length near Int.MaxValue would wrap dataStart+len
+        // negative, pass this require, and send `from` backwards — an
+        // infinite re-scan of the same stream keyword
+        require(dataStart.toLong + len <= bytes.length, "stream body truncated")
         if (dict.contains("/Subtype /Image")) {
           val width = intField("/Width")
           val height = intField("/Height")
@@ -626,6 +640,10 @@ object ImageConvert {
           val inflater = new java.util.zip.Inflater()
           inflater.setInput(bytes, dataStart, len)
           val channels = if (gray) 1 else 3
+          // same 64 MiB bomb cap as every other decode path — also keeps
+          // width*height*channels out of Int-overflow territory (65536²
+          // gray wraps to 0 and would be accepted as an empty raster)
+          MediaCodecs.PixelBuf.checkCap(if (gray) "L" else "RGB", width, height)
           val raw = new Array[Byte](width * height * channels)
           var got = 0
           while (got < raw.length && !inflater.finished()) {
@@ -688,6 +706,19 @@ object ImageConvert {
         s"unsupported image output format .$o (whitelist: ${encodeFormats.mkString(", ")})")
     }
 
+  /** One complete zlib stream at the given level (the drain idiom shared
+    * by the PNG IDAT and PDF image-XObject writers). */
+  private def deflateBytes(data: Array[Byte], level: Int): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater(level)
+    deflater.setInput(data)
+    deflater.finish()
+    val z = new ByteArrayOutputStream(data.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) z.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    z.toByteArray
+  }
+
   /** PNG: color type from mode, filter 0 everywhere, one zlib stream.
     * `compressLevel` 0-9 is the reference's png `compress_level` save
     * kwarg (image_converters.py:119-121) — a pure speed/size dial on the
@@ -727,14 +758,7 @@ object ImageConvert {
       requirePalette(buf)
       chunk("PLTE", buf.palette.clone())
     }
-    val deflater = new java.util.zip.Deflater(compressLevel)
-    deflater.setInput(raw)
-    deflater.finish()
-    val z = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val tmp = new Array[Byte](8192)
-    while (!deflater.finished()) z.write(tmp, 0, deflater.deflate(tmp))
-    deflater.end()
-    chunk("IDAT", z.toByteArray)
+    chunk("IDAT", deflateBytes(raw, compressLevel))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -747,6 +771,8 @@ object ImageConvert {
       case "P" | "L" => 8
       case "RGB" => 24
       case "RGBA" => 32
+      case o => throw new IllegalArgumentException(
+        s"BMP cannot encode mode $o (convert first)") // named, not MatchError
     }
     val channels = PixelBuf.channelsOf(buf.mode)
     val paletteSize = if (bpp == 8) 256 * 4 else 0
@@ -971,6 +997,8 @@ object ImageConvert {
     require(buf.width <= 0xffff && buf.height <= 0xffff,
       s"GIF geometry ${buf.width}x${buf.height} exceeds the format's 65535 limit")
     val (indices, palette) = buf.mode match {
+      case "LA" => throw new IllegalArgumentException(
+        "GIF cannot encode mode LA (convert first)") // named, not MatchError
       case "P" => requirePalette(buf); (buf.data, buf.palette)
       case "L" =>
         (buf.data, Array.tabulate[Byte](768)(i => (i / 3).toByte))

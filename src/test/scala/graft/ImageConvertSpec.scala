@@ -475,6 +475,63 @@ class ImageConvertSpec extends AnyFunSuite {
       ImageConvert.decodePixels(bmp)._2, "kwarg path pixels")
   }
 
+  test("compress_level 0 through the kwarg surface falls back to 6 (reference truthiness)") {
+    // the reference's `if kwargs.get('compress_level'):` drops a 0 and saves
+    // at Pillow's default 6 — the convert surface must match; the direct
+    // encodePng API still honors a literal 0 (covered above)
+    val bmp = MediaFixtures.bmp(9, 5, 24, 61)
+    val via0 = ImageConvert.convertImage(bmp, "png", ImageConvert.ImageOpts(pngCompressLevel = 0))
+    val via6 = ImageConvert.convertImage(bmp, "png", ImageConvert.ImageOpts(pngCompressLevel = 6))
+    assert(java.util.Arrays.equals(via0, via6), "level 0 must alias the default 6")
+  }
+
+  test("LA alpha: invert refuses by name; filters pass the alpha band through") {
+    val la = mkBuf("LA", 6, 6)
+    var i = 1
+    while (i < la.data.length) { la.data(i) = (if ((i / 2) % 2 == 0) 0 else 255).toByte; i += 2 }
+    assert(intercept[IllegalArgumentException](ImageConvert.invert(la))
+      .getMessage.contains("LA"))
+    val blurred = ImageConvert.convolve(la, "blur")
+    i = 1
+    while (i < la.data.length) {
+      assert(blurred.data(i) == la.data(i), s"alpha byte $i must pass through")
+      i += 2
+    }
+  }
+
+  test("LA reaches encodeBmp/encodeGif as a named error, never a MatchError") {
+    val la = mkBuf("LA", 3, 3)
+    assert(intercept[IllegalArgumentException](ImageConvert.encodeBmp(la))
+      .getMessage.contains("LA"))
+    assert(intercept[IllegalArgumentException](ImageConvert.encodeGif(la))
+      .getMessage.contains("LA"))
+  }
+
+  test("resizeLanczos cap-gates the horizontal intermediate up front") {
+    // both endpoints are cap-legal; w * srcHeight is not (65536^2 overflows
+    // the old Int arithmetic and would allocate gigabytes of float64)
+    val tall = new PixelBuf
+    tall.init("L", 1, 65536)
+    assert(intercept[IllegalArgumentException](
+      ImageConvert.resizeLanczos(tall, 65536, 4)).getMessage.contains("64 MiB"))
+  }
+
+  test("pdfImages: hostile /Length and over-cap dims are named errors, not hangs") {
+    val huge = ("%PDF-1.4\n1 0 obj << /Length 2147483600 >> stream\nxx\nendstream\n" +
+      "endobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(intercept[IllegalArgumentException](ImageConvert.pdfImages(huge))
+      .getMessage.contains("truncated"))
+    // 65536x65536 gray: width*height*channels wraps Int to 0 — before the
+    // cap, an EMPTY raster would be silently accepted as a valid decode
+    val body = Array[Byte](0x78, 0x01, 3, 0, 0, 0, 0, 1) // deflate of ""
+    val dict = "1 0 obj << /Subtype /Image /Width 65536 /Height 65536 " +
+      s"/ColorSpace /DeviceGray /FlateDecode /BitsPerComponent 8 /Length ${body.length} >> stream\n"
+    val pdf = ("%PDF-1.4\n" + dict).getBytes("ISO-8859-1") ++ body ++
+      "\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(intercept[IllegalArgumentException](ImageConvert.pdfImages(pdf))
+      .getMessage.contains("64 MiB"))
+  }
+
   test("resizeNearest samples the center-mapped grid") {
     // 4x4 L with value = x + 4*y; downscale to 2x2: centers map to src 1,3
     val buf = new PixelBuf
