@@ -2054,7 +2054,7 @@ object SparkEntry {
         "SELECT doc_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'wav' END AS format_to, " +
         "CAST(k AS INT) AS n_segments, CAST(fo AS INT) AS frames_out, " +
-        "CAST(fo * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST((fo * 2000 + rate) // (2 * rate) AS BIGINT) AS duration_ms, " + // pydub len() rounds +
         "CAST((CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END) + 2 * fo AS BIGINT) AS new_size, " +
         "CAST(ssum AS BIGINT) AS sample_sum " +
         "FROM q ORDER BY doc_id"),
@@ -2155,7 +2155,7 @@ object SparkEntry {
         "CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'wav' END AS format_to, " +
         "CAST(1 AS INT) AS channels, CAST(rate AS INT) AS frame_rate, " +
         "CAST(2 AS INT) AS sample_width, CAST(fo AS INT) AS frames_out, " +
-        "CAST(fo * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST((fo * 2000 + rate) // (2 * rate) AS BIGINT) AS duration_ms, " + // pydub len() rounds +
         // canonical container header sizes by input wheel: wav 44, aiff 54,
         // au 24, caf 68 (8 file hdr + 44 desc + 12 data hdr + 4 edit count)
         "CAST((CASE doc_id % 4 WHEN 0 THEN 44 WHEN 1 THEN 54 WHEN 2 THEN 24 " +

@@ -11,8 +11,10 @@ package graft.multimodal
   * TRUNCATING integer division — the semantics of both JVM `/` and SQL
   * integer division, incl. DuckDB's `//` — and speed/slice are pure index
   * arithmetic), so a SQL oracle reproduces every output sample; the one
-  * inherently floating effect (dB gain, `audio + dB` in pydub) rounds
-  * half-up and clamps to the sample depth.
+  * inherently floating effect (dB gain, `audio + dB` in pydub) floors
+  * toward minus infinity and clamps to the sample depth — the exact
+  * contract of CPython's audioop fbound ("Round towards minus infinity"),
+  * which pydub's gain rides on.
   *
   * FLAC is the one losslessly-achievable entropy target and encodes for
   * real via [[FlacCodec]] (fixed predictors + Rice coding). The remaining
@@ -31,7 +33,12 @@ object AudioConvert {
   final case class AudioBuf(channels: Int, frameRate: Int, bits: Int,
                             samples: Array[Int]) {
     def frames: Int = samples.length / channels
-    def durationMs: Long = frames * 1000L / frameRate
+    /** pydub `len(audio)` ROUNDS the millisecond duration (`__len__` is
+      * `round(1000 * frames / rate)`) — truncation would under-report by
+      * 1 ms for most non-dividing rates. Integer half-up form so the SQL
+      * oracles reproduce it exactly; pydub's Python-3 round is half-EVEN,
+      * which differs only at exact .5 ms boundaries (disclosed). */
+    def durationMs: Long = (frames * 2000L + frameRate) / (2L * frameRate)
   }
 
   /** wav/aiff/au/caf bytes → samples, dispatched by magic (never by
@@ -79,14 +86,21 @@ object AudioConvert {
   }
 
   /** pydub `audio + dB` (audio_converters.py:71-72): amplitude factor
-    * 10^(db/20), rounded half-up, clamped to the depth. */
-  def gainDb(buf: AudioBuf, db: Double): AudioBuf =
+    * 10^(db/20), FLOORED toward minus infinity and clamped to the depth —
+    * audioop.mul's fbound semantics (pydub's apply_gain delegates there),
+    * so e.g. 3 × 0.57 = 1.71 → 1, and -3 × 0.57 = -1.71 → -2. */
+  def gainDb(buf: AudioBuf, db: Double): AudioBuf = {
+    // NaN would silently zero every sample (Math.round(NaN) == 0) and
+    // ±Infinity would pin full scale — fabricated-looking output from a
+    // hostile kwarg must be a named error instead
+    require(!db.isNaN && !db.isInfinity, s"non-finite volume gain $db dB")
     if (db == 0.0) buf
     else {
       val factor = math.pow(10.0, db / 20.0)
       buf.copy(samples =
-        buf.samples.map(s => clamp(Math.round(s * factor), buf.bits)))
+        buf.samples.map(s => clamp(math.floor(s * factor).toLong, buf.bits)))
     }
+  }
 
   /** Linear-amplitude ramp 0→1 over the first `ms` (the fade_in analog,
     * `:74-75`): frame `f < k` scales by `f/k`, truncating. A window longer
@@ -163,10 +177,15 @@ object AudioConvert {
     else math.min(cap.toLong, ms * rate / 1000).toInt
 
   /** `audio[start:end]` (`:84-87`): frame window
-    * [startMs*rate/1000, min(frames, endMs*rate/1000)), empty if inverted. */
+    * [startMs*rate/1000, min(frames, endMs*rate/1000)), empty if inverted.
+    * NEGATIVE milliseconds are offsets from the clip end (Python slice
+    * semantics over pydub's rounded millisecond length): `[-5000:]` is the
+    * last five seconds, not a start-of-clip no-op. */
   def slice(buf: AudioBuf, startMs: Long, endMs: Long): AudioBuf = {
-    val a = msToFrame(startMs, buf.frameRate, buf.frames)
-    val b = msToFrame(endMs, buf.frameRate, buf.frames)
+    def fromEnd(ms: Long): Long =
+      if (ms >= 0) ms else math.max(0L, buf.durationMs + ms)
+    val a = msToFrame(fromEnd(startMs), buf.frameRate, buf.frames)
+    val b = msToFrame(fromEnd(endMs), buf.frameRate, buf.frames)
     if (a == 0 && b == buf.frames) buf
     else if (b <= a) buf.copy(samples = Array.empty[Int])
     else buf.copy(samples =
@@ -188,6 +207,13 @@ object AudioConvert {
         s"segment params ${b.channels}ch/${b.frameRate}Hz/${b.bits}bit differ " +
           s"from ${head.channels}ch/${head.frameRate}Hz/${head.bits}bit — " +
           "resampling needs a rate converter (pydub delegates to ffmpeg)")
+    // re-establish the 16M-sample cap ACROSS the fold: each segment passes
+    // its own decode cap, but the concatenation is a fresh allocation that
+    // must fail named, not as an OutOfMemoryError (or an Int-overflowing
+    // builder) once enough at-cap segments stack up
+    val totalSamples = bufs.iterator.map(_.samples.length.toLong).sum
+    require(totalSamples <= (1L << 24),
+      s"merged audio of $totalSamples samples exceeds the 16M-sample cap")
     val merged = head.copy(samples = bufs.toArray.flatMap(_.samples))
     val out = encode(merged, targetFmt)
     AudioResult(out, targetFmt.toLowerCase.stripPrefix("."), merged.channels,

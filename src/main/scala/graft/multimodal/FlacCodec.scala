@@ -406,7 +406,13 @@ object FlacCodec {
     val ch = meta.channels
     val bps = meta.bitsPerSample
     val total = meta.totalSamples
-    require(total <= (1L << 26), s"FLAC $total samples exceeds the decode cap")
+    // STREAMINFO is attacker-controlled and this allocation happens BEFORE
+    // any frame sync-checks, so the gate must count the actual Array[Int]
+    // entries (frames × channels) under the same 16M-sample cap as every
+    // other audio decode path — a frames-only 2^26 bound would let a
+    // 50-byte payload claim 8 channels and demand a 2 GiB array
+    require(total * ch <= (1L << 24),
+      s"FLAC payload of ${total * ch} samples exceeds the 16M-sample decode cap")
     val samples = new Array[Int](total.toInt * ch)
     var done = 0L
     while (done < total) {

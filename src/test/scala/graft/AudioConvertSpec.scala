@@ -91,8 +91,12 @@ class AudioConvertSpec extends AnyFunSuite {
     val up = AudioConvert.gainDb(buf, db2x)
     assert(up.samples.toSeq == Seq(200, -500, 32767, -32768)) // clamped rails
     val down = AudioConvert.gainDb(buf, -db2x)
-    // Math.round is half-up toward +inf: -125.0 stays -125
     assert(down.samples.toSeq == Seq(50, -125, 16000, -16384))
+    // audioop fbound FLOORS toward minus infinity (pydub's gain path):
+    // 0.57x of 3 is 1.71 -> 1 (round would say 2); of -3 is -1.71 -> -2
+    val db057 = 20.0 * math.log10(0.57)
+    val fl = AudioConvert.gainDb(AudioBuf(1, 8000, 16, Array(3, -3)), db057)
+    assert(fl.samples.toSeq == Seq(1, -2), fl.samples.toSeq.toString)
   }
 
   test("fades are truncating-division linear ramps; oversize window fades all") {
@@ -127,6 +131,21 @@ class AudioConvertSpec extends AnyFunSuite {
     assert(cut.samples.toSeq == Seq(4, 5, 6, 7, 8, 9))
     assert(AudioConvert.slice(buf, 50, 100).samples.isEmpty) // past the end
     assert(AudioConvert.slice(buf, 0, Long.MaxValue / 2).frames == 10)
+    // negative ms are offsets from the clip end (Python slice semantics):
+    // clip is 10 ms at 1000 Hz, so [-4:] = frames [6, 10)
+    val tail4 = AudioConvert.slice(buf, -4, Long.MaxValue / 2)
+    assert(tail4.samples.toSeq == Seq(12, 13, 14, 15, 16, 17, 18, 19))
+    // [:-8] = frames [0, 2); and an over-long negative start clamps to 0
+    assert(AudioConvert.slice(buf, 0, -8).samples.toSeq == Seq(0, 1, 2, 3))
+    assert(AudioConvert.slice(buf, -999, Long.MaxValue / 2).frames == 10)
+  }
+
+  test("durationMs rounds like pydub len(), not truncating") {
+    // 44099 frames at 44100 Hz: 999.977 ms -> pydub len() == 1000, not 999
+    val buf = AudioBuf(1, 44100, 16, new Array[Int](44099))
+    assert(buf.durationMs == 1000L)
+    // and a dividing case stays exact
+    assert(AudioBuf(1, 8000, 16, new Array[Int](160)).durationMs == 20L)
   }
 
   test("convert applies the reference's kwarg order and reports accounting") {
@@ -183,6 +202,45 @@ class AudioConvertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("16M-sample decode cap"), e.getMessage)
     // metadata-only parse of the same payload stays fine (no allocation)
     assert(MediaCodecs.parseWav(big).dataBytes == (1L << 24) + 1)
+  }
+
+  test("hostile FLAC STREAMINFO fails the sample cap by name before allocating") {
+    // a ~100-byte payload claiming 8 channels x 2^26 frames would demand a
+    // 2 GiB Array[Int] BEFORE any frame sync-check can reject it — patch a
+    // real stream's packed rate/ch/bps/total field (STREAMINFO bytes 10-17,
+    // absolute 18-25: rate 20 bits, ch-1 3, bps-1 5, total 36)
+    val good = graft.multimodal.FlacCodec.encode(
+      AudioConvert.AudioBuf(1, 8000, 16, Array.tabulate(64)(i => i - 32)), 5, Seq.empty)
+    val evil = good.clone()
+    val rate = 8000; val ch = 8; val bps = 16; val total = 1L << 26
+    evil(18) = (rate >> 12).toByte
+    evil(19) = ((rate >> 4) & 0xff).toByte
+    evil(20) = (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte
+    evil(21) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+    evil(22) = ((total >> 24) & 0xff).toByte
+    evil(23) = ((total >> 16) & 0xff).toByte
+    evil(24) = ((total >> 8) & 0xff).toByte
+    evil(25) = (total & 0xff).toByte
+    val meta = MediaCodecs.parseFlac(evil)
+    assert(meta.channels == 8 && meta.totalSamples == total, "patch landed")
+    val e = intercept[IllegalArgumentException](AudioConvert.decodeSamples(evil))
+    assert(e.getMessage.contains("16M-sample"), e.getMessage)
+  }
+
+  test("mergeAudio re-establishes the sample cap across the fold") {
+    // three segments, each individually under the decode cap, whose
+    // concatenation is over it — must be a named error, not an OOM
+    val seg = MediaCodecs.encodeWav(1, 8000, 8, new Array[Int](1 << 23))
+    val e = intercept[IllegalArgumentException](
+      AudioConvert.mergeAudio(Seq(seg, seg, seg), "wav"))
+    assert(e.getMessage.contains("16M-sample"), e.getMessage)
+  }
+
+  test("non-finite gain is a named error, not silence or full scale") {
+    val buf = AudioConvert.AudioBuf(1, 8000, 16, Array(100, -100, 3000))
+    for (db <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+      assert(intercept[IllegalArgumentException](AudioConvert.gainDb(buf, db))
+        .getMessage.contains("non-finite"), db.toString)
   }
 
   test("hostile AIFF headers fail named, never hang or fabricate") {
