@@ -141,7 +141,11 @@ object MediaFixtures {
           } else {
             dict((prefix, c)) = nextCode
             nextCode += 1
-            if (nextCode == (1 << width) - 1 && width < 12) width += 1 // EarlyChange
+            // EarlyChange, ENCODER side: one entry after the decoder's
+            // (1<<w)-1 because the decoder's table lags this one by one
+            // (cross-pinned against the JDK TIFF codec in
+            // ImageIoConformanceSpec — the former (1<<w)-1 desynced it)
+            if (nextCode == (1 << width) && width < 12) width += 1
           }
           prefix = c
       }
@@ -149,8 +153,9 @@ object MediaFixtures {
     }
     put(prefix)
     // the decoder adds an entry for this flush code too and (with its
-    // one-earlier threshold) may grow its width on it — mirror that
-    if (nextCode == (1 << width) - 2 && width < 12) width += 1
+    // (1<<w)-1 EarlyChange threshold) may grow its width on it: its table
+    // then holds nextCode entries — grow when that hits the boundary
+    if (nextCode == (1 << width) - 1 && width < 12) width += 1
     put(Eoi)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
     out.toByteArray

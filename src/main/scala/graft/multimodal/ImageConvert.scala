@@ -1055,12 +1055,12 @@ object ImageConvert {
 
   /** THE GIF LZW encoder (min code size 8; shared with the fixture
     * generator so the subtle convention lives in exactly one place): LSB-
-    * first variable-width codes matching the verified decoder pair in
-    * [[MediaCodecs.decodeGif]] and giflib/Pillow — width grows right after
-    * defining entry (1<<w)-1 (i.e. when nextCode reaches 1 << codeWidth);
-    * a full table emits Clear WITHOUT defining a 4096th entry; the flush
-    * code mirrors the decoder's (1<<w)-1 growth because the decoder
-    * defines one more entry on reading it that the encoder never does. */
+    * first variable-width codes matching [[MediaCodecs.decodeGif]] AND the
+    * giflib/Pillow/ImageIO ecosystem (cross-pinned both directions against
+    * the JDK's independent GIF codec in ImageIoConformanceSpec) — the
+    * encoder grows one entry after the decoder's 1 << codeWidth because
+    * the decoder's table lags this one by a single entry; a full table
+    * emits Clear WITHOUT defining a 4096th entry. */
   private[graft] def gifLzwEncode(indices: Array[Byte]): Array[Byte] = {
     val minCodeSize = 8
     val lzw = new ByteArrayOutputStream(indices.length / 2 + 64)
@@ -1092,7 +1092,10 @@ object ImageConvert {
           if (nextCode < 4096) {
             dict.put(key, nextCode)
             nextCode += 1
-            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            // one LATER than the decoder's 1 << codeWidth: the decoder
+            // lags this table by one entry, so its next-free-slot hits
+            // the boundary one code after ours (giflib's `> MaxCode1`)
+            if (nextCode == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
           } else { // table full: clear and restart, nothing defined
             put(Clear)
             dict.clear()
@@ -1105,7 +1108,10 @@ object ImageConvert {
       i += 1
     }
     if (prev >= 0) put(prev)
-    if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+    // the decoder defines one more entry on reading that final code (which
+    // this encoder never defines), so if THAT addition lands exactly on the
+    // boundary the decoder reads Eoi one bit wider
+    if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
     put(Eoi)
     if (bitCnt > 0) lzw.write(bitBuf & 0xff)
     lzw.toByteArray

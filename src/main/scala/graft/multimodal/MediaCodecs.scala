@@ -587,8 +587,12 @@ object MediaCodecs {
           prefixOf(nextCode) = prev
           lastOf(nextCode) = first
           nextCode += 1
-          // decoder lags the encoder by one entry: grow at (1<<width)-1
-          if (nextCode == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+          // canonical giflib/Pillow convention: grow when the next free
+          // slot reaches 1 << width (empirically pinned: real giflib
+          // streams desync under the former (1<<width)-1 "decoder lag"
+          // convention — the lag is already absorbed by the encoder
+          // growing one later, at (1<<width)+1)
+          if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
         }
         prev = code
       }
@@ -721,8 +725,12 @@ object MediaCodecs {
           prefixOf(nextCode) = prev
           lastOf(nextCode) = first
           nextCode += 1
-          // EarlyChange: one earlier than the GIF decoder's (1<<w)-1
-          if (nextCode == (1 << width) - 2 && width < 12) width += 1
+          // TIFF §13 EarlyChange: grow at (1<<w)-1 — libtiff's
+          // `free_ent > MAXCODE(nbits)-1`, one earlier than the GIF
+          // decoder's 1<<w (cross-pinned against the JDK TIFF codec in
+          // ImageIoConformanceSpec; the former (1<<w)-2 was one early
+          // and desynced on real libtiff/ImageIO streams)
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
         }
         prev = code
       }
