@@ -19,20 +19,30 @@ object MediaFixtures {
   private def bmpHeader(buf: ByteBuffer, width: Int, storedHeight: Int,
                         bpp: Int, compression: Int, imageSize: Int): Unit = {
     val paletteEntries = if (bpp == 8) 256 else 0
+    // 32-bpp fixtures carry REAL alpha, which to the ecosystem (and our
+    // decoder, Pillow parity) needs a V4 header with BI_BITFIELDS masks —
+    // plain 32-bpp BI_RGB is BGRX padding and decodes as mode RGB
+    val v4 = bpp == 32
+    val hdrSize = if (v4) 108 else 40
     buf.put('B'.toByte).put('M'.toByte)
     buf.putInt(buf.capacity())
     buf.putInt(0)
-    buf.putInt(14 + 40 + paletteEntries * 4) // pixel data offset
-    buf.putInt(40)
+    buf.putInt(14 + hdrSize + paletteEntries * 4) // pixel data offset
+    buf.putInt(hdrSize)
     buf.putInt(width)
     buf.putInt(storedHeight)
     buf.putShort(1) // planes
     buf.putShort(bpp.toShort)
-    buf.putInt(compression)
+    buf.putInt(if (v4) 3 else compression) // BI_BITFIELDS for 32-bpp
     buf.putInt(imageSize)
     buf.putInt(2835).putInt(2835) // 72 dpi
     buf.putInt(paletteEntries)
     buf.putInt(0)
+    if (v4) {
+      buf.putInt(0x00ff0000).putInt(0x0000ff00).putInt(0x000000ff).putInt(0xff000000)
+      buf.putInt(0x73524742) // 'sRGB'
+      for (_ <- 0 until 12) buf.putInt(0) // CIEXYZ endpoints + gammas
+    }
     for (v <- 0 until paletteEntries) // grayscale palette
       buf.put(v.toByte).put(v.toByte).put(v.toByte).put(0.toByte)
   }
@@ -44,7 +54,7 @@ object MediaFixtures {
     val paletteSize = if (bpp == 8) 256 * 4 else 0
     val rowBytes = width * (bpp / 8)
     val stride = (rowBytes + 3) & ~3
-    val dataOffset = 14 + 40 + paletteSize
+    val dataOffset = 14 + (if (bpp == 32) 108 else 40) + paletteSize
     val buf = ByteBuffer.allocate(dataOffset + stride * height).order(ByteOrder.LITTLE_ENDIAN)
     bmpHeader(buf, width, if (topDown) -height else height, bpp,
       compression = 0, imageSize = stride * height)

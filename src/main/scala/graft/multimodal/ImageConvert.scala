@@ -777,14 +777,24 @@ object ImageConvert {
     val channels = PixelBuf.channelsOf(buf.mode)
     val paletteSize = if (bpp == 8) 256 * 4 else 0
     val stride = (buf.width * (bpp / 8) + 3) & ~3
-    val dataOffset = 14 + 40 + paletteSize
+    // RGBA needs a V4 header: 32-bpp BI_RGB is BGRX (padding, not alpha) to
+    // the ecosystem — real alpha rides BI_BITFIELDS masks, which only the
+    // 108-byte header carries with an alpha slot
+    val v4 = bpp == 32
+    val hdrSize = if (v4) 108 else 40
+    val dataOffset = 14 + hdrSize + paletteSize
     val bb = java.nio.ByteBuffer.allocate(dataOffset + stride * buf.height)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity).putInt(0).putInt(dataOffset)
-    bb.putInt(40).putInt(buf.width).putInt(buf.height) // positive = bottom-up
-    bb.putShort(1).putShort(bpp.toShort).putInt(0) // BI_RGB
+    bb.putInt(hdrSize).putInt(buf.width).putInt(buf.height) // positive = bottom-up
+    bb.putShort(1).putShort(bpp.toShort).putInt(if (v4) 3 else 0) // BI_BITFIELDS/BI_RGB
     bb.putInt(stride * buf.height).putInt(2835).putInt(2835)
     bb.putInt(if (bpp == 8) 256 else 0).putInt(0)
+    if (v4) { // standard BGRA masks, sRGB colorspace, zeroed endpoints/gammas
+      bb.putInt(0x00ff0000).putInt(0x0000ff00).putInt(0x000000ff).putInt(0xff000000)
+      bb.putInt(0x73524742) // 'sRGB'
+      for (_ <- 0 until 12) bb.putInt(0) // CIEXYZ endpoints + gammas
+    }
     if (bpp == 8) {
       var k = 0
       while (k < 256) { // BGRA entries; grayscale identity for "L"

@@ -112,8 +112,10 @@ object MediaCodecs {
     val height = math.abs(storedHeight)
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
-    require(compression == 0 || (compression == 1 && bpp == 8),
-      s"unsupported BMP compression $compression at $bpp bpp (BI_RGB or 8-bpp BI_RLE8)")
+    require(compression == 0 || (compression == 1 && bpp == 8) ||
+      (compression == 3 && bpp == 32),
+      s"unsupported BMP compression $compression at $bpp bpp " +
+        "(BI_RGB, 8-bpp BI_RLE8, or 32-bpp BI_BITFIELDS)")
     // geometry cap first (attacker-controlled header): matches the other
     // decoders' 64 MiB class and keeps every later Int product in range
     require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
@@ -125,7 +127,21 @@ object MediaCodecs {
     val mode = bpp match {
       case 8 => "P"
       case 24 => "RGB"
-      case 32 => "RGBA"
+      case 32 if compression == 0 =>
+        // Pillow parity: BI_RGB 32-bpp is raw BGRX — the 4th byte is
+        // padding, the image is mode RGB (alpha needs BI_BITFIELDS masks)
+        "RGB"
+      case 32 =>
+        // BI_BITFIELDS: only the standard BGRA layout is claimed; the
+        // alpha mask (V3+ headers carry it in-header) decides RGBA vs RGB
+        require(bytes.length >= 66, "BMP bitfields masks truncated")
+        val (rM, gM, bM) = (i32(bytes, 54), i32(bytes, 58), i32(bytes, 62))
+        require(rM == 0x00ff0000 && gM == 0x0000ff00 && bM == 0x000000ff,
+          f"unsupported BMP channel masks $rM%08x/$gM%08x/$bM%08x")
+        val aM = if (biSize >= 56 && bytes.length >= 70) i32(bytes, 66) else 0
+        require(aM == 0 || aM == 0xff000000,
+          f"unsupported BMP alpha mask $aM%08x")
+        if (aM != 0) "RGBA" else "RGB"
       case o => throw new IllegalArgumentException(s"unsupported BMP bpp $o")
     }
     if (sink != null && bpp == 8) sink.palette = bmpPalette(bytes, dataOffset)
@@ -137,26 +153,32 @@ object MediaCodecs {
     val strideL = (rowBytesL + 3) & ~3L
     require(dataOffset.toLong + strideL * height <= bytes.length,
       "BMP pixel data truncated")
-    val rowBytes = rowBytesL.toInt
     val stride = strideL.toInt
     if (sink != null) sink.init(mode, width, height)
-    val channels = bpp / 8
+    val fileCh = bpp / 8
+    val outCh = PixelBuf.channelsOf(mode) // 3 for 32-bpp BGRX: X is dropped
     var sum = 0L
     var y = 0
     while (y < height) {
       val row = dataOffset + y * stride
       // stored rows are bottom-up unless the header height is negative
       val rasterY = if (storedHeight > 0) height - 1 - y else y
-      var x = 0
-      while (x < rowBytes) {
-        sum += bytes(row + x) & 0xff
-        if (sink != null) {
-          // BGR(A) in the file -> RGB(A) in the sink (identity for 8 bpp)
-          val ch = x % channels
-          val outCh = if (channels == 1 || ch == 3) ch else 2 - ch
-          sink.data((rasterY * width + x / channels) * channels + outCh) = bytes(row + x)
+      var px = 0
+      while (px < width) {
+        val base = row + px * fileCh
+        var c = 0
+        while (c < fileCh) {
+          if (c < outCh) {
+            sum += bytes(base + c) & 0xff
+            if (sink != null) {
+              // BGR(A) in the file -> RGB(A) in the sink (identity for 8 bpp)
+              val o = if (fileCh == 1 || c == 3) c else 2 - c
+              sink.data((rasterY * width + px) * outCh + o) = bytes(base + c)
+            }
+          } // else: the BGRX padding byte, not image data
+          c += 1
         }
-        x += 1
+        px += 1
       }
       y += 1
     }
@@ -470,7 +492,12 @@ object MediaCodecs {
     require(isGif(bytes), "not a GIF payload")
     def u16le(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     require(bytes.length >= 13, "GIF truncated before logical screen descriptor")
+    // Pillow/giflib semantics: the IMAGE is the logical screen; the first
+    // frame composites at its (left, top) onto a background-color canvas
+    val screenW = u16le(6)
+    val screenH = u16le(8)
     val packed = bytes(10) & 0xff
+    val bgIndex = if ((packed & 0x80) != 0) bytes(11) & 0xff else 0
     var i = 13
     var paletteAt = -1 // active color table: local wins over global
     var paletteLen = 0
@@ -481,6 +508,8 @@ object MediaCodecs {
     // walk blocks to the first image descriptor
     var width = 0
     var height = 0
+    var frameLeft = 0
+    var frameTop = 0
     var minCodeSize = 0
     var interlaced = false
     var found = false
@@ -489,6 +518,7 @@ object MediaCodecs {
       (bytes(i) & 0xff) match {
         case 0x2c => // image descriptor
           require(i + 10 <= bytes.length, "GIF image descriptor truncated")
+          frameLeft = u16le(i + 1); frameTop = u16le(i + 3)
           width = u16le(i + 5); height = u16le(i + 7)
           val ipacked = bytes(i + 9) & 0xff
           interlaced = (ipacked & 0x40) != 0 // sum-invariant; sinks de-permute
@@ -511,8 +541,12 @@ object MediaCodecs {
       }
     }
     require(width > 0 && height > 0, s"bad GIF geometry ${width}x$height")
-    require(width.toLong * height <= (1L << 26), // decompression-bomb guard
-      s"GIF decode size ${width}x$height exceeds 64 MiB cap")
+    require(screenW > 0 && screenH > 0 &&
+      frameLeft + width <= screenW && frameTop + height <= screenH,
+      s"GIF frame ${width}x$height@$frameLeft,$frameTop outside " +
+        s"the ${screenW}x$screenH logical screen")
+    require(screenW.toLong * screenH <= (1L << 26), // decompression-bomb guard
+      s"GIF decode size ${screenW}x$screenH exceeds 64 MiB cap")
     // concatenate data sub-blocks
     val data = new java.io.ByteArrayOutputStream()
     while ({ require(i < bytes.length, "GIF data sub-blocks truncated"); (bytes(i) & 0xff) != 0 }) {
@@ -598,16 +632,25 @@ object MediaCodecs {
       }
     }
     require(out == total, s"GIF pixel data short: $out of $total")
+    // canvas area outside the frame is the background color (index sum
+    // convention, like every other P-mode path here)
+    sum += bgIndex.toLong * (screenW.toLong * screenH - total)
 
     if (sink != null) {
-      sink.init("P", width, height)
-      if (!interlaced) System.arraycopy(pixels, 0, sink.data, 0, total)
-      else {
+      sink.init("P", screenW, screenH)
+      if (bgIndex != 0) java.util.Arrays.fill(sink.data, bgIndex.toByte)
+      def place(streamRow: Int, y: Int): Unit =
+        System.arraycopy(pixels, streamRow * width, sink.data,
+          (frameTop + y) * screenW + frameLeft, width)
+      if (!interlaced) {
+        var y = 0
+        while (y < height) { place(y, y); y += 1 }
+      } else {
         // GIF 4-pass interlace: stream rows are y = 0,8,16.. then 4,12..
-        // then 2,6,10.. then 1,3,5..
+        // then 2,6,10.. then 1,3,5.. (within the FRAME rect)
         var streamRow = 0
         for ((y0, dy) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- y0 until height by dy) {
-          System.arraycopy(pixels, streamRow * width, sink.data, y * width, width)
+          place(streamRow, y)
           streamRow += 1
         }
       }
@@ -642,7 +685,7 @@ object MediaCodecs {
         case _ => walking = false // truncated descriptor or unknown block
       }
     }
-    ImageMeta("gif", width, height, "P", sum, frames)
+    ImageMeta("gif", screenW, screenH, "P", sum, frames)
   }
 
   def isTiff(b: Array[Byte]): Boolean =
@@ -652,8 +695,8 @@ object MediaCodecs {
   /** TIFF §13 LZW strip decode (MSB-first bit packing, EarlyChange):
     * 9→12-bit codes, Clear=256, EOI=257. The ONLY differences from the
     * GIF LZW in [[decodeGif]] are the bit order and the one-code-earlier
-    * width growth: the encoder grows at (1<<w)-1, so this decoder —
-    * lagging the encoder's dictionary by one entry — grows at (1<<w)-2.
+    * (EarlyChange) width growth: this decoder grows at (1<<w)-1 — libtiff's
+    * `free_ent > MAXCODE(nbits)-1` — where the GIF decoder grows at 1<<w.
     * Returns (byteSum, byteCount) of the strip, bounded by `maxOut`. */
   private[graft] def tiffLzwStrip(bytes: Array[Byte], from: Int, until: Int,
                                   maxOut: Long,
@@ -770,6 +813,8 @@ object MediaCodecs {
     var compression = 1L
     var photometric = -1L
     var spp = 1L
+    var predictor = 1L
+    var planarConfig = 1L
     var stripOffsets: IndexedSeq[Long] = IndexedSeq.empty
     var stripCounts: IndexedSeq[Long] = IndexedSeq.empty
     var e = 0
@@ -804,6 +849,8 @@ object MediaCodecs {
         case 273 => stripOffsets = values()
         case 277 => spp = scalar()
         case 279 => stripCounts = values()
+        case 284 => planarConfig = scalar()
+        case 317 => predictor = scalar()
         case _ => () // RowsPerStrip, resolution, ICC, etc: not needed for the sum
       }
       e += 1
@@ -819,11 +866,23 @@ object MediaCodecs {
       s"bad TIFF geometry ${width}x$height")
     require(stripOffsets.nonEmpty && stripOffsets.length == stripCounts.length,
       "TIFF strip offsets/counts missing or mismatched")
+    require(planarConfig == 1,
+      s"TIFF planar configuration $planarConfig unsupported (chunky only)")
+    // predictor 2 (horizontal differencing) is the DEFAULT most libtiff/
+    // Pillow LZW writers emit — ignoring it would return garbage bytes as
+    // a successful decode; anything else must be a named error
+    require(predictor == 1 || predictor == 2,
+      s"TIFF predictor $predictor unsupported (none or horizontal)")
     val expected = width * height * spp
     if (sink != null) sink.init(mode, width.toInt, height.toInt)
+    // predictor 2 needs the whole raster to un-difference, even sink-free
+    val raster: Array[Byte] =
+      if (sink != null) sink.data
+      else if (predictor == 2) new Array[Byte](expected.toInt)
+      else null
     // strips partition the raster in row-major order, so the running
     // `decoded` counter IS the sink position
-    def put(at: Long, b: Byte): Unit = if (sink != null) sink.data(at.toInt) = b
+    def put(at: Long, b: Byte): Unit = if (raster != null) raster(at.toInt) = b
     var sum = 0L
     var decoded = 0L
     stripOffsets.indices.foreach { s =>
@@ -838,7 +897,7 @@ object MediaCodecs {
         decoded += cnt
       } else if (compression == 5) { // LZW, per strip
         val (s2, n2) = tiffLzwStrip(bytes, i, end, expected - decoded,
-          if (sink != null) sink.data else null, decoded.toInt)
+          raster, decoded.toInt)
         sum += s2
         decoded += n2
       } else { // PackBits (TIFF 6.0 §9): each strip decoded independently
@@ -867,6 +926,23 @@ object MediaCodecs {
       }
     }
     require(decoded == expected, s"TIFF decoded bytes $decoded != geometry $expected")
+    if (predictor == 2) { // un-difference each row in place, re-sum
+      val rowBytes = (width * spp).toInt
+      val ch = spp.toInt
+      var y = 0
+      while (y < height) {
+        val base = y * rowBytes
+        var x = ch
+        while (x < rowBytes) {
+          raster(base + x) = (raster(base + x) + raster(base + x - ch)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      sum = 0L
+      var i = 0
+      while (i < raster.length) { sum += raster(i) & 0xff; i += 1 }
+    }
     ImageMeta("tiff", width.toInt, height.toInt, mode, sum)
   }
 
@@ -1063,7 +1139,8 @@ object MediaCodecs {
   /** ID3v2.3/2.4 text frames to a raw tag map (frame id -> decoded text),
     * the shape [[MediaOps.audioMetadata]]'s mp3 arm keys on (TIT2/TPE1/
     * TALB/...). v2.4 frame sizes are syncsafe, v2.3 plain big-endian —
-    * the classic divergence; text encodings 0 (latin-1) and 3 (utf-8). */
+    * the classic divergence; all four text encodings (latin-1, UTF-16/BOM,
+    * UTF-16BE, utf-8). */
   def parseId3v2(bytes: Array[Byte]): Map[String, String] = {
     require(isId3v2(bytes), "not an ID3v2.3/2.4 payload")
     require(bytes(5) == 0,
@@ -1093,9 +1170,16 @@ object MediaCodecs {
           require(bytes(i + 8) == 0 && bytes(i + 9) == 0,
             s"ID3 frame $id format flags unsupported (compression/encryption/DLI)")
           val enc = bytes(i + 10) & 0xff
-          require(enc == 0 || enc == 3, s"ID3 text encoding $enc unsupported")
-          val cs = if (enc == 0) java.nio.charset.StandardCharsets.ISO_8859_1
-            else java.nio.charset.StandardCharsets.UTF_8
+          // 1 (UTF-16 with BOM) is what Windows taggers/iTunes write for
+          // ANY non-ASCII text under v2.3 — rejecting it error-rowed a
+          // large class of ordinary mp3s; 2 (UTF-16BE, v2.4) for parity
+          require(enc <= 3, s"ID3 text encoding $enc unsupported")
+          val cs = enc match {
+            case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+            case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-driven
+            case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+            case _ => java.nio.charset.StandardCharsets.UTF_8
+          }
           val text = new String(bytes, i + 11, size.toInt - 1, cs)
             .stripSuffix("\u0000")
           tags += id -> text
@@ -1135,15 +1219,8 @@ object MediaCodecs {
   /** Shared ISO-BMFF primitives (parseMp4 AND parseHeif walk the same
     * box grammar): big-endian reads with bounds checks, and the size +
     * fourcc box walk incl. 64-bit largesize and size-0 to-enclosure-end. */
-  private def bmffU32(bytes: Array[Byte], i: Int): Long = {
-    require(i >= 0 && i + 4 <= bytes.length, s"ISO-BMFF read at $i out of bounds")
-    ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
-      ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
-  }
-  private def bmffU16(bytes: Array[Byte], i: Int): Int = {
-    require(i >= 0 && i + 2 <= bytes.length, s"ISO-BMFF read at $i out of bounds")
-    ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
-  }
+  private def bmffU32(bytes: Array[Byte], i: Int): Long = be32(bytes, i)
+  private def bmffU16(bytes: Array[Byte], i: Int): Int = be16(bytes, i)
   private def bmffWalk(bytes: Array[Byte], from: Int, until: Int)
                       (f: (String, Int, Int) => Unit): Unit = {
     var i = from
@@ -1351,6 +1428,9 @@ object MediaCodecs {
       // the one thing the per-row try/catch cannot contain)
       require(size >= 0, s"negative RIFF chunk size $size")
       if (id == "fmt " && i + 24 <= bytes.length) {
+        // gate on the chunk's OWN declared size too: a short fmt chunk must
+        // not have its parameters read from the next chunk's header bytes
+        require(size >= 16, s"WAV fmt chunk of $size bytes too short")
         val audioFormat = u16(bytes, at + 8)
         require(audioFormat == 1, s"unsupported WAV audio format $audioFormat (PCM only)")
         channels = u16(bytes, at + 10)
@@ -2257,9 +2337,10 @@ object MediaCodecs {
     * duration accumulates samples-per-frame per frame against the stream's
     * sample rate (so VBR streams, where the bitrate index changes frame to
     * frame, total correctly: the pydub `len(audio)` contract,
-    * /root/reference/src/converters/audio_converters.py:114). A trailing
-    * 128-byte ID3v1 `TAG` block is skipped; a mid-stream sync loss or a
-    * rate change is a named error, never a silently-short duration. */
+    * /root/reference/src/converters/audio_converters.py:114). Trailing
+    * metadata blocks (ID3v1 `TAG`, APEv2 `APETAGEX`, Lyrics3v2
+    * `LYRICSBEGIN`) are skipped; a mid-stream sync loss or a rate change
+    * is a named error, never a silently-short duration. */
   def parseMpegAudio(bytes: Array[Byte]): AudioHeaderMeta = {
     val start = mpegAudioStart(bytes)
     require(start >= 0, "not an MPEG audio payload")
@@ -2267,9 +2348,16 @@ object MediaCodecs {
     var i = start
     var samples = 0L
     var frames = 0
-    while (i < bytes.length &&
-      !(i + 3 <= bytes.length && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
-        bytes(i + 2) == 'G')) {
+    // common appended metadata trailers real taggers write after the last
+    // frame: ID3v1 "TAG", APEv2 "APETAGEX", Lyrics3v2 "LYRICSBEGIN" —
+    // dying on them would error-row ordinary foobar2000/mp3gain files
+    def atTrailer(j: Int): Boolean = {
+      def lit(s: String): Boolean =
+        j + s.length <= bytes.length &&
+          (0 until s.length).forall(k => bytes(j + k) == s.charAt(k).toByte)
+      lit("TAG") || lit("APETAGEX") || lit("LYRICSBEGIN")
+    }
+    while (i < bytes.length && !atTrailer(i)) {
       val f = mpegFrame(bytes, i)
       require(f != null, s"MPEG audio frame sync lost at $i")
       require(f(2) == first(2), s"MPEG audio sample rate changed at $i")

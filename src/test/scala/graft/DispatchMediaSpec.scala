@@ -688,6 +688,50 @@ class DispatchMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("id3v2 UTF-16 text frames decode (the dominant v2.3 non-ASCII encoding)") {
+    def tag(enc: Int, payload: Array[Byte]): Array[Byte] = {
+      val size = payload.length + 1
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes); out.write(3); out.write(0); out.write(0)
+      val total = 10 + size
+      out.write((total >>> 21) & 0x7f); out.write((total >>> 14) & 0x7f)
+      out.write((total >>> 7) & 0x7f); out.write(total & 0x7f)
+      out.write("TIT2".getBytes)
+      out.write((size >>> 24) & 0xff); out.write((size >>> 16) & 0xff)
+      out.write((size >>> 8) & 0xff); out.write(size & 0xff)
+      out.write(0); out.write(0)
+      out.write(enc); out.write(payload)
+      out.toByteArray
+    }
+    val name = "Beyoncé"
+    // encoding 1: UTF-16 with BOM (LE, as Windows taggers write it)
+    val bomLe = (Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    assert(MediaCodecs.parseId3v2(tag(1, bomLe)) == Map("TIT2" -> name))
+    // encoding 2: UTF-16BE, no BOM (v2.4)
+    assert(MediaCodecs.parseId3v2(tag(2,
+      name.getBytes(java.nio.charset.StandardCharsets.UTF_16BE))) == Map("TIT2" -> name))
+  }
+
+  test("mp3 APEv2/Lyrics3 trailers are skipped like ID3v1, not sync-loss errors") {
+    val clean = MediaFixtures.mp3Frames(mpeg2 = false, bitrateIdx = 9,
+      freqIdx = 0, mono = false, nFrames = 12)
+    val want = MediaCodecs.parseMpegAudio(clean).durationMs
+    for (trailer <- Seq("APETAGEX", "LYRICSBEGIN")) {
+      val tagged = clean ++ trailer.getBytes ++ Array.fill[Byte](40)(7)
+      val m = MediaCodecs.parseMpegAudio(tagged)
+      assert(m.durationMs == want, s"$trailer changed the duration")
+    }
+  }
+
+  test("short WAV fmt chunk is a named error, not neighbour-chunk parameters") {
+    val wav = MediaFixtures.wav(1, 8000, 10, 0)
+    val bad = wav.clone()
+    bad(16) = 8; bad(17) = 0; bad(18) = 0; bad(19) = 0 // fmt size 16 -> 8
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWav(bad))
+    assert(e.getMessage.contains("too short"), e.getMessage)
+  }
+
   test("flac/id3 hostile shapes fail named; TXXX and header flags handled") {
     // negative vorbis vendor length must not walk the cursor backwards
     val good = MediaFixtures.flac(44100, 2, 16, 44100, Seq("TITLE" -> "x"))
