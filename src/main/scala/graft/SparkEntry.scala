@@ -685,9 +685,16 @@ object SparkEntry {
           val h = 20 + (id % 17).toInt
           val seed = (id % 200).toInt
           // every third frame interlaced: different LZW stream, same
-          // index multiset, so the closed-form oracle sum is unchanged
+          // index multiset, so the closed-form oracle sum is unchanged.
+          // Every fifth is a SUB-RECT frame at (3,2) on a (w+7)x(h+5)
+          // logical screen with background index 9 — the Pillow-semantics
+          // canvas compositing path, oracled via the bg-area sum term
+          val sub = id % 5 == 4
           Multimodal.MediaRow(id, "", graft.fixtures.MediaFixtures.gif(
-            w, h, seed, interlace = id % 3 == 0))
+            w, h, seed, interlace = id % 3 == 0,
+            screenPadRight = if (sub) 4 else 0, screenPadBottom = if (sub) 3 else 0,
+            frameLeft = if (sub) 3 else 0, frameTop = if (sub) 2 else 0,
+            bgIndex = if (sub) 9 else 0))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
@@ -1780,11 +1787,16 @@ object SparkEntry {
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_gif" ->
+      // sub = sub-rect arm: screen (w+7)x(h+5), frame at (3,2), bg 9 —
+      // the canvas area outside the frame sums as bg * (screen - frame)
       ("WITH p AS (SELECT doc_id, 30 + doc_id % 25 AS w, 20 + doc_id % 17 AS h, " +
-        "doc_id % 200 AS seed FROM documents) " +
+        "doc_id % 200 AS seed, CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS sub " +
+        "FROM documents) " +
         "SELECT doc_id, 'image/gif' AS media_type, " +
-        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'P' AS mode, " +
-        "CAST(w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "CAST(w + sub * 7 AS INT) AS width, CAST(h + sub * 5 AS INT) AS height, " +
+        "'P' AS mode, " +
+        "CAST(w * (h * seed + h * (h - 1) // 2) " +
+        "+ sub * 9 * ((w + 7) * (h + 5) - w * h) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_tiff" ->
       ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 3 + doc_id % 5 AS h, " +

@@ -524,7 +524,9 @@ object MediaFixtures {
     * fixtures — but only a correct LZW decode (including width growth at
     * 512/1024/2048 and post-clear resync) reproduces it. */
   def gif(width: Int, height: Int, seed: Int,
-          interlace: Boolean = false, frames: Int = 1): Array[Byte] = {
+          interlace: Boolean = false, frames: Int = 1,
+          screenPadRight: Int = 0, screenPadBottom: Int = 0,
+          frameLeft: Int = 0, frameTop: Int = 0, bgIndex: Int = 0): Array[Byte] = {
     // row y holds (seed + y) % 256; interlaced frames store rows in the
     // GIF 4-pass order (0,8,.. / 4,12,.. / 2,6,.. / 1,3,..) — a genuinely
     // different LZW stream whose decoded index sum must be unchanged
@@ -542,13 +544,16 @@ object MediaFixtures {
     val buf = new java.io.ByteArrayOutputStream()
     buf.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     def u16le(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >>> 8) & 0xff) }
-    u16le(width); u16le(height)
+    // the logical screen may exceed the frame rect (sub-rect-frame arm);
+    // the canvas outside it is the background color index
+    u16le(frameLeft + width + screenPadRight)
+    u16le(frameTop + height + screenPadBottom)
     buf.write(0xf7) // GCT present, color res 8, GCT size 256
-    buf.write(0); buf.write(0)
+    buf.write(bgIndex); buf.write(0)
     for (v <- 0 until 256; _ <- 0 until 3) buf.write(v) // grayscale palette
     for (_ <- 0 until frames) { // extra frames repeat the same payload
       buf.write(0x2c) // image descriptor
-      u16le(0); u16le(0); u16le(width); u16le(height)
+      u16le(frameLeft); u16le(frameTop); u16le(width); u16le(height)
       buf.write(if (interlace) 0x40 else 0) // no local table
       buf.write(8) // LZW min code size
       var off = 0
