@@ -222,7 +222,12 @@ object WebpCodec {
 
   /** Encode an RGB or RGBA raster as a lossless RIFF/WEBP/VP8L stream.
     * Other modes must be adapted by the caller ([[ImageConvert.encode]]
-    * forces RGB, Pillow's webp save shape — webp has no gray layout). */
+    * forces RGB, Pillow's webp save shape — webp has no gray layout).
+    * Ecosystem conformance: the emitted streams decode pixel-exactly
+    * under the REAL libwebp (scripts/check_webp_encode.py, dev-time —
+    * the JVM ships no independent VP8L decoder to pin against in-suite),
+    * and the header bit layout is pinned against hand-derived spec bytes
+    * in WebpCodecSpec. */
   def encode(buf: PixelBuf): Array[Byte] = {
     require(buf.mode == "RGB" || buf.mode == "RGBA",
       s"VP8L encode takes RGB or RGBA input, got ${buf.mode}")
