@@ -3,12 +3,14 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.curation.WebCuration
 import graft.dataconv.{FormatCodecs, VersionMappers}
 import graft.dedup.Dedup
 import graft.fixtures.Corpus
 import graft.multimodal.Multimodal
 import graft.pipeline.ExtractionPipeline
 import graft.similarity.Similarity
+import graft.sources.WarcSource
 import graft.textops.{LangId, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -116,6 +118,50 @@ object SparkEntry {
       struct(concat(lit("cust"), col("c_custkey").cast("string"), lit("@example.com")).as("email")).as("contact"),
       struct(concat(lit("2024-01-"), lpad((col("c_custkey") % 28 + 1).cast("string"), 2, "0")).as("createdAt"),
         (col("c_custkey") % 2 === 0).as("active")).as("meta"))
+
+  /** Documents with the gopher-fixture suffix: every 23rd doc gets 10
+    * all-numeric words appended, flipping its alpha-ratio rule (mirrored in
+    * the cur_gopher_quality oracle's `g` CTE). */
+  private def gopherDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 23 === 0,
+        lit(" 0000 1111 2222 3333 4444 5555 6666 7777 8888 9999"))
+        .otherwise(lit(""))).as("text"))
+
+  /** Documents with deterministic PII planted by doc_id % 4: an email, an
+    * IPv4, a phone number, or nothing (mirrored in the cur_pii_scrub
+    * oracle's `p` CTE). */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val extra = when(id % 4 === 0,
+        concat(lit(" contact cust"), id.cast("string"), lit("@mail.example.com for details")))
+      .when(id % 4 === 1,
+        concat(lit(" server 10."), (id % 200).cast("string"), lit(".0."),
+          (id % 250).cast("string"), lit(" up")))
+      .when(id % 4 === 2,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
+      .otherwise(lit(""))
+    docs(s, dir).select(id, concat(col("text"), extra).as("text"))
+  }
+
+  /** Recrawl fixture: every document seen twice — an uncanonical first crawl
+    * (mixed case, :80 port, #fragment) and a canonical later one (trailing
+    * slash, ts + 1e6) — so urlDedupLatest must fold each pair and keep the
+    * later snapshot (mirrored in the cur_url_dedup oracle's `r` CTE). */
+  private def recrawlUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val id = col("doc_id")
+    val first = d.select(
+      concat(lit("HTTP://Host"), (id % 50).cast("string"), lit(".Example.COM:80/p/"),
+        id.cast("string"), lit("#frag")).as("url"),
+      id.as("ts"))
+    val recrawl = d.select(
+      concat(lit("http://host"), (id % 50).cast("string"), lit(".example.com/p/"),
+        id.cast("string"), lit("/")).as("url"),
+      (id + 1000000L).as("ts"))
+    first.unionByName(recrawl)
+  }
 
   // --------------------------------------------------------------------------
 
@@ -1685,7 +1731,34 @@ object SparkEntry {
     "scale_salt" -> ((s, dir) => docs(s, dir)
       .select(pmod(col("doc_id") * 2654435761L, lit(16L)).cast("int").as("salt"))
       .groupBy("salt").agg(count(lit(1)).cast("bigint").as("docs"))
-      .orderBy("salt"))
+      .orderBy("salt")),
+
+    // ---- web-curation tier (C4 / Gopher / FineWeb-style passes) ------------
+    "cur_c4_filter" -> ((s, dir) =>
+      WebCuration.c4Filter(WebCuration.c4Decorate(
+        WebCuration.lineCorpus(docs(s, dir)))).orderBy("doc_id")),
+    "cur_gopher_quality" -> ((s, dir) =>
+      WebCuration.gopherQuality(gopherDocs(s, dir)).orderBy("doc_id")),
+    "cur_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      WebCuration.repetitionStats(WebCuration.lineCorpus(d), d).orderBy("doc_id")
+    }),
+    "cur_line_dedup" -> ((s, dir) =>
+      WebCuration.corpusLineDedup(WebCuration.lineCorpus(docs(s, dir))).orderBy("doc_id")),
+    "cur_pii_scrub" -> ((s, dir) =>
+      WebCuration.piiScrub(piiDocs(s, dir)).orderBy("doc_id")),
+    "cur_hash_sample" -> ((s, dir) =>
+      WebCuration.hashSampleByLang(docs(s, dir),
+        when(col("lang") === "en", "80").when(col("lang") === "es", "60")
+          .otherwise("40")).orderBy("lang")),
+    "cur_token_mix" -> ((s, dir) =>
+      WebCuration.tokenBudgetMix(docs(s, dir), 2000L).orderBy("lang", "doc_id")),
+    "cur_url_dedup" -> ((s, dir) =>
+      WebCuration.urlDedupLatest(recrawlUrls(s, dir)).orderBy("canon_url")),
+
+    // ---- WARC source (write → parse round trip over grouped pages) ---------
+    "src_warc_roundtrip" -> ((s, dir) =>
+      WarcSource.roundTrip(docs(s, dir)).orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2406,8 +2479,121 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY bucket"),
     "scale_salt" ->
       ("SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS salt, " +
-        "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt")
+        "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt"),
+    "cur_c4_filter" ->
+      ("WITH " + curLinesSql + ", " +
+        "d1 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id * 3 + i - 1) % 17 = 0 " +
+        "THEN 'javascript ' || x ELSE x END) AS ls FROM lines), " +
+        "d2 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 13 = 0 AND i = 1 " +
+        "THEN x || ' lorem ipsum' ELSE x END) AS ls FROM d1), " +
+        "d3 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 19 = 0 AND i = 2 " +
+        "THEN x || ' {' ELSE x END) AS ls FROM d2), " +
+        "dec AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id + i - 1) % 5 <> 4 " +
+        "THEN x || '.' ELSE x END) AS ls FROM d3), " +
+        "f AS (SELECT doc_id, ls, list_filter(ls, l -> ends_with(l, '.') " +
+        "AND len(string_split(l, ' ')) >= 5 AND NOT contains(l, 'javascript')) AS k FROM dec) " +
+        "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, CAST(len(k) AS INT) AS kept_lines, " +
+        "(len(list_filter(ls, l -> contains(l, 'lorem ipsum') OR contains(l, '{'))) = 0 AND len(k) > 0) AS doc_keep, " +
+        "CASE WHEN len(list_filter(ls, l -> contains(l, 'lorem ipsum') OR contains(l, '{'))) = 0 AND len(k) > 0 " +
+        "THEN md5(array_to_string(k, chr(10))) END AS kept_md5 FROM f ORDER BY doc_id"),
+    "cur_gopher_quality" ->
+      ("WITH g AS (SELECT doc_id, text || CASE WHEN doc_id % 23 = 0 " +
+        "THEN ' 0000 1111 2222 3333 4444 5555 6666 7777 8888 9999' ELSE '' END AS text FROM documents), " +
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS lc FROM g), " +
+        "x AS (SELECT doc_id, len(ws) AS n, lc - (len(ws) - 1) AS wc, " +
+        "len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha, " +
+        "len(list_intersect(ws, [" + stopListSql + "])) AS stops FROM w) " +
+        "SELECT doc_id, CAST(n AS INT) AS n_words, " +
+        "(n >= 25 AND n <= 100000) AS rule_wordcount, " +
+        "(wc >= n * 4 AND wc <= n * 10) AS rule_meanwordlen, " +
+        "(stops >= 2) AS rule_stopwords, " +
+        "(alpha * 5 >= n * 4) AS rule_alpha, " +
+        "(n >= 25 AND n <= 100000 AND wc >= n * 4 AND wc <= n * 10 " +
+        "AND stops >= 2 AND alpha * 5 >= n * 4) AS keep FROM x ORDER BY doc_id"),
+    "cur_repetition" ->
+      ("WITH " + curLinesSql + ", " +
+        "r AS (SELECT doc_id, ls, list_distinct(ls) AS dls, ws, len(ws) AS n " +
+        "FROM lines JOIN w USING (doc_id)), " +
+        "g AS (SELECT doc_id, ls, dls, n, list_transform(range(1, CASE WHEN n >= 2 THEN n ELSE 2 END), " +
+        "i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM r) " +
+        "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, " +
+        "CAST(len(ls) - len(dls) AS INT) AS dup_line_ct, " +
+        "CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) - " +
+        "coalesce(list_sum(list_transform(dls, x -> length(x))), 0) AS INT) AS dup_line_chars, " +
+        "CAST(CASE WHEN n >= 2 THEN list_max(list_transform(list_distinct(gs), " +
+        "x -> len(list_filter(gs, y -> y = x)))) ELSE 0 END AS INT) AS top2gram_ct " +
+        "FROM g ORDER BY doc_id"),
+    "cur_line_dedup" ->
+      ("WITH " + curLinesSql + ", " +
+        "e AS (SELECT doc_id, len(ls) AS n_lines, unnest(ls) AS line, unnest(range(len(ls))) AS idx FROM lines), " +
+        "freq AS (SELECT line, count(*) AS df FROM e GROUP BY line), " +
+        "kept AS (SELECT e.* FROM e JOIN freq USING (line) WHERE df <= 4) " +
+        "SELECT doc_id, CAST(any_value(n_lines) AS INT) AS n_lines, CAST(count(*) AS INT) AS kept_ct, " +
+        "md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5, " +
+        "CAST(any_value(n_lines) - count(*) AS INT) AS removed_ct " +
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"),
+    "cur_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 4 = 0 THEN ' contact cust' || CAST(doc_id AS VARCHAR) || '@mail.example.com for details' " +
+        "WHEN doc_id % 4 = 1 THEN ' server 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up' " +
+        "WHEN doc_id % 4 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' " +
+        "ELSE '' END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '" + WebCuration.emailPattern + "')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '" + WebCuration.ipv4Pattern + "')) AS INT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(text, '" + WebCuration.phonePattern + "')) AS INT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'" + WebCuration.emailPattern + "', '<EMAIL>', 'g'), " +
+        "'" + WebCuration.ipv4Pattern + "', '<IP>', 'g'), " +
+        "'" + WebCuration.phonePattern + "', '<PHONE>', 'g')) AS scrubbed_md5 " +
+        "FROM p ORDER BY doc_id"),
+    "cur_hash_sample" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS total, " +
+        "CAST(sum(CASE WHEN substring(md5(text), 1, 2) < " +
+        "(CASE WHEN lang = 'en' THEN '80' WHEN lang = 'es' THEN '60' ELSE '40' END) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS kept FROM documents GROUP BY lang ORDER BY lang"),
+    "cur_token_mix" ->
+      ("WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n, " +
+        "sum(len(string_split(text, ' '))) OVER (PARTITION BY lang " +
+        "ORDER BY md5(text), doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
+        "SELECT lang, doc_id, CAST(n AS INT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens " +
+        "FROM t WHERE cum - n < 2000 ORDER BY lang, doc_id"),
+    "cur_url_dedup" ->
+      ("WITH r AS (" +
+        "SELECT 'HTTP://Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:80/p/' || " +
+        "CAST(doc_id AS VARCHAR) || '#frag' AS url, doc_id AS ts FROM documents " +
+        "UNION ALL " +
+        "SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' || " +
+        "CAST(doc_id AS VARCHAR) || '/', doc_id + 1000000 FROM documents), " +
+        "c AS (SELECT regexp_replace(regexp_replace(regexp_replace(lower(url), " +
+        "'#.*$', '', 'g'), ':80/', '/', 'g'), '/$', '', 'g') AS canon_url, ts FROM r), " +
+        "k AS (SELECT canon_url, ts, row_number() OVER (PARTITION BY canon_url ORDER BY ts DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY canon_url) AS n_raw FROM c) " +
+        "SELECT canon_url, CAST(n_raw AS BIGINT) AS n_raw, CAST(ts AS BIGINT) AS kept_ts " +
+        "FROM k WHERE rn = 1 ORDER BY canon_url"),
+    "src_warc_roundtrip" ->
+      ("SELECT doc_id, 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(200 AS INT) AS status, 'text/plain; charset=utf-8' AS mime, " +
+        "CAST(strlen(text) AS BIGINT) AS payload_octets, md5(text) AS payload_md5 " +
+        "FROM documents ORDER BY doc_id")
   )
+
+  /** The curation line corpus (WebCuration.lineCorpus) in SQL — shared by
+    * the cur_c4_filter / cur_repetition / cur_line_dedup oracles. DuckDB's
+    * list_transform index is 1-based where Spark's transform index is
+    * 0-based; the decoration arms compensate with (i - 1). */
+  private val curLinesSql: String =
+    "w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents), " +
+      "base AS (SELECT doc_id, text, list_transform(range(CAST(ceil(len(ws) / 10.0) AS BIGINT)), " +
+      "i -> array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')) AS l0 FROM w), " +
+      "inj AS (SELECT doc_id, text, (CASE WHEN doc_id % 2 = 0 THEN ['" + WebCuration.headerLine + "'] ELSE [] END) || l0 " +
+      "|| (CASE WHEN doc_id % 3 = 0 THEN ['" + WebCuration.footerLine + "'] ELSE [] END) AS l1 FROM base), " +
+      "lines AS (SELECT doc_id, text, l1 || (CASE WHEN doc_id % 7 = 0 THEN l1[1:2] ELSE [] END) AS ls FROM inj)"
+
+  /** TextAnalysis.stopwords as a SQL list body — keeps the gopher oracle in
+    * lock-step with the Spark-side stopword list. */
+  private val stopListSql: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** The corpus payload-format wheel (Corpus.formatOf) in SQL — shared by
     * the extract_formats / extract_metrics / stream_metrics oracles. */

@@ -1,0 +1,273 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.textops.TextAnalysis
+
+/** Web-corpus curation tier: the operations a Common-Crawl-scale
+  * training-data pipeline runs AFTER extraction (reference analog: the
+  * repo's pipeline stops at converted text,
+  * /root/reference/src/converters/document_converters.py:84-129 — curation
+  * is the downstream stage its output feeds). Every operator is a pure
+  * column expression or a declared-shuffle DataFrame transform, each with
+  * an exactly-mirrorable ANSI-SQL semantic so the DuckDB oracle can
+  * reproduce it bit-for-bit:
+  *
+  *  - Gopher-style quality rules (integer cross-multiplied — no float
+  *    division anywhere, so the oracle matches exactly),
+  *  - C4-style line filters (terminal punctuation, min words, word
+  *    blocklist; doc-level lorem-ipsum / brace drops),
+  *  - within-document repetition signals (duplicate lines, top 2-gram),
+  *  - corpus-level boilerplate line dedup (global line frequency),
+  *  - PII scrubbing (email / IPv4 / phone — RE2-and-Java-compatible
+  *    patterns only, so Spark and DuckDB agree),
+  *  - deterministic hash sampling and per-language token-budget mixing.
+  *
+  * Scale notes (10^12 docs): everything except `corpusLineDedup` and the
+  * window in `tokenBudgetMix` is shuffle-free per-row work inside
+  * whole-stage codegen. `corpusLineDedup` shuffles the exploded lines once
+  * to count global frequencies (map-side partial agg) and once to
+  * reassemble documents; the hot-line set itself is boilerplate-sized and
+  * is broadcast for the anti-join, so corpus lines are never shuffled for
+  * the join itself.
+  */
+object WebCuration {
+
+  /** Boilerplate lines the fixture layer injects (and real crawls carry):
+    * frozen — oracle SQL and goldens depend on the exact strings. */
+  val headerLine = "subscribe to our newsletter for updates today"
+  val footerLine = "all rights reserved copyright notice applies here"
+
+  /** Words per synthetic line when re-chunking single-spaced document text
+    * into a line-structured web page. */
+  val wordsPerLine = 10
+
+  private def emptyStrArray: Column = array().cast("array<string>")
+
+  /** Re-chunk `textCol` into lines of `wordsPerLine` words, then inject the
+    * deterministic boilerplate the curation operators exist to remove:
+    * header on even ids, footer on ids % 3 == 0, and (ids % 7 == 0) the
+    * first two lines appended again as within-doc duplicates.
+    * Output: (doc_id, ls: array<string>). Mirrored 1:1 by the oracle's
+    * `linesSql` CTE in SparkEntry. */
+  def lineCorpus(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val words = split(col(textCol), " ")
+    val nlines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
+    val base = transform(sequence(lit(0), nlines - 1),
+      i => array_join(slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    val hdr = when(id % 2 === 0, array(lit(headerLine))).otherwise(emptyStrArray)
+    val ftr = when(id % 3 === 0, array(lit(footerLine))).otherwise(emptyStrArray)
+    val withHf = concat(hdr, base, ftr)
+    val ls = when(id % 7 === 0, concat(withHf, slice(withHf, 1, 2))).otherwise(withHf)
+    docs.select(id.as("doc_id"), ls.as("ls"))
+  }
+
+  /** C4-style per-line decorations over a `lineCorpus` output — the
+    * deterministic stand-ins for the web's real noise (script fragments,
+    * missing terminal punctuation, template braces, filler text). Applied
+    * per (doc_id, 0-based line index i):
+    *   - "javascript " prefix when (doc_id*3 + i) % 17 == 0,
+    *   - " lorem ipsum" suffix on line 0 when doc_id % 13 == 0,
+    *   - " {" suffix on line 1 when doc_id % 19 == 0,
+    *   - terminal "." unless (doc_id + i) % 5 == 4.
+    */
+  def c4Decorate(lineDf: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val dec = transform(col("ls"), (line0, i) => {
+      val withJs = when((id * 3 + i) % 17 === 0,
+        concat(lit("javascript "), line0)).otherwise(line0)
+      val withLorem = when(id % 13 === 0 && i === 0,
+        concat(withJs, lit(" lorem ipsum"))).otherwise(withJs)
+      val withBrace = when(id % 19 === 0 && i === 1,
+        concat(withLorem, lit(" {"))).otherwise(withLorem)
+      when((id + i) % 5 =!= 4, concat(withBrace, lit("."))).otherwise(withBrace)
+    })
+    lineDf.select(id, dec.as("ls"))
+  }
+
+  /** The C4 line+document filter battery: a line survives iff it ends with
+    * a terminal '.', has >= 5 words, and does not contain "javascript"; the
+    * whole document is dropped if any line contains "lorem ipsum" or "{",
+    * or if no line survives. Output per doc: n_lines, kept_lines,
+    * doc_keep, kept_md5 (md5 of '\n'-joined kept lines; null when the doc
+    * is dropped). Shuffle-free. */
+  def c4Filter(decorated: DataFrame): DataFrame = {
+    val kept = filter(col("ls"), l =>
+      l.endsWith(".") && size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    val dropped = exists(col("ls"), l => l.contains("lorem ipsum")) ||
+      exists(col("ls"), l => l.contains("{"))
+    decorated.select(
+      col("doc_id"),
+      size(col("ls")).cast("int").as("n_lines"),
+      size(kept).cast("int").as("kept_lines"),
+      (!dropped && size(kept) > 0).as("doc_keep"),
+      when(!dropped && size(kept) > 0,
+        md5(array_join(kept, "\n").cast("binary"))).as("kept_md5"))
+  }
+
+  /** Gopher-style quality rule battery over raw document text. All rules
+    * are integer cross-multiplied (mean-word-length bounds become
+    * word_chars >= 4*n && word_chars <= 10*n) so the oracle reproduces
+    * them exactly. Output: per-rule booleans + overall keep. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val n = size(words)
+    val wordChars = length(t) - (n - 1)
+    val alphaCt = size(filter(words, w => w.rlike("[a-z]")))
+    val stopHits = size(array_intersect(words,
+      array(TextAnalysis.stopwords.map(lit): _*)))
+    val ruleWc = n >= 25 && n <= 100000
+    val ruleMwl = wordChars >= n * 4 && wordChars <= n * 10
+    val ruleStop = stopHits >= 2
+    val ruleAlpha = alphaCt * 5 >= n * 4
+    docs.select(
+      col(idCol).as("doc_id"),
+      n.cast("int").as("n_words"),
+      ruleWc.as("rule_wordcount"),
+      ruleMwl.as("rule_meanwordlen"),
+      ruleStop.as("rule_stopwords"),
+      ruleAlpha.as("rule_alpha"),
+      (ruleWc && ruleMwl && ruleStop && ruleAlpha).as("keep"))
+  }
+
+  /** Within-document repetition signals over a `lineCorpus` output joined
+    * back to the raw text: duplicate-line count and duplicated characters
+    * (occurrences past the first), and the multiplicity of the most
+    * frequent word 2-gram. Shuffle-free: all three are array-expression
+    * folds per row — per-document stats never need a shuffle. */
+  def repetitionStats(lineDf: DataFrame, docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sumChars = (l: Column) => aggregate(l, lit(0), (a, x) => a + length(x))
+    val distinctLs = array_distinct(col("ls"))
+    val words = split(col(textCol), " ")
+    val grams = transform(sequence(lit(1), greatest(size(words) - 1, lit(1))),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val top2 = when(size(words) >= 2,
+      array_max(transform(array_distinct(grams),
+        x => size(filter(grams, y => y === x))))).otherwise(lit(0))
+    lineDf.join(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("ls")).cast("int").as("n_lines"),
+        (size(col("ls")) - size(distinctLs)).cast("int").as("dup_line_ct"),
+        (sumChars(col("ls")) - sumChars(distinctLs)).cast("int").as("dup_line_chars"),
+        top2.cast("int").as("top2gram_ct"))
+  }
+
+  /** Corpus-level boilerplate line dedup (the FineWeb-style pass): a line
+    * occurring more than `maxGlobal` times ACROSS the corpus is boilerplate
+    * and is removed from every document; documents keep their surviving
+    * lines in order. Docs whose every line is boilerplate are dropped
+    * (standard curation semantics).
+    *
+    * Shape at scale: one shuffle of the exploded lines to count global
+    * frequency (map-side partial agg first), the hot set (df > maxGlobal)
+    * is boilerplate-sized and broadcast for the anti-join — the corpus is
+    * NOT shuffled for the join — then one shuffle to reassemble documents.
+    * No driver-side state. */
+  def corpusLineDedup(lineDf: DataFrame, maxGlobal: Int = 4): DataFrame = {
+    val exploded = lineDf.select(col("doc_id"), size(col("ls")).as("n_lines"),
+        posexplode(col("ls")).as(Seq("idx", "line")))
+    val hot = exploded.groupBy("line")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxGlobal)
+      .select("line")
+    val kept = exploded.join(broadcast(hot), Seq("line"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(
+        first(col("n_lines")).cast("int").as("n_lines"),
+        count(lit(1)).cast("int").as("kept_ct"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")), "\n").cast("binary")).as("kept_md5"))
+      .withColumn("removed_ct", (col("n_lines") - col("kept_ct")).cast("int"))
+  }
+
+  // RE2-and-Java-compatible PII patterns (no lookarounds, no \p classes —
+  // the oracle runs them under DuckDB's RE2). Frozen.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: count then replace emails, IPv4s and phone numbers with
+    * typed placeholder tokens (counts are taken on the ORIGINAL text;
+    * replacement order email -> ip -> phone is part of the contract).
+    * Shuffle-free codegen'd regexes. */
+  def piiScrub(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+    df.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(emailPattern)).cast("int").as("n_emails"),
+      regexp_count(t, lit(ipv4Pattern)).cast("int").as("n_ips"),
+      regexp_count(t, lit(phonePattern)).cast("int").as("n_phones"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+  }
+
+  /** Deterministic content-hash sampling, stratified by language: a doc is
+    * kept iff the first byte of md5(text) is below the per-language
+    * threshold (two lowercase hex chars compare lexically == numerically).
+    * Content-hash (not id-hash) sampling is reproducible across recrawls
+    * of the same page. Output: per-lang total/kept counts. */
+  def hashSampleByLang(docs: DataFrame, thresholdFor: Column): DataFrame = {
+    val bucket = substring(md5(col("text").cast("binary")), 1, 2)
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("total"),
+        sum(when(bucket < thresholdFor, 1L).otherwise(0L)).cast("bigint").as("kept"))
+  }
+
+  /** Token-budget mixing: within each language, order documents by
+    * (md5(text), doc_id) — a deterministic, content-addressed shuffle — and
+    * keep documents while the budget lasts: a doc is kept iff the tokens
+    * accumulated BEFORE it are under `budget`. The per-language window is
+    * the one shuffle; at 10^12 docs the partition key would be
+    * (lang, hash-prefix) with per-prefix budgets, same semantics. */
+  def tokenBudgetMix(docs: DataFrame, budget: Long): DataFrame = {
+    val n = TextAnalysis.tokenCount(col("text"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("lang"), col("doc_id"), n.cast("int").as("n_tokens"),
+        sum(n).over(w).cast("bigint").as("cum_tokens"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  /** URL canonicalization for recrawl dedup: lowercase, strip the fragment,
+    * drop an explicit default port (":80/"), drop one trailing slash.
+    * (Simplified contract: paths in this engine's corpora are
+    * lowercase-safe; a full implementation lowercases only scheme+host.)
+    * Uses only group-free regexes + literal replace so DuckDB's RE2
+    * replacement mirrors Java's exactly. */
+  def canonicalizeUrl(u: Column): Column = {
+    val lowered = lower(u)
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noPort = regexp_replace(noFrag, ":80/", "/")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** Recrawl dedup over raw (url, ts) rows: canonicalize, keep the LATEST
+    * snapshot per canonical url, and report how many raw variants folded
+    * into it. One shuffle on the canonical key. */
+  def urlDedupLatest(raws: DataFrame, urlCol: String = "url",
+                     tsCol: String = "ts"): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol)).as("canon_url")
+    val w = Window.partitionBy("canon_url").orderBy(col(tsCol).desc)
+    raws.select(canon, col(tsCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_raw", count(lit(1)).over(Window.partitionBy("canon_url")))
+      .filter(col("rn") === 1)
+      .select(col("canon_url"), col("n_raw").cast("bigint"),
+        col(tsCol).cast("bigint").as("kept_ts"))
+  }
+}

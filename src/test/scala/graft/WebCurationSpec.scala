@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curation.WebCuration
+
+/** Hand-computed semantics for the web-curation tier (the oracle compare
+  * proves Spark==DuckDB at corpus scale; these pin the intended meaning on
+  * inputs small enough to verify by eye). */
+class WebCurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("lineCorpus chunks 10 words per line and injects header/footer/dups by id") {
+    val words12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    // id 0: even -> header, %3==0 -> footer, %7==0 -> first two lines repeated
+    val out = WebCuration.lineCorpus(Seq((0L, words12)).toDF("doc_id", "text"))
+      .as[(Long, Seq[String])].collect().head._2
+    val l1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val l2 = "w11 w12"
+    assert(out === Seq(WebCuration.headerLine, l1, l2, WebCuration.footerLine,
+      WebCuration.headerLine, l1))
+    // id 1: odd, %3!=0, %7!=0 -> content lines only
+    val plain = WebCuration.lineCorpus(Seq((1L, words12)).toDF("doc_id", "text"))
+      .as[(Long, Seq[String])].collect().head._2
+    assert(plain === Seq(l1, l2))
+  }
+
+  test("c4Filter keeps terminal-punct lines of >=5 words sans javascript; drops lorem/brace docs") {
+    val df = Seq(
+      (1L, Seq("one two three four five.", "has javascript one two three.",
+        "short line.", "no terminal punct here at all")),
+      (2L, Seq("contains lorem ipsum one two three.", "fine line one two three.")),
+      (3L, Seq("open brace one two { three.", "fine line one two three.")),
+      (4L, Seq("nothing survives here"))
+    ).toDF("doc_id", "ls")
+    val out = WebCuration.c4Filter(df)
+      .as[(Long, Int, Int, Boolean, Option[String])].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 4, 1, true, Some(md5Hex("one two three four five.")))))
+    assert(out(1)._4 === false && out(1)._5.isEmpty) // lorem ipsum doc dropped
+    assert(out(2)._4 === false)                      // brace doc dropped
+    assert(out(3)._4 === false)                      // zero survivors -> dropped
+  }
+
+  test("gopherQuality integer rules: word count, mean word length, stopwords, alpha ratio") {
+    // 25 words, all 4-char alpha, two stopwords -> passes everything
+    val good = (("this that" +: Seq.fill(23)("word")).mkString(" "), 1L)
+    // 24 words -> fails rule_wordcount only
+    val short = (("this that" +: Seq.fill(22)("word")).mkString(" "), 2L)
+    // numeric words -> fails alpha (0 alpha words) and stopwords
+    val nums = (Seq.fill(30)("1234").mkString(" "), 3L)
+    val df = Seq(good, short, nums).map(_.swap).toDF("doc_id", "text")
+    val out = WebCuration.gopherQuality(df)
+      .as[(Long, Int, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((1L, 25, true, true, true, true, true)))
+    assert(out(1) === ((2L, 24, false, true, true, true, false)))
+    assert(out(2) === ((3L, 30, true, true, false, false, false)))
+  }
+
+  test("repetitionStats counts duplicate lines/chars and the hottest 2-gram") {
+    // text "a b a b a": 2-grams = [a b, b a, a b, b a] -> top multiplicity 2
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val lines = Seq((1L, Seq("dup line", "dup line", "other", "dup line")))
+      .toDF("doc_id", "ls")
+    val out = WebCuration.repetitionStats(lines, docs)
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    // 4 lines, 2 distinct -> 2 dup occurrences, 2*8=16 dup chars
+    assert(out === ((1L, 4, 2, 16, 2)))
+  }
+
+  test("corpusLineDedup removes lines with global df > max and drops hollowed docs") {
+    val hot = "boilerplate everywhere"
+    val rows = (1L to 6L).map(i => (i, Seq(hot, s"unique $i"))) :+ (7L, Seq(hot))
+    val out = WebCuration.corpusLineDedup(rows.toDF("doc_id", "ls"), maxGlobal = 4)
+      .as[(Long, Int, Int, String, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1) === (1L to 6L)) // doc 7 lost every line -> dropped
+    out.foreach { case (id, nLines, keptCt, keptMd5, removedCt) =>
+      assert(nLines === 2 && keptCt === 1 && removedCt === 1)
+      assert(keptMd5 === md5Hex(s"unique $id"))
+    }
+  }
+
+  test("corpusLineDedup keeps lines at exactly the df threshold") {
+    val rows = (1L to 4L).map(i => (i, Seq("shared", s"unique $i")))
+    val out = WebCuration.corpusLineDedup(rows.toDF("doc_id", "ls"), maxGlobal = 4)
+      .as[(Long, Int, Int, String, Int)].collect()
+    assert(out.forall(r => r._3 == 2 && r._5 == 0)) // df=4 <= max -> kept
+  }
+
+  test("piiScrub counts on the original text and replaces email -> ip -> phone") {
+    val t = "mail a@b.com and c.d@e.org ip 10.0.0.1 call 555-123-4567 end"
+    val out = WebCuration.piiScrub(Seq((1L, t)).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, String)].collect().head
+    val expected = "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> end"
+    assert(out === ((1L, 2, 1, 1, md5Hex(expected))))
+  }
+
+  test("canonicalizeUrl lowercases, strips fragment, default port, trailing slash") {
+    val df = Seq("HTTP://Host.Example.COM:80/p/1#frag", "http://host.example.com/p/1/")
+      .toDF("u").select(WebCuration.canonicalizeUrl(col("u")).as("c"))
+    assert(df.as[String].collect().toSeq ===
+      Seq("http://host.example.com/p/1", "http://host.example.com/p/1"))
+  }
+
+  test("urlDedupLatest folds canonical variants and keeps the newest snapshot") {
+    val raws = Seq(
+      ("HTTP://A.COM:80/x#f", 10L), ("http://a.com/x/", 20L), ("http://a.com/x", 15L),
+      ("http://b.com/y", 1L)
+    ).toDF("url", "ts")
+    val out = WebCuration.urlDedupLatest(raws)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Seq(("http://a.com/x", 3L, 20L), ("http://b.com/y", 1L, 1L)))
+  }
+
+  test("tokenBudgetMix keeps docs while the pre-doc cumulative stays under budget") {
+    // All same lang; md5-content order is deterministic but opaque — use
+    // equal-length texts and check the budget boundary, not the order.
+    val docs = Seq(
+      (1L, "en", Seq.fill(10)("aaa").mkString(" ")),
+      (2L, "en", Seq.fill(10)("bbb").mkString(" ")),
+      (3L, "en", Seq.fill(10)("ccc").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = WebCuration.tokenBudgetMix(docs, budget = 15L)
+      .as[(String, Long, Int, Long)].collect()
+    // budget 15: first doc (cum_before=0) and second (cum_before=10) kept,
+    // third (cum_before=20) dropped — regardless of md5 order.
+    assert(out.length === 2)
+    assert(out.map(_._4).sorted === Seq(10L, 20L))
+  }
+
+  test("hashSampleByLang is a deterministic per-lang content-hash census") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "fr", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val thr = when(col("lang") === "en", "80").otherwise("40")
+    val out = WebCuration.hashSampleByLang(docs, thr)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) === Seq(50L, 50L))
+    out.foreach { case (_, total, kept) => assert(kept >= 0 && kept <= total) }
+    // rerun is bit-identical (content-hash, not random)
+    val again = WebCuration.hashSampleByLang(docs, thr)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === out)
+  }
+}
