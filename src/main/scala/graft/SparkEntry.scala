@@ -1755,6 +1755,8 @@ object SparkEntry {
       WebCuration.tokenBudgetMix(docs(s, dir), 2000L).orderBy("lang", "doc_id")),
     "cur_url_dedup" -> ((s, dir) =>
       WebCuration.urlDedupLatest(recrawlUrls(s, dir)).orderBy("canon_url")),
+    "cur_funnel" -> ((s, dir) =>
+      WebCuration.funnel(docs(s, dir)).orderBy("doc_id")),
 
     // ---- WARC source (write → parse round trip over grouped pages) ---------
     "src_warc_roundtrip" -> ((s, dir) =>
@@ -2481,15 +2483,7 @@ object SparkEntry {
       ("SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS salt, " +
         "CAST(count(*) AS BIGINT) AS docs FROM documents GROUP BY 1 ORDER BY salt"),
     "cur_c4_filter" ->
-      ("WITH " + curLinesSql + ", " +
-        "d1 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id * 3 + i - 1) % 17 = 0 " +
-        "THEN 'javascript ' || x ELSE x END) AS ls FROM lines), " +
-        "d2 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 13 = 0 AND i = 1 " +
-        "THEN x || ' lorem ipsum' ELSE x END) AS ls FROM d1), " +
-        "d3 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 19 = 0 AND i = 2 " +
-        "THEN x || ' {' ELSE x END) AS ls FROM d2), " +
-        "dec AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id + i - 1) % 5 <> 4 " +
-        "THEN x || '.' ELSE x END) AS ls FROM d3), " +
+      ("WITH " + curLinesSql + ", " + curDecSql + ", " +
         "f AS (SELECT doc_id, ls, list_filter(ls, l -> ends_with(l, '.') " +
         "AND len(string_split(l, ' ')) >= 5 AND NOT contains(l, 'javascript')) AS k FROM dec) " +
         "SELECT doc_id, CAST(len(ls) AS INT) AS n_lines, CAST(len(k) AS INT) AS kept_lines, " +
@@ -2571,6 +2565,35 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY canon_url) AS n_raw FROM c) " +
         "SELECT canon_url, CAST(n_raw AS BIGINT) AS n_raw, CAST(ts AS BIGINT) AS kept_ts " +
         "FROM k WHERE rn = 1 ORDER BY canon_url"),
+    "cur_funnel" ->
+      ("WITH " + curLinesSql + ", " + curDecSql + ", " +
+        "b AS (SELECT lines.doc_id AS doc_id, lines.ls AS ls0, dec.ls AS dls, w.ws AS ws, w.text AS text " +
+        "FROM lines JOIN dec USING (doc_id) JOIN w USING (doc_id)), " +
+        "g AS (SELECT doc_id, ls0, len(ws) AS n, length(text) - (len(ws) - 1) AS wc, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha, " +
+        "len(list_intersect(ws, [" + stopListSql + "])) AS stops, " +
+        "list_filter(dls, l -> ends_with(l, '.') AND len(string_split(l, ' ')) >= 5 " +
+        "AND NOT contains(l, 'javascript')) AS k, " +
+        "(len(list_filter(dls, l -> contains(l, 'lorem ipsum') OR contains(l, '{'))) = 0) AS nodrop, " +
+        "list_transform(range(1, CASE WHEN len(ws) >= 2 THEN len(ws) ELSE 2 END), " +
+        "i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM b), " +
+        "v AS (SELECT doc_id, n, k, " +
+        "(n >= 25 AND n <= 100000 AND wc >= n * 4 AND wc <= n * 10 " +
+        "AND stops >= 2 AND alpha * 5 >= n * 4) AS gk, " +
+        "(nodrop AND len(k) > 0) AS ck, " +
+        "(len(ls0) = len(list_distinct(ls0)) AND " +
+        "(CASE WHEN n >= 2 THEN list_max(list_transform(list_distinct(gs), " +
+        "x -> len(list_filter(gs, y -> y = x)))) ELSE 0 END) <= 4) AS rk FROM g) " +
+        "SELECT doc_id, " +
+        "CASE WHEN NOT gk THEN 'gopher' WHEN NOT ck THEN 'c4' " +
+        "WHEN NOT rk THEN 'repetition' ELSE 'kept' END AS stage, " +
+        "CAST(n AS INT) AS n_words, CAST(len(k) AS INT) AS kept_ct, " +
+        "CASE WHEN gk AND ck AND rk THEN md5(regexp_replace(regexp_replace(regexp_replace(" +
+        "array_to_string(k, chr(10)), " +
+        "'" + WebCuration.emailPattern + "', '<EMAIL>', 'g'), " +
+        "'" + WebCuration.ipv4Pattern + "', '<IP>', 'g'), " +
+        "'" + WebCuration.phonePattern + "', '<PHONE>', 'g')) END AS kept_md5 " +
+        "FROM v ORDER BY doc_id"),
     "src_warc_roundtrip" ->
       ("SELECT doc_id, 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url, " +
         "CAST(200 AS INT) AS status, 'text/plain; charset=utf-8' AS mime, " +
@@ -2578,10 +2601,23 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id")
   )
 
+  /** The C4 decoration pass (WebCuration.c4DecorateCol) in SQL over the
+    * `lines` CTE — shared by the cur_c4_filter / cur_funnel oracles.
+    * DuckDB's list_transform index is 1-based where Spark's transform
+    * index is 0-based; every arm compensates with (i - 1). */
+  private val curDecSql: String =
+    "d1 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id * 3 + i - 1) % 17 = 0 " +
+      "THEN 'javascript ' || x ELSE x END) AS ls FROM lines), " +
+      "d2 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 13 = 0 AND i = 1 " +
+      "THEN x || ' lorem ipsum' ELSE x END) AS ls FROM d1), " +
+      "d3 AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN doc_id % 19 = 0 AND i = 2 " +
+      "THEN x || ' {' ELSE x END) AS ls FROM d2), " +
+      "dec AS (SELECT doc_id, list_transform(ls, (x, i) -> CASE WHEN (doc_id + i - 1) % 5 <> 4 " +
+      "THEN x || '.' ELSE x END) AS ls FROM d3)"
+
   /** The curation line corpus (WebCuration.lineCorpus) in SQL — shared by
-    * the cur_c4_filter / cur_repetition / cur_line_dedup oracles. DuckDB's
-    * list_transform index is 1-based where Spark's transform index is
-    * 0-based; the decoration arms compensate with (i - 1). */
+    * the cur_c4_filter / cur_repetition / cur_line_dedup / cur_funnel
+    * oracles. */
   private val curLinesSql: String =
     "w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents), " +
       "base AS (SELECT doc_id, text, list_transform(range(CAST(ceil(len(ws) / 10.0) AS BIGINT)), " +

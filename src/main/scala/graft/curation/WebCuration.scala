@@ -53,17 +53,22 @@ object WebCuration {
     * Output: (doc_id, ls: array<string>). Mirrored 1:1 by the oracle's
     * `linesSql` CTE in SparkEntry. */
   def lineCorpus(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val id = col(idCol)
-    val words = split(col(textCol), " ")
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      lineCorpusCol(col(idCol), col(textCol)).as("ls"))
+
+  /** Column-level body of [[lineCorpus]] — exposed so composites (the
+    * funnel) can build the line array inside a wider single-scan projection
+    * instead of chaining DataFrame passes. */
+  def lineCorpusCol(id: Column, text: Column): Column = {
+    val words = split(text, " ")
     val nlines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
     val base = transform(sequence(lit(0), nlines - 1),
       i => array_join(slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
     val hdr = when(id % 2 === 0, array(lit(headerLine))).otherwise(emptyStrArray)
     val ftr = when(id % 3 === 0, array(lit(footerLine))).otherwise(emptyStrArray)
     val withHf = concat(hdr, base, ftr)
-    val ls = when(id % 7 === 0, concat(withHf, slice(withHf, 1, 2))).otherwise(withHf)
-    docs.select(id.as("doc_id"), ls.as("ls"))
+    when(id % 7 === 0, concat(withHf, slice(withHf, 1, 2))).otherwise(withHf)
   }
 
   /** C4-style per-line decorations over a `lineCorpus` output — the
@@ -75,9 +80,13 @@ object WebCuration {
     *   - " {" suffix on line 1 when doc_id % 19 == 0,
     *   - terminal "." unless (doc_id + i) % 5 == 4.
     */
-  def c4Decorate(lineDf: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    val dec = transform(col("ls"), (line0, i) => {
+  def c4Decorate(lineDf: DataFrame): DataFrame =
+    lineDf.select(col("doc_id"),
+      c4DecorateCol(col("doc_id"), col("ls")).as("ls"))
+
+  /** Column-level body of [[c4Decorate]] (see [[lineCorpusCol]]). */
+  def c4DecorateCol(id: Column, ls: Column): Column =
+    transform(ls, (line0, i) => {
       val withJs = when((id * 3 + i) % 17 === 0,
         concat(lit("javascript "), line0)).otherwise(line0)
       val withLorem = when(id % 13 === 0 && i === 0,
@@ -86,8 +95,6 @@ object WebCuration {
         concat(withLorem, lit(" {"))).otherwise(withLorem)
       when((id + i) % 5 =!= 4, concat(withBrace, lit("."))).otherwise(withBrace)
     })
-    lineDf.select(id, dec.as("ls"))
-  }
 
   /** The C4 line+document filter battery: a line survives iff it ends with
     * a terminal '.', has >= 5 words, and does not contain "javascript"; the
@@ -199,14 +206,18 @@ object WebCuration {
     * typed placeholder tokens (counts are taken on the ORIGINAL text;
     * replacement order email -> ip -> phone is part of the contract).
     * Shuffle-free codegen'd regexes. */
-  def piiScrub(df: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val scrubbed = regexp_replace(
+  /** The PII replacement chain (email -> ip -> phone, order is contract). */
+  def scrubCol(t: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(t, emailPattern, "<EMAIL>"),
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
+
+  def piiScrub(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = scrubCol(t)
     df.select(
       col(idCol).as("doc_id"),
       regexp_count(t, lit(emailPattern)).cast("int").as("n_emails"),
@@ -269,5 +280,68 @@ object WebCuration {
       .filter(col("rn") === 1)
       .select(col("canon_url"), col("n_raw").cast("bigint"),
         col(tsCol).cast("bigint").as("kept_ts"))
+  }
+
+  /** The FineWeb-style curation FUNNEL as one single-scan, shuffle-free
+    * query: every per-document pass composed with first-failing-stage
+    * attribution, the shape a production curation run has (one pass over
+    * the crawl, one verdict per doc, survivors carry their scrubbed
+    * payload digest).
+    *
+    * Stage order (first failure names the stage):
+    *   1. `gopher`     — the four Gopher quality rules on the raw text;
+    *   2. `c4`         — line battery + doc drops on the decorated lines;
+    *   3. `repetition` — duplicate lines on the UNdecorated line corpus or
+    *                     a word 2-gram repeated more than 4 times;
+    *   4. `kept`       — survivors; `kept_md5` = md5 of the PII-scrubbed
+    *                     '\n'-joined C4-surviving lines.
+    *
+    * Everything is computed in ONE projection over the documents scan —
+    * no joins, no shuffles, fully inside whole-stage codegen — which is
+    * the point: at 10^12 docs the funnel costs exactly one read of the
+    * corpus. (The corpus-LEVEL passes — [[corpusLineDedup]],
+    * [[urlDedupLatest]], [[tokenBudgetMix]] — stay separate queries
+    * because they genuinely need their shuffle.) */
+  def funnel(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val t = col(textCol)
+    // Stage 1: Gopher rules (same integer cross-multiplied forms as
+    // gopherQuality, inlined so the funnel stays one projection).
+    val words = split(t, " ")
+    val n = size(words)
+    val wordChars = length(t) - (n - 1)
+    val alphaCt = size(filter(words, w => w.rlike("[a-z]")))
+    val stopHits = size(array_intersect(words,
+      array(TextAnalysis.stopwords.map(lit): _*)))
+    val gopherKeep = n >= 25 && n <= 100000 &&
+      wordChars >= n * 4 && wordChars <= n * 10 &&
+      stopHits >= 2 && alphaCt * 5 >= n * 4
+    // Stage 2: C4 battery over the decorated line corpus.
+    val ls0 = lineCorpusCol(id, t)
+    val dec = c4DecorateCol(id, ls0)
+    val kept = filter(dec, l =>
+      l.endsWith(".") && size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    val c4Keep = !exists(dec, l => l.contains("lorem ipsum")) &&
+      !exists(dec, l => l.contains("{")) && size(kept) > 0
+    // Stage 3: repetition — dup lines on the undecorated corpus, top
+    // 2-gram multiplicity on the raw words.
+    val grams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val top2 = when(n >= 2,
+      array_max(transform(array_distinct(grams),
+        x => size(filter(grams, y => y === x))))).otherwise(lit(0))
+    val repKeep = size(ls0) === size(array_distinct(ls0)) && top2 <= 4
+    val stage = when(!gopherKeep, "gopher")
+      .when(!c4Keep, "c4")
+      .when(!repKeep, "repetition")
+      .otherwise("kept")
+    docs.select(
+      id.as("doc_id"),
+      stage.as("stage"),
+      n.cast("int").as("n_words"),
+      size(kept).cast("int").as("kept_ct"),
+      when(stage === "kept",
+        md5(scrubCol(array_join(kept, "\n")).cast("binary"))).as("kept_md5"))
   }
 }

@@ -135,6 +135,29 @@ class WebCurationSpec extends AnyFunSuite {
     assert(out.map(_._4).sorted === Seq(10L, 20L))
   }
 
+  test("funnel attributes each doc to its first failing stage and digests survivors") {
+    // 30 words: two stopwords + 28 distinct 4-char words -> passes gopher
+    // exactly (word_chars = 4n) with every 2-gram unique (top2 = 1).
+    val text30 = ("this that" +: (1 to 28).map(i => f"wd$i%02d")).mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 10).map(i => f"wd$i%02d").mkString(" ")), // 10 words -> gopher
+      (13L, text30), // %13 -> lorem-ipsum decoration -> c4
+      (7L, text30),  // %7 -> duplicated lines -> repetition
+      (11L, text30)  // survives all stages
+    ).toDF("doc_id", "text")
+    val out = WebCuration.funnel(docs)
+      .as[(Long, String, Int, Int, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "gopher" && out(1L)._3 === 10 && out(1L)._5.isEmpty)
+    assert(out(13L)._2 === "c4" && out(13L)._5.isEmpty)
+    assert(out(7L)._2 === "repetition" && out(7L)._5.isEmpty)
+    // doc 11: line 1 gets the javascript decoration ((11*3+1) % 17 == 0)
+    // and is filtered; lines 0 and 2 survive with terminal dots.
+    val l0 = ("this that" +: (1 to 8).map(i => f"wd$i%02d")).mkString(" ") + "."
+    val l2 = (19 to 28).map(i => f"wd$i%02d").mkString(" ") + "."
+    assert(out(11L) === ((11L, "kept", 30, 2, Some(md5Hex(l0 + "\n" + l2)))))
+  }
+
   test("hashSampleByLang is a deterministic per-lang content-hash census") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "fr", s"text $i"))
       .toDF("doc_id", "lang", "text")
