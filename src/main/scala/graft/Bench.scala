@@ -8,22 +8,39 @@ import graft.pipeline.ExtractionPipeline
 
 /** Benchmark main (driver contract: ONE JSON line on stdout).
   *
-  * Two sections:
+  * Sections:
   *  1. per-query wall time for every SparkEntry query at local[cpus]
   *     (cpus = SPARK_GRAFT_CPUS, default 32);
   *  2. the north-rule scaling protocol — the extraction pipeline run on the
   *     SAME amplified corpus, with the SAME partition count, at local[N]
-  *     and local[4N] (the sandbox stand-in for N vs 4N executors), reporting
-  *     docs/sec, MB/sec and scaling efficiency = (tpHi/tpLo)/4. The default
-  *     pair is 2,8 — this VM's parallel capacity saturates near 20 effective
-  *     cores (measured: a pure-ALU loop gets only 2.8x from 8->32 threads),
-  *     so 8,32 measures the hardware ceiling, not the job; see
-  *     BENCH/BASELINE.md for the calibration table.
+  *     and local[4N] (the sandbox stand-in for N vs 4N executors),
+  *     reporting docs/sec, MB/sec and scaling efficiency = (tpHi/tpLo)/4.
+  *     The GATE pair is 1,4 (see BENCH/BASELINE.md §1: this VM's
+  *     allocation-bandwidth curve — the resource an extraction kernel
+  *     rides — is near-linear only to ~4 threads; 2→8 caps at 0.77 and
+  *     8→32 at ~0.70 BY HARDWARE). The allocation-saturated pairs 2,8 and
+  *     8,32 are ALSO measured and emitted machine-readably
+  *     (`scaling_pairs`) so gate-vs-hardware attribution lives in the
+  *     artifact, not prose;
+  *  2b. the curation FUNNEL throughput + its own 1,4 efficiency reading
+  *     (`funnel_scaling`) over an amplified documents table;
+  *  3-4. optional skew evidence (env-gated, unchanged from round 3).
+  *
+  * Drift hardening (round-5): the official round-4 gate read 0.727 while
+  * seven same-code reruns read 0.82-1.04 — best-of-per-level let ONE fast
+  * VM window on the lo side set the ratio. Levels are now alternated
+  * across `rounds` child JVMs and each level's figure is the MEDIAN OF THE
+  * BEST 3 child samples (k=3), so a single outlier window on either side
+  * cannot set the gate number; every sample plus per-round ratios ride in
+  * the JSON.
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
-  *      SPARK_GRAFT_AMPLIFY (default 240 -> 1.2M docs / ~1.8GB at sf0.1 so
-  *        the measured pass is compute-bound, not session-overhead-bound),
-  *      SPARK_GRAFT_SKIP_SCALING=1 to skip section 2.
+  *      SPARK_GRAFT_AMPLIFY (default 240 -> 1.2M docs / ~1.9GB at sf0.1),
+  *      SPARK_GRAFT_SCALING_CORES (gate pair, default "1,4"),
+  *      SPARK_GRAFT_SCALING_REPS (alternating rounds, default 4),
+  *      SPARK_GRAFT_ALL_PAIRS=0 to skip the 2,8 / 8,32 hardware pairs,
+  *      SPARK_GRAFT_FUNNEL_BENCH=0 to skip the funnel section,
+  *      SPARK_GRAFT_SKIP_SCALING=1 / SPARK_GRAFT_SKIP_QUERIES=1.
   */
 object Bench {
 
@@ -53,6 +70,14 @@ object Bench {
         sum(when(!col("success"), 1L).otherwise(0L))).head()
     val sec = (System.nanoTime() - t0) / 1e9
     (sec, row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Median of the best (smallest) min(3, n) samples: robust to one
+    * outlier window per level, unlike min(). For 3 kept samples this is
+    * the 2nd-fastest; for 2 the slower of the two (conservative). */
+  private def medianOfBest3(xs: Seq[Double]): Double = {
+    val best = xs.sorted.take(3)
+    best(best.length / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,6 +118,11 @@ object Bench {
     // ---- section 2: scaling protocol ----
     val scalingJson = if (skipScaling) "" else {
       val corpusDir = Corpus.materializeAmplified(spark, sfDir, amplify)
+      // Funnel corpus: the documents table amplified less aggressively —
+      // the funnel is a pure-expression scan, far cheaper per doc than the
+      // extraction kernels, so amplify/6 keeps legs in the tens of seconds.
+      val docsAmplify = math.max(amplify / 6, 1)
+      val docsDir = Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify)
       // Partition count is CONSTANT across both parallelism levels (the
       // protocol's requirement); its value only sets task granularity.
       // 64 keeps >=8 task waves at the high level while cutting per-task
@@ -119,13 +149,14 @@ object Bench {
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-      def childPass(cores: Int, reps: Int): (Double, Long, Long, Long) = {
+      def childPass(cores: Int, reps: Int, dir: String,
+                    job: String): (Double, Long, Long, Long) = {
         // executor-realistic sizing: 2g of heap per core, GC threads = cores
         val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
           s"-Xmx${2 * cores}g",
           "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cores",
           "-cp", sys.props("java.class.path"),
-          "graft.BenchPass", cores.toString, corpusDir, benchPartitions, reps.toString)
+          "graft.BenchPass", cores.toString, dir, benchPartitions, reps.toString, job)
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
         val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
         p.waitFor()
@@ -134,41 +165,82 @@ object Bench {
             val f = l.split(' ')
             (f(1).toDouble, f(2).toLong, f(3).toLong, f(4).toLong)
           case None => throw new IllegalStateException(
-            s"BenchPass($cores) produced no result:\n${lines.takeRight(20).mkString("\n")}")
+            s"BenchPass($cores,$job) produced no result:\n${lines.takeRight(20).mkString("\n")}")
         }
       }
 
-      // N vs 4N parallelism pair (default 1,4: the round-3 calibration
-      // found this VM's ALLOCATION bandwidth — the curve an extraction job
-      // actually rides — caps at 0.77 from 2->8 threads while staying
-      // linear to 4; see BENCH/BASELINE.md §1 for all three hardware
-      // curves; override e.g. SPARK_GRAFT_SCALING_CORES=2,8).
-      // This shared VM's throughput also drifts over minutes: ALTERNATE the
-      // two levels across `rounds` child JVMs and take min per level.
+      /** Measure one N/4N pair: `rounds` ALTERNATING child JVMs per level
+        * (this VM's throughput drifts over minutes — identical passes vary
+        * up to 1.5×), estimate each level by [[medianOfBest3]] of the
+        * per-child bests, and emit every sample + per-round ratios.
+        * Returns (jsonObjectBody, docs, bytes, secLo, secHi). */
+      def measurePair(nLo: Int, nHi: Int, rounds: Int, repsLo: Int, repsHi: Int,
+                      dir: String, job: String): (String, Long, Long, Double, Double) = {
+        val passes = (1 to rounds).map(_ =>
+          (childPass(nLo, repsLo, dir, job), childPass(nHi, repsHi, dir, job)))
+        val loSamples = passes.map(_._1._1)
+        val hiSamples = passes.map(_._2._1)
+        val (_, docs, bytes, _) = passes.head._1
+        val failures = passes.map(p => p._1._4 + p._2._4).sum
+        val secLo = medianOfBest3(loSamples)
+        val secHi = medianOfBest3(hiSamples)
+        val tpLo = docs / secLo
+        val tpHi = docs / secHi
+        val ratio = nHi.toDouble / nLo
+        val eff = (tpHi / tpLo) / ratio
+        // per-round ratios pair temporally-adjacent lo/hi legs — the
+        // drift-attribution view (a stable per-round list with a divergent
+        // best-of view = cross-window drift, not a plan property)
+        val perRound = passes.map(p => (p._1._1 / p._2._1) / ratio)
+        def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+        def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+        val json =
+          f""""cores_lo":$nLo,"cores_hi":$nHi,"estimator":"median-of-best-3",""" +
+            f""""lo_samples_sec":${arr(loSamples)},"hi_samples_sec":${arr(hiSamples)},""" +
+            f""""per_round_eff":${arr3(perRound)},""" +
+            f""""lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
+            f""""lo_docs_per_sec":$tpLo%.0f,"hi_docs_per_sec":$tpHi%.0f,""" +
+            f""""failures":$failures,"scaling_efficiency":$eff%.3f"""
+        (json, docs, bytes, secLo, secHi)
+      }
+
+      // The GATE pair (default 1,4 — the near-linear range of this VM's
+      // allocation-bandwidth curve, BENCH/BASELINE.md §1c).
       val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "1,4")
         .split(",").map(_.trim.toInt)
-      // Short passes are proportionally noisier on this VM: give the fast
-      // (hi) level more in-JVM reps so min() converges on both levels.
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
-      val passes = (1 to rounds).map(_ => (childPass(nLo, 3), childPass(nHi, 5)))
-      // Best observed wall time per level across rounds (each child already
-      // reports its in-JVM best); raw samples go into the JSON so a noisy
-      // window is visible rather than silently folded in.
-      val (secLo, docs, bytes, failLo) = passes.map(_._1).minBy(_._1)
-      val (secHi, _, _, failHi) = passes.map(_._2).minBy(_._1)
-      val loSamples = passes.map(p => f"${p._1._1}%.2f").mkString("[", ",", "]")
-      val hiSamples = passes.map(p => f"${p._2._1}%.2f").mkString("[", ",", "]")
-      val tpLo = docs / secLo
-      val tpHi = docs / secHi
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
+      val (gateJson, docs, bytes, gateSecLo, gateSecHi) =
+        measurePair(nLo, nHi, rounds, repsLo = 2, repsHi = 4, corpusDir, "extract")
       val mb = bytes / 1e6
-      val eff = (tpHi / tpLo) / (nHi.toDouble / nLo)
-      f""","scaling":{"docs":$docs,"input_mb":${mb}%.1f,"amplify":$amplify,""" +
-        f""""cores_lo":$nLo,"cores_hi":$nHi,""" +
-        f""""lo_samples_sec":$loSamples,"hi_samples_sec":$hiSamples,""" +
-        f""""lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
-        f""""lo_docs_per_sec":$tpLo%.0f,"hi_docs_per_sec":$tpHi%.0f,""" +
-        f""""lo_mb_per_sec":${mb / secLo}%.1f,"hi_mb_per_sec":${mb / secHi}%.1f,""" +
-        f""""failures":${failLo + failHi},"scaling_efficiency":$eff%.3f}"""
+      val gate =
+        f""","scaling":{"docs":$docs,"input_mb":$mb%.1f,"amplify":$amplify,$gateJson,""" +
+          f""""lo_mb_per_sec":${mb / gateSecLo}%.1f,"hi_mb_per_sec":${mb / gateSecHi}%.1f}"""
+
+      // Hardware-attribution pairs: allocation-saturated 2,8 and 8,32 —
+      // EXPECTED to read ~0.77 / ~0.70 on this box (the §1c curves), and
+      // measured every round so the comparison is machine-readable.
+      val pairsJson =
+        if (sys.env.get("SPARK_GRAFT_ALL_PAIRS").contains("0")) ""
+        else {
+          val extra = Seq((2, 8), (8, 32)).map { case (lo, hi) =>
+            val (j, _, _, _, _) =
+              measurePair(lo, hi, rounds = 2, repsLo = 2, repsHi = 3, corpusDir, "extract")
+            s"{$j}"
+          }
+          s""","scaling_pairs":[${extra.mkString(",")}]"""
+        }
+
+      // Curation-funnel throughput + its own 1,4 reading: the funnel claims
+      // one-scan shuffle-free cost at corpus scale — measured, not assumed.
+      val funnelJson =
+        if (sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")) ""
+        else {
+          val (j, fdocs, _, _, _) =
+            measurePair(1, 4, rounds = 2, repsLo = 2, repsHi = 3, docsDir, "funnel")
+          s""","funnel_scaling":{"docs":$fdocs,"amplify":$docsAmplify,$j}"""
+        }
+
+      gate + pairsJson + funnelJson
     }
     if (skipScaling) spark.stop()
 

@@ -11,11 +11,16 @@ import graft.pipeline.ExtractionPipeline
   * warmup pass first (JIT), then `reps` timed passes; prints the best as
   * `PASS <sec> <docs> <bytes> <failures>`.
   *
-  * args: cores corpusDir partitions reps
+  * args: cores corpusDir partitions reps [job]
+  *   job = "extract" (default): the full extraction pipeline over a
+  *         webpages corpus parquet;
+  *   job = "funnel": the single-scan curation funnel over a documents
+  *         corpus parquet (doc_id, text, lang) — "bytes" reports summed
+  *         n_words and "failures" the non-kept doc count.
   */
 object BenchPass {
   def main(args: Array[String]): Unit = {
-    val Array(cores, corpusDir, partitions, reps) = args.padTo(4, "2")
+    val Array(cores, corpusDir, partitions, reps, job) = args.padTo(5, "extract")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-pass-$cores")
@@ -33,7 +38,7 @@ object BenchPass {
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
 
-    def pass(): (Double, Long, Long, Long) = {
+    def extractPass(): (Double, Long, Long, Long) = {
       val pages = s.read.parquet(corpusDir).as[graft.model.WebPage]
       val t0 = System.nanoTime()
       val row = ExtractionPipeline.extract(pages, partitions.toInt, carryGolden = false).toDF()
@@ -41,6 +46,20 @@ object BenchPass {
           sum(when(!col("success"), 1L).otherwise(0L))).head()
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1), row.getLong(2))
     }
+
+    // The curation funnel is shuffle-free per-row work; the explicit
+    // repartition only fixes task granularity so both parallelism levels
+    // run the same task count (mirrors the extraction protocol).
+    def funnelPass(): (Double, Long, Long, Long) = {
+      val docs = s.read.parquet(corpusDir).repartition(partitions.toInt)
+      val t0 = System.nanoTime()
+      val row = graft.curation.WebCuration.funnel(docs)
+        .agg(count(lit(1)), sum(col("n_words")),
+          sum(when(col("stage") =!= "kept", 1L).otherwise(0L))).head()
+      ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+
+    def pass() = if (job == "funnel") funnelPass() else extractPass()
 
     pass() // JIT warmup, discarded
     val best = (1 to reps.toInt).map(_ => pass()).minBy(_._1)

@@ -1739,10 +1739,8 @@ object SparkEntry {
         WebCuration.lineCorpus(docs(s, dir)))).orderBy("doc_id")),
     "cur_gopher_quality" -> ((s, dir) =>
       WebCuration.gopherQuality(gopherDocs(s, dir)).orderBy("doc_id")),
-    "cur_repetition" -> ((s, dir) => {
-      val d = docs(s, dir)
-      WebCuration.repetitionStats(WebCuration.lineCorpus(d), d).orderBy("doc_id")
-    }),
+    "cur_repetition" -> ((s, dir) =>
+      WebCuration.repetitionStats(docs(s, dir)).orderBy("doc_id")),
     "cur_line_dedup" -> ((s, dir) =>
       WebCuration.corpusLineDedup(WebCuration.lineCorpus(docs(s, dir))).orderBy("doc_id")),
     "cur_pii_scrub" -> ((s, dir) =>
@@ -1752,7 +1750,7 @@ object SparkEntry {
         when(col("lang") === "en", "80").when(col("lang") === "es", "60")
           .otherwise("40")).orderBy("lang")),
     "cur_token_mix" -> ((s, dir) =>
-      WebCuration.tokenBudgetMix(docs(s, dir), 2000L).orderBy("lang", "doc_id")),
+      WebCuration.tokenBudgetMix(docs(s, dir), 2000L).orderBy("lang", "shard", "doc_id")),
     "cur_url_dedup" -> ((s, dir) =>
       WebCuration.urlDedupLatest(recrawlUrls(s, dir)).orderBy("canon_url")),
     "cur_funnel" -> ((s, dir) =>
@@ -1760,7 +1758,14 @@ object SparkEntry {
 
     // ---- WARC source (write → parse round trip over grouped pages) ---------
     "src_warc_roundtrip" -> ((s, dir) =>
-      WarcSource.roundTrip(docs(s, dir)).orderBy("doc_id"))
+      WarcSource.roundTrip(docs(s, dir)).orderBy("doc_id")),
+
+    // ---- WARC ingest end-to-end: segments → parse → dispatch → extract -----
+    // The Common-Crawl ingest shape over the REAL format-wheel corpus; the
+    // WARC leg is byte-transparent so the per-format rollup must equal
+    // extract_metrics (the two queries share the oracle SQL).
+    "src_warc_extract" -> ((s, dir) =>
+      WarcSource.extractionRollup(graft.fixtures.Corpus.materialize(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2548,10 +2553,13 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS kept FROM documents GROUP BY lang ORDER BY lang"),
     "cur_token_mix" ->
       ("WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n, " +
-        "sum(len(string_split(text, ' '))) OVER (PARTITION BY lang " +
+        "ascii(substring(md5(text), 1, 1)) % 4 AS shard, " +
+        "sum(len(string_split(text, ' '))) OVER (" +
+        "PARTITION BY lang, ascii(substring(md5(text), 1, 1)) % 4 " +
         "ORDER BY md5(text), doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
-        "SELECT lang, doc_id, CAST(n AS INT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens " +
-        "FROM t WHERE cum - n < 2000 ORDER BY lang, doc_id"),
+        "SELECT lang, CAST(shard AS INT) AS shard, doc_id, CAST(n AS INT) AS n_tokens, " +
+        "CAST(cum AS BIGINT) AS cum_tokens " +
+        "FROM t WHERE cum - n < 500 ORDER BY lang, shard, doc_id"),
     "cur_url_dedup" ->
       ("WITH r AS (" +
         "SELECT 'HTTP://Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:80/p/' || " +
@@ -2560,7 +2568,8 @@ object SparkEntry {
         "SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' || " +
         "CAST(doc_id AS VARCHAR) || '/', doc_id + 1000000 FROM documents), " +
         "c AS (SELECT regexp_replace(regexp_replace(regexp_replace(lower(url), " +
-        "'#.*$', '', 'g'), ':80/', '/', 'g'), '/$', '', 'g') AS canon_url, ts FROM r), " +
+        "'#.*$', '', 'g'), '^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)', '\\1\\2', 'g'), " +
+        "'/$', '', 'g') AS canon_url, ts FROM r), " +
         "k AS (SELECT canon_url, ts, row_number() OVER (PARTITION BY canon_url ORDER BY ts DESC) AS rn, " +
         "count(*) OVER (PARTITION BY canon_url) AS n_raw FROM c) " +
         "SELECT canon_url, CAST(n_raw AS BIGINT) AS n_raw, CAST(ts AS BIGINT) AS kept_ts " +
@@ -2598,7 +2607,11 @@ object SparkEntry {
       ("SELECT doc_id, 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url, " +
         "CAST(200 AS INT) AS status, 'text/plain; charset=utf-8' AS mime, " +
         "CAST(strlen(text) AS BIGINT) AS payload_octets, md5(text) AS payload_md5 " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "src_warc_extract" ->
+      ("SELECT " + formatFromSql + " AS format_from, " +
+        "CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_chars) AS BIGINT) AS bytes_out, " +
+        "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY 1 ORDER BY format_from")
   )
 
   /** The C4 decoration pass (WebCuration.c4DecorateCol) in SQL over the

@@ -26,12 +26,14 @@ import graft.textops.TextAnalysis
   *  - deterministic hash sampling and per-language token-budget mixing.
   *
   * Scale notes (10^12 docs): everything except `corpusLineDedup` and the
-  * window in `tokenBudgetMix` is shuffle-free per-row work inside
+  * sharded window in `tokenBudgetMix` is shuffle-free per-row work inside
   * whole-stage codegen. `corpusLineDedup` shuffles the exploded lines once
   * to count global frequencies (map-side partial agg) and once to
-  * reassemble documents; the hot-line set itself is boilerplate-sized and
-  * is broadcast for the anti-join, so corpus lines are never shuffled for
-  * the join itself.
+  * reassemble documents; the hot-line anti-join strategy is left to AQE
+  * (see the method doc — the repeated-line tail of a real crawl is NOT
+  * broadcast-sized). Per-document stats are O(words log words) worst case
+  * (the 2-gram repetition signal sorts, then folds one run-length pass —
+  * never the O(words²) distinct×filter shape).
   */
 object WebCuration {
 
@@ -59,12 +61,18 @@ object WebCuration {
 
   /** Column-level body of [[lineCorpus]] — exposed so composites (the
     * funnel) can build the line array inside a wider single-scan projection
-    * instead of chaining DataFrame passes. */
+    * instead of chaining DataFrame passes.
+    *
+    * Scale note: the line array is built by ONE linear regex pass (insert a
+    *  sentinel after every 10th word) + one split — NOT by slicing
+    * the words array per line. Higher-order functions run interpreted (no
+    * whole-stage codegen for lambdas), so a per-line `slice(split(text))`
+    * re-splits the WHOLE text for every line = O(words²) per document; a
+    * 100k-word page (admitted by the Gopher wordcount rule) would cost
+    * ~10⁹ split steps in one row. Assumes single-space-separated text (the
+    * corpus contract — the oracle's slice-based SQL agrees on such input). */
   def lineCorpusCol(id: Column, text: Column): Column = {
-    val words = split(text, " ")
-    val nlines = greatest(ceil(size(words) / lit(10.0)).cast("int"), lit(1))
-    val base = transform(sequence(lit(0), nlines - 1),
-      i => array_join(slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    val base = split(regexp_replace(text, "((?:\\S+ ){9}\\S+) ", "$1\u0001"), "\u0001")
     val hdr = when(id % 2 === 0, array(lit(headerLine))).otherwise(emptyStrArray)
     val ftr = when(id % 3 === 0, array(lit(footerLine))).otherwise(emptyStrArray)
     val withHf = concat(hdr, base, ftr)
@@ -143,28 +151,55 @@ object WebCuration {
       (ruleWc && ruleMwl && ruleStop && ruleAlpha).as("keep"))
   }
 
-  /** Within-document repetition signals over a `lineCorpus` output joined
-    * back to the raw text: duplicate-line count and duplicated characters
-    * (occurrences past the first), and the multiplicity of the most
-    * frequent word 2-gram. Shuffle-free: all three are array-expression
-    * folds per row — per-document stats never need a shuffle. */
-  def repetitionStats(lineDf: DataFrame, docs: DataFrame,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Multiplicity of the most frequent word 2-gram: the grams are sorted
+    * and the longest equal RUN is counted with one `aggregate` fold —
+    * O(n log n) per document. (The obvious distinct×filter form is
+    * O(words²): a 100k-word document — allowed by the Gopher wordcount
+    * rule — would cost ~10^10 string comparisons in ONE row.) Still a pure
+    * expression; the oracle's quadratic list form computes the same value
+    * at oracle scale. */
+  private def top2GramCount(words: Column, n: Column): Column = {
+    // Grams via zip_with of the words array against its own 1-shifted
+    // slice: both arrays are evaluated ONCE and the lambda touches only its
+    // arguments. (The transform(sequence(…), i => element_at(words, i))
+    // form re-evaluates `words` — a split of the WHOLE text — per element,
+    // because higher-order functions run interpreted without
+    // common-subexpression elimination: O(words²) per document.)
+    val shifted = slice(words, lit(2), greatest(n - 1, lit(1)))
+    val pairs = zip_with(words, shifted, (a, b) => concat(a, lit(" "), b))
+    val grams = slice(pairs, lit(1), greatest(n - 1, lit(1)))
+    val best = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n >= 2, best).otherwise(lit(0))
+  }
+
+  /** Within-document repetition signals: duplicate-line count and
+    * duplicated characters (occurrences past the first) over the line
+    * corpus, and the multiplicity of the most frequent word 2-gram
+    * ([[top2GramCount]]). The line array is built INLINE from the text
+    * (same projection, like [[funnel]]) — per-document stats are
+    * shuffle-free and join-free. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
     val sumChars = (l: Column) => aggregate(l, lit(0), (a, x) => a + length(x))
-    val distinctLs = array_distinct(col("ls"))
-    val words = split(col(textCol), " ")
-    val grams = transform(sequence(lit(1), greatest(size(words) - 1, lit(1))),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
-    val top2 = when(size(words) >= 2,
-      array_max(transform(array_distinct(grams),
-        x => size(filter(grams, y => y === x))))).otherwise(lit(0))
-    lineDf.join(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
-      .select(
-        col("doc_id"),
-        size(col("ls")).cast("int").as("n_lines"),
-        (size(col("ls")) - size(distinctLs)).cast("int").as("dup_line_ct"),
-        (sumChars(col("ls")) - sumChars(distinctLs)).cast("int").as("dup_line_chars"),
-        top2.cast("int").as("top2gram_ct"))
+    val id = col(idCol)
+    val t = col(textCol)
+    val ls = lineCorpusCol(id, t)
+    val distinctLs = array_distinct(ls)
+    val words = split(t, " ")
+    docs.select(
+      id.as("doc_id"),
+      size(ls).cast("int").as("n_lines"),
+      (size(ls) - size(distinctLs)).cast("int").as("dup_line_ct"),
+      (sumChars(ls) - sumChars(distinctLs)).cast("int").as("dup_line_chars"),
+      top2GramCount(words, size(words)).cast("int").as("top2gram_ct"))
   }
 
   /** Corpus-level boilerplate line dedup (the FineWeb-style pass): a line
@@ -174,10 +209,15 @@ object WebCuration {
     * (standard curation semantics).
     *
     * Shape at scale: one shuffle of the exploded lines to count global
-    * frequency (map-side partial agg first), the hot set (df > maxGlobal)
-    * is boilerplate-sized and broadcast for the anti-join — the corpus is
-    * NOT shuffled for the join — then one shuffle to reassemble documents.
-    * No driver-side state. */
+    * frequency (map-side partial agg first), an anti-join against the hot
+    * set (df > maxGlobal), then one shuffle to reassemble documents. The
+    * anti-join strategy is deliberately left to AQE/size estimation: with
+    * the default maxGlobal on a clean corpus the hot set is
+    * boilerplate-sized and AQE broadcasts it, but a real web crawl has a
+    * heavy repeated-line tail (a large fraction of crawl lines repeat ≥5
+    * times at 10^12 docs), so FORCING a broadcast would OOM — callers
+    * should raise `maxGlobal` with corpus size instead. No driver-side
+    * state. */
   def corpusLineDedup(lineDf: DataFrame, maxGlobal: Int = 4): DataFrame = {
     val exploded = lineDf.select(col("doc_id"), size(col("ls")).as("n_lines"),
         posexplode(col("ls")).as(Seq("idx", "line")))
@@ -185,7 +225,7 @@ object WebCuration {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxGlobal)
       .select("line")
-    val kept = exploded.join(broadcast(hot), Seq("line"), "left_anti")
+    val kept = exploded.join(hot, Seq("line"), "left_anti")
     kept.groupBy("doc_id")
       .agg(
         first(col("n_lines")).cast("int").as("n_lines"),
@@ -202,10 +242,6 @@ object WebCuration {
   val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
-  /** PII scrub: count then replace emails, IPv4s and phone numbers with
-    * typed placeholder tokens (counts are taken on the ORIGINAL text;
-    * replacement order email -> ip -> phone is part of the contract).
-    * Shuffle-free codegen'd regexes. */
   /** The PII replacement chain (email -> ip -> phone, order is contract). */
   def scrubCol(t: Column): Column =
     regexp_replace(
@@ -214,6 +250,10 @@ object WebCuration {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  /** PII scrub: count then replace emails, IPv4s and phone numbers with
+    * typed placeholder tokens (counts are taken on the ORIGINAL text;
+    * replacement order email -> ip -> phone is [[scrubCol]]'s contract).
+    * Shuffle-free codegen'd regexes. */
   def piiScrub(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -238,32 +278,43 @@ object WebCuration {
         sum(when(bucket < thresholdFor, 1L).otherwise(0L)).cast("bigint").as("kept"))
   }
 
-  /** Token-budget mixing: within each language, order documents by
-    * (md5(text), doc_id) — a deterministic, content-addressed shuffle — and
-    * keep documents while the budget lasts: a doc is kept iff the tokens
-    * accumulated BEFORE it are under `budget`. The per-language window is
-    * the one shuffle; at 10^12 docs the partition key would be
-    * (lang, hash-prefix) with per-prefix budgets, same semantics. */
-  def tokenBudgetMix(docs: DataFrame, budget: Long): DataFrame = {
+  /** Token-budget mixing, SHARDED for scale: documents are assigned to
+    * (lang, shard) groups — shard = ascii of the first md5(text) hex char
+    * mod `shards`, deterministic and content-addressed — and within each
+    * group ordered by (md5(text), doc_id); a doc is kept iff the tokens
+    * accumulated BEFORE it in its shard are under the per-shard budget
+    * (budget / shards). The running-sum window partitions on (lang, shard),
+    * never on lang alone: at 10^12 docs the dominant language is ~half the
+    * corpus, which a lang-only window would serialize into ONE straggler
+    * task — raise `shards` with corpus size (the hash prefix gives up to
+    * 16 balanced shards per hex char; use two chars for 256). */
+  def tokenBudgetMix(docs: DataFrame, budget: Long, shards: Int = 4): DataFrame = {
+    require(shards >= 1 && budget % shards == 0,
+      s"budget $budget must split evenly across $shards shards")
     val n = TextAnalysis.tokenCount(col("text"))
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    val h = md5(col("text").cast("binary"))
+    val w = Window.partitionBy("lang", "shard")
+      .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("lang"), col("doc_id"), n.cast("int").as("n_tokens"),
-        sum(n).over(w).cast("bigint").as("cum_tokens"))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
+        h.as("h"), (ascii(substring(h, 1, 1)) % shards).cast("int").as("shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("bigint"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget / shards)
+      .select("lang", "shard", "doc_id", "n_tokens", "cum_tokens")
   }
 
   /** URL canonicalization for recrawl dedup: lowercase, strip the fragment,
-    * drop an explicit default port (":80/"), drop one trailing slash.
-    * (Simplified contract: paths in this engine's corpora are
-    * lowercase-safe; a full implementation lowercases only scheme+host.)
-    * Uses only group-free regexes + literal replace so DuckDB's RE2
-    * replacement mirrors Java's exactly. */
+    * drop an explicit default port — ANCHORED to the authority
+    * (scheme://host:80/ only), so a path or query segment containing
+    * 'host:80/…' is untouched — and drop one trailing slash. (Simplified
+    * contract: paths in this engine's corpora are lowercase-safe; a full
+    * implementation lowercases only scheme+host.) Patterns are RE2-and-Java
+    * compatible; the port strip is the one place a capture group is needed —
+    * Spark substitutes `$1`, the DuckDB oracle mirrors with RE2's `\1`. */
   def canonicalizeUrl(u: Column): Column = {
     val lowered = lower(u)
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    val noPort = regexp_replace(noFrag, ":80/", "/")
+    val noPort = regexp_replace(noFrag, "^([a-z][a-z0-9+.-]*://[^/]*):80(/|$)", "$1$2")
     regexp_replace(noPort, "/$", "")
   }
 
@@ -325,12 +376,9 @@ object WebCuration {
     val c4Keep = !exists(dec, l => l.contains("lorem ipsum")) &&
       !exists(dec, l => l.contains("{")) && size(kept) > 0
     // Stage 3: repetition — dup lines on the undecorated corpus, top
-    // 2-gram multiplicity on the raw words.
-    val grams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
-    val top2 = when(n >= 2,
-      array_max(transform(array_distinct(grams),
-        x => size(filter(grams, y => y === x))))).otherwise(lit(0))
+    // 2-gram multiplicity on the raw words (sorted run-length fold,
+    // O(n log n) — see top2GramCount).
+    val top2 = top2GramCount(words, n)
     val repKeep = size(ls0) === size(array_distinct(ls0)) && top2 <= 4
     val stage = when(!gopherKeep, "gopher")
       .when(!c4Keep, "c4")

@@ -150,4 +150,25 @@ object Corpus {
     }
     dir
   }
+
+  /** Amplified DOCUMENTS table (doc_id, text, lang) for curation-tier
+    * benchmarks: the same deterministic replication rule as
+    * [[materializeAmplified]] (doc_id offset 1M per replica) but without
+    * payload synthesis — the funnel consumes raw text. Cached once per
+    * (sfDir, factor) under java.io.tmpdir. */
+  def materializeAmplifiedDocs(spark: SparkSession, sfDir: String, factor: Int): String = {
+    import org.apache.spark.sql.functions._
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_docs_x${factor}_$fixtureVersion"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_docs_$key"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .select((col("doc_id") + col("rep").cast("long") * 1000000L).as("doc_id"),
+          col("text"), col("lang"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
 }

@@ -37,6 +37,18 @@ object ResumableRunner {
     math.floorMod(v, numBuckets)
   }
 
+  /** [[bucketOf]] as a pure built-in column expression (codegen'd — no
+    * ScalaUDF in the bucketing projection; PlanSpec pins this): the first 4
+    * MD5 bytes read as a SIGNED 32-bit value, floorMod numBuckets. The
+    * explicit sign fold keeps it byte-identical to bucketOf for EVERY
+    * numBuckets (pmod of the unsigned value alone only agrees when
+    * numBuckets is a power of two). */
+  def bucketCol(url: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column = {
+    val unsigned = conv(substring(md5(url.cast("binary")), 1, 8), 16, 10).cast("bigint")
+    val signed = when(unsigned >= 2147483648L, unsigned - 4294967296L).otherwise(unsigned)
+    pmod(signed, lit(numBuckets.toLong)).cast("int")
+  }
+
   /** docs/failures cover the buckets THIS run processed; docsTotal adds the
     * prior manifest's docs (lineage carried forward, output not re-read). */
   final case class RunSummary(runId: String, bucketsTotal: Int, bucketsRun: Int,
@@ -83,8 +95,7 @@ object ResumableRunner {
       } else Array.empty[ManifestEntry]
     val doneBuckets: Set[Int] = prior.map(_.partition_id).toSet
 
-    val bucketUdf = udf((url: String) => bucketOf(url, numBuckets))
-    val bucketed = pages.withColumn("bucket", bucketUdf(col("url")))
+    val bucketed = pages.withColumn("bucket", bucketCol(col("url"), numBuckets))
     val remaining = remainingAfterManifest(bucketed, doneBuckets)
 
     // golden `text` is blanked before the shuffle — the kernel reads only

@@ -1,32 +1,42 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+
+import graft.model.WebPage
 
 /** WARC (ISO 28500) source: the container format Common Crawl ships web
   * pages in, and the natural ingest format for the extraction pipeline
   * (reference analog: the repo ingests one uploaded file per request,
-  * /root/reference/src/api/routes.py — a crawl-scale engine ingests WARC
+  * /root/reference/server.py:36-88 — a crawl-scale engine ingests WARC
   * segments instead). This module is both directions:
   *
-  *  - a deterministic WRITER (`buildFile`) producing spec-shaped WARC/1.1
-  *    bytes — warcinfo header record + one response record per page, CRLF
-  *    framing, exact Content-Length, optionally gzip'd one-member-PER-RECORD
-  *    exactly as the .warc.gz convention requires;
-  *  - a PARSER (`parse`) that walks records (through multi-member gzip
-  *    transparently), validates framing, and surfaces HTTP response
-  *    payloads with status / Content-Type.
+  *  - a deterministic WRITER (`buildFile` / `buildBinaryFile`) producing
+  *    spec-shaped WARC/1.1 bytes — warcinfo header record + one response
+  *    record per page, CRLF framing, exact Content-Length, optionally
+  *    gzip'd one-member-PER-RECORD exactly as the .warc.gz convention
+  *    requires;
+  *  - a streaming PARSER (`parseStream`) that walks records one at a time
+  *    off an InputStream (through multi-member gzip transparently),
+  *    validates framing — header terminator, numeric Content-Length, the
+  *    CRLFCRLF record trailer — with NAMED errors, and surfaces HTTP
+  *    response payloads with status / Content-Type.
   *
   * Scale shape: in production each task reads ONE ~1 GB .warc.gz object
   * (spark.read.format("binaryFile") or a manifest of ranges) and streams
   * records out of it — file-per-task is the right granularity because
   * record-gzip members are not independently seekable without an index.
-  * Here `roundTrip` synthesizes file groups from the documents table so the
-  * oracle can recompute every parsed field from SQL.
+  * `parseStream` holds only the CURRENT record in memory (one record body
+  * at a time, never the inflated file), so a multi-GB segment costs one
+  * record's worth of heap per task; a single record larger than ~2 GiB is
+  * a named error (the JVM cannot hold one byte array past that, and real
+  * crawls cap records far below it). Here `roundTrip` / `extractionRollup`
+  * synthesize file groups from the documents table so the oracle can
+  * recompute every parsed field from SQL.
   */
 object WarcSource {
 
@@ -39,9 +49,14 @@ object WarcSource {
   /** Documents per synthesized WARC file. */
   val docsPerFile = 50
 
-  private def httpResponse(payload: Array[Byte]): Array[Byte] = {
+  /** Framing guards: WARC named headers are small (64 KiB is far past any
+    * spec'd field), and one record body must fit a JVM byte array. */
+  private val maxHeaderBytes = 64 * 1024
+  private val maxRecordBytes: Long = Int.MaxValue.toLong - 16
+
+  private def httpResponse(payload: Array[Byte], contentType: String): Array[Byte] = {
     val head = "HTTP/1.1 200 OK" + CRLF +
-      s"Content-Type: $responseContentType" + CRLF +
+      s"Content-Type: $contentType" + CRLF +
       s"Content-Length: ${payload.length}" + CRLF + CRLF
     head.getBytes(ISO_8859_1) ++ payload
   }
@@ -53,14 +68,15 @@ object WarcSource {
     head.getBytes(ISO_8859_1) ++ body ++ (CRLF + CRLF).getBytes(ISO_8859_1)
   }
 
-  private def responseRecord(id: Long, text: String): Array[Byte] =
+  private def responseRecord(uri: String, payload: Array[Byte],
+                             contentType: String): Array[Byte] =
     record(Seq(
       "WARC-Type" -> "response",
-      "WARC-Record-ID" -> s"<urn:graft:doc$id>",
+      "WARC-Record-ID" -> s"<urn:graft:$uri>",
       "WARC-Date" -> warcDate,
-      "WARC-Target-URI" -> targetUri(id),
+      "WARC-Target-URI" -> uri,
       "Content-Type" -> "application/http; msgtype=response"),
-      httpResponse(text.getBytes(UTF_8)))
+      httpResponse(payload, contentType))
 
   private def warcinfoRecord(fileId: Long): Array[Byte] =
     record(Seq(
@@ -79,29 +95,30 @@ object WarcSource {
     bos.toByteArray
   }
 
-  /** Deterministic WARC file over (doc_id, text) pages: warcinfo + one
-    * response record per page, optionally gzip'd per record. */
-  def buildFile(fileId: Long, pages: Seq[(Long, String)], gzipPerRecord: Boolean): Array[Byte] = {
-    val recs = warcinfoRecord(fileId) +: pages.map { case (id, t) => responseRecord(id, t) }
+  private def frame(recs: Seq[Array[Byte]], gzipPerRecord: Boolean): Array[Byte] = {
     val framed = if (gzipPerRecord) recs.map(gzipMember) else recs
     val out = new ByteArrayOutputStream()
     framed.foreach(out.write)
     out.toByteArray
   }
 
+  /** Deterministic WARC file over (doc_id, text) pages: warcinfo + one
+    * response record per page, optionally gzip'd per record. */
+  def buildFile(fileId: Long, pages: Seq[(Long, String)], gzipPerRecord: Boolean): Array[Byte] =
+    frame(warcinfoRecord(fileId) +: pages.map { case (id, t) =>
+      responseRecord(targetUri(id), t.getBytes(UTF_8), responseContentType)
+    }, gzipPerRecord)
+
+  /** Deterministic WARC file over (url, payload-bytes) pages — the crawl
+    * ingest shape: arbitrary binary payloads under their real target URIs. */
+  def buildBinaryFile(fileId: Long, pages: Seq[(String, Array[Byte])],
+                      gzipPerRecord: Boolean): Array[Byte] =
+    frame(warcinfoRecord(fileId) +: pages.map { case (uri, payload) =>
+      responseRecord(uri, payload, "application/octet-stream")
+    }, gzipPerRecord)
+
   final case class ParsedResponse(url: String, date: String, status: Int,
                                   contentType: String, payload: Array[Byte])
-
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream reads concatenated members transparently — exactly
-    // the multi-member .warc.gz framing.
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -119,46 +136,117 @@ object WarcSource {
       line.substring(0, c).trim -> line.substring(c + 1).trim
     }.toMap
 
-  /** Walk all records in a WARC file (plain or per-record-gzip'd); returns
-    * the HTTP response records only (warcinfo/request records are framing).
-    * Malformed framing throws a named error — contained per-file upstream. */
-  def parse(bytes: Array[Byte]): Seq[ParsedResponse] = {
-    val plain =
-      if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
-        gunzipAll(bytes)
-      else bytes
-    val out = Seq.newBuilder[ParsedResponse]
-    var pos = 0
-    while (pos < plain.length) {
-      val hdrEnd = indexOfCrlfCrlf(plain, pos)
-      require(hdrEnd >= 0, s"WARC record at offset $pos has no header terminator")
-      val head = new String(plain, pos, hdrEnd - pos, ISO_8859_1)
-      require(head.startsWith("WARC/"), s"not a WARC record at offset $pos")
-      val headers = parseHeaders(head)
-      val len = headers.getOrElse("Content-Length",
-        sys.error(s"WARC record at offset $pos lacks Content-Length")).toInt
-      val bodyStart = hdrEnd + 4
-      require(bodyStart + len + 4 <= plain.length,
-        s"WARC record at offset $pos truncated (need $len body bytes)")
-      if (headers.get("WARC-Type").contains("response")) {
-        val body = java.util.Arrays.copyOfRange(plain, bodyStart, bodyStart + len)
-        val httpHdrEnd = indexOfCrlfCrlf(body, 0)
-        require(httpHdrEnd >= 0, "HTTP response block has no header terminator")
-        val httpHead = new String(body, 0, httpHdrEnd, ISO_8859_1)
-        val statusLine = httpHead.split(CRLF).head
-        val status = statusLine.split(" ")(1).toInt
-        val httpHeaders = parseHeaders(httpHead)
-        out += ParsedResponse(
-          url = headers.getOrElse("WARC-Target-URI", ""),
-          date = headers.getOrElse("WARC-Date", ""),
-          status = status,
-          contentType = httpHeaders.getOrElse("Content-Type", ""),
-          payload = java.util.Arrays.copyOfRange(body, httpHdrEnd + 4, body.length))
-      }
-      pos = bodyStart + len + 4
+  private def readFully(in: InputStream, n: Int, what: String): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      require(r >= 0, s"WARC stream truncated reading $what (${n - off} bytes short)")
+      off += r
     }
-    out.result()
+    buf
   }
+
+  /** Bytes up to (excluding) the first CRLFCRLF, or null at a clean EOF on
+    * a record boundary. Reads byte-at-a-time off the (buffered gzip/
+    * pushback) stream — the header block is tiny and capped. */
+  private def readHeaderBlock(in: InputStream): Array[Byte] = {
+    var c = in.read()
+    if (c < 0) return null
+    val out = new ByteArrayOutputStream(256)
+    var matched = 0 // prefix of \r\n\r\n seen
+    while (matched < 4) {
+      require(c >= 0, "WARC stream truncated inside a record header")
+      require(out.size < maxHeaderBytes, s"WARC header block exceeds $maxHeaderBytes bytes")
+      out.write(c)
+      matched = c match {
+        case '\r' => if (matched == 2) 3 else 1
+        case '\n' => if (matched == 1) 2 else if (matched == 3) 4 else 0
+        case _ => 0
+      }
+      if (matched < 4) c = in.read()
+    }
+    val b = out.toByteArray
+    java.util.Arrays.copyOf(b, b.length - 4) // strip the CRLFCRLF terminator
+  }
+
+  /** Stream records off `raw` one at a time (plain or .warc.gz — sniffed;
+    * GZIPInputStream walks concatenated members transparently), yielding
+    * the HTTP response records (warcinfo/request records are framing).
+    * Memory is O(one record); malformed framing — bad version line, missing
+    * or non-numeric Content-Length, truncation, a trailer that is not
+    * CRLFCRLF, a malformed HTTP status line — throws a NAMED error,
+    * contained per-file upstream. */
+  def parseStream(raw: InputStream): Iterator[ParsedResponse] = {
+    val pb = new PushbackInputStream(raw, 2)
+    val b0 = pb.read()
+    val b1 = if (b0 < 0) -1 else pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 * 1024) else pb
+
+    new Iterator[ParsedResponse] {
+      private var pending: Option[ParsedResponse] = None
+      private var eof = b0 < 0
+
+      private def advance(): Unit =
+        while (pending.isEmpty && !eof) {
+          val head = readHeaderBlock(in)
+          if (head == null) { eof = true }
+          else {
+            val headStr = new String(head, ISO_8859_1)
+            require(headStr.startsWith("WARC/"),
+              s"not a WARC record (version line reads '${headStr.take(16)}')")
+            val headers = parseHeaders(headStr)
+            val lenStr = headers.getOrElse("Content-Length",
+              throw new IllegalArgumentException("WARC record lacks Content-Length"))
+            require(lenStr.nonEmpty && lenStr.forall(_.isDigit),
+              s"malformed WARC Content-Length '$lenStr'")
+            val len = lenStr.toLong
+            require(len <= maxRecordBytes,
+              s"WARC record of $len bytes exceeds the $maxRecordBytes-byte per-record limit")
+            val body = readFully(in, len.toInt, "record body")
+            val t = readFully(in, 4, "record trailer")
+            require(t(0) == '\r' && t(1) == '\n' && t(2) == '\r' && t(3) == '\n',
+              "WARC record trailer is not CRLFCRLF")
+            if (headers.get("WARC-Type").contains("response"))
+              pending = Some(parseHttpResponse(headers, body))
+          }
+        }
+
+      def hasNext: Boolean = { advance(); pending.isDefined }
+      def next(): ParsedResponse = {
+        advance()
+        val r = pending.getOrElse(throw new NoSuchElementException("past WARC EOF"))
+        pending = None
+        r
+      }
+    }
+  }
+
+  private def parseHttpResponse(warcHeaders: Map[String, String],
+                                body: Array[Byte]): ParsedResponse = {
+    val httpHdrEnd = indexOfCrlfCrlf(body, 0)
+    require(httpHdrEnd >= 0, "HTTP response block has no header terminator")
+    val httpHead = new String(body, 0, httpHdrEnd, ISO_8859_1)
+    val statusLine = httpHead.split(CRLF).head
+    val parts = statusLine.split(" ")
+    require(parts.length >= 2 && parts(0).startsWith("HTTP/") &&
+      parts(1).nonEmpty && parts(1).forall(_.isDigit),
+      s"malformed HTTP status line '$statusLine'")
+    val httpHeaders = parseHeaders(httpHead)
+    ParsedResponse(
+      url = warcHeaders.getOrElse("WARC-Target-URI", ""),
+      date = warcHeaders.getOrElse("WARC-Date", ""),
+      status = parts(1).toInt,
+      contentType = httpHeaders.getOrElse("Content-Type", ""),
+      payload = java.util.Arrays.copyOfRange(body, httpHdrEnd + 4, body.length))
+  }
+
+  /** Whole-buffer convenience over [[parseStream]] (fixtures / tests). */
+  def parse(bytes: Array[Byte]): Seq[ParsedResponse] =
+    parseStream(new ByteArrayInputStream(bytes)).toSeq
 
   private def md5Hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
@@ -184,5 +272,35 @@ object WarcSource {
         }.iterator
       }
       .toDF("doc_id", "url", "status", "mime", "payload_octets", "payload_md5")
+  }
+
+  /** The crawl ingest shape END-TO-END: corpus pages → .warc(.gz) segments
+    * → parse → sniff/dispatch → extract → per-format metrics rollup. Each
+    * group of `docsPerFile` pages becomes one synthetic WARC segment (odd
+    * file ids gzip'd per record) holding the REAL format-wheel payloads;
+    * the segment is re-parsed and every payload runs the full extraction
+    * kernel. The WARC leg is byte-transparent, so the rollup must equal the
+    * batch pipeline's (`extract_metrics` shares the oracle). */
+  def extractionRollup(pages: Dataset[WebPage]): DataFrame = {
+    val s = pages.sparkSession
+    import s.implicits._
+    val results = pages
+      .map(p => (p.url.substring(p.url.lastIndexOf("doc") + 3).toLong, p.url, p.html))
+      .groupByKey(_._1 / docsPerFile)
+      .flatMapGroups { (fileId, it) =>
+        val recs = it.toSeq.sortBy(_._1)
+        val bytes = buildBinaryFile(fileId,
+          recs.map(r => (r._2, r._3)), gzipPerRecord = fileId % 2 == 1)
+        parseStream(new ByteArrayInputStream(bytes)).map { r =>
+          graft.extract.Extractor.extractOne(
+            WebPage(r.url, new java.sql.Timestamp(0), r.payload, "", ""), fileId.toInt)
+        }
+      }
+    results.toDF()
+      .groupBy(col("format_from"))
+      .agg(count(lit(1)).cast("bigint").as("docs"),
+        sum(col("new_size")).cast("bigint").as("bytes_out"),
+        sum(when(!col("success"), 1L).otherwise(0L)).cast("bigint").as("failures"))
+      .orderBy("format_from")
   }
 }

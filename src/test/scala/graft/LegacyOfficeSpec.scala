@@ -145,6 +145,58 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(XlsExtractor.extract(bytes) == "ab\t42\t1234\t2.5")
   }
 
+  test("xls SST survives an EMPTY Continue record before the character data resumes") {
+    // A zero-length Continue body must be skipped entirely — reading its
+    // (absent) flags byte would consume the NEXT record's header byte.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(tpe: Int, body: Array[Byte]): Unit = {
+      val h = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(tpe.toShort); h.putShort(body.length.toShort)
+      out.write(h.array()); out.write(body)
+    }
+    rec(0x0809, new Array[Byte](16)) // BOF
+    // SST: one 6-char compressed string, 3 chars in the SST record itself
+    val sst = ByteBuffer.allocate(4 + 4 + 2 + 1 + 3).order(ByteOrder.LITTLE_ENDIAN)
+    sst.putInt(1).putInt(1).putShort(6).put(0.toByte).put("abc".getBytes)
+    rec(0x00fc, sst.array())
+    rec(0x003c, Array.emptyByteArray) // the EMPTY Continue
+    rec(0x003c, Array[Byte](0) ++ "def".getBytes) // fresh flags byte + rest
+    val lbl = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+    lbl.putShort(0); lbl.putShort(0); lbl.putShort(15); lbl.putInt(0)
+    rec(0x00fd, lbl.array())
+    rec(0x000a, Array.emptyByteArray) // EOF
+    val bytes = CfbWriter.write(Seq("Workbook" -> out.toByteArray))
+    assert(XlsExtractor.extract(bytes) === "abcdef")
+  }
+
+  test("doc corrupt PlcPcd fails NAMED: negative piece length and Int-overflow containment") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def docWith(cp0: Int, cp1: Int, fcRaw: Int): Array[Byte] = {
+      val table = ByteBuffer.allocate(1 + 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      table.put(0x02.toByte).putInt(16) // Pcdt, lcbPlc: n=1 piece
+      table.putInt(cp0).putInt(cp1)
+      table.putShort(0); table.putInt(fcRaw); table.putShort(0) // one 8-byte PCD
+      val word = new Array[Byte](512)
+      val w = ByteBuffer.wrap(word).order(ByteOrder.LITTLE_ENDIAN)
+      w.putShort(0, 0xa5ec.toShort)          // FIB magic
+      w.putInt(0x1a2, 0)                     // fcClx
+      w.putInt(0x1a6, table.capacity())      // lcbClx
+      CfbWriter.write(Seq("WordDocument" -> word, "0Table" -> table.array()))
+    }
+    // cpEnd < cpStart: a crafted negative piece length must be the named error
+    val e1 = intercept[IllegalArgumentException] {
+      DocExtractor.extract(docWith(cp0 = 5, cp1 = 2, fcRaw = 0))
+    }
+    assert(e1.getMessage.contains("negative piece length"), e1.getMessage)
+    // fc + 2*chars overflows Int (would wrap negative and PASS a 32-bit
+    // containment check); the Long-math bound must reject it by name
+    val e2 = intercept[IllegalArgumentException] {
+      DocExtractor.extract(docWith(cp0 = 0, cp1 = 0x40000000, fcRaw = 0x3ffffff0))
+    }
+    assert(e2.getMessage.contains("unicode piece overruns WordDocument"), e2.getMessage)
+  }
+
   // ---- .ppt ----------------------------------------------------------------
 
   test("ppt round-trips every variant (bytes + chars atoms, nested containers)") {

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
 import graft.fixtures.Corpus
-import graft.pipeline.ExtractionPipeline
+import graft.pipeline.{ExtractionPipeline, ResumableRunner}
 
 /** Physical-plan shape assertions — the 100TB design invariants
   * (SURVEY §4.2): broadcast the small side, push filters/prune columns to
@@ -99,6 +99,21 @@ class PlanSpec extends AnyFunSuite {
   // (pipeline_resume / stream_metrics / dedup_clusters / dc_header_union
   // EXECUTE at DataFrame-construction time, so the sweep above skips them;
   // their heavy component DataFrames are pinned here without running them.)
+
+  test("resume bucketing is a pure expression (no ScalaUDF), byte-identical to bucketOf") {
+    import spark.implicits._
+    val urls = (0 until 500).map(i => s"https://h${i % 9}.example.org/x/doc$i").toDF("url")
+    for (n <- Seq(64, 7)) { // a power of two AND a non-power (the sign fold matters)
+      val got = urls.withColumn("b", ResumableRunner.bucketCol(col("url"), n))
+        .as[(String, Int)].collect()
+      got.foreach { case (u, b) =>
+        assert(b === ResumableRunner.bucketOf(u, n), s"bucketCol($u, $n)")
+      }
+    }
+    val plan = urls.withColumn("b", ResumableRunner.bucketCol(col("url"), 64))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 
   test("resume anti-join broadcasts the finished-bucket list (corpus never shuffles to resume)") {
     val pages = Corpus.materialize(spark, sfDir).toDF()

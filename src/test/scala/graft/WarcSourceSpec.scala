@@ -46,6 +46,52 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a WARC record"))
   }
 
+  test("malformed HTTP status line / Content-Length / trailer are NAMED errors") {
+    def respond(statusLine: String, contentLength: String): Array[Byte] = {
+      val http = statusLine + "\r\nContent-Type: text/plain\r\n\r\nbody"
+      val head = "WARC/1.1\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${if (contentLength == null) http.length.toString else contentLength}\r\n\r\n"
+      (head + http + "\r\n\r\n").getBytes(UTF_8)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      WarcSource.parse(respond("HTTP/1.1", null)) // no status code token
+    }
+    assert(e1.getMessage.contains("malformed HTTP status line"))
+    val e2 = intercept[IllegalArgumentException] {
+      WarcSource.parse(respond("HTTP/1.1 OK 200", null)) // non-numeric code
+    }
+    assert(e2.getMessage.contains("malformed HTTP status line"))
+    val e3 = intercept[IllegalArgumentException] {
+      WarcSource.parse(
+        "WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 12abc\r\n\r\n".getBytes(UTF_8))
+    }
+    assert(e3.getMessage.contains("malformed WARC Content-Length"))
+    // a record whose 4 trailer bytes are not CRLFCRLF (next record's data
+    // would silently misalign): body 'abcd' followed by 'XXXX'
+    val e4 = intercept[IllegalArgumentException] {
+      WarcSource.parse(
+        "WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcdXXXX".getBytes(UTF_8))
+    }
+    assert(e4.getMessage.contains("trailer is not CRLFCRLF"))
+  }
+
+  test("parseStream walks records incrementally — one record of memory, not the file") {
+    // build 200 records, stream them off a one-byte-at-a-time InputStream
+    // (the adversarial read() shape), and confirm lazy per-record iteration
+    val many = (0L until 200L).map(i => i -> s"payload $i")
+    val bytes = WarcSource.buildFile(9L, many, gzipPerRecord = true)
+    val trickle = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = in.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        in.read(b, off, math.min(len, 7)) // tiny reads force refill paths
+    }
+    val it = WarcSource.parseStream(trickle)
+    val first = it.next() // records surface before the stream is consumed
+    assert(first.url === "https://example.com/doc0")
+    assert(it.toSeq.length === 199)
+  }
+
   test("roundTrip surfaces every doc once with the parsed fields recomputable from text") {
     import spark.implicits._
     val docs = (0L until 120L).map(i => (i, s"document $i body " + ("x" * (i % 7).toInt)))

@@ -65,14 +65,55 @@ class WebCurationSpec extends AnyFunSuite {
   }
 
   test("repetitionStats counts duplicate lines/chars and the hottest 2-gram") {
-    // text "a b a b a": 2-grams = [a b, b a, a b, b a] -> top multiplicity 2
-    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
-    val lines = Seq((1L, Seq("dup line", "dup line", "other", "dup line")))
-      .toDF("doc_id", "ls")
-    val out = WebCuration.repetitionStats(lines, docs)
+    // doc_id 7 (%7==0): lineCorpus appends the first two lines again; with a
+    // single 5-word line the appended slice is that one line -> 2 lines, 1
+    // distinct. text "a b a b a": 2-grams [a b, b a, a b, b a] -> top 2.
+    val docs = Seq((7L, "a b a b a")).toDF("doc_id", "text")
+    val out = WebCuration.repetitionStats(docs)
       .as[(Long, Int, Int, Int, Int)].collect().head
-    // 4 lines, 2 distinct -> 2 dup occurrences, 2*8=16 dup chars
-    assert(out === ((1L, 4, 2, 16, 2)))
+    assert(out === ((7L, 2, 1, 9, 2)))
+    // doc_id 1 (no injections): 1 line, nothing duplicated, every gram once
+    val plain = WebCuration.repetitionStats(
+      Seq((1L, "one two three four")).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    assert(plain === ((1L, 1, 0, 0, 1)))
+    // single word: no 2-gram exists -> 0 (the n >= 2 guard)
+    val single = WebCuration.repetitionStats(Seq((1L, "solo")).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    assert(single._5 === 0)
+  }
+
+  test("top-2-gram run-length fold equals the quadratic form and survives 100k words") {
+    // equality vs the O(n²) distinct×filter definition on a mixed sample
+    val texts = Seq(
+      "a b a b a", "x x x x x x", "one two three two three two",
+      "a a b b a a", "p q r s t u v w")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong * 2 + 1, t) }
+      .toDF("doc_id", "text")
+    val got = WebCuration.repetitionStats(docs)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1).map(_._5).toSeq
+    def naiveTop2(t: String): Int = {
+      val ws = t.split(" ")
+      if (ws.length < 2) 0
+      else ws.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max
+    }
+    assert(got === texts.map(naiveTop2))
+    // scale guard: a 100k-word document with ~all-distinct 2-grams is the
+    // adversarial input for the quadratic form (~10^10 comparisons); the
+    // sorted fold completes in seconds. Gopher's wordcount rule ADMITS such
+    // documents, so the funnel must too.
+    val big = (1 to 100000).map(i => s"w$i").mkString(" ")
+    val bigOut = WebCuration.repetitionStats(Seq((1L, big)).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, Int)].collect().head
+    assert(bigOut._5 === 1) // every 2-gram distinct
+    // and through the FUNNEL, on a 100k-word doc that passes gopher+c4 so
+    // the repetition stage (the previously-quadratic expression) really runs
+    val bigKept = (1 to 100000)
+      .map(i => if (i % 50 == 0) "this" else if (i % 50 == 25) "that" else s"w$i")
+      .mkString(" ")
+    val funnelBig = WebCuration.funnel(Seq((1L, bigKept)).toDF("doc_id", "text"))
+      .select("doc_id", "stage").as[(Long, String)].collect().head
+    assert(funnelBig._2 === "kept")
   }
 
   test("corpusLineDedup removes lines with global df > max and drops hollowed docs") {
@@ -109,6 +150,18 @@ class WebCurationSpec extends AnyFunSuite {
       Seq("http://host.example.com/p/1", "http://host.example.com/p/1"))
   }
 
+  test("canonicalizeUrl strips :80 only at the authority, never inside path/query") {
+    val df = Seq(
+      "http://h.com/redirect?to=evil.com:80/x", // ':80/' in the query survives
+      "http://h.com:80",                        // port at end-of-authority, no path
+      "https://h.com:8080/a"                    // different port survives
+    ).toDF("u").select(WebCuration.canonicalizeUrl(col("u")).as("c"))
+    assert(df.as[String].collect().toSeq === Seq(
+      "http://h.com/redirect?to=evil.com:80/x",
+      "http://h.com",
+      "https://h.com:8080/a"))
+  }
+
   test("urlDedupLatest folds canonical variants and keeps the newest snapshot") {
     val raws = Seq(
       ("HTTP://A.COM:80/x#f", 10L), ("http://a.com/x/", 20L), ("http://a.com/x", 15L),
@@ -120,19 +173,45 @@ class WebCurationSpec extends AnyFunSuite {
   }
 
   test("tokenBudgetMix keeps docs while the pre-doc cumulative stays under budget") {
-    // All same lang; md5-content order is deterministic but opaque — use
-    // equal-length texts and check the budget boundary, not the order.
+    // All same lang, ONE shard; md5-content order is deterministic but
+    // opaque — use equal-length texts and check the budget boundary.
     val docs = Seq(
       (1L, "en", Seq.fill(10)("aaa").mkString(" ")),
       (2L, "en", Seq.fill(10)("bbb").mkString(" ")),
       (3L, "en", Seq.fill(10)("ccc").mkString(" "))
     ).toDF("doc_id", "lang", "text")
-    val out = WebCuration.tokenBudgetMix(docs, budget = 15L)
-      .as[(String, Long, Int, Long)].collect()
+    val out = WebCuration.tokenBudgetMix(docs, budget = 15L, shards = 1)
+      .as[(String, Int, Long, Int, Long)].collect()
     // budget 15: first doc (cum_before=0) and second (cum_before=10) kept,
     // third (cum_before=20) dropped — regardless of md5 order.
     assert(out.length === 2)
-    assert(out.map(_._4).sorted === Seq(10L, 20L))
+    assert(out.map(_._5).sorted === Seq(10L, 20L))
+  }
+
+  test("tokenBudgetMix shards the per-language window and resets the budget per shard") {
+    // 64 one-word docs spread across md5-prefix shards; per-shard budget is
+    // 16/4 = 4 tokens, so each (lang, shard) group keeps exactly 4 docs.
+    val docs = (1L to 64L).map(i => (i, "en", s"tok$i")).toDF("doc_id", "lang", "text")
+    val out = WebCuration.tokenBudgetMix(docs, budget = 16L, shards = 4)
+      .as[(String, Int, Long, Int, Long)].collect()
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.size > 1, s"expected >1 shard, got ${byShard.keySet}")
+    // expected per-shard keeps, computed independently: ascii of the first
+    // md5 hex char mod 4, each kept doc contributes 1 token to a 4-token
+    // per-shard budget
+    val shardSizes = (1L to 64L).groupBy(i => (md5Hex(s"tok$i").head.toInt) % 4)
+      .map { case (s, g) => s -> math.min(4, g.size) }
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.length === shardSizes(shard), s"shard $shard kept ${rows.length}")
+      // cumulative restarts inside each shard
+      assert(rows.map(_._5).max === rows.length.toLong,
+        s"shard $shard cum ${rows.map(_._5).toSeq}")
+    }
+    // the window partitions on (lang, shard) — no single task owns a language
+    val plan = WebCuration.tokenBudgetMix(docs, budget = 16L, shards = 4)
+      .queryExecution.optimizedPlan.toString
+    val windowLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowLine.contains("lang") && windowLine.contains("shard"), windowLine)
   }
 
   test("funnel attributes each doc to its first failing stage and digests survivors") {
