@@ -119,9 +119,10 @@ object Bench {
     val scalingJson = if (skipScaling) "" else {
       val corpusDir = Corpus.materializeAmplified(spark, sfDir, amplify)
       // Funnel corpus: the documents table amplified less aggressively —
-      // the funnel is a pure-expression scan, far cheaper per doc than the
-      // extraction kernels, so amplify/6 keeps legs in the tens of seconds.
-      val docsAmplify = math.max(amplify / 6, 1)
+      // the funnel is a pure-expression scan whose regex/scrub passes cost
+      // more per doc than a kernel-less scan but far less than extraction;
+      // amplify/12 (1M docs at sf0.1) keeps legs in the tens of seconds.
+      val docsAmplify = math.max(amplify / 12, 1)
       val docsDir = Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify)
       // Partition count is CONSTANT across both parallelism levels (the
       // protocol's requirement); its value only sets task granularity.
@@ -236,7 +237,7 @@ object Bench {
         if (sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")) ""
         else {
           val (j, fdocs, _, _, _) =
-            measurePair(1, 4, rounds = 2, repsLo = 2, repsHi = 3, docsDir, "funnel")
+            measurePair(1, 4, rounds = 2, repsLo = 1, repsHi = 2, docsDir, "funnel")
           s""","funnel_scaling":{"docs":$fdocs,"amplify":$docsAmplify,$j}"""
         }
 

@@ -4,10 +4,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream, Pushba
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 
-import graft.model.WebPage
+import graft.model.{ExtractionResult, WebPage}
 
 /** WARC (ISO 28500) source: the container format Common Crawl ships web
   * pages in, and the natural ingest format for the extraction pipeline
@@ -302,5 +302,89 @@ object WarcSource {
         sum(col("new_size")).cast("bigint").as("bytes_out"),
         sum(when(!col("success"), 1L).otherwise(0L)).cast("bigint").as("failures"))
       .orderBy("format_from")
+  }
+
+  /** Hadoop Configuration is not Serializable; the standard write/readFields
+    * envelope ships the driver's conf (fs.* credentials etc.) to executors. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** PRODUCTION ingest entry: stream-extract every HTTP response record of
+    * every listed .warc(.gz) object. One task per file — the right
+    * granularity because per-record gzip members are not independently
+    * seekable — with O(one record) heap: each object is consumed as a
+    * Hadoop FS stream through [[parseStream]] (works on HDFS/S3A, not just
+    * file://), NEVER materialized as one byte array, so multi-GB segments
+    * cost one record's worth of memory. A malformed segment — unreadable
+    * path, framing error, truncated gzip member, bad HTTP block — is
+    * CONTAINED as one failure row naming the file: one rotten object in a
+    * 100k-segment crawl must not kill the job. */
+  def extractFromWarcFiles(spark: SparkSession, paths: Seq[String]): Dataset[ExtractionResult] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(paths)
+      .repartition(math.max(paths.size, 1))
+      .mapPartitions { files =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        files.flatMap(p => containedFileRecords(p, pid, conf.value))
+      }
+  }
+
+  /** Extraction iterator over one WARC object with per-FILE containment:
+    * any throw — opening, a record's framing, mid-stream truncation —
+    * yields one failure row for the file and ends it. (Per-RECORD payload
+    * errors are already contained inside Extractor.extractOne as ordinary
+    * failure rows.) */
+  private def containedFileRecords(p: String, pid: Int,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[ExtractionResult] = {
+    import scala.util.control.NonFatal
+    def failRow(e: Throwable) = ExtractionResult(
+      url = s"warc:$p", success = false, text = "", format_from = "warc",
+      original_size = 0L, new_size = 0L,
+      error = s"WARC segment unreadable: ${e.getMessage}", partition_id = pid)
+    var stream: java.io.InputStream = null
+    val underlying: Iterator[ExtractionResult] =
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        stream = new java.io.BufferedInputStream(
+          path.getFileSystem(conf).open(path), 64 * 1024)
+        parseStream(stream).map { r =>
+          graft.extract.Extractor.extractOne(
+            WebPage(r.url, new java.sql.Timestamp(0L), r.payload, "", ""), pid)
+        }
+      } catch {
+        case NonFatal(e) =>
+          if (stream != null) stream.close()
+          return Iterator.single(failRow(e))
+      }
+    new Iterator[ExtractionResult] {
+      private var pendingFail: Option[ExtractionResult] = None
+      private var done = false
+      private def closeQuietly(): Unit =
+        try { if (stream != null) stream.close() } catch { case NonFatal(_) => () }
+      def hasNext: Boolean = pendingFail.isDefined || (!done && {
+        val h = try underlying.hasNext catch {
+          case NonFatal(e) => pendingFail = Some(failRow(e)); true
+        }
+        if (!h) { done = true; closeQuietly() }
+        h
+      })
+      def next(): ExtractionResult = pendingFail match {
+        case Some(f) => pendingFail = None; done = true; closeQuietly(); f
+        case None =>
+          try underlying.next() catch {
+            case NonFatal(e) => done = true; closeQuietly(); failRow(e)
+          }
+      }
+    }
   }
 }

@@ -92,6 +92,31 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(it.toSeq.length === 199)
   }
 
+  test("extractFromWarcFiles streams segments; a rotten file is ONE failure row, not a dead job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcfiles").toFile
+    val paras = Vector("alpha bravo charlie delta echo", "foxtrot golf hotel india juliet")
+    val pages = (0 until 20).map { i =>
+      (s"https://ex.com/d$i", graft.serialize.DocxWriter.generate(paras, 0))
+    }
+    val good = new java.io.File(dir, "seg1.warc.gz")
+    java.nio.file.Files.write(good.toPath,
+      WarcSource.buildBinaryFile(1, pages, gzipPerRecord = true))
+    // same content, last gzip member truncated mid-trailer: records BEFORE
+    // the cut must still extract, then exactly one contained failure row
+    val full = WarcSource.buildBinaryFile(2, pages, gzipPerRecord = true)
+    val bad = new java.io.File(dir, "seg2.warc.gz")
+    java.nio.file.Files.write(bad.toPath, full.take(full.length - 7))
+    val out = WarcSource.extractFromWarcFiles(
+      spark, Seq(good, bad).map(_.getAbsolutePath)).collect()
+    val (ok, failed) = out.partition(_.success)
+    assert(ok.length >= 20, s"good-segment records missing: ${ok.length}")
+    assert(ok.forall(r => r.format_from == "docx" && r.text == paras.mkString("\n")),
+      ok.map(r => (r.format_from, r.text)).take(2).mkString)
+    assert(failed.length === 1, failed.mkString("\n"))
+    assert(failed.head.url.endsWith("seg2.warc.gz") && failed.head.format_from == "warc" &&
+      failed.head.error.contains("WARC segment unreadable"), failed.head.toString)
+  }
+
   test("roundTrip surfaces every doc once with the parsed fields recomputable from text") {
     import spark.implicits._
     val docs = (0L until 120L).map(i => (i, s"document $i body " + ("x" * (i % 7).toInt)))

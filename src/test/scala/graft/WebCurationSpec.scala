@@ -32,6 +32,24 @@ class WebCurationSpec extends AnyFunSuite {
     assert(plain === Seq(l1, l2))
   }
 
+  test("lineCorpus chunk boundaries: 1, 9, 10, 11 and 20 words (regex pass edges)") {
+    def linesOf(n: Int): Seq[String] = {
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      WebCuration.lineCorpus(Seq((1L, text)).toDF("doc_id", "text"))
+        .as[(Long, Seq[String])].collect().head._2
+    }
+    assert(linesOf(1) === Seq("w1"))
+    assert(linesOf(9) === Seq((1 to 9).map(i => s"w$i").mkString(" ")))
+    assert(linesOf(10) === Seq((1 to 10).map(i => s"w$i").mkString(" ")))
+    assert(linesOf(11) === Seq((1 to 10).map(i => s"w$i").mkString(" "), "w11"))
+    assert(linesOf(20) === Seq((1 to 10).map(i => s"w$i").mkString(" "),
+      (11 to 20).map(i => s"w$i").mkString(" ")))
+    // empty text stays a single empty line (matches the oracle's ceil(1/10))
+    val empty = WebCuration.lineCorpus(Seq((1L, "")).toDF("doc_id", "text"))
+      .as[(Long, Seq[String])].collect().head._2
+    assert(empty === Seq(""))
+  }
+
   test("c4Filter keeps terminal-punct lines of >=5 words sans javascript; drops lorem/brace docs") {
     val df = Seq(
       (1L, Seq("one two three four five.", "has javascript one two three.",
