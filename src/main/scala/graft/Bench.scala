@@ -233,11 +233,14 @@ object Bench {
 
       // Curation-funnel throughput + its own 1,4 reading: the funnel claims
       // one-scan shuffle-free cost at corpus scale — measured, not assumed.
+      // 3 rounds so medianOfBest3 has three lo samples to choose from — a
+      // first full-default run read 1.387 off TWO lo samples 1.6× apart
+      // (a >1 reading is a drift artifact; superlinear is impossible)
       val funnelJson =
         if (sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")) ""
         else {
           val (j, fdocs, _, _, _) =
-            measurePair(1, 4, rounds = 2, repsLo = 1, repsHi = 2, docsDir, "funnel")
+            measurePair(1, 4, rounds = 3, repsLo = 2, repsHi = 2, docsDir, "funnel")
           s""","funnel_scaling":{"docs":$fdocs,"amplify":$docsAmplify,$j}"""
         }
 

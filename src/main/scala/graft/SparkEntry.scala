@@ -336,11 +336,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "extract_pub" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = graft.serialize.LegacyOfficeWriters.PubWriter.generate(
+            graft.fixtures.HtmlTemplates.paragraphize(t),
+            (id % graft.serialize.LegacyOfficeWriters.PubWriter.numVariants).toInt)
+          val r = graft.extract.Extractor.extractOne(
+            graft.model.WebPage(s"pub$id", new java.sql.Timestamp(0), bytes, "", "en"), 0)
+          (id, r.format_from, r.success, r.text.replace('\n', ' '))
+        }.toDF("doc_id", "format_from", "success", "text")
+        .orderBy("doc_id")
+    }),
+
     // Dispatch containment: HOLLOW legacy CFB containers (marker stream
-    // only / bare) and Publisher containers must yield EXPLICIT failure
-    // rows with the refined kind — never a mojibake success — while
-    // flat-ODF and txt payloads extract.
-    // (Well-formed doc/xls/ppt succeed: extract_doc/extract_xls/extract_ppt.)
+    // only / bare / a Quill-less Publisher shell) must yield EXPLICIT
+    // failure rows with the refined kind — never a mojibake success —
+    // while flat-ODF and txt payloads extract.
+    // (Well-formed doc/xls/ppt/pub succeed:
+    // extract_doc/extract_xls/extract_ppt/extract_pub.)
     "extract_dispatch" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1800,6 +1815,9 @@ object SparkEntry {
     "extract_ppt" ->
       ("SELECT doc_id, 'ppt' AS format_from, true AS success, text " +
         "FROM documents ORDER BY doc_id"),
+    "extract_pub" ->
+      ("SELECT doc_id, 'pub' AS format_from, true AS success, text " +
+        "FROM documents ORDER BY doc_id"),
     "extract_odf_templates" ->
       ("SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'ott' WHEN 1 THEN 'otp' " +
         "WHEN 2 THEN 'ots' ELSE 'sxw' END AS format_from, true AS success, text " +
@@ -2325,7 +2343,8 @@ object SparkEntry {
         "('payload', 'txt'), ('payload', 'rtf'), ('payload', 'docx'), ('payload', 'pptx'), " +
         "('payload', 'xlsx'), ('payload', 'odt'), ('payload', 'odp'), ('payload', 'ods'), " +
         "('payload', 'fodt'), ('payload', 'fodp'), ('payload', 'fods'), ('payload', 'epub'), " +
-        "('payload', 'doc'), ('payload', 'xls'), ('payload', 'ppt')) AS t(direction, ext) " +
+        "('payload', 'doc'), ('payload', 'xls'), ('payload', 'ppt'), " +
+        "('payload', 'pub')) AS t(direction, ext) " +
         "ORDER BY direction, ext"),
     "fn_surface" ->
       ("SELECT doc_id, " +

@@ -109,11 +109,7 @@ object Extractor {
     case "doc" => ("doc", graft.extract.cfb.DocExtractor.extract(bytes))
     case "xls" => ("xls", graft.extract.cfb.XlsExtractor.extract(bytes))
     case "ppt" => ("ppt", graft.extract.cfb.PptExtractor.extract(bytes))
-    case "pub" =>
-      // whitelisted input (.pub) we recognize but do not parse: Publisher's
-      // Quill text store is undocumented — explicit failure, never mojibake
-      throw new IllegalArgumentException(
-        "Publisher (.pub) Quill text store unsupported")
+    case "pub" => ("pub", graft.extract.cfb.PubExtractor.extract(bytes))
     case "cfb" =>
       // a CFB container with none of the known Office streams: an explicit
       // failure row, NEVER a mojibake success from the html/txt fallthrough

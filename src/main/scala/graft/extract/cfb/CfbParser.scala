@@ -126,14 +126,12 @@ final class CfbParser(bytes: Array[Byte]) {
   private val root: DirEntry = entries.find(_.entryType == 5)
     .getOrElse(throw new IllegalArgumentException("CFB has no root entry"))
 
-  /** Entries at the TOP LEVEL of the storage hierarchy: the sibling tree
-    * hanging off the root's child pointer, WITHOUT descending into embedded
-    * storages — so an OLE object embedded in a spreadsheet cannot shadow or
-    * impersonate the document's own streams. Cycle-guarded. */
-  val rootEntries: IndexedSeq[DirEntry] = {
+  /** ONE storage level: the sibling tree hanging off `childPtr`, WITHOUT
+    * descending into nested storages. Cycle-guarded. */
+  private def siblingTree(childPtr: Int): IndexedSeq[DirEntry] = {
     val out = IndexedSeq.newBuilder[DirEntry]
     val seen = scala.collection.mutable.Set.empty[Int]
-    val stack = scala.collection.mutable.Stack[Int](root.child)
+    val stack = scala.collection.mutable.Stack[Int](childPtr)
     while (stack.nonEmpty) {
       val i = stack.pop()
       if (i >= 0 && i < slots.length && seen.add(i)) {
@@ -141,13 +139,19 @@ final class CfbParser(bytes: Array[Byte]) {
           out += e
           stack.push(e.left)
           stack.push(e.right)
-          // e.child of a STORAGE entry leads into the embedded storage's
+          // e.child of a STORAGE entry leads into the nested storage's
           // members — deliberately not followed
         }
       }
     }
     out.result()
   }
+
+  /** Entries at the TOP LEVEL of the storage hierarchy: the sibling tree
+    * hanging off the root's child pointer, WITHOUT descending into embedded
+    * storages — so an OLE object embedded in a spreadsheet cannot shadow or
+    * impersonate the document's own streams. */
+  val rootEntries: IndexedSeq[DirEntry] = siblingTree(root.child)
 
   // mini FAT + the root's mini stream (lazy: many files have none)
   private lazy val miniFat: Array[Byte] = readChain(i32(60), -1L)
@@ -178,14 +182,32 @@ final class CfbParser(bytes: Array[Byte]) {
     if (size < all.length) java.util.Arrays.copyOf(all, size.toInt) else all
   }
 
+  private def readStream(e: DirEntry): Array[Byte] =
+    if (e.size < miniCutoff) readMiniChain(e.startSector, e.size)
+    else readChain(e.startSector, e.size)
+
   /** A named TOP-LEVEL stream's bytes (streams below the 4096 cutoff live
     * in the mini stream, larger ones in regular sectors — [MS-CFB] §2.6.1).
     * Embedded storages' streams are not reachable here by design. */
   def stream(name: String): Option[Array[Byte]] =
-    rootEntries.find(e => e.entryType == 2 && e.name == name).map { e =>
-      if (e.size < miniCutoff) readMiniChain(e.startSector, e.size)
-      else readChain(e.startSector, e.size)
+    rootEntries.find(e => e.entryType == 2 && e.name == name).map(readStream)
+
+  /** A stream at an EXPLICIT storage path (e.g. Publisher's text store at
+    * Quill/QuillSub/CONTENTS): each named prefix step descends exactly one
+    * storage's sibling tree. Still never a blind recursive walk — content
+    * inside an embedded OLE object is only reachable by NAMING its storage,
+    * so it cannot shadow the document's own streams. */
+  def streamAtPath(path: Seq[String]): Option[Array[Byte]] = {
+    require(path.nonEmpty, "empty CFB stream path")
+    var level = rootEntries
+    for (storageName <- path.init) {
+      level = level.find(e => e.entryType == 1 && e.name == storageName) match {
+        case Some(st) => siblingTree(st.child)
+        case None => return None
+      }
     }
+    level.find(e => e.entryType == 2 && e.name == path.last).map(readStream)
+  }
 
   def streamNames: Seq[String] = rootEntries.filter(_.entryType == 2).map(_.name)
 }

@@ -29,7 +29,7 @@ object DocFunctions {
       "html", "pdf", "txt", "rtf",
       "docx", "pptx", "xlsx", "odt", "odp", "ods",
       "fodt", "fodp", "fods", "epub",
-      "doc", "xls", "ppt"),
+      "doc", "xls", "ppt", "pub"),
     "input" -> Seq(
       ".txt", ".rtf", ".doc", ".docx", ".odt", ".ott", ".sxw",
       ".xls", ".xlsx", ".ods", ".ots", ".csv",

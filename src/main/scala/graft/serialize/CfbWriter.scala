@@ -4,19 +4,26 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 /** Structurally-valid CFB (OLE2 compound file) generator — the container
-  * behind the reference whitelist's legacy .doc/.xls/.ppt inputs
+  * behind the reference whitelist's legacy .doc/.xls/.ppt/.pub inputs
   * (/root/reference/src/converters/document_converters.py:16-26).
   * [[write]] produces a complete v3 file (512-byte sectors) with real
   * stream content: streams >= 4096 bytes go to regular FAT chains, smaller
   * ones into the root's mini stream with a mini FAT ([MS-CFB] §2.6.1), so
-  * [[graft.extract.cfb.CfbParser]] exercises both paths. Directory sibling
-  * pointers use a flat right-chain (fixture-grade; the engine's parser
-  * scans entries linearly as many real-world readers do).
+  * [[graft.extract.cfb.CfbParser]] exercises both paths. [[writeTree]]
+  * additionally nests storages with their own member streams (Publisher's
+  * Quill/QuillSub/CONTENTS shape). Directory sibling pointers use a flat
+  * right-chain per storage level (fixture-grade; the engine's parser walks
+  * the transmitted pointers).
   *
   * [[generate]] keeps the empty-stream marker files used by the dispatch
   * fixtures (classification without extractable content).
   */
 object CfbWriter {
+
+  /** Directory-tree node for [[writeTree]]. */
+  sealed trait Node { def name: String }
+  final case class StreamNode(name: String, data: Array[Byte]) extends Node
+  final case class StorageNode(name: String, children: Seq[Node]) extends Node
 
   val streamNameOf: Map[String, String] = Map(
     "doc" -> "WordDocument",
@@ -32,33 +39,67 @@ object CfbWriter {
 
   /** A CFB file whose directory names a `kind`-defining stream with NO
     * content; "pub" yields Publisher's shape (a top-level "Quill" text
-    * STORAGE + empty "Contents" stream); any other kind string yields a
-    * bare container ("cfb"). */
+    * STORAGE + empty "Contents" stream — no Quill/QuillSub/CONTENTS, so
+    * the Publisher kernel fails it as a named error row); any other kind
+    * string yields a bare container ("cfb"). */
   def generate(kind: String): Array[Byte] =
     if (kind == "pub")
       write(Seq("Contents" -> Array.emptyByteArray), storages = Seq("Quill"))
     else write(streamNameOf.get(kind).map(_ -> Array.emptyByteArray).toSeq)
 
-  /** Full container with the given named streams (plus optional empty
-    * top-level STORAGE entries, directory type 1 — how Publisher carries
-    * its Quill text store). `sectorShift` 9 writes
+  /** Flat container: top-level named streams plus optional EMPTY top-level
+    * storage entries. Kept as the common writer surface; delegates to
+    * [[writeTree]]. */
+  def write(streams: Seq[(String, Array[Byte])], sectorShift: Int = 9,
+            storages: Seq[String] = Seq.empty): Array[Byte] =
+    writeTree(
+      streams.map { case (n, d) => StreamNode(n, d) } ++
+        storages.map(StorageNode(_, Seq.empty)),
+      sectorShift)
+
+  /** Full container for an arbitrary directory TREE. `sectorShift` 9 writes
     * the common v3 layout (512-byte sectors); 12 writes v4 (4096-byte
     * sectors, header zero-padded to one sector) — both parse paths are
-    * exercised by LegacyOfficeSpec. */
-  def write(streams: Seq[(String, Array[Byte])], sectorShift: Int = 9,
-            storages: Seq[String] = Seq.empty): Array[Byte] = {
+    * exercised by LegacyOfficeSpec. Stream names may repeat across storage
+    * levels (data placement is keyed by directory slot, not name). */
+  def writeTree(topLevel: Seq[Node], sectorShift: Int = 9): Array[Byte] = {
     require(sectorShift == 9 || sectorShift == 12, s"sector shift $sectorShift")
     val S = 1 << sectorShift
     val major = if (sectorShift == 9) 3 else 4
     def sectorsOf(n: Int, unit: Int): Int = (n + unit - 1) / unit
 
+    // ---- directory slots: preorder placement, right-chained siblings ----
+    final case class Slot(name: String, tpe: Int, data: Array[Byte],
+                          var child: Int, var right: Int)
+    val slots = scala.collection.mutable.ArrayBuffer[Slot]()
+    slots += Slot("Root Entry", 5, Array.emptyByteArray, NOSTREAM, NOSTREAM)
+    def place(nodes: Seq[Node]): Int = {
+      if (nodes.isEmpty) return NOSTREAM
+      val idxs = nodes.map {
+        case StreamNode(n, d) =>
+          val i = slots.length; slots += Slot(n, 2, d, NOSTREAM, NOSTREAM); i
+        case StorageNode(n, cs) =>
+          val i = slots.length; slots += Slot(n, 1, Array.emptyByteArray, NOSTREAM, NOSTREAM)
+          slots(i).child = place(cs)
+          i
+      }
+      idxs.sliding(2).foreach {
+        case Seq(a, b) => slots(a).right = b
+        case _ => ()
+      }
+      idxs.head
+    }
+    slots(0).child = place(topLevel)
+    val streamSlots: Seq[(Int, Array[Byte])] =
+      slots.zipWithIndex.collect { case (s, i) if s.tpe == 2 => (i, s.data) }.toSeq
+
     // ---- mini stream layout (small streams, 64-byte mini sectors) ----
-    val small = streams.filter(_._2.length < CUTOFF)
-    val large = streams.filter(_._2.length >= CUTOFF)
-    val miniStarts = scala.collection.mutable.Map.empty[String, Int]
+    val small = streamSlots.filter(_._2.length < CUTOFF)
+    val large = streamSlots.filter(_._2.length >= CUTOFF)
+    val miniStarts = scala.collection.mutable.Map.empty[Int, Int]
     var miniSectors = 0
-    for ((name, data) <- small) {
-      miniStarts(name) = if (data.isEmpty) ENDOFCHAIN else miniSectors
+    for ((idx, data) <- small) {
+      miniStarts(idx) = if (data.isEmpty) ENDOFCHAIN else miniSectors
       miniSectors += sectorsOf(data.length, MINI)
     }
     val miniBytes = new Array[Byte](miniSectors * MINI)
@@ -76,8 +117,8 @@ object CfbWriter {
     }
     while (miniFat.position() < miniFat.capacity()) miniFat.putInt(FREESECT)
 
-    // ---- directory ----
-    val dirEntryCount = 1 + streams.length + storages.length
+    // ---- directory sizing ----
+    val dirEntryCount = slots.length
     val dirSectors = sectorsOf(dirEntryCount * 128, S)
 
     // ---- regular sector plan: [FAT][dir][miniFAT][miniStream][large...] ----
@@ -92,8 +133,8 @@ object CfbWriter {
     val miniFatStart = dirStart + dirSectors
     val miniDataStart = miniFatStart + miniFatSectors
     var next = miniDataStart + miniDataSectors
-    val largeStarts = large.map { case (name, d) =>
-      val s = next; next += sectorsOf(d.length, S); name -> s
+    val largeStarts = large.map { case (idx, d) =>
+      val s = next; next += sectorsOf(d.length, S); idx -> s
     }.toMap
     val totalSectors = next
 
@@ -131,7 +172,7 @@ object CfbWriter {
     chain(dirStart, dirSectors)
     if (miniFatSectors > 0) chain(miniFatStart, miniFatSectors)
     if (miniDataSectors > 0) chain(miniDataStart, miniDataSectors)
-    for ((name, d) <- large) chain(largeStarts(name), sectorsOf(d.length, S))
+    for ((idx, d) <- large) chain(largeStarts(idx), sectorsOf(d.length, S))
 
     // ---- directory entries ----
     def dirEntry(idx: Int, name: String, tpe: Int, child: Int, right: Int,
@@ -152,25 +193,17 @@ object CfbWriter {
       buf.putInt(start)
       buf.putInt(size.toInt)
     }
-    val lastIdx = streams.length + storages.length
-    dirEntry(0, "Root Entry", tpe = 5,
-      child = if (lastIdx == 0) NOSTREAM else 1, right = NOSTREAM,
+    dirEntry(0, "Root Entry", tpe = 5, child = slots(0).child, right = NOSTREAM,
       start = if (miniDataSectors == 0) ENDOFCHAIN else miniDataStart,
       size = miniBytes.length.toLong)
-    streams.zipWithIndex.foreach { case ((name, data), i) =>
-      val idx = i + 1
-      val right = if (idx == lastIdx) NOSTREAM else idx + 1
+    for (idx <- 1 until slots.length) {
+      val s = slots(idx)
       val start =
-        if (data.length >= CUTOFF) largeStarts(name)
-        else miniStarts(name)
-      dirEntry(idx, name, tpe = 2, child = NOSTREAM, right = right,
-        start = start, size = data.length.toLong)
-    }
-    storages.zipWithIndex.foreach { case (name, i) =>
-      val idx = streams.length + i + 1
-      val right = if (idx == lastIdx) NOSTREAM else idx + 1
-      dirEntry(idx, name, tpe = 1, child = NOSTREAM, right = right,
-        start = 0, size = 0L)
+        if (s.tpe != 2) 0
+        else if (s.data.length >= CUTOFF) largeStarts(idx)
+        else miniStarts(idx)
+      dirEntry(idx, s.name, s.tpe, child = s.child, right = s.right,
+        start = start, size = if (s.tpe == 2) s.data.length.toLong else 0L)
     }
 
     // ---- payload sectors ----
@@ -182,8 +215,8 @@ object CfbWriter {
       buf.position(S + miniDataStart * S)
       buf.put(miniBytes)
     }
-    for ((name, d) <- large) {
-      buf.position(S + largeStarts(name) * S)
+    for ((idx, d) <- large) {
+      buf.position(S + largeStarts(idx) * S)
       buf.put(d)
     }
     buf.array()

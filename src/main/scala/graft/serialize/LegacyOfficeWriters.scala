@@ -3,12 +3,13 @@ package graft.serialize
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.{Charset, StandardCharsets}
 
-/** Deterministic legacy binary Office generators (.doc/.xls/.ppt inside
-  * CFB) — the reference whitelist's legacy formats
+/** Deterministic legacy binary Office generators (.doc/.xls/.ppt/.pub
+  * inside CFB) — the reference whitelist's legacy formats
   * (/root/reference/src/converters/document_converters.py:16-26). Each
   * writer emits the minimal REAL structure its extractor parses: Word's
-  * FIB + Clx/PlcPcd piece table, BIFF8's BOF/SST/LABELSST records, and
-  * PowerPoint's record tree with text atoms.
+  * FIB + Clx/PlcPcd piece table, BIFF8's BOF/SST/LABELSST records,
+  * PowerPoint's record tree with text atoms, and Publisher's Quill
+  * chunk store.
   */
 object LegacyOfficeWriters {
 
@@ -193,6 +194,99 @@ object LegacyOfficeWriters {
       rec(0x000a, Array.emptyByteArray) // EOF
       CfbWriter.write(Seq("Workbook" -> out.toByteArray))
     }
+  }
+
+  /** Microsoft Publisher .pub: a CFB whose text lives in the Quill text
+    * engine's store at the Quill/QuillSub/CONTENTS storage path. Publisher
+    * has NO public specification; the layout written here follows
+    * libmspub's published reverse engineering of the Quill stream
+    * (MSPUBParser's Quill walk), simplified to the fields
+    * [[graft.extract.cfb.PubExtractor]] consumes — the extractor follows
+    * the TRANSMITTED chunk table, so a wild file whose layout drifts from
+    * this shape fails as a named error row, never as mojibake.
+    *
+    * Quill CONTENTS stream layout (shared writer/extractor contract):
+    * "CHNKINK " magic (8 bytes), reserved bytes to 0x18, then the
+    * chunk-reference table: u16 reserved, u16 numChunks at 0x1A, and
+    * numChunks 0x20-byte references {u32 0, tag(4 ASCII), u32 0, u16 id,
+    * u16 0, tag(4, repeated), u32 offset, u32 byteLength, u32 0}. The
+    * TEXT chunk carries the document text as UTF-16LE with Quill's \r
+    * paragraph marks (trailing mark included); the STRS chunk carries the
+    * text-block table: u32 nBlocks then cumulative char-end offsets.
+    *
+    * Variants: 0 — TEXT chunk only; 1 — TEXT + STRS (one block per
+    * paragraph) + unknown chunks (STSH/FNTS) the parser must skip over;
+    * 2 — STRS listed FIRST in the table with its data placed AFTER the
+    * text and a pad gap, so only table-driven offset reads survive. */
+  object PubWriter {
+    val numVariants = 3
+
+    private def chunkRef(tag: String, id: Int, offset: Int, length: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(0x20).order(ByteOrder.LITTLE_ENDIAN)
+      val t = tag.getBytes(StandardCharsets.US_ASCII)
+      require(t.length == 4, tag)
+      b.putInt(0); b.put(t)
+      b.putInt(0); b.putShort(id.toShort); b.putShort(0)
+      b.put(t)
+      b.putInt(offset); b.putInt(length); b.putInt(0)
+      b.array()
+    }
+
+    /** The Quill CONTENTS stream bytes for `paragraphs`. */
+    def quillContents(paragraphs: Seq[String], variant: Int): Array[Byte] = {
+      val text = paragraphs.mkString("\r") + "\r"
+      val textBytes = text.getBytes(StandardCharsets.UTF_16LE)
+      val strsBytes = {
+        val b = ByteBuffer.allocate(4 + paragraphs.length * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(paragraphs.length)
+        var cum = 0
+        for (p <- paragraphs) { cum += p.length + 1; b.putInt(cum) } // +1: the \r mark
+        b.array()
+      }
+      // (tableTag, dataTag, data) in TABLE order; data placement may differ
+      val chunks: Seq[(String, Array[Byte])] = variant match {
+        case 0 => Seq("TEXT" -> textBytes)
+        case 1 => Seq(
+          "TEXT" -> textBytes,
+          "STRS" -> strsBytes,
+          "STSH" -> Array.fill[Byte](12)(0x2a), // unknown: parser skips
+          "FNTS" -> Array.fill[Byte](8)(0x11))
+        case _ => Seq("STRS" -> strsBytes, "TEXT" -> textBytes)
+      }
+      val tableAt = 0x18
+      val dataStart = tableAt + 4 + chunks.length * 0x20
+      // variant 2 reverses data placement vs table order and pads the gap
+      val dataOrder = if (variant == 2) chunks.reverse else chunks
+      val pad = if (variant == 2) 16 else 0
+      val offsets = scala.collection.mutable.Map.empty[String, Int]
+      var at = dataStart
+      for ((tag, data) <- dataOrder) {
+        at += pad
+        offsets(tag) = at
+        at += data.length
+      }
+      val out = ByteBuffer.allocate(at).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("CHNKINK ".getBytes(StandardCharsets.US_ASCII))
+      out.position(tableAt)
+      out.putShort(0); out.putShort(chunks.length.toShort)
+      for (((tag, data), i) <- chunks.zipWithIndex)
+        out.put(chunkRef(tag, i + 1, offsets(tag), data.length))
+      for ((tag, data) <- dataOrder) {
+        out.position(offsets(tag))
+        out.put(data)
+      }
+      out.array()
+    }
+
+    def generate(paragraphs: Seq[String], variant: Int): Array[Byte] =
+      CfbWriter.writeTree(Seq(
+        // the main-document stream real Publisher files carry at the root;
+        // opaque to the text kernel (escher drawing data in the wild)
+        CfbWriter.StreamNode("Contents", Array.fill[Byte](16)(0)),
+        CfbWriter.StorageNode("Quill", Seq(
+          CfbWriter.StorageNode("QuillSub", Seq(
+            CfbWriter.StreamNode("CONTENTS", quillContents(paragraphs, variant))))))))
   }
 
   /** PowerPoint 97 .ppt: a Document container (recVer 0xF) of text atoms.

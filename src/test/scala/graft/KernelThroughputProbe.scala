@@ -42,5 +42,7 @@ object KernelThroughputProbe {
     probe("xls", i => XlsWriter.generate(parasOf(i),
       XlsWriter.verbatimVariants(i % XlsWriter.verbatimVariants.length)))
     probe("ppt", i => PptWriter.generate(parasOf(i), i % PptWriter.numVariants))
+    probe("pub", i => LegacyOfficeWriters.PubWriter.generate(
+      parasOf(i), i % LegacyOfficeWriters.PubWriter.numVariants))
   }
 }

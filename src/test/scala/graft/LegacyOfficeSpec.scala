@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.extract.Extractor
 import graft.extract.cfb.{CfbParser, DocExtractor, PptExtractor, XlsExtractor}
 import graft.serialize.CfbWriter
-import graft.serialize.LegacyOfficeWriters.{DocWriter, PptWriter, XlsWriter}
+import graft.serialize.LegacyOfficeWriters.{DocWriter, PptWriter, PubWriter, XlsWriter}
 
 /** Legacy binary Office kernels (.doc/.xls/.ppt): CFB container round-trip
   * through both stream paths, piece-table / BIFF / record-tree extraction,
@@ -259,9 +259,102 @@ class LegacyOfficeSpec extends AnyFunSuite {
 
   test("truncated legacy payloads become failure rows, never mojibake successes") {
     for (gen <- Seq(DocWriter.generate(paras, 0), XlsWriter.generate(paras, 0),
-                    PptWriter.generate(paras, 0))) {
+                    PptWriter.generate(paras, 0), PubWriter.generate(paras, 0))) {
       val r = Extractor.extractOne(page(gen.take(700).toArray), 0)
       assert(!r.success && r.error.nonEmpty, r.toString)
     }
+  }
+
+  // ---- Publisher (.pub): the Quill text store --------------------------------
+
+  test("cfb writeTree: nested storages round-trip; path walk never crosses levels") {
+    val bytes = CfbWriter.writeTree(Seq(
+      CfbWriter.StreamNode("Top", "top data".getBytes),
+      CfbWriter.StorageNode("Outer", Seq(
+        CfbWriter.StreamNode("CONTENTS", "outer contents".getBytes),
+        CfbWriter.StorageNode("Inner", Seq(
+          CfbWriter.StreamNode("CONTENTS", Array.tabulate(8000)(i => (i % 97).toByte))))))))
+    val p = new CfbParser(bytes)
+    assert(p.stream("Top").get.sameElements("top data".getBytes))
+    // same stream NAME at two levels: the path selects the right one
+    assert(p.streamAtPath(Seq("Outer", "CONTENTS")).get.sameElements("outer contents".getBytes))
+    val inner = p.streamAtPath(Seq("Outer", "Inner", "CONTENTS")).get
+    assert(inner.length == 8000 && inner(3) == 3)
+    // a nested stream is NOT visible at the top or wrong level
+    assert(p.stream("CONTENTS").isEmpty)
+    assert(p.streamAtPath(Seq("Inner", "CONTENTS")).isEmpty)
+    assert(p.streamAtPath(Seq("Outer", "Missing", "CONTENTS")).isEmpty)
+  }
+
+  test("pub round-trips every variant with refined kind") {
+    for (v <- 0 until PubWriter.numVariants) {
+      val bytes = PubWriter.generate(paras, v)
+      assert(Extractor.sniffFormat(bytes) == "pub", s"variant $v")
+      val r = Extractor.extractOne(page(bytes), 0)
+      assert(r.success && r.format_from == "pub", s"variant $v: $r")
+      assert(r.text == paras.mkString("\n"), s"variant $v")
+    }
+  }
+
+  test("pub inside a v4 container (4096-byte sectors) extracts identically") {
+    val contents = PubWriter.quillContents(paras, 1)
+    val v4 = CfbWriter.writeTree(Seq(
+      CfbWriter.StorageNode("Quill", Seq(
+        CfbWriter.StorageNode("QuillSub", Seq(
+          CfbWriter.StreamNode("CONTENTS", contents)))))), sectorShift = 12)
+    assert(Extractor.sniffFormat(v4) == "pub")
+    assert(graft.extract.cfb.PubExtractor.extract(v4) == paras.mkString("\n"))
+  }
+
+  test("pub with non-ascii text survives (UTF-16LE chunk)") {
+    val intl = Vector("smörgåsbord déjà vu", "日本語 рус")
+    for (v <- 0 until PubWriter.numVariants) {
+      val r = Extractor.extractOne(page(PubWriter.generate(intl, v)), 0)
+      assert(r.success && r.text == intl.mkString("\n"), s"variant $v: $r")
+    }
+  }
+
+  test("pub malformations fail NAMED: magic, table bounds, missing TEXT, STRS mismatch") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pubWith(contents: Array[Byte]): Array[Byte] =
+      CfbWriter.writeTree(Seq(
+        CfbWriter.StorageNode("Quill", Seq(
+          CfbWriter.StorageNode("QuillSub", Seq(
+            CfbWriter.StreamNode("CONTENTS", contents)))))))
+    def err(contents: Array[Byte]): String =
+      intercept[IllegalArgumentException] {
+        graft.extract.cfb.PubExtractor.extract(pubWith(contents))
+      }.getMessage
+
+    val good = PubWriter.quillContents(paras, 1)
+
+    // magic corrupted
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(err(badMagic).contains("Quill magic"))
+    // chunk count overruns the stream
+    val badCount = good.clone()
+    ByteBuffer.wrap(badCount).order(ByteOrder.LITTLE_ENDIAN).putShort(0x1a, 999.toShort)
+    assert(err(badCount).contains("chunk table"))
+    // TEXT offset outside the stream
+    val badSpan = good.clone()
+    ByteBuffer.wrap(badSpan).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x18 + 4 + 0x14, Int.MaxValue - 2)
+    assert(err(badSpan).contains("outside stream"))
+    // no TEXT chunk at all (retag it)
+    val noText = good.clone()
+    System.arraycopy("ZZZZ".getBytes, 0, noText, 0x18 + 4 + 4, 4)
+    assert(err(noText).contains("no TEXT chunk"))
+    // STRS disagrees with TEXT length (corrupt the LAST cumulative end —
+    // the one the validator compares against the decoded char count)
+    val badStrs = good.clone()
+    val strsOff = ByteBuffer.wrap(good).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt(0x18 + 4 + 0x20 + 0x14) // second table entry = STRS
+    ByteBuffer.wrap(badStrs).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(strsOff + 4 + (paras.length - 1) * 4, 1)
+    assert(err(badStrs).contains("STRS accounts"))
+    // the hollow dispatch shell (Quill storage, no QuillSub/CONTENTS)
+    assert(intercept[IllegalArgumentException] {
+      graft.extract.cfb.PubExtractor.extract(CfbWriter.generate("pub"))
+    }.getMessage.contains("Quill/QuillSub/CONTENTS"))
   }
 }
