@@ -120,9 +120,11 @@ object Bench {
       val corpusDir = Corpus.materializeAmplified(spark, sfDir, amplify)
       // Funnel corpus: the documents table amplified less aggressively —
       // the funnel is a pure-expression scan whose regex/scrub passes cost
-      // more per doc than a kernel-less scan but far less than extraction;
-      // amplify/12 (1M docs at sf0.1) keeps legs in the tens of seconds.
-      val docsAmplify = math.max(amplify / 12, 1)
+      // more per doc than a kernel-less scan but far less than extraction.
+      // amplify/6 (200k docs at sf0.1) keeps the hi legs ~8s: at amplify/12
+      // they measured ~4s, short enough that task-startup noise dominated
+      // (hi samples spread 2.3x in one run, reading a bogus 0.602).
+      val docsAmplify = math.max(amplify / 6, 1)
       val docsDir = Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify)
       // Partition count is CONSTANT across both parallelism levels (the
       // protocol's requirement); its value only sets task granularity.
@@ -240,7 +242,7 @@ object Bench {
         if (sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")) ""
         else {
           val (j, fdocs, _, _, _) =
-            measurePair(1, 4, rounds = 3, repsLo = 2, repsHi = 2, docsDir, "funnel")
+            measurePair(1, 4, rounds = 3, repsLo = 2, repsHi = 3, docsDir, "funnel")
           s""","funnel_scaling":{"docs":$fdocs,"amplify":$docsAmplify,$j}"""
         }
 

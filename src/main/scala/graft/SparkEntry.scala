@@ -1775,6 +1775,21 @@ object SparkEntry {
     "src_warc_roundtrip" -> ((s, dir) =>
       WarcSource.roundTrip(docs(s, dir)).orderBy("doc_id")),
 
+    // The same round trip through the DataSource V2 read surface: segments
+    // written to disk, read back via spark.read.format("warc") — shares
+    // src_warc_roundtrip's oracle shape (the connector must surface exactly
+    // what the parser does).
+    "src_warc_dsv2" -> ((s, dir) => {
+      val seg = WarcSource.segmentsToDisk(docs(s, dir))
+      s.read.format("warc").load(seg)
+        .select(
+          regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("bigint").as("doc_id"),
+          col("url"), col("status"), col("content_type").as("mime"),
+          length(col("payload")).cast("bigint").as("payload_octets"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- WARC ingest end-to-end: segments → parse → dispatch → extract -----
     // The Common-Crawl ingest shape over the REAL format-wheel corpus; the
     // WARC leg is byte-transparent so the per-format rollup must equal
@@ -2623,6 +2638,11 @@ object SparkEntry {
         "'" + WebCuration.phonePattern + "', '<PHONE>', 'g')) END AS kept_md5 " +
         "FROM v ORDER BY doc_id"),
     "src_warc_roundtrip" ->
+      ("SELECT doc_id, 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(200 AS INT) AS status, 'text/plain; charset=utf-8' AS mime, " +
+        "CAST(strlen(text) AS BIGINT) AS payload_octets, md5(text) AS payload_md5 " +
+        "FROM documents ORDER BY doc_id"),
+    "src_warc_dsv2" ->
       ("SELECT doc_id, 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url, " +
         "CAST(200 AS INT) AS status, 'text/plain; charset=utf-8' AS mime, " +
         "CAST(strlen(text) AS BIGINT) AS payload_octets, md5(text) AS payload_md5 " +

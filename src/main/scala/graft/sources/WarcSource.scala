@@ -274,6 +274,29 @@ object WarcSource {
       .toDF("doc_id", "url", "status", "mime", "payload_octets", "payload_md5")
   }
 
+  /** Write the documents table as deterministic .warc(.gz) segment FILES
+    * under a fresh temp dir (`docsPerFile` per segment, odd file ids gzip'd
+    * per record) and return the dir — the on-disk fixture for the
+    * DataSource V2 read path ([[WarcDataSource]]). Segment writes happen
+    * executor-side (local-mode shared FS); the O(numFiles) collect() only
+    * barriers the writes before a load() can plan over them. */
+  def segmentsToDisk(docs: DataFrame): String = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_segments").toString
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, it) =>
+        val pages = it.toSeq.sortBy(_._1)
+        val gz = fileId % 2 == 1
+        val bytes = buildFile(fileId, pages, gzipPerRecord = gz)
+        val name = f"seg$fileId%05d.warc" + (if (gz) ".gz" else "")
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+        fileId
+      }.collect()
+    dir
+  }
+
   /** The crawl ingest shape END-TO-END: corpus pages → .warc(.gz) segments
     * → parse → sniff/dispatch → extract → per-format metrics rollup. Each
     * group of `docsPerFile` pages becomes one synthetic WARC segment (odd
@@ -306,7 +329,7 @@ object WarcSource {
 
   /** Hadoop Configuration is not Serializable; the standard write/readFields
     * envelope ships the driver's conf (fs.* credentials etc.) to executors. */
-  private class SerializableHadoopConf(
+  private[sources] class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

@@ -45,6 +45,25 @@ object KernelProperties extends Properties("kernels") {
     }
   }
 
+  property("pub writer/extractor roundtrip over unicode paragraphs x all variants") = {
+    // the Quill TEXT chunk is UTF-16LE: stress BMP letters, CJK, accents,
+    // and supplementary-plane chars (surrogate pairs); \r is the paragraph
+    // mark so the generator excludes control chars by construction
+    val uchar: Gen[String] = Gen.frequency(
+      8 -> Gen.alphaLowerChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ß", "日", "語", "р", "у", "😀", "𝒳"),
+      1 -> Gen.const(" "))
+    val utext: Gen[String] =
+      Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, uchar).map(_.mkString))
+        .map(s => if (s.isBlank) "x" else s)
+    val paragraphs = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, utext))
+    val variant = Gen.chooseNum(0, graft.serialize.LegacyOfficeWriters.PubWriter.numVariants - 1)
+    forAll(paragraphs, variant) { (ps, v) =>
+      val bytes = graft.serialize.LegacyOfficeWriters.PubWriter.generate(ps, v)
+      graft.extract.cfb.PubExtractor.extract(bytes) == ps.mkString("\n")
+    }
+  }
+
   property("extraction is total on arbitrary bytes (never throws, always a row)") = {
     val raw = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
     val payload = Gen.oneOf(
