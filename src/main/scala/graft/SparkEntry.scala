@@ -820,20 +820,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Real-ecosystem VP8L conformance in the oracle gate: the committed
-    // fixtures were produced by the SYSTEM libwebp encoder
-    // (scripts/gen_webp_fixtures.py) and together exercise every VP8L
+    // Real-ecosystem WebP conformance in the oracle gate: the committed
+    // fixtures were produced by the SYSTEM libwebp encoder. Rows 0-11
+    // (scripts/gen_webp_fixtures.py) exercise every VP8L lossless
     // feature — predictor, cross-color, subtract-green, palette at all
     // four bundling widths, color cache, LZ77 backrefs, meta-prefix
-    // groups. The oracle's dims/mode/pixel sums are constants computed
-    // from the SOURCE pixel generators, so a decoder bit misread cannot
-    // round-trip its way to green.
+    // groups — with oracle sums computed from the SOURCE pixel
+    // generators. Rows 12-18 (scripts/gen_vp8_fixtures.py) are LOSSY VP8
+    // key frames at qualities 20-90; their oracle sums are the system
+    // libwebp's OWN WebPDecodeRGBA output (reconstruction is
+    // integer-exact per RFC 6386), so the full Vp8Codec pipeline —
+    // boolean decoder, token trees, dequant, intra predictors, IDCT/WHT,
+    // loop filter, fancy upsampler — sits in the hash gate.
     "mm_decode_webp" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
+          val k = (id % 19).toInt
           Multimodal.MediaRow(id, "", graft.multimodal.WebpFixtures.bytes(
-            graft.multimodal.WebpFixtures.names((id % 12).toInt)))
+            if (k < 12) graft.multimodal.WebpFixtures.names(k)
+            else graft.multimodal.WebpFixtures.lossyNames(k - 12)))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
@@ -1921,20 +1927,26 @@ object SparkEntry {
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "mm_decode_webp" ->
-      // constants computed from the fixture SOURCE pixel generators by
-      // scripts/gen_webp_fixtures.py (r+g+b per pixel, +a when the
-      // stream's alpha-hint bit makes the decode RGBA)
+      // rows 0-11: constants computed from the fixture SOURCE pixel
+      // generators by scripts/gen_webp_fixtures.py (r+g+b per pixel, +a
+      // when the stream's alpha-hint bit makes the decode RGBA);
+      // rows 12-18: LOSSY VP8 — constants are the system libwebp's own
+      // WebPDecodeRGBA r+g+b sums (scripts/gen_vp8_fixtures.py manifest)
       ("WITH f(k, width, height, mode, pixel_sum) AS (VALUES " +
         "(0, 33, 29, 'RGB', 366348), (1, 40, 32, 'RGB', 398080), " +
         "(2, 41, 17, 'RGB', 323970), (3, 37, 23, 'RGB', 250811), " +
         "(4, 29, 31, 'RGB', 304437), (5, 26, 22, 'RGB', 218718), " +
         "(6, 48, 30, 'RGB', 554892), (7, 32, 32, 'RGBA', 527420), " +
         "(8, 160, 120, 'RGB', 7171040), (9, 144, 112, 'RGB', 6011379), " +
-        "(10, 64, 48, 'RGB', 1026464), (11, 60, 51, 'RGB', 1151181)) " +
+        "(10, 64, 48, 'RGB', 1026464), (11, 60, 51, 'RGB', 1151181), " +
+        "(12, 64, 48, 'RGB', 1168891), (13, 80, 64, 'RGB', 1920413), " +
+        "(14, 128, 96, 'RGB', 3962990), (15, 64, 64, 'RGB', 1995593), " +
+        "(16, 61, 37, 'RGB', 794909), (17, 9, 7, 'RGB', 24276), " +
+        "(18, 96, 80, 'RGB', 3746542)) " +
         "SELECT d.doc_id, 'image/webp' AS media_type, " +
         "CAST(f.width AS INT) AS width, CAST(f.height AS INT) AS height, " +
         "f.mode, CAST(f.pixel_sum AS BIGINT) AS pixel_sum " +
-        "FROM documents d JOIN f ON f.k = d.doc_id % 12 ORDER BY d.doc_id"),
+        "FROM documents d JOIN f ON f.k = d.doc_id % 19 ORDER BY d.doc_id"),
     "mm_decode_jpeg" ->
       // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);
       // sum_y (y//8) for h = 8q+r is 4q(q-1) + rq

@@ -947,11 +947,11 @@ object MediaCodecs {
   }
 
   /** Dispatch by magic; None for formats without a real decoder here.
-    * WebP is claimed only in its simple-lossless (VP8L) shape — the one
-    * with a full pixel decoder — and only under the raster cap; lossy
-    * VP8 / extended VP8X, and legal-but-over-cap VP8L, stay on the
-    * [[parseWebp]] header path so they keep real dims instead of
-    * degrading to an error row. */
+    * WebP is claimed in its simple-lossless (VP8L) and simple-lossy (VP8
+    * key frame) shapes — the ones with full pixel decoders — and only
+    * under the raster cap; extended VP8X, and legal-but-over-cap files,
+    * stay on the [[parseWebp]] header path so they keep real dims instead
+    * of degrading to an error row. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
@@ -959,7 +959,8 @@ object MediaCodecs {
     else if (isGif(bytes)) Some(decodeGif(bytes))
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
-    else if (WebpCodec.isLossless(bytes) && WebpCodec.rasterWithinCap(bytes))
+    else if ((WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes)) &&
+      WebpCodec.rasterWithinCap(bytes))
       Some(WebpCodec.decode(bytes, null)) // meta+sum only: skip the sink copy
     else None
 

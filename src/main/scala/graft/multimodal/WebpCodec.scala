@@ -23,9 +23,10 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   * color cache, LZ77 backward references, and meta-prefix code groups —
   * i.e. the streams libwebp's own encoder emits, pinned pixel-exact in
   * WebpCodecSpec against committed fixtures produced by the real libwebp
-  * encoder. Lossy (`VP8 `) and extended (`VP8X`) containers are NAMED
-  * errors; their metadata stays on the [[MediaCodecs.parseWebp]] header
-  * path.
+  * encoder. Lossy (`VP8 `) stills decode through [[Vp8Codec]] (the full
+  * RFC 6386 key-frame pipeline, pinned byte-exact against libwebp's own
+  * YUV/RGBA output). Extended (`VP8X`: alpha/animation/metadata) stays a
+  * NAMED error on the [[MediaCodecs.parseWebp]] header path.
   *
   * Bit conventions (WebP Lossless Bitstream Specification): the stream is
   * read LSB-first; canonical prefix codes are transmitted bit-reversed and
@@ -593,17 +594,20 @@ object WebpCodec {
     out
   }
 
-  /** Decode a lossless WebP's pixels into `sink` — the full VP8L spec:
-    * all four transforms (predictor, cross-color, subtract-green, color
-    * indexing with pixel bundling), color cache, LZ77 backward references
-    * and meta-prefix code groups, i.e. the streams libwebp's own encoder
-    * emits. Pinned pixel-exact against committed libwebp-encoded fixtures
-    * in WebpCodecSpec. Lossy (`VP8 `) and extended (`VP8X`) containers
-    * need the VP8 codec and are named errors — header-level metadata for
+  /** Decode a WebP's pixels into `sink`. Lossless (`VP8L`) covers the full
+    * spec: all four transforms (predictor, cross-color, subtract-green,
+    * color indexing with pixel bundling), color cache, LZ77 backward
+    * references and meta-prefix code groups, i.e. the streams libwebp's
+    * own encoder emits — pinned pixel-exact against committed
+    * libwebp-encoded fixtures in WebpCodecSpec. Lossy (`VP8 `) stills
+    * route through [[Vp8Codec]] (RFC 6386 key-frame reconstruction +
+    * libwebp's fancy upsampler, pinned byte-exact the same way). Extended
+    * (`VP8X`) containers are named errors — header-level metadata for
     * those stays on [[MediaCodecs.parseWebp]]. A null `sink` skips the
     * raster copy-out (metadata/pixel-sum callers) but still pays the full
     * pixel decode and the same 64 MiB bomb cap as sinked decode, which
-    * bounds the decoder's own Int plane (4 B/px) at 4/3 of the cap. */
+    * bounds the decoder's own intermediate planes (4 B/px VP8L Int plane
+    * at 4/3 of the cap; 1.5 B/px padded YUV for VP8). */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
     // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
@@ -618,8 +622,13 @@ object WebpCodec {
         s"RIFF chunk $fourcc overruns payload")
       fourcc match {
         case "VP8L" => at = i.toInt + 8; end = at + size
-        case "VP8 " => throw new IllegalArgumentException(
-          "lossy (VP8) WebP sample decode unsupported — header metadata only")
+        case "VP8 " =>
+          // lossy still image: one VP8 key frame ([[Vp8Codec]])
+          val frame = Vp8Codec.decode(bytes, i.toInt + 8, size)
+          if (sink != null) sink.init("RGB", frame.width, frame.height)
+          else MediaCodecs.PixelBuf.checkCap("RGB", frame.width, frame.height)
+          val sum = Vp8Codec.toRgb(frame, if (sink == null) null else sink.data)
+          return ImageMeta("webp", frame.width, frame.height, "RGB", sum)
         case "VP8X" => throw new IllegalArgumentException(
           "extended (VP8X) WebP sample decode unsupported — header metadata only")
         case _ => ()
@@ -719,6 +728,13 @@ object WebpCodec {
     MediaCodecs.isWebp(bytes) && bytes.length >= 16 &&
       bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'L'
 
+  /** True for a simple lossy container (first chunk `VP8 ` — one key
+    * frame), the other shape [[decode]] handles end-to-end via
+    * [[Vp8Codec]]. Extended (VP8X) files stay on the header path. */
+  def isSimpleLossy(bytes: Array[Byte]): Boolean =
+    MediaCodecs.isWebp(bytes) && bytes.length >= 16 &&
+      bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == ' '
+
   /** Cheap pre-probe for [[MediaCodecs.decodeImage]]: false when the
     * header dims of a (isLossless) stream would trip the 64 MiB raster
     * cap inside [[decode]] — a LEGAL VP8L file can be up to 16384x16384
@@ -727,6 +743,17 @@ object WebpCodec {
     * degrade to an error row. Malformed/truncated headers return true so
     * [[decode]] names the actual parse error. */
   def rasterWithinCap(bytes: Array[Byte]): Boolean = {
+    if (isSimpleLossy(bytes)) {
+      // VP8 key frame: dims live in the 10-byte uncompressed frame header;
+      // the gate decode applies is on the PADDED MB grid (16-px multiples)
+      if (bytes.length < 30) return true // truncated — let decode name it
+      val size = graft.util.LittleEndian.i32(bytes, 16)
+      if (size < 10) return true // malformed — let decode name it
+      val w = ((bytes(26) & 0xff) | ((bytes(27) & 0xff) << 8)) & 0x3fff
+      val h = ((bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)) & 0x3fff
+      if (w == 0 || h == 0) return true // malformed — let decode name it
+      return MediaCodecs.PixelBuf.fitsCap("RGB", (w + 15) & ~15, (h + 15) & ~15)
+    }
     if (bytes.length < 25) return true // truncated — let decode name it
     // honor the declared VP8L chunk size: a short chunk must not have its
     // dims read from whatever bytes follow it
@@ -756,12 +783,25 @@ object WebpFixtures {
     "palette200", "repeat", "rgba_alpha", "photo_large", "mixed_large",
     "correlated", "tc_repeat")
 
-  private lazy val all: Map[String, Array[Byte]] = names.map { n =>
-    val is = getClass.getResourceAsStream(s"/webp/$n.webp")
-    require(is != null, s"webp fixture $n missing from classpath")
-    try n -> is.readAllBytes()
-    finally is.close()
-  }.toMap
+  /** LOSSY (VP8 key frame) conformance fixtures (src/main/resources/vp8,
+    * scripts/gen_vp8_fixtures.py): libwebp-encoded at qualities 20-90 over
+    * gradient/photo/noise content, odd dims included. Their oracle is the
+    * system libwebp's OWN decode — manifest.tsv pins Y/U/V plane and RGBA
+    * md5s plus the r+g+b pixel sum the mm_decode_webp oracle carries. */
+  val lossyNames: IndexedSeq[String] = IndexedSeq(
+    "grad_q75", "photo_q50", "photo_q90", "mixed_q20", "odd_q60",
+    "tiny_q80", "noise_q40")
+
+  private def load(dir: String, ns: Seq[String]): Map[String, Array[Byte]] =
+    ns.map { n =>
+      val is = getClass.getResourceAsStream(s"/$dir/$n.webp")
+      require(is != null, s"webp fixture $dir/$n missing from classpath")
+      try n -> is.readAllBytes()
+      finally is.close()
+    }.toMap
+
+  private lazy val all: Map[String, Array[Byte]] =
+    load("webp", names) ++ load("vp8", lossyNames)
 
   def bytes(name: String): Array[Byte] = all(name)
 }

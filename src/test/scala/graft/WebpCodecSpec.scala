@@ -155,11 +155,15 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(meta.pixelSum == 512)
   }
 
-  test("lossy, extended, and truncated streams are named errors, not guesses") {
+  test("malformed, extended, and truncated streams are named errors, not guesses") {
     val sink = new PixelBuf
+    // a header-only VP8 chunk (sync + dims, zero first-partition size) is
+    // not a decodable key frame: the real lossy decoder names the framing
+    // violation instead of guessing pixels (real decode is pinned against
+    // libwebp in the conformance test below)
     val lossy = MediaFixtures.webp(8, 8, variant = 0)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(lossy, sink))
-      .getMessage.contains("lossy"))
+      .getMessage.contains("partition"))
     val extended = MediaFixtures.webp(8, 8, variant = 2)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(extended, sink))
       .getMessage.contains("extended"))
@@ -317,5 +321,58 @@ class WebpCodecSpec extends AnyFunSuite {
     val short = big.clone()
     short(16) = 4; short(17) = 0; short(18) = 0; short(19) = 0
     assert(WebpCodec.rasterWithinCap(short), "short chunk defers to decode")
+  }
+
+  // ---- lossy VP8 conformance (src/main/resources/vp8) ----------------------
+  // Fixtures encoded by the SYSTEM libwebp at qualities 20-90
+  // (scripts/gen_vp8_fixtures.py); the oracle is libwebp's OWN decode of
+  // each stream: manifest.tsv pins md5s of the WebPDecodeYUV planes (VP8
+  // reconstruction is integer-exact per RFC 6386, so the match must be
+  // byte-exact) and of the WebPDecodeRGBA raster (pinning the fancy
+  // upsampler + fixed-point YUV->RGB port too).
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  test("lossy VP8 fixtures reproduce libwebp's own YUV planes byte-exactly") {
+    val is = getClass.getResourceAsStream("/vp8/manifest.tsv")
+    assert(is != null, "vp8 manifest missing from classpath")
+    val lines = try new String(is.readAllBytes(), "UTF-8").trim.split("\n")
+      finally is.close()
+    assert(lines.length == graft.multimodal.WebpFixtures.lossyNames.length)
+    for (line <- lines) {
+      val Array(name, w, h, mY, mU, mV, mRgba, rgbSum) = line.split("\t")
+      val bytes = graft.multimodal.WebpFixtures.bytes(name)
+      assert(WebpCodec.isSimpleLossy(bytes), name)
+      assert(!WebpCodec.isLossless(bytes), name)
+      // raw 4:2:0 reconstruction (the VP8 chunk payload starts at 20)
+      val size = graft.util.LittleEndian.i32(bytes, 16)
+      val frame = graft.multimodal.Vp8Codec.decode(bytes, 20, size)
+      assert(frame.width == w.toInt && frame.height == h.toInt, name)
+      assert(md5hex(frame.y) == mY, s"$name luma plane")
+      assert(md5hex(frame.u) == mU, s"$name U plane")
+      assert(md5hex(frame.v) == mV, s"$name V plane")
+      // RGB surface through the public decode: must equal WebPDecodeRGBA
+      val sink = new PixelBuf
+      val meta = WebpCodec.decode(bytes, sink)
+      assert(meta.width == w.toInt && meta.height == h.toInt, name)
+      assert(meta.mode == "RGB", name)
+      assert(meta.pixelSum == rgbSum.toLong, s"$name pixel sum")
+      val n = frame.width * frame.height
+      val rgba = new Array[Byte](n * 4)
+      var i = 0
+      while (i < n) {
+        rgba(i * 4) = sink.data(i * 3)
+        rgba(i * 4 + 1) = sink.data(i * 3 + 1)
+        rgba(i * 4 + 2) = sink.data(i * 3 + 2)
+        rgba(i * 4 + 3) = -1
+        i += 1
+      }
+      assert(md5hex(rgba) == mRgba, s"$name RGBA raster vs WebPDecodeRGBA")
+      // routing: decodeImage claims it; null-sink decode agrees
+      assert(MediaCodecs.decodeImage(bytes).contains(meta), name)
+      assert(WebpCodec.decode(bytes, null) == meta, name)
+    }
   }
 }
