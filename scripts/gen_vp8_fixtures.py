@@ -23,19 +23,27 @@ time (lossy!), so the manifest carries md5 digests of the decoded planes:
 
   src/main/resources/vp8/<name>.webp          the streams (committed)
   src/main/resources/vp8/manifest.tsv
-      name w h md5_y md5_u md5_v md5_rgba rgb_sum
-  (rgb_sum = sum of r+g+b over all pixels of libwebp's RGBA decode — the
-  pinned constant the mm_decode_webp DuckDB oracle carries)
+      name w h md5_y md5_u md5_v md5_rgba pixel_sum mode
+  (pixel_sum = sum over libwebp's RGBA decode in graft's ImageMeta
+  convention — r+g+b per pixel, +a for RGBA-mode (VP8X+ALPH) fixtures —
+  the pinned constant the mm_decode_webp DuckDB oracle carries)
+
+RGBA fixtures (WebPEncodeRGBA) exercise the extended container: VP8X
+header, the ALPH chunk (headerless-VP8L-coded alpha plane, the
+horizontal/vertical/gradient prediction filters), and the alpha overlay
+on the VP8 key frame.
 
 Run: python3 scripts/gen_vp8_fixtures.py
 """
-import ctypes, hashlib, os
+import ctypes, hashlib, os, struct
 
 LIB = ctypes.CDLL("libwebp.so.7")
 LIB.WebPEncodeRGB.restype = ctypes.c_size_t
 LIB.WebPEncodeRGB.argtypes = [
     ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+LIB.WebPEncodeRGBA.argtypes = LIB.WebPEncodeRGB.argtypes
 LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
 LIB.WebPDecodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                ctypes.POINTER(ctypes.c_int),
@@ -205,6 +213,25 @@ def encode(rgb, w, h, q):
     return data
 
 
+def encode_rgba(rgba, w, h, q):
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = LIB.WebPEncodeRGBA(rgba, w, h, w * 4, ctypes.c_float(q),
+                           ctypes.byref(out))
+    assert n > 0, "WebPEncodeRGBA failed"
+    data = bytes(bytearray(out[i] for i in range(n)))
+    LIB.WebPFree(out)
+    return data
+
+
+def with_alpha(rgb, w, h, afn):
+    """Attach a deterministic alpha channel to an RGB raster."""
+    out = bytearray(w * h * 4)
+    for i in range(w * h):
+        out[i * 4:i * 4 + 3] = rgb[i * 3:i * 3 + 3]
+        out[i * 4 + 3] = afn(i % w, i // w) & 0xFF
+    return bytes(out)
+
+
 def decode_yuv(data):
     w, h = ctypes.c_int(), ctypes.c_int()
     u, v = ctypes.POINTER(ctypes.c_ubyte)(), ctypes.POINTER(ctypes.c_ubyte)()
@@ -244,34 +271,110 @@ FIXTURES = [
     ("noise_q40", lambda w, h: noise_blocks(w, h, 9), 96, 80, 40.0),
 ]
 
+# VP8X + ALPH fixtures: alpha patterns chosen so libwebp's filter
+# heuristic picks DIFFERENT ALPH prediction filters (the wrapping ramp at
+# 48x32 provokes the horizontal filter; the others land on none)
+FIXTURES_RGBA = [
+    ("alpha_ramp_q75", lambda w, h: photo(w, h, 13),
+     lambda x, y: (x * 4 + y * 2) % 256, 48, 32, 75.0),
+    ("alpha_steps_q50", gradient,
+     lambda x, y: 255 - ((x // 8) * 32) % 256, 48, 32, 50.0),
+    ("alpha_noise_q80", lambda w, h: noise_blocks(w, h, 5),
+     lambda x, y: (((x * 31 + y * 17) * 2654435761) >> 16) % 256, 33, 29, 80.0),
+]
+
+
+def forward_filter(plane, w, h, f):
+    """Apply the ALPH prediction filter (what an encoder stores); the
+    decoder's unfilter must invert this. Row 0 always filters
+    horizontally; later rows predict x=0 from the pixel above."""
+    def clip(g): return 0 if g < 0 else 255 if g > 255 else g
+    out = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if f == 0:
+                pred = 0
+            elif y == 0 or f == 1:
+                pred = (plane[i - 1] if x > 0 else
+                        (plane[i - w] if y > 0 else 0))
+            elif f == 2:
+                pred = plane[i - w]
+            else:
+                pred = (plane[i - w] if x == 0 else
+                        clip(plane[i - 1] + plane[i - w] - plane[i - w - 1]))
+            out[i] = (plane[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def build_raw_alpha(vp8_chunk, plane, w, h, f):
+    """Assemble a VP8X + raw-ALPH (compression 0, filter f) + VP8 file by
+    hand; the caller pins it by having LIBWEBP decode it — so these
+    synthetic streams verify the decoder's raw path and ALL FOUR filters
+    against the ecosystem decoder, not against our own unfilter."""
+    alph = bytes([f << 2]) + forward_filter(plane, w, h, f)
+    def chunk(fcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+    vp8x = bytes([0x10, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + \
+        struct.pack("<I", h - 1)[:3]
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph) + vp8_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
 
 def main():
     os.makedirs(OUT, exist_ok=True)
     manifest = []
-    for name, gen, w, h, q in FIXTURES:
-        data = encode(gen(w, h), w, h, q)
+    md5 = lambda b: hashlib.md5(b).hexdigest()
+
+    def pin(name, data, w, h, mode):
         W, H, yp, up, vp = decode_yuv(data)
         assert (W, H) == (w, h)
         rgba_lib = decode_rgba(data)
         rgba_mine = fancy_rgba(yp, up, vp, w, h)
-        if rgba_mine != rgba_lib:
-            diff = next(i for i in range(len(rgba_lib))
-                        if rgba_lib[i] != rgba_mine[i])
-            raise AssertionError(
-                f"{name}: upsampler mirror diverges at byte {diff} "
-                f"(px {diff//4} ch {diff%4}): lib={rgba_lib[diff]} "
-                f"mine={rgba_mine[diff]}")
+        # for RGBA fixtures compare the RGB channels only: alpha rides the
+        # ALPH chunk, not the YUV planes this mirror upsamples
+        for i in range(w * h):
+            for c in range(3 if mode == "RGBA" else 4):
+                if rgba_mine[i * 4 + c] != rgba_lib[i * 4 + c]:
+                    raise AssertionError(
+                        f"{name}: upsampler mirror diverges at px {i} ch {c}: "
+                        f"lib={rgba_lib[i*4+c]} mine={rgba_mine[i*4+c]}")
         with open(os.path.join(OUT, name + ".webp"), "wb") as f:
             f.write(data)
-        md5 = lambda b: hashlib.md5(b).hexdigest()
-        rgb_sum = sum(rgba_lib) - 255 * w * h  # drop the constant alpha
+        pixel_sum = sum(rgba_lib)
+        if mode == "RGB":
+            pixel_sum -= 255 * w * h  # drop the constant alpha
         manifest.append(f"{name}\t{w}\t{h}\t{md5(yp)}\t{md5(up)}\t{md5(vp)}"
-                        f"\t{md5(rgba_lib)}\t{rgb_sum}")
-        print(f"{name}: {len(data)} bytes, rgb_sum={rgb_sum}, "
+                        f"\t{md5(rgba_lib)}\t{pixel_sum}\t{mode}")
+        print(f"{name}: {len(data)} bytes {mode}, pixel_sum={pixel_sum}, "
               "upsampler mirror EXACT")
+
+    for name, gen, w, h, q in FIXTURES:
+        pin(name, encode(gen(w, h), w, h, q), w, h, "RGB")
+    for name, gen, afn, w, h, q in FIXTURES_RGBA:
+        data = encode_rgba(with_alpha(gen(w, h), w, h, afn), w, h, q)
+        assert data[12:16] == b"VP8X", f"{name}: expected extended container"
+        alph_hdr = data[data.find(b"ALPH") + 8]
+        print(f"  {name}: ALPH filter={alph_hdr >> 2 & 3} "
+              f"compression={alph_hdr & 3}")
+        pin(name, data, w, h, "RGBA")
+    # hand-built raw-ALPH (compression 0) files, one per prediction filter,
+    # pinned by libwebp decoding OUR construction — covers the filters the
+    # encoder's heuristic never picks (vertical, gradient) and the raw path
+    grad_data = open(os.path.join(OUT, "grad_q75.webp"), "rb").read()
+    v8at = grad_data.find(b"VP8 ")
+    v8size = struct.unpack("<I", grad_data[v8at + 4:v8at + 8])[0]
+    vp8_chunk = grad_data[v8at:v8at + 8 + v8size + (v8size & 1)]
+    plane = lcg_bytes(21, 64 * 24) + bytes(
+        (x * 3 + y * 5) % 256 for y in range(24) for x in range(64))
+    for f in range(4):
+        name = f"alpha_rawf{f}"
+        data = build_raw_alpha(vp8_chunk, plane, 64, 48, f)
+        pin(name, data, 64, 48, "RGBA")
     with open(os.path.join(OUT, "manifest.tsv"), "w") as f:
         f.write("\n".join(manifest) + "\n")
-    print(f"wrote {len(FIXTURES)} fixtures + manifest to {OUT}")
+    print(f"wrote {len(FIXTURES) + len(FIXTURES_RGBA) + 4} fixtures + manifest to {OUT}")
 
 
 if __name__ == "__main__":

@@ -836,7 +836,7 @@ object SparkEntry {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
-          val k = (id % 19).toInt
+          val k = (id % 26).toInt
           Multimodal.MediaRow(id, "", graft.multimodal.WebpFixtures.bytes(
             if (k < 12) graft.multimodal.WebpFixtures.names(k)
             else graft.multimodal.WebpFixtures.lossyNames(k - 12)))
@@ -995,8 +995,11 @@ object SparkEntry {
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
           val bytes = (id % 8) match {
-            case 0 => graft.fixtures.MediaFixtures.webp(
-              16 + (id % 100).toInt, 16 + (id % 50).toInt, variant = 0)
+            case 0 =>
+              // REAL lossy VP8 fixtures (libwebp-encoded): the full
+              // Vp8Codec pixel-decode path, not a header walk
+              graft.multimodal.WebpFixtures.bytes(
+                graft.multimodal.WebpFixtures.lossyNames(((id / 8) % 7).toInt))
             case 1 =>
               // a REAL lossless stream (our encoder): rides the full
               // VP8L pixel-decode path, not the header walk
@@ -1011,12 +1014,15 @@ object SparkEntry {
               }
               graft.multimodal.WebpCodec.encode(buf)
             case 2 =>
-              // half still (a VP8 fragment whose dims must NOT override the
-              // canvas), half animated with an ANMF frame count
-              val frames = if (id % 16 == 2) 1 else 2 + (id % 4).toInt
-              graft.fixtures.MediaFixtures.webp(
+              // half REAL still VP8X+ALPH (full decode incl. the alpha
+              // plane), half animated with an ANMF frame count (animation
+              // stays on the parseWebp header path by contract)
+              if (id % 16 == 2)
+                graft.multimodal.WebpFixtures.bytes(
+                  graft.multimodal.WebpFixtures.lossyNames(7 + ((id / 16) % 3).toInt))
+              else graft.fixtures.MediaFixtures.webp(
                 200 + (id % 300).toInt, 150 + (id % 100).toInt,
-                variant = 2, frames = frames)
+                variant = 2, frames = 2 + (id % 4).toInt)
             case 3 => graft.fixtures.MediaFixtures.ico(
               32 + (id % 64).toInt, 32 + (id % 32).toInt,
               count = 1 + (id % 3).toInt, seed = (id % 200).toInt)
@@ -1942,11 +1948,17 @@ object SparkEntry {
         "(12, 64, 48, 'RGB', 1168891), (13, 80, 64, 'RGB', 1920413), " +
         "(14, 128, 96, 'RGB', 3962990), (15, 64, 64, 'RGB', 1995593), " +
         "(16, 61, 37, 'RGB', 794909), (17, 9, 7, 'RGB', 24276), " +
-        "(18, 96, 80, 'RGB', 3746542)) " +
+        "(18, 96, 80, 'RGB', 3746542), " +
+        // rows 19-25: VP8X+ALPH stills (pixel_sum includes the alpha
+        // plane); 22-25 are the hand-built raw-ALPH filter-0..3 files
+        "(19, 48, 32, 'RGBA', 617750), (20, 48, 32, 'RGBA', 853496), " +
+        "(21, 33, 29, 'RGBA', 579719), (22, 64, 48, 'RGBA', 1576495), " +
+        "(23, 64, 48, 'RGBA', 1576495), (24, 64, 48, 'RGBA', 1576495), " +
+        "(25, 64, 48, 'RGBA', 1576495)) " +
         "SELECT d.doc_id, 'image/webp' AS media_type, " +
         "CAST(f.width AS INT) AS width, CAST(f.height AS INT) AS height, " +
         "f.mode, CAST(f.pixel_sum AS BIGINT) AS pixel_sum " +
-        "FROM documents d JOIN f ON f.k = d.doc_id % 19 ORDER BY d.doc_id"),
+        "FROM documents d JOIN f ON f.k = d.doc_id % 26 ORDER BY d.doc_id"),
     "mm_decode_jpeg" ->
       // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);
       // sum_y (y//8) for h = 8q+r is 4q(q-1) + rq
@@ -2017,12 +2029,26 @@ object SparkEntry {
         "WHEN doc_id % 8 = 6 THEN " +
         "(CASE (doc_id // 8) % 2 WHEN 0 THEN 'image/heif' ELSE 'image/avif' END) " +
         "ELSE 'application/octet-stream' END AS media_type, " +
-        "CAST(CASE doc_id % 8 WHEN 0 THEN 16 + doc_id % 100 " +
-        "WHEN 1 THEN 1 + doc_id % 200 WHEN 2 THEN 200 + doc_id % 300 " +
+        // arm 0 dims are the committed lossy-fixture constants (manifest.tsv:
+        // grad 64x48, photo_q50 80x64, photo_q90 128x96, mixed 64x64,
+        // odd 61x37, tiny 9x7, noise 96x80); arm-2 stills are the alpha
+        // fixtures (ramp/steps 48x32, noise 33x29)
+        "CAST(CASE doc_id % 8 WHEN 0 THEN " +
+        "(CASE (doc_id // 8) % 7 WHEN 0 THEN 64 WHEN 1 THEN 80 WHEN 2 THEN 128 " +
+        "WHEN 3 THEN 64 WHEN 4 THEN 61 WHEN 5 THEN 9 ELSE 96 END) " +
+        "WHEN 1 THEN 1 + doc_id % 200 WHEN 2 THEN " +
+        "(CASE WHEN doc_id % 16 = 2 THEN " +
+        "(CASE WHEN (doc_id // 16) % 3 = 2 THEN 33 ELSE 48 END) " +
+        "ELSE 200 + doc_id % 300 END) " +
         "WHEN 3 THEN 32 + doc_id % 64 WHEN 6 THEN 32 + doc_id % 100 " +
         "ELSE 0 END AS INT) AS width, " +
-        "CAST(CASE doc_id % 8 WHEN 0 THEN 16 + doc_id % 50 " +
-        "WHEN 1 THEN 1 + doc_id % 100 WHEN 2 THEN 150 + doc_id % 100 " +
+        "CAST(CASE doc_id % 8 WHEN 0 THEN " +
+        "(CASE (doc_id // 8) % 7 WHEN 0 THEN 48 WHEN 1 THEN 64 WHEN 2 THEN 96 " +
+        "WHEN 3 THEN 64 WHEN 4 THEN 37 WHEN 5 THEN 7 ELSE 80 END) " +
+        "WHEN 1 THEN 1 + doc_id % 100 WHEN 2 THEN " +
+        "(CASE WHEN doc_id % 16 = 2 THEN " +
+        "(CASE WHEN (doc_id // 16) % 3 = 2 THEN 29 ELSE 32 END) " +
+        "ELSE 150 + doc_id % 100 END) " +
         "WHEN 3 THEN 32 + doc_id % 32 WHEN 6 THEN 24 + doc_id % 50 " +
         "ELSE 0 END AS INT) AS height, " +
         "CAST(CASE doc_id % 8 WHEN 2 THEN " +

@@ -959,8 +959,8 @@ object MediaCodecs {
     else if (isGif(bytes)) Some(decodeGif(bytes))
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
-    else if ((WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes)) &&
-      WebpCodec.rasterWithinCap(bytes))
+    else if ((WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes) ||
+      WebpCodec.isExtendedStill(bytes)) && WebpCodec.rasterWithinCap(bytes))
       Some(WebpCodec.decode(bytes, null)) // meta+sum only: skip the sink copy
     else None
 

@@ -198,7 +198,8 @@ object Multimodal {
             case Some(img) =>
               ImageDecode(m.doc_id, sniffMedia(bytes), img.width, img.height,
                 img.mode, img.pixelSum, "")
-            case None if WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes) =>
+            case None if WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes) ||
+                WebpCodec.isExtendedStill(bytes) =>
               // decodeImage's cap pre-probe declined it — a format we DO
               // decode, rejected by size: name the cap, not the format
               ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,

@@ -879,10 +879,11 @@ private[graft] object Vp8Codec {
   @inline private def clip8(v: Int): Int =
     if ((v & ~((256 << 6) - 1)) == 0) v >> 6 else if (v < 0) 0 else 255
 
-  /** Convert a decoded frame to interleaved RGB. Writes into `out` (3 B/px,
-    * may be null) and returns the pixel sum (r+g+b over all pixels) — the
-    * same contract as the VP8L path in [[WebpCodec.decode]]. */
-  def toRgb(f: Frame, out: Array[Byte]): Long = {
+  /** Convert a decoded frame to interleaved RGB. Writes the RGB triples
+    * into `out` (may be null) at `ch` bytes per pixel — 4 leaves the alpha
+    * byte untouched for the ALPH overlay — and returns the r+g+b pixel
+    * sum, the same contract as the VP8L path in [[WebpCodec.decode]]. */
+  def toRgb(f: Frame, out: Array[Byte], ch: Int = 3): Long = {
     val w = f.width; val h = f.height
     val uvw = (w + 1) >> 1
     var sum = 0L
@@ -893,7 +894,7 @@ private[graft] object Vp8Codec {
       val b = clip8(ys + ((uv * 33050) >> 8) - 17685)
       sum += r + g + b
       if (out != null) {
-        out(px * 3) = r.toByte; out(px * 3 + 1) = g.toByte; out(px * 3 + 2) = b.toByte
+        out(px * ch) = r.toByte; out(px * ch + 1) = g.toByte; out(px * ch + 2) = b.toByte
       }
     }
     /** One UPSAMPLE_FUNC call: top/bottom luma rows against two chroma rows

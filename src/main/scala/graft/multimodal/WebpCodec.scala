@@ -25,8 +25,9 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   * WebpCodecSpec against committed fixtures produced by the real libwebp
   * encoder. Lossy (`VP8 `) stills decode through [[Vp8Codec]] (the full
   * RFC 6386 key-frame pipeline, pinned byte-exact against libwebp's own
-  * YUV/RGBA output). Extended (`VP8X`: alpha/animation/metadata) stays a
-  * NAMED error on the [[MediaCodecs.parseWebp]] header path.
+  * YUV/RGBA output), including VP8X+ALPH stills (lossy + alpha plane).
+  * Animated (`VP8X`/ANMF) stays a NAMED error on the
+  * [[MediaCodecs.parseWebp]] header path.
   *
   * Bit conventions (WebP Lossless Bitstream Specification): the stream is
   * read LSB-first; canonical prefix codes are transmitted bit-reversed and
@@ -594,66 +595,14 @@ object WebpCodec {
     out
   }
 
-  /** Decode a WebP's pixels into `sink`. Lossless (`VP8L`) covers the full
-    * spec: all four transforms (predictor, cross-color, subtract-green,
-    * color indexing with pixel bundling), color cache, LZ77 backward
-    * references and meta-prefix code groups, i.e. the streams libwebp's
-    * own encoder emits — pinned pixel-exact against committed
-    * libwebp-encoded fixtures in WebpCodecSpec. Lossy (`VP8 `) stills
-    * route through [[Vp8Codec]] (RFC 6386 key-frame reconstruction +
-    * libwebp's fancy upsampler, pinned byte-exact the same way). Extended
-    * (`VP8X`) containers are named errors — header-level metadata for
-    * those stays on [[MediaCodecs.parseWebp]]. A null `sink` skips the
-    * raster copy-out (metadata/pixel-sum callers) but still pays the full
-    * pixel decode and the same 64 MiB bomb cap as sinked decode, which
-    * bounds the decoder's own intermediate planes (4 B/px VP8L Int plane
-    * at 4/3 of the cap; 1.5 B/px padded YUV for VP8). */
-  def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
-    require(MediaCodecs.isWebp(bytes), "not a WebP payload")
-    // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
-    // wraps negative on a crafted size and bypasses the bounds require
-    var i = 12L
-    var at = -1
-    var end = -1
-    while (at < 0 && i + 8 <= bytes.length) {
-      val fourcc = new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
-      require(size >= 0 && i + 8 + size.toLong <= bytes.length,
-        s"RIFF chunk $fourcc overruns payload")
-      fourcc match {
-        case "VP8L" => at = i.toInt + 8; end = at + size
-        case "VP8 " =>
-          // lossy still image: one VP8 key frame ([[Vp8Codec]])
-          val frame = Vp8Codec.decode(bytes, i.toInt + 8, size)
-          if (sink != null) sink.init("RGB", frame.width, frame.height)
-          else MediaCodecs.PixelBuf.checkCap("RGB", frame.width, frame.height)
-          val sum = Vp8Codec.toRgb(frame, if (sink == null) null else sink.data)
-          return ImageMeta("webp", frame.width, frame.height, "RGB", sum)
-        case "VP8X" => throw new IllegalArgumentException(
-          "extended (VP8X) WebP sample decode unsupported — header metadata only")
-        case _ => ()
-      }
-      i += 8L + size + (size & 1)
-    }
-    require(at >= 0, "WebP has no VP8L chunk")
-    val in = new LsbReader(bytes, at, end)
-    require(in.read(8) == 0x2f, "bad VP8L signature")
-    val w = in.read(14) + 1
-    val h = in.read(14) + 1
-    val alphaHint = in.read(1)
-    require(in.read(3) == 0, "unknown VP8L version")
-    val mode = if (alphaHint == 1) "RGBA" else "RGB"
-    // raster bomb cap BEFORE any plane allocation. It counts OUTPUT raster
-    // bytes (3/px for RGB), so the decoder's 4-byte/px Int plane is bounded
-    // at 4/3 of the 64 MiB cap, not the cap itself — same convention as the
-    // PNG/GIF decoders, whose intermediate buffers also ride above the cap.
-    // Null-sink (metadata) callers must hit the SAME gate as sinked ones so
-    // the two paths accept identical files.
-    if (sink != null) sink.init(mode, w, h)
-    else MediaCodecs.PixelBuf.checkCap(mode, w, h)
-    // Transforms are read in stream order (each type at most once; only
-    // color indexing changes the coded width, for everything read after
-    // it) and inverted in reverse order after the pixel plane decodes.
+  /** The VP8L image-stream BODY (everything after the 5-byte header):
+    * transform list in stream order (each type at most once; only color
+    * indexing changes the coded width, for everything read after it),
+    * coded pixel plane, then inverse transforms in reverse order. Shared
+    * by the VP8L path of [[decode]] and the headerless ALPH alpha stream
+    * ([[decodeAlphaPlane]]) — the container spec omits exactly the header
+    * for alpha, the body grammar is identical. */
+  private def decodeArgbBody(in: LsbReader, w: Int, h: Int): Array[Int] = {
     var curW = w
     val transforms = scala.collection.mutable.ListBuffer.empty[Transform]
     var seenMask = 0
@@ -695,6 +644,160 @@ object WebpCodec {
         pw = unpackedW
     }
     require(pw == w, s"VP8L transform width $pw != header width $w")
+    pix
+  }
+
+  /** Decode a VP8X ALPH chunk into a w*h alpha plane (container spec §
+    * "Alpha"): one header byte — reserved(2) preprocessing(2) filtering(2)
+    * compression(2) — then either the raw plane (method 0) or a HEADERLESS
+    * VP8L image-stream whose green channel carries alpha (method 1), then
+    * the horizontal/vertical/gradient prediction filter undone with
+    * libwebp's exact border rules (row 0 always unfilters horizontally;
+    * later rows predict x=0 from the pixel above). Preprocessing (level
+    * reduction) is encoder-side only — decoders reconstruct as-is. */
+  private def decodeAlphaPlane(bytes: Array[Byte], at: Int, end: Int,
+                               w: Int, h: Int): Array[Byte] = {
+    require(end - at >= 1, "ALPH chunk empty")
+    val hdr = bytes(at) & 0xff
+    val filt = (hdr >> 2) & 3
+    val plane = (hdr & 3) match {
+      case 0 =>
+        require(end - at - 1 >= w * h, "raw ALPH plane shorter than the canvas")
+        java.util.Arrays.copyOfRange(bytes, at + 1, at + 1 + w * h)
+      case 1 =>
+        val pix = decodeArgbBody(new LsbReader(bytes, at + 1, end), w, h)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = ((pix(i) >>> 8) & 0xff).toByte; i += 1 }
+        out
+      case m => throw new IllegalArgumentException(s"unknown ALPH compression method $m")
+    }
+    if (filt > 0) {
+      var y = 0
+      while (y < h) {
+        val row = y * w
+        if (y == 0 || filt == 1) {
+          // horizontal: pred = left; x=0 predicts from the row above
+          var pred = if (y == 0) 0 else plane(row - w) & 0xff
+          var x = 0
+          while (x < w) {
+            pred = (pred + plane(row + x)) & 0xff
+            plane(row + x) = pred.toByte
+            x += 1
+          }
+        } else if (filt == 2) { // vertical: pred = above
+          var x = 0
+          while (x < w) {
+            plane(row + x) = (((plane(row - w + x) & 0xff) + (plane(row + x) & 0xff)) & 0xff).toByte
+            x += 1
+          }
+        } else { // gradient: pred = clip(left + above - above-left); x=0 -> above
+          var left = plane(row - w) & 0xff
+          var topLeft = left
+          var x = 0
+          while (x < w) {
+            val top = plane(row - w + x) & 0xff
+            val g = left + top - topLeft
+            val pred = if ((g & ~0xff) == 0) g else if (g < 0) 0 else 255
+            left = ((plane(row + x) & 0xff) + pred) & 0xff
+            plane(row + x) = left.toByte
+            topLeft = top
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+    plane
+  }
+
+  /** Decode a WebP's pixels into `sink`. Lossless (`VP8L`) covers the full
+    * spec: all four transforms (predictor, cross-color, subtract-green,
+    * color indexing with pixel bundling), color cache, LZ77 backward
+    * references and meta-prefix code groups, i.e. the streams libwebp's
+    * own encoder emits — pinned pixel-exact against committed
+    * libwebp-encoded fixtures in WebpCodecSpec. Lossy (`VP8 `) stills
+    * route through [[Vp8Codec]] (RFC 6386 key-frame reconstruction +
+    * libwebp's fancy upsampler, pinned byte-exact the same way). Extended
+    * (`VP8X`) containers are named errors — header-level metadata for
+    * those stays on [[MediaCodecs.parseWebp]]. A null `sink` skips the
+    * raster copy-out (metadata/pixel-sum callers) but still pays the full
+    * pixel decode and the same 64 MiB bomb cap as sinked decode, which
+    * bounds the decoder's own intermediate planes (4 B/px VP8L Int plane
+    * at 4/3 of the cap; 1.5 B/px padded YUV for VP8). */
+  def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
+    require(MediaCodecs.isWebp(bytes), "not a WebP payload")
+    // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
+    // wraps negative on a crafted size and bypasses the bounds require.
+    // Collect the image chunks first (an extended file carries ALPH before
+    // VP8), then dispatch.
+    var i = 12L
+    var at = -1
+    var end = -1
+    var vp8At = -1
+    var vp8Size = -1
+    var alphAt = -1
+    var alphEnd = -1
+    var vp8xFlags = -1
+    while (i + 8 <= bytes.length) {
+      val fourcc = new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
+      require(size >= 0 && i + 8 + size.toLong <= bytes.length,
+        s"RIFF chunk $fourcc overruns payload")
+      fourcc match {
+        case "VP8L" if at < 0 => at = i.toInt + 8; end = at + size
+        case "VP8 " if vp8At < 0 => vp8At = i.toInt + 8; vp8Size = size
+        case "ALPH" if alphAt < 0 => alphAt = i.toInt + 8; alphEnd = alphAt + size
+        case "VP8X" =>
+          require(size >= 10, "VP8X chunk too short")
+          vp8xFlags = bytes(i.toInt + 8) & 0xff
+        case _ => () // ICCP/EXIF/XMP metadata chunks don't affect pixels
+      }
+      i += 8L + size + (size & 1)
+    }
+    if (vp8xFlags >= 0)
+      require((vp8xFlags & 0x02) == 0,
+        "animated (VP8X/ANMF) WebP sample decode unsupported — header metadata only")
+    if (at < 0 && vp8At >= 0) {
+      // lossy still image: one VP8 key frame ([[Vp8Codec]]), plus the
+      // optional VP8X ALPH plane (raw or headerless-VP8L coded, filtered)
+      val frame = Vp8Codec.decode(bytes, vp8At, vp8Size)
+      val alpha =
+        if (alphAt >= 0) decodeAlphaPlane(bytes, alphAt, alphEnd, frame.width, frame.height)
+        else null
+      val mode = if (alpha != null) "RGBA" else "RGB"
+      if (sink != null) sink.init(mode, frame.width, frame.height)
+      else MediaCodecs.PixelBuf.checkCap(mode, frame.width, frame.height)
+      val out = if (sink == null) null else sink.data
+      val chn = PixelBuf.channelsOf(mode)
+      var sum = Vp8Codec.toRgb(frame, out, chn)
+      if (alpha != null) {
+        var p = 0
+        while (p < alpha.length) {
+          sum += alpha(p) & 0xff
+          if (out != null) out(p * 4 + 3) = alpha(p)
+          p += 1
+        }
+      }
+      return ImageMeta("webp", frame.width, frame.height, mode, sum)
+    }
+    require(at >= 0, "WebP has no VP8L or VP8 image chunk")
+    val in = new LsbReader(bytes, at, end)
+    require(in.read(8) == 0x2f, "bad VP8L signature")
+    val w = in.read(14) + 1
+    val h = in.read(14) + 1
+    val alphaHint = in.read(1)
+    require(in.read(3) == 0, "unknown VP8L version")
+    val mode = if (alphaHint == 1) "RGBA" else "RGB"
+    // raster bomb cap BEFORE any plane allocation. It counts OUTPUT raster
+    // bytes (3/px for RGB), so the decoder's 4-byte/px Int plane is bounded
+    // at 4/3 of the 64 MiB cap, not the cap itself — same convention as the
+    // PNG/GIF decoders, whose intermediate buffers also ride above the cap.
+    // Null-sink (metadata) callers must hit the SAME gate as sinked ones so
+    // the two paths accept identical files.
+    if (sink != null) sink.init(mode, w, h)
+    else MediaCodecs.PixelBuf.checkCap(mode, w, h)
+    val pix = decodeArgbBody(in, w, h)
     val ch = PixelBuf.channelsOf(mode)
     val n = w * h
     val out = if (sink == null) null else sink.data
@@ -735,6 +838,15 @@ object WebpCodec {
     MediaCodecs.isWebp(bytes) && bytes.length >= 16 &&
       bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == ' '
 
+  /** True for a NON-ANIMATED extended container (first chunk `VP8X`,
+    * animation flag clear) — a still image, possibly with an ALPH alpha
+    * plane and ICC/EXIF/XMP metadata chunks, which [[decode]] handles
+    * end-to-end. Animations stay on the header path. */
+  def isExtendedStill(bytes: Array[Byte]): Boolean =
+    MediaCodecs.isWebp(bytes) && bytes.length >= 21 &&
+      bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'X' &&
+      (bytes(20) & 0x02) == 0
+
   /** Cheap pre-probe for [[MediaCodecs.decodeImage]]: false when the
     * header dims of a (isLossless) stream would trip the 64 MiB raster
     * cap inside [[decode]] — a LEGAL VP8L file can be up to 16384x16384
@@ -743,6 +855,15 @@ object WebpCodec {
     * degrade to an error row. Malformed/truncated headers return true so
     * [[decode]] names the actual parse error. */
   def rasterWithinCap(bytes: Array[Byte]): Boolean = {
+    if (isExtendedStill(bytes)) {
+      // VP8X canvas dims: 24-bit LE minus-one fields after flags+reserved
+      if (bytes.length < 30) return true // truncated — let decode name it
+      val w = ((bytes(24) & 0xff) | ((bytes(25) & 0xff) << 8) |
+        ((bytes(26) & 0xff) << 16)) + 1
+      val h = ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) |
+        ((bytes(29) & 0xff) << 16)) + 1
+      return MediaCodecs.PixelBuf.fitsCap("RGBA", (w + 15) & ~15, (h + 15) & ~15)
+    }
     if (isSimpleLossy(bytes)) {
       // VP8 key frame: dims live in the 10-byte uncompressed frame header;
       // the gate decode applies is on the PADDED MB grid (16-px multiples)
@@ -785,12 +906,17 @@ object WebpFixtures {
 
   /** LOSSY (VP8 key frame) conformance fixtures (src/main/resources/vp8,
     * scripts/gen_vp8_fixtures.py): libwebp-encoded at qualities 20-90 over
-    * gradient/photo/noise content, odd dims included. Their oracle is the
-    * system libwebp's OWN decode — manifest.tsv pins Y/U/V plane and RGBA
-    * md5s plus the r+g+b pixel sum the mm_decode_webp oracle carries. */
+    * gradient/photo/noise content, odd dims included; the `alpha_*` rows
+    * are VP8X+ALPH extended files (libwebp-encoded RGBA, plus hand-built
+    * raw-ALPH files covering all four prediction filters — themselves
+    * pinned by libwebp decoding them). The oracle is the system libwebp's
+    * OWN decode — manifest.tsv pins Y/U/V plane and RGBA md5s plus the
+    * pixel sum the mm_decode_webp oracle carries. */
   val lossyNames: IndexedSeq[String] = IndexedSeq(
     "grad_q75", "photo_q50", "photo_q90", "mixed_q20", "odd_q60",
-    "tiny_q80", "noise_q40")
+    "tiny_q80", "noise_q40", "alpha_ramp_q75", "alpha_steps_q50",
+    "alpha_noise_q80", "alpha_rawf0", "alpha_rawf1", "alpha_rawf2",
+    "alpha_rawf3")
 
   private def load(dir: String, ns: Seq[String]): Map[String, Array[Byte]] =
     ns.map { n =>

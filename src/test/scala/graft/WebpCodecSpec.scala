@@ -164,9 +164,17 @@ class WebpCodecSpec extends AnyFunSuite {
     val lossy = MediaFixtures.webp(8, 8, variant = 0)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(lossy, sink))
       .getMessage.contains("partition"))
-    val extended = MediaFixtures.webp(8, 8, variant = 2)
-    assert(intercept[IllegalArgumentException](WebpCodec.decode(extended, sink))
-      .getMessage.contains("extended"))
+    // a still VP8X whose VP8 fragment is header-only fails the same framing
+    // gate; an ANIMATED VP8X is a named unsupported, and the routing
+    // predicate declines it so it keeps the parseWebp header path
+    val extendedStill = MediaFixtures.webp(8, 8, variant = 2)
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(extendedStill, sink))
+      .getMessage.contains("partition"))
+    val animated = MediaFixtures.webp(8, 8, variant = 2, frames = 3)
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(animated, sink))
+      .getMessage.contains("animated"))
+    assert(!WebpCodec.isExtendedStill(animated))
+    assert(MediaCodecs.decodeImage(animated).isEmpty, "animation -> header path")
     // truncated payloads are named errors, not short pixels: a short file
     // fails the chunk-bounds walk; a chunk whose declared size cuts the
     // entropy data fails the bit reader
@@ -342,33 +350,49 @@ class WebpCodecSpec extends AnyFunSuite {
       finally is.close()
     assert(lines.length == graft.multimodal.WebpFixtures.lossyNames.length)
     for (line <- lines) {
-      val Array(name, w, h, mY, mU, mV, mRgba, rgbSum) = line.split("\t")
+      val Array(name, w, h, mY, mU, mV, mRgba, pixSum, mode) = line.split("\t")
       val bytes = graft.multimodal.WebpFixtures.bytes(name)
-      assert(WebpCodec.isSimpleLossy(bytes), name)
       assert(!WebpCodec.isLossless(bytes), name)
-      // raw 4:2:0 reconstruction (the VP8 chunk payload starts at 20)
-      val size = graft.util.LittleEndian.i32(bytes, 16)
-      val frame = graft.multimodal.Vp8Codec.decode(bytes, 20, size)
+      // raw 4:2:0 reconstruction of the VP8 key frame
+      val (vp8At, vp8Size) =
+        if (WebpCodec.isSimpleLossy(bytes)) (20, graft.util.LittleEndian.i32(bytes, 16))
+        else { // VP8X+ALPH: locate the VP8 chunk
+          assert(WebpCodec.isExtendedStill(bytes), name)
+          var i = 12; var at = -1; var sz = -1
+          while (at < 0 && i + 8 <= bytes.length) {
+            val fcc = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+            val s = graft.util.LittleEndian.i32(bytes, i + 4)
+            if (fcc == "VP8 ") { at = i + 8; sz = s }
+            i += 8 + s + (s & 1)
+          }
+          (at, sz)
+        }
+      val frame = graft.multimodal.Vp8Codec.decode(bytes, vp8At, vp8Size)
       assert(frame.width == w.toInt && frame.height == h.toInt, name)
       assert(md5hex(frame.y) == mY, s"$name luma plane")
       assert(md5hex(frame.u) == mU, s"$name U plane")
       assert(md5hex(frame.v) == mV, s"$name V plane")
-      // RGB surface through the public decode: must equal WebPDecodeRGBA
+      // RGB(A) surface through the public decode: must equal WebPDecodeRGBA
       val sink = new PixelBuf
       val meta = WebpCodec.decode(bytes, sink)
       assert(meta.width == w.toInt && meta.height == h.toInt, name)
-      assert(meta.mode == "RGB", name)
-      assert(meta.pixelSum == rgbSum.toLong, s"$name pixel sum")
-      val n = frame.width * frame.height
-      val rgba = new Array[Byte](n * 4)
-      var i = 0
-      while (i < n) {
-        rgba(i * 4) = sink.data(i * 3)
-        rgba(i * 4 + 1) = sink.data(i * 3 + 1)
-        rgba(i * 4 + 2) = sink.data(i * 3 + 2)
-        rgba(i * 4 + 3) = -1
-        i += 1
-      }
+      assert(meta.mode == mode, name)
+      assert(meta.pixelSum == pixSum.toLong, s"$name pixel sum")
+      val rgba =
+        if (mode == "RGBA") sink.data
+        else {
+          val n = frame.width * frame.height
+          val buf = new Array[Byte](n * 4)
+          var i = 0
+          while (i < n) {
+            buf(i * 4) = sink.data(i * 3)
+            buf(i * 4 + 1) = sink.data(i * 3 + 1)
+            buf(i * 4 + 2) = sink.data(i * 3 + 2)
+            buf(i * 4 + 3) = -1
+            i += 1
+          }
+          buf
+        }
       assert(md5hex(rgba) == mRgba, s"$name RGBA raster vs WebPDecodeRGBA")
       // routing: decodeImage claims it; null-sink decode agrees
       assert(MediaCodecs.decodeImage(bytes).contains(meta), name)
