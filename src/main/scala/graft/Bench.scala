@@ -18,7 +18,8 @@ import graft.pipeline.ExtractionPipeline
   *     The GATE pair is 1,4 (see BENCH/BASELINE.md §1: this VM's
   *     allocation-bandwidth curve — the resource an extraction kernel
   *     rides — is near-linear only to ~4 threads; 2→8 caps at 0.77 and
-  *     8→32 at ~0.70 BY HARDWARE). The allocation-saturated pairs 2,8 and
+  *     8→32 at ~0.38 BY HARDWARE, measured in §1c′ — the memory
+  *     controller is the wall past 8 threads). The allocation-saturated pairs 2,8 and
   *     8,32 are ALSO measured and emitted machine-readably
   *     (`scaling_pairs`) so gate-vs-hardware attribution lives in the
   *     artifact, not prose;
@@ -121,11 +122,18 @@ object Bench {
       // Funnel corpus: the documents table amplified less aggressively —
       // the funnel is a pure-expression scan whose regex/scrub passes cost
       // more per doc than a kernel-less scan but far less than extraction.
-      // amplify/6 (200k docs at sf0.1) keeps the hi legs ~8s: at amplify/12
+      // amplify/4 (300k docs at sf0.1) keeps the hi legs ~9s: at amplify/12
       // they measured ~4s, short enough that task-startup noise dominated
-      // (hi samples spread 2.3x in one run, reading a bogus 0.602).
-      val docsAmplify = math.max(amplify / 6, 1)
+      // (hi samples spread 2.3x in one run, reading a bogus 0.602), and at
+      // amplify/6 the ~6s hi legs still let one slow VM window misprice a
+      // whole round.
+      val docsAmplify = math.max(amplify / 4, 1)
       val docsDir = Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify)
+      val allPairs = !sys.env.get("SPARK_GRAFT_ALL_PAIRS").contains("0")
+      // 2x corpus for the saturated 8,32 pair (leg-duration rule below) —
+      // materialized while the parent session is still alive.
+      val corpus2xDir =
+        if (allPairs) Corpus.materializeAmplified(spark, sfDir, amplify * 2) else ""
       // Partition count is CONSTANT across both parallelism levels (the
       // protocol's requirement); its value only sets task granularity.
       // 64 keeps >=8 task waves at the high level while cutting per-task
@@ -211,7 +219,11 @@ object Bench {
       // allocation-bandwidth curve, BENCH/BASELINE.md §1c).
       val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "1,4")
         .split(",").map(_.trim.toInt)
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "4").toInt
+      // 5 alternating rounds: median-of-best-3 over 5 per-level samples
+      // tolerates TWO slow-window children per level (4 tolerated one;
+      // the round-4 official artifact showed a single window can misprice
+      // a whole level)
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "5").toInt
       val (gateJson, docs, bytes, gateSecLo, gateSecHi) =
         measurePair(nLo, nHi, rounds, repsLo = 2, repsHi = 4, corpusDir, "extract")
       val mb = bytes / 1e6
@@ -219,16 +231,24 @@ object Bench {
         f""","scaling":{"docs":$docs,"input_mb":$mb%.1f,"amplify":$amplify,$gateJson,""" +
           f""""lo_mb_per_sec":${mb / gateSecLo}%.1f,"hi_mb_per_sec":${mb / gateSecHi}%.1f}"""
 
-      // Hardware-attribution pairs: allocation-saturated 2,8 and 8,32 —
-      // EXPECTED to read ~0.77 / ~0.70 on this box (the §1c curves), and
-      // measured every round so the comparison is machine-readable.
+      // Hardware-attribution pairs: allocation-saturated 2,8 and 8,32,
+      // measured every round so the gate-vs-hardware comparison is
+      // machine-readable. Leg-duration rule: a pair's CORPUS scales with
+      // its core counts so the hi leg stays >=~15s — the first round-5
+      // runs measured 8,32 on the gate-sized corpus, whose 32-core leg
+      // finished in 3.7-5s; at that length per-pass fixed costs plus this
+      // VM's minute-scale drift (hi samples spread 4.7-23.4s across runs)
+      // swamp the signal and the pair read 0.09-0.31, contradicting its
+      // own 2,8 neighbour (0.82-0.88 on ~8s legs). 3 alternating rounds
+      // per pair for the same one-bad-child robustness as the gate.
       val pairsJson =
-        if (sys.env.get("SPARK_GRAFT_ALL_PAIRS").contains("0")) ""
+        if (!allPairs) ""
         else {
-          val extra = Seq((2, 8), (8, 32)).map { case (lo, hi) =>
-            val (j, _, _, _, _) =
-              measurePair(lo, hi, rounds = 2, repsLo = 2, repsHi = 3, corpusDir, "extract")
-            s"{$j}"
+          val extra = Seq((2, 8, corpusDir), (8, 32, corpus2xDir)).map {
+            case (lo, hi, dir) =>
+              val (j, _, _, _, _) =
+                measurePair(lo, hi, rounds = 3, repsLo = 2, repsHi = 3, dir, "extract")
+              s"{$j}"
           }
           s""","scaling_pairs":[${extra.mkString(",")}]"""
         }

@@ -608,6 +608,13 @@ object SparkEntry {
       Dedup.simhashPairs(nearDupCorpus(s, dir), "id", "text").orderBy("a_id", "b_id")),
     "dedup_exact_survivors" -> ((s, dir) =>
       Dedup.exactDupSurvivors(dupCorpus(s, dir), "id", "text").orderBy("id")),
+    // Exact repeated-substring spans (Lee et al. ExactSubstr, the
+    // suffix-array dedup re-shaped as a one-shuffle window-hash job):
+    // every 8-token window hashed, corpus-wide df counted, per-doc
+    // maximal runs of duplicated windows reported. The documents table
+    // carries enough cross-doc boilerplate for a non-trivial dup set.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupSpans(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     // cluster labels: min reachable id through the (LSH-found, exactly
     // verified) near-dup pairs; oracle recomputes via a recursive CTE
     "dedup_clusters" -> ((s, dir) => {
@@ -831,19 +838,24 @@ object SparkEntry {
     // libwebp's OWN WebPDecodeRGBA output (reconstruction is
     // integer-exact per RFC 6386), so the full Vp8Codec pipeline —
     // boolean decoder, token trees, dequant, intra predictors, IDCT/WHT,
-    // loop filter, fancy upsampler — sits in the hash gate.
+    // loop filter, fancy upsampler — sits in the hash gate. Rows 26-31
+    // (scripts/gen_anim_webp_fixtures.py) are ANIMATED (VP8X+ANMF) files
+    // whose every frame is decoded and composited (blend / overwrite /
+    // dispose-to-background, WebpCodec.decodeAnimation); pixel_sum there
+    // is the composited TIMELINE digest and n_frames the ANMF count.
     "mm_decode_webp" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
-          val k = (id % 26).toInt
+          val k = (id % 32).toInt
           Multimodal.MediaRow(id, "", graft.multimodal.WebpFixtures.bytes(
             if (k < 12) graft.multimodal.WebpFixtures.names(k)
-            else graft.multimodal.WebpFixtures.lossyNames(k - 12)))
+            else if (k < 26) graft.multimodal.WebpFixtures.lossyNames(k - 12)
+            else graft.multimodal.WebpFixtures.animNames(k - 26)))
         }
       Multimodal.decodeImages(media).toDF()
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-          col("mode"), col("pixel_sum"))
+          col("mode"), col("pixel_sum"), col("n_frames"))
         .orderBy("doc_id")
     }),
 
@@ -1015,8 +1027,11 @@ object SparkEntry {
               graft.multimodal.WebpCodec.encode(buf)
             case 2 =>
               // half REAL still VP8X+ALPH (full decode incl. the alpha
-              // plane), half animated with an ANMF frame count (animation
-              // stays on the parseWebp header path by contract)
+              // plane), half synthetic animated with an ANMF frame count —
+              // REAL animations decode end-to-end now, but these junk ANMF
+              // headers declare >16M cumulative frame pixels, so the
+              // routing pre-probe keeps them on the parseWebp header path
+              // (real dims + frame count, never an error row)
               if (id % 16 == 2)
                 graft.multimodal.WebpFixtures.bytes(
                   graft.multimodal.WebpFixtures.lossyNames(7 + ((id / 16) % 3).toInt))
@@ -1273,6 +1288,31 @@ object SparkEntry {
           (id, dst, meta.format, meta.width, meta.height, meta.mode, meta.pixelSum)
         }.toDF("doc_id", "dst_fmt", "format", "width", "height", "mode", "pixel_sum")
         .select(col("doc_id"), col("dst_fmt"), col("format"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"), col("mode"),
+          col("pixel_sum").cast("bigint").as("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // CLASSIC (DIB) ICO INPUT (Pillow's IcoImagePlugin open path — the
+    // reference accepts .ico inputs, image_converters.py:42-46): XOR
+    // bitmap + AND mask composite to RGBA (every third row transparent),
+    // converted to PNG and re-decoded; dims/mode/pixel-sum verify in
+    // closed form from the hand-packed fixture's row-banded content.
+    "ic_ico_dib" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 5 + (id % 9).toInt
+          val h = 4 + (id % 6).toInt
+          val seed = (id % 200).toInt
+          val bpp = if (id % 2 == 0) 24 else 8
+          val src = graft.fixtures.MediaFixtures.icoDib(w, h, bpp, seed)
+          val out = graft.multimodal.ImageConvert.convertImage(src, "png")
+          val (meta, _) = graft.multimodal.ImageConvert.decodePixels(out)
+          (id, bpp, meta.format, meta.width, meta.height, meta.mode, meta.pixelSum)
+        }.toDF("doc_id", "bpp", "format", "width", "height", "mode", "pixel_sum")
+        .select(col("doc_id"), col("bpp").cast("int").as("bpp"), col("format"),
           col("width").cast("int").as("width"),
           col("height").cast("int").as("height"), col("mode"),
           col("pixel_sum").cast("bigint").as("pixel_sum"))
@@ -1938,27 +1978,36 @@ object SparkEntry {
       // when the stream's alpha-hint bit makes the decode RGBA);
       // rows 12-18: LOSSY VP8 — constants are the system libwebp's own
       // WebPDecodeRGBA r+g+b sums (scripts/gen_vp8_fixtures.py manifest)
-      ("WITH f(k, width, height, mode, pixel_sum) AS (VALUES " +
-        "(0, 33, 29, 'RGB', 366348), (1, 40, 32, 'RGB', 398080), " +
-        "(2, 41, 17, 'RGB', 323970), (3, 37, 23, 'RGB', 250811), " +
-        "(4, 29, 31, 'RGB', 304437), (5, 26, 22, 'RGB', 218718), " +
-        "(6, 48, 30, 'RGB', 554892), (7, 32, 32, 'RGBA', 527420), " +
-        "(8, 160, 120, 'RGB', 7171040), (9, 144, 112, 'RGB', 6011379), " +
-        "(10, 64, 48, 'RGB', 1026464), (11, 60, 51, 'RGB', 1151181), " +
-        "(12, 64, 48, 'RGB', 1168891), (13, 80, 64, 'RGB', 1920413), " +
-        "(14, 128, 96, 'RGB', 3962990), (15, 64, 64, 'RGB', 1995593), " +
-        "(16, 61, 37, 'RGB', 794909), (17, 9, 7, 'RGB', 24276), " +
-        "(18, 96, 80, 'RGB', 3746542), " +
+      ("WITH f(k, width, height, mode, pixel_sum, n_frames) AS (VALUES " +
+        "(0, 33, 29, 'RGB', 366348, 1), (1, 40, 32, 'RGB', 398080, 1), " +
+        "(2, 41, 17, 'RGB', 323970, 1), (3, 37, 23, 'RGB', 250811, 1), " +
+        "(4, 29, 31, 'RGB', 304437, 1), (5, 26, 22, 'RGB', 218718, 1), " +
+        "(6, 48, 30, 'RGB', 554892, 1), (7, 32, 32, 'RGBA', 527420, 1), " +
+        "(8, 160, 120, 'RGB', 7171040, 1), (9, 144, 112, 'RGB', 6011379, 1), " +
+        "(10, 64, 48, 'RGB', 1026464, 1), (11, 60, 51, 'RGB', 1151181, 1), " +
+        "(12, 64, 48, 'RGB', 1168891, 1), (13, 80, 64, 'RGB', 1920413, 1), " +
+        "(14, 128, 96, 'RGB', 3962990, 1), (15, 64, 64, 'RGB', 1995593, 1), " +
+        "(16, 61, 37, 'RGB', 794909, 1), (17, 9, 7, 'RGB', 24276, 1), " +
+        "(18, 96, 80, 'RGB', 3746542, 1), " +
         // rows 19-25: VP8X+ALPH stills (pixel_sum includes the alpha
         // plane); 22-25 are the hand-built raw-ALPH filter-0..3 files
-        "(19, 48, 32, 'RGBA', 617750), (20, 48, 32, 'RGBA', 853496), " +
-        "(21, 33, 29, 'RGBA', 579719), (22, 64, 48, 'RGBA', 1576495), " +
-        "(23, 64, 48, 'RGBA', 1576495), (24, 64, 48, 'RGBA', 1576495), " +
-        "(25, 64, 48, 'RGBA', 1576495)) " +
+        "(19, 48, 32, 'RGBA', 617750, 1), (20, 48, 32, 'RGBA', 853496, 1), " +
+        "(21, 33, 29, 'RGBA', 579719, 1), (22, 64, 48, 'RGBA', 1576495, 1), " +
+        "(23, 64, 48, 'RGBA', 1576495, 1), (24, 64, 48, 'RGBA', 1576495, 1), " +
+        "(25, 64, 48, 'RGBA', 1576495, 1), " +
+        // rows 26-31: ANIMATED (VP8X+ANMF) — pixel_sum is the composited
+        // timeline digest over every frame, n_frames the ANMF count
+        // (scripts/gen_anim_webp_fixtures.py manifest; frame pixels are
+        // libwebp's own decode, blended frames carry binary alpha so the
+        // constants are blend-rounding-independent)
+        "(26, 40, 28, 'RGBA', 1419908, 2), (27, 48, 36, 'RGBA', 3325664, 3), " +
+        "(28, 44, 32, 'RGBA', 2465995, 3), (29, 64, 48, 'RGBA', 2447711, 2), " +
+        "(30, 64, 48, 'RGBA', 5869032, 3), (31, 48, 32, 'RGBA', 1973319, 2)) " +
         "SELECT d.doc_id, 'image/webp' AS media_type, " +
         "CAST(f.width AS INT) AS width, CAST(f.height AS INT) AS height, " +
-        "f.mode, CAST(f.pixel_sum AS BIGINT) AS pixel_sum " +
-        "FROM documents d JOIN f ON f.k = d.doc_id % 26 ORDER BY d.doc_id"),
+        "f.mode, CAST(f.pixel_sum AS BIGINT) AS pixel_sum, " +
+        "CAST(f.n_frames AS INT) AS n_frames " +
+        "FROM documents d JOIN f ON f.k = d.doc_id % 32 ORDER BY d.doc_id"),
     "mm_decode_jpeg" ->
       // row y holds (seed + y//8) % 256, no wrap (seed<200, <=4 bands);
       // sum_y (y//8) for h = 8q+r is 4q(q-1) + rq
@@ -2152,6 +2201,19 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 IN (1, 2) THEN 'L' ELSE 'RGB' END AS mode, " +
         "CAST((CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 3 END) " +
         "* w * (h * seed + h * (h - 1) // 2) AS BIGINT) AS pixel_sum " +
+        "FROM p ORDER BY doc_id"),
+    "ic_ico_dib" ->
+      // XOR rows carry seed+y in every channel (3·w·(h·seed + h(h−1)/2));
+      // the AND mask zeroes alpha on rows y % 3 == 0 (count ⌈h/3⌉ =
+      // (h+2)//3), the rest contribute 255·w each — RGBA sum convention
+      ("WITH p AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 6 AS h, " +
+        "doc_id % 200 AS seed FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS INT) AS bpp, " +
+        "'png' AS format, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, 'RGBA' AS mode, " +
+        "CAST(3 * w * (h * seed + h * (h - 1) // 2) " +
+        "+ 255 * w * (h - (h + 2) // 3) AS BIGINT) AS pixel_sum " +
         "FROM p ORDER BY doc_id"),
     "ic_resize" ->
       // even ids: horizontal-only stretch of row-banded content (row y is
@@ -2463,6 +2525,24 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_substring" ->
+      // mirror of Dedup.substringDupSpans at k=8: md5 over the space-joined
+      // window (same UTF-8 bytes both sides), gaps-and-islands for runs
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "base AS (SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t), " +
+        "w AS (SELECT doc_id, i AS idx, md5(array_to_string(toks[i:i+7], ' ')) AS h " +
+        "FROM base, LATERAL (SELECT unnest(generate_series(1, n_windows)) AS i) g), " +
+        "dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1), " +
+        "d AS (SELECT w.doc_id, w.idx FROM w JOIN dup USING (h)), " +
+        "runs AS (SELECT doc_id, idx - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY idx) AS grp FROM d), " +
+        "isl AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp), " +
+        "agg AS (SELECT doc_id, sum(run) AS dup_windows, max(run) + 7 AS max_run_tokens " +
+        "FROM isl GROUP BY doc_id) " +
+        "SELECT b.doc_id, CAST(b.n_windows AS INT) AS n_windows, " +
+        "CAST(COALESCE(a.dup_windows, 0) AS INT) AS dup_windows, " +
+        "CAST(COALESCE(a.max_run_tokens, 0) AS INT) AS max_run_tokens " +
+        "FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id"),
     "dedup_exact_survivors" ->
       ("WITH c AS (SELECT doc_id AS id, text FROM documents UNION ALL " +
         "SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 5 = 0) " +

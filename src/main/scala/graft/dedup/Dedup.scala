@@ -69,6 +69,66 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** Exact repeated-substring detection at fixed window size k tokens —
+    * the Spark shape of Lee et al.'s ExactSubstr dedup ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * which finds substrings of >= k tokens occurring more than once in
+    * the corpus via a suffix array). A k-token sliding window marks
+    * exactly the same spans: a duplicated substring of length m >= k
+    * duplicates its m-k+1 windows, so per-doc MAXIMAL RUNS of duplicated
+    * windows recover the spans (max_run_tokens = longest run + k - 1).
+    * Duplication counts repeats across docs AND within one doc, like the
+    * paper's suffix array.
+    *
+    * Shape at scale (the suffix array is the single-node shape; this is
+    * the distributed one): tokens explode to ~n_tokens window-hash rows
+    * — ONE shuffle to count window df with map-side partial aggregation
+    * (hashes are near-uniform, no skew), the duplicated-window set joins
+    * back with the strategy left to AQE (a real crawl's dup set is too
+    * big to force-broadcast), and runs reduce per doc (bounded by one
+    * document, never one task per key class). No driver state, no
+    * all-pairs join anywhere.
+    *
+    * Output per input row: doc_id, n_windows, dup_windows,
+    * max_run_tokens (0s when nothing repeats or the doc is shorter than
+    * k tokens). */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 2, s"window size k=$k must be >= 2 tokens")
+    val toks = split(col(textCol), " ")
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      toks.as("toks"),
+      greatest(size(toks) - (k - 1), lit(0)).cast("int").as("n_windows"))
+    // guard sequence() against n_windows = 0 (Spark yields a DESCENDING
+    // [1,0] there, not an empty array)
+    val winHashes = when(col("n_windows") >= 1,
+      transform(sequence(lit(1), col("n_windows")),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val wins = base.select(col("doc_id"),
+      posexplode(winHashes).as(Seq("idx", "h")))
+    val dupHashes = wins.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select("h")
+    val dupWins = wins.join(dupHashes, Seq("h")).select("doc_id", "idx")
+    // gaps-and-islands: consecutive duplicated idx values share one grp
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val runs = dupWins
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(
+        sum(col("run")).cast("int").as("dup_windows"),
+        (max(col("run")) + (k - 1)).cast("int").as("max_run_tokens"))
+    base.select("doc_id", "n_windows")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0)).as("dup_windows"),
+        coalesce(col("max_run_tokens"), lit(0)).as("max_run_tokens"))
+  }
+
   /** Default document-frequency cutoff for [[ngramJaccardPairs]] candidate
     * generation: a shingle seen in more docs than this ("of the and"-class
     * stop phrases) is excluded from the inverted-index join, whose pair

@@ -948,6 +948,67 @@ object MediaFixtures {
     * (`width`, `height`) — entry k is (width-k, height-k), each pointing at
     * a small deterministic BMP-ish blob (not parsed; only the directory
     * is). A 256-pixel axis is 0-coded per the ICONDIR convention. */
+  /** CLASSIC (DIB) .ico with one BITMAPINFOHEADER entry — the pre-Vista
+    * layout Pillow's IcoImagePlugin composites from an XOR bitmap + AND
+    * mask. Height is stored DOUBLED per the format. XOR rows carry value
+    * seed+y in every channel (8 bpp: a grayscale palette where entry i =
+    * (i,i,i), index = seed+y; 24 bpp: BGR triplets), the 1-bpp AND mask
+    * marks every third row (y % 3 == 0) fully transparent. Hand-packed
+    * independently of the decoder, so the composite closed-form is
+    * 3·w·(h·seed + h(h−1)/2) + 255·w·(h − ⌈h/3⌉) in RGBA convention. */
+  def icoDib(width: Int, height: Int, bpp: Int, seed: Int): Array[Byte] = {
+    require(bpp == 8 || bpp == 24, s"icoDib supports 8/24 bpp, not $bpp")
+    require(width >= 1 && width <= 256 && height >= 1 && height <= 256)
+    require(seed + height <= 256, "row values must not wrap the palette/byte")
+    val paletteBytes = if (bpp == 8) 256 * 4 else 0
+    val xorStride = (width * bpp / 8 + 3) & ~3
+    val andStride = ((width + 31) / 32) * 4
+    val dibLen = 40 + paletteBytes + xorStride * height + andStride * height
+    val buf = ByteBuffer.allocate(6 + 16 + dibLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(1)
+    buf.put((if (width == 256) 0 else width).toByte)
+    buf.put((if (height == 256) 0 else height).toByte)
+    buf.put(0.toByte).put(0.toByte)
+    buf.putShort(1).putShort(bpp.toShort)
+    buf.putInt(dibLen).putInt(22)
+    // BITMAPINFOHEADER with the doubled height
+    buf.putInt(40).putInt(width).putInt(height * 2)
+    buf.putShort(1).putShort(bpp.toShort)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    if (bpp == 8) { // grayscale palette, BGRA entries
+      var i = 0
+      while (i < 256) {
+        buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+        i += 1
+      }
+    }
+    // XOR rows, bottom-up
+    var sy = height - 1
+    while (sy >= 0) {
+      val v = (seed + sy).toByte
+      var x = 0
+      if (bpp == 8) {
+        while (x < width) { buf.put(v); x += 1 }
+        var pad = xorStride - width
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      } else {
+        while (x < width) { buf.put(v).put(v).put(v); x += 1 }
+        var pad = xorStride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      }
+      sy -= 1
+    }
+    // AND mask rows, bottom-up: every third raster row transparent
+    sy = height - 1
+    while (sy >= 0) {
+      val b = if (sy % 3 == 0) 0xff.toByte else 0.toByte
+      var i = 0
+      while (i < andStride) { buf.put(b); i += 1 }
+      sy -= 1
+    }
+    buf.array()
+  }
+
   def ico(width: Int, height: Int, count: Int, seed: Int = 0): Array[Byte] = {
     require(count >= 1 && width - count >= 1 && height - count >= 1)
     require(width <= 256 && height <= 256)

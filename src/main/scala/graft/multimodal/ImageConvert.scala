@@ -895,19 +895,112 @@ object ImageConvert {
   }
 
   /** Decode an ICO's LARGEST directory entry (the frame Pillow opens by
-    * default — same selection as [[MediaCodecs.parseIco]]'s reported dims).
-    * PNG-compressed entries only: a classic DIB entry is a named error,
-    * never a wrong-pixels guess. */
+    * default — same selection as [[MediaCodecs.parseIco]]'s reported
+    * dims). PNG-compressed entries keep their native PNG mode (the
+    * lossless round-trip shape the encode surface writes); CLASSIC DIB
+    * entries follow Pillow's IcoImagePlugin — the XOR bitmap decodes
+    * through the shared BMP machinery (height is stored DOUBLED to cover
+    * the AND mask) and composites to RGBA: <32 bpp entries take their
+    * alpha from the 1-bpp AND mask (bit set = transparent; the XOR RGB
+    * under masked pixels is kept, as Pillow keeps it), 32 bpp entries use
+    * their embedded alpha channel and ignore the mask. Unsupported DIB
+    * shapes (compression, odd heights) are named errors, never guesses. */
   private def decodeIco(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     // parseIco validates the directory + entry bounds and hands back the
     // largest entry's location — the SAME entry its reported dims describe
     val dir = MediaCodecs.parseIco(bytes)
     val slice = java.util.Arrays.copyOfRange(
       bytes, dir.bestOffset, dir.bestOffset + dir.bestSize)
-    require(MediaCodecs.isPng(slice),
-      "ICO entry is not PNG-compressed (classic DIB entries unsupported)")
-    val m = MediaCodecs.decodePng(slice, sink)
-    ImageMeta("ico", m.width, m.height, m.mode, m.pixelSum)
+    if (MediaCodecs.isPng(slice)) {
+      val m = MediaCodecs.decodePng(slice, sink)
+      return ImageMeta("ico", m.width, m.height, m.mode, m.pixelSum)
+    }
+    decodeIcoDib(slice, sink)
+  }
+
+  /** [[decodeIco]]'s classic-DIB arm: `dib` is the raw entry payload
+    * (BITMAPINFOHEADER + palette + XOR rows + AND rows, no BMP file
+    * header). */
+  private def decodeIcoDib(dib: Array[Byte], sink: PixelBuf): ImageMeta = {
+    require(dib.length >= 40 && graft.util.LittleEndian.i32(dib, 0) == 40,
+      "ICO entry is neither PNG nor a BITMAPINFOHEADER DIB")
+    val w = graft.util.LittleEndian.i32(dib, 4)
+    val h2 = graft.util.LittleEndian.i32(dib, 8)
+    val bpp = (dib(14) & 0xff) | ((dib(15) & 0xff) << 8)
+    val compression = graft.util.LittleEndian.i32(dib, 16)
+    require(compression == 0, s"ICO DIB compression $compression unsupported (BI_RGB only)")
+    require(h2 > 0 && (h2 & 1) == 0,
+      s"ICO DIB height $h2 is not the doubled XOR+AND convention")
+    val h = h2 / 2
+    require(w >= 1 && h >= 1 && bpp >= 1, s"ICO DIB geometry ${w}x$h @$bpp invalid")
+    MediaCodecs.PixelBuf.checkCap("RGBA", w, h)
+    val clrUsed = graft.util.LittleEndian.i32(dib, 32)
+    val paletteBytes =
+      if (bpp <= 8) (if (clrUsed > 0) clrUsed else 1 << bpp) * 4 else 0
+    val xorStride = ((w.toLong * bpp + 31) / 32 * 4).toInt
+    val xorSize = xorStride * h
+    val andStride = ((w + 31) / 32) * 4
+    val maskAt = 40L + paletteBytes + xorSize
+    require(maskAt + andStride.toLong * h <= dib.length,
+      "ICO DIB XOR+AND data overruns the entry")
+    // synthesize a BMP file around the XOR half so the shared (tested)
+    // BMP decoder does the pixel work: height un-doubled, offsets rebuilt
+    val bmp = new Array[Byte](14 + 40 + paletteBytes + xorSize)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putI32(at: Int, v: Int): Unit = {
+      bmp(at) = (v & 0xff).toByte; bmp(at + 1) = ((v >>> 8) & 0xff).toByte
+      bmp(at + 2) = ((v >>> 16) & 0xff).toByte; bmp(at + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    putI32(2, bmp.length)
+    putI32(10, 14 + 40 + paletteBytes)
+    System.arraycopy(dib, 0, bmp, 14, 40 + paletteBytes + xorSize)
+    putI32(14 + 8, h)        // un-double the height
+    putI32(14 + 20, xorSize) // biSizeImage consistent with one bitmap
+    val buf = new PixelBuf
+    MediaCodecs.decodeBmp(bmp, buf)
+    // composite to RGBA (Pillow's ICO open mode)
+    if (sink != null) sink.init("RGBA", w, h)
+    val out = if (sink != null) sink.data else new Array[Byte](w * h * 4)
+    val chn = PixelBuf.channelsOf(buf.mode)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val maskRow = (maskAt + (h - 1 - y).toLong * andStride).toInt
+      var x = 0
+      while (x < w) {
+        val px = y * w + x
+        var r = 0; var g = 0; var b = 0; var a = 255
+        buf.mode match {
+          case "P" =>
+            val idx = buf.data(px) & 0xff
+            r = buf.palette(idx * 3) & 0xff
+            g = buf.palette(idx * 3 + 1) & 0xff
+            b = buf.palette(idx * 3 + 2) & 0xff
+          case "RGB" =>
+            r = buf.data(px * chn) & 0xff
+            g = buf.data(px * chn + 1) & 0xff
+            b = buf.data(px * chn + 2) & 0xff
+          case "RGBA" =>
+            r = buf.data(px * 4) & 0xff
+            g = buf.data(px * 4 + 1) & 0xff
+            b = buf.data(px * 4 + 2) & 0xff
+            a = buf.data(px * 4 + 3) & 0xff
+          case m => throw new IllegalArgumentException(
+            s"ICO DIB decoded to unexpected mode $m")
+        }
+        if (bpp < 32) {
+          // AND mask: MSB-first bits, bottom-up rows; set bit = transparent
+          val bit = (dib(maskRow + (x >> 3)) >> (7 - (x & 7))) & 1
+          a = if (bit == 1) 0 else 255
+        }
+        out(px * 4) = r.toByte; out(px * 4 + 1) = g.toByte
+        out(px * 4 + 2) = b.toByte; out(px * 4 + 3) = a.toByte
+        sum += r + g + b + a
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta("ico", w, h, "RGBA", sum)
   }
 
   // ---- EPS (EpsImagePlugin save shape: hex raster + image operator) ----------

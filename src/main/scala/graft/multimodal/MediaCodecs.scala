@@ -20,8 +20,12 @@ object MediaCodecs {
 
   import graft.util.LittleEndian.{i32, u16}
 
-  /** `frames` > 1 only for animated GIF; `pixelSum` always covers the
-    * FIRST frame (the Pillow convert-current-frame contract). */
+  /** `frames` > 1 for animated GIF and animated WebP. `pixelSum` covers
+    * the FIRST frame (the Pillow convert-current-frame contract) for
+    * every format except animated WebP, whose frames are all DECODED (GIF
+    * only counts its later frames) — there it is the composited timeline
+    * digest, see [[WebpCodec.decodeAnimation]]. A sink always receives
+    * first-frame pixels regardless. */
   final case class ImageMeta(format: String, width: Int, height: Int,
                              mode: String, pixelSum: Long, frames: Int = 1)
 
@@ -947,11 +951,12 @@ object MediaCodecs {
   }
 
   /** Dispatch by magic; None for formats without a real decoder here.
-    * WebP is claimed in its simple-lossless (VP8L) and simple-lossy (VP8
-    * key frame) shapes — the ones with full pixel decoders — and only
-    * under the raster cap; extended VP8X, and legal-but-over-cap files,
-    * stay on the [[parseWebp]] header path so they keep real dims instead
-    * of degrading to an error row. */
+    * WebP is claimed in ALL FOUR of its container shapes — simple
+    * lossless (VP8L), simple lossy (VP8 key frame), extended stills
+    * (VP8X+ALPH) and ANIMATIONS (VP8X+ANMF, every frame decoded and
+    * composited) — and only under the raster/cumulative-pixel caps;
+    * legal-but-over-cap files stay on the [[parseWebp]] header path so
+    * they keep real dims instead of degrading to an error row. */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
     if (isBmp(bytes)) Some(decodeBmp(bytes))
     else if (isPpm(bytes)) Some(decodePpm(bytes))
@@ -960,7 +965,8 @@ object MediaCodecs {
     else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else if (isTiff(bytes)) Some(decodeTiff(bytes))
     else if ((WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes) ||
-      WebpCodec.isExtendedStill(bytes)) && WebpCodec.rasterWithinCap(bytes))
+      WebpCodec.isExtendedStill(bytes) || WebpCodec.isAnimation(bytes)) &&
+      WebpCodec.rasterWithinCap(bytes))
       Some(WebpCodec.decode(bytes, null)) // meta+sum only: skip the sink copy
     else None
 

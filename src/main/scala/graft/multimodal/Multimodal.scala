@@ -181,7 +181,8 @@ object Multimodal {
   }
 
   final case class ImageDecode(doc_id: Long, media_type: String, width: Int,
-                               height: Int, mode: String, pixel_sum: Long, error: String)
+                               height: Int, mode: String, pixel_sum: Long,
+                               n_frames: Int, error: String)
 
   /** Real image decode as a typed batch kernel (same per-partition shape and
     * failure containment as [[decodeFeatures]]); non-image payloads yield
@@ -193,19 +194,19 @@ object Multimodal {
       it.map { m =>
         val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
         Containment.contained[ImageDecode](e =>
-          ImageDecode(m.doc_id, "unknown", 0, 0, "", 0L, Containment.describe(e))) {
+          ImageDecode(m.doc_id, "unknown", 0, 0, "", 0L, 0, Containment.describe(e))) {
           MediaCodecs.decodeImage(bytes) match {
             case Some(img) =>
               ImageDecode(m.doc_id, sniffMedia(bytes), img.width, img.height,
-                img.mode, img.pixelSum, "")
+                img.mode, img.pixelSum, img.frames, "")
             case None if WebpCodec.isLossless(bytes) || WebpCodec.isSimpleLossy(bytes) ||
-                WebpCodec.isExtendedStill(bytes) =>
+                WebpCodec.isExtendedStill(bytes) || WebpCodec.isAnimation(bytes) =>
               // decodeImage's cap pre-probe declined it — a format we DO
               // decode, rejected by size: name the cap, not the format
-              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
-                "raster exceeds 64 MiB pixel cap")
+              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L, 0,
+                "raster exceeds the 64 MiB / cumulative-pixel decode caps")
             case None =>
-              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L,
+              ImageDecode(m.doc_id, sniffMedia(bytes), 0, 0, "", 0L, 0,
                 "no real decoder for this payload")
           }
         }

@@ -727,6 +727,7 @@ object WebpCodec {
     * at 4/3 of the cap; 1.5 B/px padded YUV for VP8). */
   def decode(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
     require(MediaCodecs.isWebp(bytes), "not a WebP payload")
+    if (isAnimation(bytes)) return decodeAnimation(bytes, sink)
     // chunk walk in Long like MediaCodecs.parseWebp: an Int `i + 8 + size`
     // wraps negative on a crafted size and bypasses the bounds require.
     // Collect the image chunks first (an extended file carries ALPH before
@@ -755,9 +756,9 @@ object WebpCodec {
       }
       i += 8L + size + (size & 1)
     }
-    if (vp8xFlags >= 0)
-      require((vp8xFlags & 0x02) == 0,
-        "animated (VP8X/ANMF) WebP sample decode unsupported — header metadata only")
+    // animated files were routed to decodeAnimation above; a VP8X whose
+    // ANIM flag is set but that [[isAnimation]] rejected is unreachable
+    // (both test bytes(20)), so this walk only sees stills
     if (at < 0 && vp8At >= 0) {
       // lossy still image: one VP8 key frame ([[Vp8Codec]]), plus the
       // optional VP8X ALPH plane (raw or headerless-VP8L coded, filtered)
@@ -847,6 +848,191 @@ object WebpCodec {
       bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'X' &&
       (bytes(20) & 0x02) == 0
 
+  /** True for an ANIMATED extended container (first chunk `VP8X`,
+    * animation flag set) — [[decodeAnimation]]'s shape. */
+  def isAnimation(bytes: Array[Byte]): Boolean =
+    MediaCodecs.isWebp(bytes) && bytes.length >= 21 &&
+      bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'X' &&
+      (bytes(20) & 0x02) != 0
+
+  /** Straight-alpha OVER for one RGBA pixel pair, exact-rational integer
+    * form (single round-half-up per channel, no intermediate /255
+    * truncation): with D = da·(255−sa) and Nₐ = sa·255 + D,
+    *   outA = ⌈Nₐ/255⌋,  outC = ⌈(sc·sa·255 + dc·D)/Nₐ⌋  (0 when Nₐ=0).
+    * Binary-alpha inputs (the committed fixtures) reduce to select/keep
+    * under ANY correct convention; the fractional-alpha rounding here is
+    * pinned by a hand-computed case in WebpCodecSpec. `c` and `d` are
+    * 4-byte RGBA offsets into `canvas`/`frame`. */
+  private[graft] def blendOver(canvas: Array[Byte], c: Int,
+                               frame: Array[Byte], f: Int): Unit = {
+    val sa = frame(f + 3) & 0xff
+    if (sa == 255) {
+      canvas(c) = frame(f); canvas(c + 1) = frame(f + 1)
+      canvas(c + 2) = frame(f + 2); canvas(c + 3) = -1
+    } else if (sa > 0) {
+      val da = canvas(c + 3) & 0xff
+      val dFac = da * (255 - sa)
+      val nA = sa * 255 + dFac
+      var ch = 0
+      while (ch < 3) {
+        val sc = frame(f + ch) & 0xff
+        val dc = canvas(c + ch) & 0xff
+        canvas(c + ch) = ((sc * sa * 255 + dc * dFac + nA / 2) / nA).toByte
+        ch += 1
+      }
+      canvas(c + 3) = ((nA + 127) / 255).toByte
+    } // sa == 0: keep dst
+  }
+
+  /** Decode an animated WebP (VP8X + ANIM + ANMF chain) by compositing
+    * EVERY frame onto the canvas — libwebp anim_decode / Pillow
+    * semantics: the canvas starts fully transparent black (the ANIM
+    * background color is metadata; libwebp's demuxer never paints it),
+    * an ANMF with blend bit 0x02 set overwrites its rect while a clear
+    * bit alpha-blends it ([[blendOver]]), and the dispose bit 0x01
+    * zero-fills the frame's rect AFTER it is displayed, before the next
+    * frame renders. Frame payloads are ordinary ALPH?+(VP8|VP8L) chunk
+    * runs and ride the same still decoders ([[Vp8Codec]],
+    * [[decodeArgbBody]], [[decodeAlphaPlane]]).
+    *
+    * Returned meta: mode RGBA at canvas dims, `frames` = ANMF count, and
+    * pixelSum = the TIMELINE DIGEST — the sum over every frame f of the
+    * canvas r+g+b+a sum after f renders — so every frame decode, blend
+    * and dispose sits in the oracle hash (stronger than the GIF
+    * convention, whose later frames are counted, not decoded; these ARE
+    * decoded, so they are pinned). A non-null `sink` receives the canvas
+    * AFTER FRAME 1 — the Pillow frame-0 view the convert surface expects.
+    * Total decoded frame pixels share the 16 M-pixel bomb cap with the
+    * AVI sample decoder; the canvas itself pays the 64 MiB raster cap. */
+  def decodeAnimation(bytes: Array[Byte], sink: PixelBuf): ImageMeta = {
+    require(isAnimation(bytes), "not an animated WebP payload")
+    require(bytes.length >= 30, "VP8X chunk truncated")
+    def u24(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) | ((bytes(p + 2) & 0xff) << 16)
+    val cw = u24(24) + 1
+    val ch = u24(27) + 1
+    if (sink != null) sink.init("RGBA", cw, ch)
+    else MediaCodecs.PixelBuf.checkCap("RGBA", cw, ch)
+    val canvas = new Array[Byte](cw * ch * 4)
+    var frames = 0
+    var timelineSum = 0L
+    var firstDone = false
+    var decodedPixels = 0L
+    // dispose rect of the PREVIOUS frame (applies before the next render)
+    var dispX = 0; var dispY = 0; var dispW = 0; var dispH = 0
+    var i = 12L
+    while (i + 8 <= bytes.length) {
+      val fourcc = new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
+      require(size >= 0 && i + 8 + size.toLong <= bytes.length,
+        s"RIFF chunk $fourcc overruns payload")
+      if (fourcc == "ANMF") {
+        require(size >= 16, "ANMF chunk shorter than its 16-byte frame header")
+        val p = i.toInt + 8
+        val fx = u24(p) * 2
+        val fy = u24(p + 3) * 2
+        val fw = u24(p + 6) + 1
+        val fh = u24(p + 9) + 1
+        val flags = bytes(p + 15) & 0xff
+        require(fx.toLong + fw <= cw && fy.toLong + fh <= ch,
+          s"ANMF frame ${fw}x$fh at ($fx,$fy) exceeds the ${cw}x$ch canvas")
+        decodedPixels += fw.toLong * fh
+        require(decodedPixels <= (16L << 20),
+          s"animation decode of $decodedPixels pixels exceeds the 16M-pixel cap")
+        // frame payload: ALPH? then VP8|VP8L, ordinary chunk framing
+        var alphAt = -1; var alphEnd = -1
+        var vp8At = -1; var vp8Size = -1
+        var vp8lAt = -1; var vp8lEnd = -1
+        var j = p.toLong + 16
+        val end = p.toLong + size
+        while (j + 8 <= end) {
+          val fc = new String(bytes, j.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val sz = graft.util.LittleEndian.i32(bytes, j.toInt + 4)
+          require(sz >= 0 && j + 8 + sz.toLong <= end,
+            s"ANMF sub-chunk $fc overruns its frame")
+          fc match {
+            case "ALPH" if alphAt < 0 => alphAt = j.toInt + 8; alphEnd = alphAt + sz
+            case "VP8 " if vp8At < 0 => vp8At = j.toInt + 8; vp8Size = sz
+            case "VP8L" if vp8lAt < 0 => vp8lAt = j.toInt + 8; vp8lEnd = vp8lAt + sz
+            case _ => ()
+          }
+          j += 8L + sz + (sz & 1)
+        }
+        // decode the frame to an RGBA raster at exactly (fw, fh)
+        val frame = new Array[Byte](fw * fh * 4)
+        if (vp8lAt >= 0) {
+          val in = new LsbReader(bytes, vp8lAt, vp8lEnd)
+          require(in.read(8) == 0x2f, "bad VP8L signature in ANMF frame")
+          val w = in.read(14) + 1
+          val h = in.read(14) + 1
+          in.read(1); require(in.read(3) == 0, "unknown VP8L version in ANMF frame")
+          require(w == fw && h == fh,
+            s"ANMF VP8L stream ${w}x$h != frame header ${fw}x$fh")
+          val pix = decodeArgbBody(in, w, h)
+          var px = 0
+          while (px < pix.length) {
+            val argb = pix(px)
+            frame(px * 4) = ((argb >>> 16) & 0xff).toByte
+            frame(px * 4 + 1) = ((argb >>> 8) & 0xff).toByte
+            frame(px * 4 + 2) = (argb & 0xff).toByte
+            frame(px * 4 + 3) = (argb >>> 24).toByte
+            px += 1
+          }
+        } else {
+          require(vp8At >= 0, "ANMF frame has no VP8 or VP8L image chunk")
+          val f = Vp8Codec.decode(bytes, vp8At, vp8Size)
+          require(f.width == fw && f.height == fh,
+            s"ANMF VP8 frame ${f.width}x${f.height} != frame header ${fw}x$fh")
+          Vp8Codec.toRgb(f, frame, 4)
+          val alpha =
+            if (alphAt >= 0) decodeAlphaPlane(bytes, alphAt, alphEnd, fw, fh)
+            else null
+          var px = 0
+          while (px < fw * fh) {
+            frame(px * 4 + 3) = if (alpha != null) alpha(px) else -1
+            px += 1
+          }
+        }
+        // dispose the PREVIOUS frame's rect, then render this one
+        if (dispW > 0) {
+          var y = dispY
+          while (y < dispY + dispH) {
+            java.util.Arrays.fill(canvas, (y * cw + dispX) * 4,
+              (y * cw + dispX + dispW) * 4, 0.toByte)
+            y += 1
+          }
+        }
+        val overwrite = (flags & 0x02) != 0
+        var y = 0
+        while (y < fh) {
+          if (overwrite)
+            System.arraycopy(frame, y * fw * 4, canvas, ((fy + y) * cw + fx) * 4, fw * 4)
+          else {
+            var x = 0
+            while (x < fw) {
+              blendOver(canvas, ((fy + y) * cw + fx + x) * 4, frame, (y * fw + x) * 4)
+              x += 1
+            }
+          }
+          y += 1
+        }
+        if ((flags & 0x01) != 0) { dispX = fx; dispY = fy; dispW = fw; dispH = fh }
+        else dispW = 0
+        var s = 0L
+        var px = 0
+        while (px < canvas.length) { s += canvas(px) & 0xff; px += 1 }
+        timelineSum += s
+        frames += 1
+        if (!firstDone && sink != null)
+          System.arraycopy(canvas, 0, sink.data, 0, canvas.length)
+        firstDone = true
+      }
+      i += 8L + size + (size & 1)
+    }
+    require(frames > 0, "animated WebP has no ANMF frames")
+    ImageMeta("webp", cw, ch, "RGBA", timelineSum, frames)
+  }
+
   /** Cheap pre-probe for [[MediaCodecs.decodeImage]]: false when the
     * header dims of a (isLossless) stream would trip the 64 MiB raster
     * cap inside [[decode]] — a LEGAL VP8L file can be up to 16384x16384
@@ -855,6 +1041,36 @@ object WebpCodec {
     * degrade to an error row. Malformed/truncated headers return true so
     * [[decode]] names the actual parse error. */
   def rasterWithinCap(bytes: Array[Byte]): Boolean = {
+    if (isAnimation(bytes)) {
+      if (bytes.length < 30) return true // truncated — let decode name it
+      val cw = ((bytes(24) & 0xff) | ((bytes(25) & 0xff) << 8) |
+        ((bytes(26) & 0xff) << 16)) + 1
+      val ch = ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) |
+        ((bytes(29) & 0xff) << 16)) + 1
+      if (!MediaCodecs.PixelBuf.fitsCap("RGBA", cw, ch)) return false
+      // cumulative frame-pixel gate (the 16M cap decodeAnimation enforces),
+      // read from the ANMF headers only — a LEGAL long animation should
+      // keep its header-metadata row, not degrade to an error row
+      var px = 0L
+      var i = 12L
+      while (i + 8 <= bytes.length) {
+        val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
+        if (size < 0 || i + 8 + size.toLong > bytes.length)
+          return true // malformed — let decode name it
+        if (bytes(i.toInt) == 'A' && bytes(i.toInt + 1) == 'N' &&
+          bytes(i.toInt + 2) == 'M' && bytes(i.toInt + 3) == 'F' && size >= 16) {
+          val p = i.toInt + 8
+          val fw = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8) |
+            ((bytes(p + 8) & 0xff) << 16)) + 1
+          val fh = ((bytes(p + 9) & 0xff) | ((bytes(p + 10) & 0xff) << 8) |
+            ((bytes(p + 11) & 0xff) << 16)) + 1
+          px += fw.toLong * fh
+          if (px > (16L << 20)) return false
+        }
+        i += 8L + size + (size & 1)
+      }
+      return true
+    }
     if (isExtendedStill(bytes)) {
       // VP8X canvas dims: 24-bit LE minus-one fields after flags+reserved
       if (bytes.length < 30) return true // truncated — let decode name it
@@ -918,6 +1134,20 @@ object WebpFixtures {
     "alpha_noise_q80", "alpha_rawf0", "alpha_rawf1", "alpha_rawf2",
     "alpha_rawf3")
 
+  /** ANIMATED (VP8X+ANMF) conformance fixtures (src/main/resources/
+    * webp_anim, scripts/gen_anim_webp_fixtures.py): the animation layer
+    * is hand-assembled per the container spec (no libwebpmux here) while
+    * every FRAME payload is libwebp-encoded and its expected pixels are
+    * libwebp's own still decode of that payload; blended frames carry
+    * strictly binary alpha so the committed canvas sums are independent
+    * of integer blend rounding. manifest.tsv pins canvas dims, frame
+    * count, first-frame canvas sum and the timeline digest. Covers:
+    * full-canvas + sub-rect frames, alpha blend vs overwrite, dispose-to-
+    * background, lossless/lossy/mixed codecs, and VP8+ALPH inside ANMF. */
+  val animNames: IndexedSeq[String] = IndexedSeq(
+    "anim_basic", "anim_subrect", "anim_dispose", "anim_lossy",
+    "anim_mixed", "anim_lossy_alpha")
+
   private def load(dir: String, ns: Seq[String]): Map[String, Array[Byte]] =
     ns.map { n =>
       val is = getClass.getResourceAsStream(s"/$dir/$n.webp")
@@ -927,7 +1157,19 @@ object WebpFixtures {
     }.toMap
 
   private lazy val all: Map[String, Array[Byte]] =
-    load("webp", names) ++ load("vp8", lossyNames)
+    load("webp", names) ++ load("vp8", lossyNames) ++ load("webp_anim", animNames)
 
   def bytes(name: String): Array[Byte] = all(name)
+
+  /** webp_anim/manifest.tsv rows:
+    * name -> (canvasW, canvasH, nFrames, firstSum, timelineSum). */
+  lazy val animManifest: Map[String, (Int, Int, Int, Long, Long)] = {
+    val is = getClass.getResourceAsStream("/webp_anim/manifest.tsv")
+    require(is != null, "webp_anim/manifest.tsv missing from classpath")
+    try scala.io.Source.fromInputStream(is, "UTF-8").getLines().map { l =>
+      val f = l.split('\t')
+      f(0) -> ((f(1).toInt, f(2).toInt, f(3).toInt, f(4).toLong, f(5).toLong))
+    }.toMap
+    finally is.close()
+  }
 }

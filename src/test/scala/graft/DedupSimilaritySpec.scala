@@ -30,6 +30,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getLong(1) == 2) // ids 2 and 102
   }
 
+  test("substring dedup recovers the planted duplicated spans") {
+    // doc 1 and doc 2 share one 12-token span (plus disjoint vocabularies
+    // around it); doc 3 repeats a 9-token phrase WITHIN itself; doc 4 is
+    // all-unique; doc 5 is shorter than the window
+    val span = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val inner = (0 until 9).map(i => s"twice$i").mkString(" ")
+    def uniq(seed: Int, n: Int) = (0 until n).map(i => s"u${seed}x$i").mkString(" ")
+    val df = Seq(
+      (1L, s"${uniq(1, 20)} $span ${uniq(11, 20)}"),
+      (2L, s"${uniq(2, 30)} $span ${uniq(12, 10)}"),
+      (3L, s"${uniq(3, 15)} $inner ${uniq(13, 5)} $inner ${uniq(23, 15)}"),
+      (4L, uniq(4, 40)),
+      (5L, "a b c")).toDF("id", "text")
+    val out = Dedup.substringDupSpans(df, "id", "text", k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect()
+    // a 12-token duplicated span at k=8 = 5 duplicated windows, run of 5
+    // -> max_run_tokens = 5 + 7 = 12 (the span length, exactly)
+    assert(out(0) == ((1L, 52 - 7, 5, 12)), out(0))
+    assert(out(1) == ((2L, 52 - 7, 5, 12)), out(1))
+    // the 9-token in-doc repeat: 2 duplicated windows per occurrence
+    // (runs of 2 each) -> dup_windows = 4, max_run_tokens = 2 + 7 = 9
+    assert(out(2) == ((3L, 53 - 7, 4, 9)), out(2))
+    assert(out(3) == ((4L, 40 - 7, 0, 0)), out(3))
+    assert(out(4) == ((5L, 0, 0, 0)), out(4))
+  }
+
   test("ngram jaccard and minhash-lsh agree and find only the near pair + exact pair") {
     val exact = Dedup.ngramJaccardPairs(corpus(), "id", "text")
       .as[(Long, Long)].collect().toSet

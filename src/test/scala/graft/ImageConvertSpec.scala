@@ -318,6 +318,31 @@ class ImageConvertSpec extends AnyFunSuite {
       .getMessage.toLowerCase.contains("png"))
   }
 
+  test("classic DIB ico composites XOR rows with the AND mask to RGBA") {
+    // 4x3 @24bpp, seed 10: rows carry 10/11/12 in every channel; the AND
+    // mask makes row 0 transparent (y % 3 == 0). RGBA sum =
+    // 3*4*(10+11+12) + 255*4*2 = 396 + 2040 = 2436.
+    for (bpp <- Seq(24, 8)) {
+      val ico = graft.fixtures.MediaFixtures.icoDib(4, 3, bpp, 10)
+      val (meta, sink) = ImageConvert.decodePixels(ico)
+      assert(meta.format == "ico" && meta.width == 4 && meta.height == 3)
+      assert(meta.mode == "RGBA")
+      assert(meta.pixelSum == 2436L, s"bpp=$bpp")
+      // row 0 transparent but its XOR RGB kept (Pillow keeps it)
+      assert(sink.data(3) == 0 && (sink.data(0) & 0xff) == 10)
+      assert((sink.data(4 * 4 + 3) & 0xff) == 255 && (sink.data(4 * 4) & 0xff) == 11)
+      // and the ic_ico_dib query shape: -> png -> re-decode, sums survive
+      val png = ImageConvert.convertImage(ico, "png")
+      val (m2, _) = ImageConvert.decodePixels(png)
+      assert(m2.mode == "RGBA" && m2.pixelSum == 2436L)
+    }
+    // DIB shapes outside the contract are named errors
+    val bad = graft.fixtures.MediaFixtures.icoDib(4, 3, 24, 10)
+    bad(22 + 16) = 1 // BI_RLE8 compression
+    assert(intercept[IllegalArgumentException](ImageConvert.decodePixels(bad))
+      .getMessage.contains("compression"))
+  }
+
   test("eps encode writes a hex raster its own parser reads back exactly") {
     for (mode <- Seq("L", "RGB")) {
       val src = mkBuf(mode, 11, 6)

@@ -165,16 +165,19 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](WebpCodec.decode(lossy, sink))
       .getMessage.contains("partition"))
     // a still VP8X whose VP8 fragment is header-only fails the same framing
-    // gate; an ANIMATED VP8X is a named unsupported, and the routing
-    // predicate declines it so it keeps the parseWebp header path
+    // gate; the synthetic ANIMATED VP8X (garbage ANMF frame headers) now
+    // reaches the real animation decoder and fails its canvas-containment
+    // gate by name, while the routing pre-probe declines it (its declared
+    // frame pixels blow the cumulative cap) so it keeps the header path
     val extendedStill = MediaFixtures.webp(8, 8, variant = 2)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(extendedStill, sink))
       .getMessage.contains("partition"))
     val animated = MediaFixtures.webp(8, 8, variant = 2, frames = 3)
     assert(intercept[IllegalArgumentException](WebpCodec.decode(animated, sink))
-      .getMessage.contains("animated"))
+      .getMessage.contains("canvas"))
     assert(!WebpCodec.isExtendedStill(animated))
-    assert(MediaCodecs.decodeImage(animated).isEmpty, "animation -> header path")
+    assert(WebpCodec.isAnimation(animated))
+    assert(MediaCodecs.decodeImage(animated).isEmpty, "over-cap -> header path")
     // truncated payloads are named errors, not short pixels: a short file
     // fails the chunk-bounds walk; a chunk whose declared size cuts the
     // entropy data fails the bit reader
@@ -398,5 +401,84 @@ class WebpCodecSpec extends AnyFunSuite {
       assert(MediaCodecs.decodeImage(bytes).contains(meta), name)
       assert(WebpCodec.decode(bytes, null) == meta, name)
     }
+  }
+
+  // ---- animated WebP (src/main/resources/webp_anim) -------------------------
+  // The animation layer is hand-assembled per the container spec by
+  // scripts/gen_anim_webp_fixtures.py (no libwebpmux in this sandbox) while
+  // every FRAME payload is libwebp-encoded and its expected pixels are
+  // libwebp's OWN still decode of that payload; blended frames carry
+  // strictly binary alpha so the manifest's canvas sums hold under ANY
+  // correct integer blend convention (the fractional rounding is pinned by
+  // the hand-computed blendOver test below, not by the fixtures).
+
+  test("animated WebP fixtures reproduce the composited timeline digests") {
+    val manifest = graft.multimodal.WebpFixtures.animManifest
+    assert(manifest.keySet == graft.multimodal.WebpFixtures.animNames.toSet)
+    for (name <- graft.multimodal.WebpFixtures.animNames) {
+      val (cw, ch, nFrames, firstSum, timelineSum) = manifest(name)
+      val bytes = graft.multimodal.WebpFixtures.bytes(name)
+      assert(WebpCodec.isAnimation(bytes), name)
+      assert(!WebpCodec.isExtendedStill(bytes), name)
+      assert(WebpCodec.rasterWithinCap(bytes), name)
+      val sink = new PixelBuf
+      val meta = WebpCodec.decode(bytes, sink)
+      assert(meta.width == cw && meta.height == ch, name)
+      assert(meta.mode == "RGBA", name)
+      assert(meta.frames == nFrames, name)
+      assert(meta.pixelSum == timelineSum, s"$name timeline digest")
+      // the sink holds the canvas AFTER FRAME 1 (the Pillow frame-0 view)
+      assert(sink.data.map(_ & 0xff).map(_.toLong).sum == firstSum,
+        s"$name first-frame canvas")
+      // header path still reports the same frame count; decodeImage claims
+      val hdr = MediaCodecs.parseWebp(bytes)
+      assert(hdr.width == cw && hdr.height == ch && hdr.frames == nFrames, name)
+      assert(MediaCodecs.decodeImage(bytes).contains(meta), name)
+      assert(WebpCodec.decode(bytes, null) == meta, name)
+    }
+  }
+
+  test("blendOver: fractional alpha follows the documented exact-rational form") {
+    // src (200,10,255) a=128 OVER dst (50,130,0) a=100:
+    // D = 100·127 = 12700, Nₐ = 128·255 + D = 45340
+    // outC = (sc·32640 + dc·12700 + 22670) / 45340 -> (158, 44, 184)
+    // outA = (45340 + 127) / 255 = 178
+    val canvas = Array[Byte](50, 130.toByte, 0, 100)
+    WebpCodec.blendOver(canvas, 0, Array[Byte](200.toByte, 10, 255.toByte, 128.toByte), 0)
+    assert(canvas.toSeq == Seq[Byte](158.toByte, 44, 184.toByte, 178.toByte))
+    // sa = 255 overwrites; sa = 0 keeps dst
+    val c2 = Array[Byte](1, 2, 3, 4)
+    WebpCodec.blendOver(c2, 0, Array[Byte](9, 8, 7, -1), 0)
+    assert(c2.toSeq == Seq[Byte](9, 8, 7, -1))
+    val c3 = Array[Byte](1, 2, 3, 4)
+    WebpCodec.blendOver(c3, 0, Array[Byte](9, 8, 7, 0), 0)
+    assert(c3.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("animated WebP malformations are named errors") {
+    val good = graft.multimodal.WebpFixtures.bytes("anim_subrect")
+    def findAnmf(b: Array[Byte]): Int = {
+      var i = 12
+      while (!(b(i) == 'A' && b(i + 1) == 'N' && b(i + 2) == 'M' && b(i + 3) == 'F'))
+        i += 8 + graft.util.LittleEndian.i32(b, i + 4) + (graft.util.LittleEndian.i32(b, i + 4) & 1)
+      i
+    }
+    // frame rect pushed outside the canvas: bump frame_x of the first ANMF
+    val oob = good.clone()
+    val p = findAnmf(oob) + 8
+    oob(p) = 0xff.toByte; oob(p + 1) = 0x7f
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(oob, null))
+      .getMessage.contains("exceeds the"))
+    // ANMF shorter than its 16-byte frame header
+    val short = good.clone()
+    val at = findAnmf(short)
+    short(at + 4) = 8; short(at + 5) = 0; short(at + 6) = 0; short(at + 7) = 0
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(short, null))
+      .getMessage.contains("ANMF"))
+    // over-cap canvas stays on the header path (rasterWithinCap = false)
+    val huge = good.clone()
+    huge(24) = 0xff.toByte; huge(25) = 0xff.toByte; huge(26) = 0xff.toByte
+    assert(!WebpCodec.rasterWithinCap(huge))
+    assert(MediaCodecs.parseWebp(huge).width == 1 << 24) // header dims survive
   }
 }
