@@ -67,6 +67,14 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(df) == 1, planString(df))
   }
 
+  test("substring dedup: map-side partial agg on window df, no all-pairs shape") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Dedup.substringDupSpans(docs, "doc_id", "text")
+    val s = planString(df)
+    assert(s.contains("HashAggregate"), s) // partial combine before the df exchange
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("corpus scan prunes to selected columns only") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang")
     val readSchema = planString(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
