@@ -936,7 +936,12 @@ object WebpCodec {
         val flags = bytes(p + 15) & 0xff
         require(fx.toLong + fw <= cw && fy.toLong + fh <= ch,
           s"ANMF frame ${fw}x$fh at ($fx,$fy) exceeds the ${cw}x$ch canvas")
-        decodedPixels += fw.toLong * fh
+        // the bomb cap counts the CANVAS per frame too — the per-frame
+        // digest/composite pass touches the whole canvas, so a crafted
+        // file with millions of 1-px frames on a large canvas would
+        // otherwise cost frames x canvas while staying under a
+        // frame-pixels-only cap
+        decodedPixels += fw.toLong * fh + cw.toLong * ch
         require(decodedPixels <= (16L << 20),
           s"animation decode of $decodedPixels pixels exceeds the 16M-pixel cap")
         // frame payload: ALPH? then VP8|VP8L, ordinary chunk framing
@@ -1064,7 +1069,9 @@ object WebpCodec {
             ((bytes(p + 8) & 0xff) << 16)) + 1
           val fh = ((bytes(p + 9) & 0xff) | ((bytes(p + 10) & 0xff) << 8) |
             ((bytes(p + 11) & 0xff) << 16)) + 1
-          px += fw.toLong * fh
+          // mirror decodeAnimation's cap exactly (frame + canvas pixels
+          // per frame): legal-but-over files keep the header path
+          px += fw.toLong * fh + cw.toLong * ch
           if (px > (16L << 20)) return false
         }
         i += 8L + size + (size & 1)

@@ -481,4 +481,39 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(!WebpCodec.rasterWithinCap(huge))
     assert(MediaCodecs.parseWebp(huge).width == 1 << 24) // header dims survive
   }
+
+  test("animation bomb cap counts the per-frame canvas digest, not just frame pixels") {
+    // 4095x4095 canvas (16,769,025 px — RGBA just inside the 64 MiB
+    // raster cap) with one 100x100 frame: frame-pixels-only accounting
+    // (10,000) would pass trivially, but the composite/digest pass
+    // touches the whole canvas, so frame + canvas = 16,779,025 must trip
+    // the 16M cumulative cap on the FIRST frame.
+    def u24le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(fcc: String, body: Array[Byte]): Unit = {
+      out.write(fcc.getBytes, 0, 4)
+      val s = body.length
+      out.write(s & 0xff); out.write((s >> 8) & 0xff)
+      out.write((s >> 16) & 0xff); out.write((s >> 24) & 0xff)
+      out.write(body, 0, s)
+      if ((s & 1) == 1) out.write(0)
+    }
+    val side = 4095
+    chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ u24le(side - 1) ++ u24le(side - 1))
+    val anmf = u24le(0) ++ u24le(0) ++ u24le(99) ++ u24le(99) ++
+      u24le(40) ++ Array[Byte](0x02) // 100x100 frame at (0,0), no payload
+    chunk("ANMF", anmf)
+    val payload = out.toByteArray
+    val file = new java.io.ByteArrayOutputStream()
+    file.write("RIFF".getBytes); val n = payload.length + 4
+    file.write(n & 0xff); file.write((n >> 8) & 0xff)
+    file.write((n >> 16) & 0xff); file.write((n >> 24) & 0xff)
+    file.write("WEBP".getBytes); file.write(payload, 0, payload.length)
+    val bytes = file.toByteArray
+    assert(WebpCodec.isAnimation(bytes))
+    assert(!WebpCodec.rasterWithinCap(bytes), "pre-probe must decline the digest bomb")
+    assert(intercept[IllegalArgumentException](WebpCodec.decodeAnimation(bytes, null))
+      .getMessage.contains("16M-pixel cap"))
+  }
 }
