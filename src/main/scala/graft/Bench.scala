@@ -128,7 +128,10 @@ object Bench {
       // amplify/6 the ~6s hi legs still let one slow VM window misprice a
       // whole round.
       val docsAmplify = math.max(amplify / 4, 1)
-      val docsDir = Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify)
+      val funnelBench = !sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")
+      // materialize only what this run's sections will read
+      val docsDir =
+        if (funnelBench) Corpus.materializeAmplifiedDocs(spark, sfDir, docsAmplify) else ""
       val allPairs = !sys.env.get("SPARK_GRAFT_ALL_PAIRS").contains("0")
       // 2x corpus for the saturated 8,32 pair (leg-duration rule below) —
       // materialized while the parent session is still alive.
@@ -259,7 +262,7 @@ object Bench {
       // first full-default run read 1.387 off TWO lo samples 1.6× apart
       // (a >1 reading is a drift artifact; superlinear is impossible)
       val funnelJson =
-        if (sys.env.get("SPARK_GRAFT_FUNNEL_BENCH").contains("0")) ""
+        if (!funnelBench) ""
         else {
           val (j, fdocs, _, _, _) =
             measurePair(1, 4, rounds = 3, repsLo = 2, repsHi = 3, docsDir, "funnel")

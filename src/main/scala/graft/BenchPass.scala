@@ -20,6 +20,9 @@ import graft.pipeline.ExtractionPipeline
   */
 object BenchPass {
   def main(args: Array[String]): Unit = {
+    // only the JOB arg is optional — padding numeric slots with the job
+    // default would crash later with an unhelpful NumberFormatException
+    require(args.length >= 4, "usage: cores corpusDir partitions reps [job]")
     val Array(cores, corpusDir, partitions, reps, job) = args.padTo(5, "extract")
     val s = SparkSession.builder()
       .master(s"local[$cores]")

@@ -2705,9 +2705,9 @@ object SparkEntry {
         "THEN 1 ELSE 0 END) AS BIGINT) AS kept FROM documents GROUP BY lang ORDER BY lang"),
     "cur_token_mix" ->
       ("WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n, " +
-        "ascii(substring(md5(text), 1, 1)) % 4 AS shard, " +
+        "(strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 4 AS shard, " +
         "sum(len(string_split(text, ' '))) OVER (" +
-        "PARTITION BY lang, ascii(substring(md5(text), 1, 1)) % 4 " +
+        "PARTITION BY lang, (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 4 " +
         "ORDER BY md5(text), doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
         "SELECT lang, CAST(shard AS INT) AS shard, doc_id, CAST(n AS INT) AS n_tokens, " +
         "CAST(cum AS BIGINT) AS cum_tokens " +

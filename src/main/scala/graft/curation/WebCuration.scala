@@ -69,10 +69,15 @@ object WebCuration {
     * whole-stage codegen for lambdas), so a per-line `slice(split(text))`
     * re-splits the WHOLE text for every line = O(words²) per document; a
     * 100k-word page (admitted by the Gopher wordcount rule) would cost
-    * ~10⁹ split steps in one row. Assumes single-space-separated text (the
-    * corpus contract — the oracle's slice-based SQL agrees on such input). */
+    * ~10⁹ split steps in one row. A "word" is a single-space-delimited
+    * token — `[^ ]+`, NOT `\S+`, so a token carrying a tab or newline
+    * counts as ONE word exactly like `split(text, " ")` and the oracle's
+    * `string_split` do (`\S+` would refuse to match across the tab and
+    * silently merge neighbouring groups). Precondition: text contains no
+    * U+0001 (the sentinel; the corpus contract already excludes control
+    * chars). */
   def lineCorpusCol(id: Column, text: Column): Column = {
-    val base = split(regexp_replace(text, "((?:\\S+ ){9}\\S+) ", "$1\u0001"), "\u0001")
+    val base = split(regexp_replace(text, "((?:[^ ]+ ){9}[^ ]+) ", "$1\u0001"), "\u0001")
     val hdr = when(id % 2 === 0, array(lit(headerLine))).otherwise(emptyStrArray)
     val ftr = when(id % 3 === 0, array(lit(footerLine))).otherwise(emptyStrArray)
     val withHf = concat(hdr, base, ftr)
@@ -279,25 +284,30 @@ object WebCuration {
   }
 
   /** Token-budget mixing, SHARDED for scale: documents are assigned to
-    * (lang, shard) groups — shard = ascii of the first md5(text) hex char
-    * mod `shards`, deterministic and content-addressed — and within each
-    * group ordered by (md5(text), doc_id); a doc is kept iff the tokens
-    * accumulated BEFORE it in its shard are under the per-shard budget
-    * (budget / shards). The running-sum window partitions on (lang, shard),
-    * never on lang alone: at 10^12 docs the dominant language is ~half the
-    * corpus, which a lang-only window would serialize into ONE straggler
-    * task — raise `shards` with corpus size (the hash prefix gives up to
-    * 16 balanced shards per hex char; use two chars for 256). */
+    * (lang, shard) groups — shard = first md5(text) hex digit's VALUE
+    * (conv base16→10) mod `shards`, deterministic and content-addressed —
+    * and within each group ordered by (md5(text), doc_id); a doc is kept
+    * iff the tokens accumulated BEFORE it in its shard are under the
+    * per-shard budget (budget / shards). The digit's value, NOT its ASCII
+    * code: hex ASCII codes are 48-57 ∪ 97-102, whose residues collide
+    * ('1' and 'a' share `% 16`) and leave shards 10-15 permanently EMPTY
+    * at shards=16 — an empty shard forfeits its budget slice silently.
+    * The value form is uniform for any shards ≤ 16 (use two digits for
+    * 256). The running-sum window partitions on (lang, shard), never on
+    * lang alone: at 10^12 docs the dominant language is ~half the corpus,
+    * which a lang-only window would serialize into ONE straggler task —
+    * raise `shards` with corpus size. */
   def tokenBudgetMix(docs: DataFrame, budget: Long, shards: Int = 4): DataFrame = {
-    require(shards >= 1 && budget % shards == 0,
-      s"budget $budget must split evenly across $shards shards")
+    require(shards >= 1 && shards <= 16 && budget % shards == 0,
+      s"budget $budget must split evenly across $shards shards (1..16)")
     val n = TextAnalysis.tokenCount(col("text"))
     val h = md5(col("text").cast("binary"))
     val w = Window.partitionBy("lang", "shard")
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("lang"), col("doc_id"), n.cast("int").as("n_tokens"),
-        h.as("h"), (ascii(substring(h, 1, 1)) % shards).cast("int").as("shard"))
+        h.as("h"),
+        (conv(substring(h, 1, 1), 16, 10).cast("int") % shards).cast("int").as("shard"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("bigint"))
       .filter(col("cum_tokens") - col("n_tokens") < budget / shards)
       .select("lang", "shard", "doc_id", "n_tokens", "cum_tokens")

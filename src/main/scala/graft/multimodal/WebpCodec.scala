@@ -26,7 +26,9 @@ import graft.multimodal.MediaCodecs.{ImageMeta, PixelBuf}
   * encoder. Lossy (`VP8 `) stills decode through [[Vp8Codec]] (the full
   * RFC 6386 key-frame pipeline, pinned byte-exact against libwebp's own
   * YUV/RGBA output), including VP8X+ALPH stills (lossy + alpha plane).
-  * Animated (`VP8X`/ANMF) stays a NAMED error on the
+  * Animated (`VP8X`/ANMF) decodes end-to-end via [[decodeAnimation]] —
+  * every frame through the same pinned paths, composited per the
+  * container spec; only over-cap files keep the
   * [[MediaCodecs.parseWebp]] header path.
   *
   * Bit conventions (WebP Lossless Bitstream Specification): the stream is
@@ -739,7 +741,6 @@ object WebpCodec {
     var vp8Size = -1
     var alphAt = -1
     var alphEnd = -1
-    var vp8xFlags = -1
     while (i + 8 <= bytes.length) {
       val fourcc = new String(bytes, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       val size = graft.util.LittleEndian.i32(bytes, i.toInt + 4)
@@ -751,7 +752,6 @@ object WebpCodec {
         case "ALPH" if alphAt < 0 => alphAt = i.toInt + 8; alphEnd = alphAt + size
         case "VP8X" =>
           require(size >= 10, "VP8X chunk too short")
-          vp8xFlags = bytes(i.toInt + 8) & 0xff
         case _ => () // ICCP/EXIF/XMP metadata chunks don't affect pixels
       }
       i += 8L + size + (size & 1)

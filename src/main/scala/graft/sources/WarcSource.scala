@@ -375,6 +375,13 @@ object WarcSource {
       original_size = 0L, new_size = 0L,
       error = s"WARC segment unreadable: ${e.getMessage}", partition_id = pid)
     var stream: java.io.InputStream = null
+    // a task that stops pulling early (limit/take, kill, downstream throw)
+    // never drains the iterator, so hasNext's close-on-exhaustion path
+    // would leak the fd/S3A connection — close at task end regardless
+    // (the DSV2 path gets this from Spark calling PartitionReader.close())
+    Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+      _ => try { if (stream != null) stream.close() } catch { case NonFatal(_) => () }
+    })
     val underlying: Iterator[ExtractionResult] =
       try {
         val path = new org.apache.hadoop.fs.Path(p)

@@ -214,10 +214,11 @@ class WebCurationSpec extends AnyFunSuite {
       .as[(String, Int, Long, Int, Long)].collect()
     val byShard = out.groupBy(_._2)
     assert(byShard.keySet.size > 1, s"expected >1 shard, got ${byShard.keySet}")
-    // expected per-shard keeps, computed independently: ascii of the first
-    // md5 hex char mod 4, each kept doc contributes 1 token to a 4-token
-    // per-shard budget
-    val shardSizes = (1L to 64L).groupBy(i => (md5Hex(s"tok$i").head.toInt) % 4)
+    // expected per-shard keeps, computed independently: the first md5 hex
+    // DIGIT'S VALUE mod 4 (not its ASCII code — 'a' is 10, not 97), each
+    // kept doc contributes 1 token to a 4-token per-shard budget
+    val shardSizes = (1L to 64L)
+      .groupBy(i => Integer.parseInt(md5Hex(s"tok$i").head.toString, 16) % 4)
       .map { case (s, g) => s -> math.min(4, g.size) }
     byShard.foreach { case (shard, rows) =>
       assert(rows.length === shardSizes(shard), s"shard $shard kept ${rows.length}")
@@ -230,6 +231,16 @@ class WebCurationSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     val windowLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
     assert(windowLine.contains("lang") && windowLine.contains("shard"), windowLine)
+    // at shards = 16 every hex digit maps to its OWN shard — the ASCII-code
+    // form this replaced left shards 10-15 permanently empty (budget
+    // silently forfeited) because hex ASCII residues only cover 0-9 ∪ 1-6
+    val out16 = WebCuration.tokenBudgetMix(docs, budget = 1600L, shards = 16)
+      .as[(String, Int, Long, Int, Long)].collect()
+    val hit = out16.map(_._2).toSet
+    val expected = (1L to 64L)
+      .map(i => Integer.parseInt(md5Hex(s"tok$i").head.toString, 16)).toSet
+    assert(hit == expected, s"shards hit $hit vs hex digits present $expected")
+    assert(hit.exists(_ > 9), "high shards (hex a-f) must be reachable")
   }
 
   test("funnel attributes each doc to its first failing stage and digests survivors") {
