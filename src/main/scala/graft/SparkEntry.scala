@@ -1433,6 +1433,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MP3 SAMPLE DECODE (the reference loads mp3 payloads through pydub
+    // for its whole convert surface, audio_converters.py:40-44,67-75):
+    // full Layer III decode of the 13 committed conformance fixtures —
+    // MPEG-1 + LSF, mono/stereo/MS/intensity, long/short/mixed/start/stop
+    // blocks, escape tables + both count1 tables, plus a real third-party
+    // LAME bitstream — then a lossless flac re-encode/re-decode proving
+    // the decoded PCM rides the whole convert surface. The oracle carries
+    // the int16-PCM digests pinned by the from-scratch Python reference
+    // decoder (scripts/mp3ref, mp3/manifest.tsv); Mp3Codec mirrors it
+    // bit-exactly over shared binary constants.
+    "ac_mp3" -> ((s, dir) => {
+      import s.implicits._
+      val names = Array("m1_mono_tones", "m1_stereo_lr", "m1_ms_stereo",
+        "m1_scalefacs", "m2_lsf_mono", "m2_lsf_ms", "m1_short_blocks",
+        "m1_mixed_blocks", "m1_start_stop", "m1_escape_count1b",
+        "m1_intensity", "m1_ms_intensity", "lame_silence")
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val name = names((id % 13).toInt)
+          val in = getClass.getResourceAsStream(s"/mp3/$name.mp3")
+          val bytes = in.readAllBytes(); in.close()
+          // allowRepaired: these fixtures are this repo's own encodes —
+          // correct by construction for the repaired Huffman tables and
+          // pinned by the reference decoder's digests (strict mode is the
+          // user-facing AudioConvert default; see Mp3Codec.decodeChannels)
+          val buf = graft.multimodal.Mp3Codec.decodeSamples(bytes, allowRepaired = true)
+          val raw = new Array[Byte](buf.samples.length * 2)
+          var i = 0
+          while (i < buf.samples.length) {
+            raw(2 * i) = (buf.samples(i) & 0xff).toByte
+            raw(2 * i + 1) = ((buf.samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(raw).map(b => f"$b%02x").mkString
+          val back = graft.multimodal.AudioConvert.decodeSamples(
+            graft.multimodal.AudioConvert.encode(buf, "flac"))
+          (id, name, buf.frameRate, buf.channels, buf.frames,
+            md5, buf.samples.foldLeft(0L)(_ + _),
+            buf.samples.foldLeft(0)((m, v) => math.max(m, math.abs(v))),
+            back.samples.sameElements(buf.samples))
+        }.toDF("doc_id", "fixture", "frame_rate", "channels", "frames",
+          "pcm_md5", "sample_sum", "max_abs", "flac_roundtrip_ok")
+        .select(col("doc_id"), col("fixture"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("channels").cast("int").as("channels"),
+          col("frames").cast("int").as("frames"), col("pcm_md5"),
+          col("sample_sum").cast("bigint").as("sample_sum"),
+          col("max_abs").cast("int").as("max_abs"), col("flac_roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -2360,6 +2412,31 @@ object SparkEntry {
         "CAST(m * seed + m * (m - 1) // 2 - 2048 * m AS BIGINT) AS sample_sum, " +
         "'T' || doc_id AS title " +
         "FROM p ORDER BY doc_id"),
+    "ac_mp3" ->
+      // constants are the Python reference decoder's int16-PCM digests
+      // over the committed fixtures (scripts/mp3ref/gen_fixtures.py ->
+      // mp3/manifest.tsv); frames is per channel, sum/max over the
+      // interleaved stream
+      ("WITH f(k, fixture, frame_rate, channels, frames, pcm_md5, " +
+        "sample_sum, max_abs) AS (VALUES " +
+        "(0, 'm1_mono_tones', 44100, 1, 3456, 'f579d1cf84ae490243e219195ff1c854', -7740, 12863), " +
+        "(1, 'm1_stereo_lr', 48000, 2, 3456, 'ff8a906cf5158187c02ef1c3be8474ac', 2051, 17649), " +
+        "(2, 'm1_ms_stereo', 44100, 2, 3456, '9f6b8c8c215bf1137ef61ec107104494', 1549, 12619), " +
+        "(3, 'm1_scalefacs', 32000, 1, 3456, 'fa0c5b951b200860ac5411184acebd88', -1986, 16909), " +
+        "(4, 'm2_lsf_mono', 22050, 1, 2304, '9139a4b72738ab81ea8bb43fca2b30f8', 163201, 12779), " +
+        "(5, 'm2_lsf_ms', 24000, 2, 2304, '254e5924cb71ffe406cff30f63c4e202', 475055, 12581), " +
+        "(6, 'm1_short_blocks', 44100, 1, 2304, 'b78795b8a07c57096e9eabfe1378c1f1', 451669, 23059), " +
+        "(7, 'm1_mixed_blocks', 44100, 1, 2304, 'e114cb30f5580baf50d6fbdb094e988d', 63748, 6327), " +
+        "(8, 'm1_start_stop', 48000, 1, 2304, '73a58d6ceea17f8a12032f0a6ec73f78', 684983, 25660), " +
+        "(9, 'm1_escape_count1b', 44100, 1, 2304, '31ac2ec0dbebe2ab6c62e61263d02819', 576290, 24811), " +
+        "(10, 'm1_intensity', 44100, 2, 2304, 'b3f900e1ac118713fbf2a4ca47a3a17e', -746533, 21223), " +
+        "(11, 'm1_ms_intensity', 44100, 2, 2304, '4b1bebfe6fd23719e60c075ba7cb1f1e', -262159, 14065), " +
+        "(12, 'lame_silence', 22050, 1, 25920, '66cca182a32b80f027bcf4a350e76afa', 0, 0)) " +
+        "SELECT d.doc_id, f.fixture, CAST(f.frame_rate AS INT) AS frame_rate, " +
+        "CAST(f.channels AS INT) AS channels, CAST(f.frames AS INT) AS frames, " +
+        "f.pcm_md5, CAST(f.sample_sum AS BIGINT) AS sample_sum, " +
+        "CAST(f.max_abs AS INT) AS max_abs, TRUE AS flac_roundtrip_ok " +
+        "FROM documents d JOIN f ON f.k = d.doc_id % 13 ORDER BY d.doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index

@@ -17,11 +17,14 @@ package graft.multimodal
   * which pydub's gain rides on.
   *
   * FLAC is the one losslessly-achievable entropy target and encodes for
-  * real via [[FlacCodec]] (fixed predictors + Rice coding). The remaining
-  * lossy/DSP targets (mp3/ogg/aac/m4a/opus/wma) need the codecs the
-  * reference delegates to ffmpeg via pydub — asking for one is a named
-  * error, never fake bytes (same contract as [[ImageConvert]]'s webp-lossy
-  * arm).
+  * real via [[FlacCodec]] (fixed predictors + Rice coding). mp3 INPUT
+  * decodes for real via [[Mp3Codec]] (full Layer III — Huffman,
+  * requantize, stereo, IMDCT, polyphase synthesis), so mp3 payloads ride
+  * the whole convert/merge/effects surface like they do in pydub. The
+  * remaining lossy ENCODE targets (mp3/ogg/aac/m4a/opus/wma) and
+  * ogg/aac/m4a decode need the DSP codecs the reference delegates to
+  * ffmpeg via pydub — asking for one is a named error, never fake bytes
+  * (same contract as [[ImageConvert]]'s webp-lossy arm).
   */
 object AudioConvert {
 
@@ -59,8 +62,10 @@ object AudioConvert {
       AudioBuf(m.channels, m.rate, m.bits, s)
     } else if (MediaCodecs.isFlac(bytes)) {
       FlacCodec.decodeSamples(bytes)
+    } else if (Mp3Codec.isMp3(bytes)) {
+      Mp3Codec.decodeSamples(bytes)
     } else throw new IllegalArgumentException(
-      "unsupported audio input (wav/aiff/au/caf PCM, flac)")
+      "unsupported audio input (wav/aiff/au/caf PCM, flac, mp3)")
 
   /** samples → target-format bytes. `flacLevel` is the reference's flac
     * `compression_level` export kwarg (audio_converters.py:97-99); the
