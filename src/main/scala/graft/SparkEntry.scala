@@ -1443,6 +1443,56 @@ object SparkEntry {
     // the int16-PCM digests pinned by the from-scratch Python reference
     // decoder (scripts/mp3ref, mp3/manifest.tsv); Mp3Codec mirrors it
     // bit-exactly over shared binary constants.
+    // OGG VORBIS SAMPLE DECODE (the reference loads ogg payloads through
+    // pydub, audio_converters.py:40-44): full Vorbis I decode of the 12
+    // committed conformance fixtures — in-stream codebooks (sparse /
+    // ordered / lookup 1+2), floor 1 incl. subclasses+masterbook and
+    // multipliers 1-4, residue types 0/1/2 with a cascaded 2-pass arm,
+    // square-polar coupling, multiplexed submaps, 256..8192 block
+    // switching, a comment packet spanning ogg pages, and granule
+    // end-trim — then a lossless wav re-encode/re-decode proving the PCM
+    // rides the whole convert surface. The oracle carries the int16-PCM
+    // digests pinned by the from-scratch Python reference decoder
+    // (scripts/vorbisref, vorbis/manifest.tsv); VorbisCodec mirrors it
+    // bit-exactly over the shared vorbistables.bin constants.
+    "ac_ogg" -> ((s, dir) => {
+      import s.implicits._
+      val names = Array("v_mono_long", "v_mono_short", "v_blockswitch",
+        "v_stereo_coupled", "v_stereo_res1", "v_res0", "v_cascade",
+        "v_silent_ch", "v_submaps", "v_sparse_ordered", "v_longcomment",
+        "v_big_blocks")
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val name = names((id % 12).toInt)
+          val in = getClass.getResourceAsStream(s"/vorbis/$name.ogg")
+          val bytes = in.readAllBytes(); in.close()
+          val buf = graft.multimodal.VorbisCodec.decodeSamples(bytes)
+          val raw = new Array[Byte](buf.samples.length * 2)
+          var i = 0
+          while (i < buf.samples.length) {
+            raw(2 * i) = (buf.samples(i) & 0xff).toByte
+            raw(2 * i + 1) = ((buf.samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(raw).map(b => f"$b%02x").mkString
+          val back = graft.multimodal.AudioConvert.decodeSamples(
+            graft.multimodal.AudioConvert.encode(buf, "wav"))
+          (id, name, buf.frameRate, buf.channels, buf.frames,
+            md5, buf.samples.foldLeft(0L)(_ + _),
+            buf.samples.foldLeft(0)((m, v) => math.max(m, math.abs(v))),
+            back.samples.sameElements(buf.samples))
+        }.toDF("doc_id", "fixture", "frame_rate", "channels", "frames",
+          "pcm_md5", "sample_sum", "max_abs", "wav_roundtrip_ok")
+        .select(col("doc_id"), col("fixture"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("channels").cast("int").as("channels"),
+          col("frames").cast("int").as("frames"), col("pcm_md5"),
+          col("sample_sum").cast("bigint").as("sample_sum"),
+          col("max_abs").cast("int").as("max_abs"), col("wav_roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     "ac_mp3" -> ((s, dir) => {
       import s.implicits._
       val names = Array("m1_mono_tones", "m1_stereo_lr", "m1_ms_stereo",
@@ -2412,6 +2462,30 @@ object SparkEntry {
         "CAST(m * seed + m * (m - 1) // 2 - 2048 * m AS BIGINT) AS sample_sum, " +
         "'T' || doc_id AS title " +
         "FROM p ORDER BY doc_id"),
+    "ac_ogg" ->
+      // constants are the Python reference decoder's int16-PCM digests
+      // over the committed fixtures (scripts/vorbisref/gen_fixtures.py ->
+      // vorbis/manifest.tsv); frames is per channel, sum/max over the
+      // interleaved stream
+      ("WITH f(k, fixture, frame_rate, channels, frames, pcm_md5, " +
+        "sample_sum, max_abs) AS (VALUES " +
+        "(0, 'v_mono_long', 44100, 1, 7168, '935fee94cb49f389453e3f6bb7fdb2b2', 83364, 18297), " +
+        "(1, 'v_mono_short', 22050, 1, 2688, '5db8f1cadcd1a8fe606d3b5523979bd0', 99939, 15752), " +
+        "(2, 'v_blockswitch', 44100, 1, 7936, '732586b75ab61dcadb063de8fccd5d07', 166839, 16309), " +
+        "(3, 'v_stereo_coupled', 48000, 2, 7168, '412daeb0ce0c4cbeafeaaa26d829482b', -530565, 15395), " +
+        "(4, 'v_stereo_res1', 32000, 2, 6144, '3b52796d9abbaca9f9e1d58e36fcd46b', 67982, 13753), " +
+        "(5, 'v_res0', 16000, 1, 3584, '495b72e021f87aafbee9f6a9f6fa224e', -214176, 16601), " +
+        "(6, 'v_cascade', 44100, 1, 7168, 'd075795bcf23fd4f83a2c4fca588634f', 86912, 15342), " +
+        "(7, 'v_silent_ch', 44100, 2, 6144, 'dd99a4737a595454162aa6baf82d4448', -117466, 14076), " +
+        "(8, 'v_submaps', 44100, 3, 6144, '2eaf7a2e5866e77551370d49ff95259d', 298838, 13201), " +
+        "(9, 'v_sparse_ordered', 24000, 1, 6144, '717c967e774b16f57517cb6996eded1b', 123571, 16273), " +
+        "(10, 'v_longcomment', 8000, 1, 2503, 'b68aa2a9f1c6333759ceab1ebe36b5ce', -37823, 15050), " +
+        "(11, 'v_big_blocks', 11025, 1, 12288, '3e7be36dd3ff3a6347d88623be841cec', -209993, 16197)) " +
+        "SELECT d.doc_id, f.fixture, CAST(f.frame_rate AS INT) AS frame_rate, " +
+        "CAST(f.channels AS INT) AS channels, CAST(f.frames AS INT) AS frames, " +
+        "f.pcm_md5, CAST(f.sample_sum AS BIGINT) AS sample_sum, " +
+        "CAST(f.max_abs AS INT) AS max_abs, TRUE AS wav_roundtrip_ok " +
+        "FROM documents d JOIN f ON f.k = d.doc_id % 12 ORDER BY d.doc_id"),
     "ac_mp3" ->
       // constants are the Python reference decoder's int16-PCM digests
       // over the committed fixtures (scripts/mp3ref/gen_fixtures.py ->

@@ -19,10 +19,12 @@ package graft.multimodal
   * FLAC is the one losslessly-achievable entropy target and encodes for
   * real via [[FlacCodec]] (fixed predictors + Rice coding). mp3 INPUT
   * decodes for real via [[Mp3Codec]] (full Layer III — Huffman,
-  * requantize, stereo, IMDCT, polyphase synthesis), so mp3 payloads ride
-  * the whole convert/merge/effects surface like they do in pydub. The
-  * remaining lossy ENCODE targets (mp3/ogg/aac/m4a/opus/wma) and
-  * ogg/aac/m4a decode need the DSP codecs the reference delegates to
+  * requantize, stereo, IMDCT, polyphase synthesis), and ogg-vorbis
+  * INPUT decodes for real via [[VorbisCodec]] (in-stream codebooks,
+  * floor 1, residue 0/1/2, coupling, IMDCT), so mp3 and ogg payloads
+  * ride the whole convert/merge/effects surface like they do in pydub.
+  * The remaining lossy ENCODE targets (mp3/ogg/aac/m4a/opus/wma) and
+  * aac/m4a decode need the DSP codecs the reference delegates to
   * ffmpeg via pydub — asking for one is a named error, never fake bytes
   * (same contract as [[ImageConvert]]'s webp-lossy arm).
   */
@@ -64,8 +66,10 @@ object AudioConvert {
       FlacCodec.decodeSamples(bytes)
     } else if (Mp3Codec.isMp3(bytes)) {
       Mp3Codec.decodeSamples(bytes)
+    } else if (VorbisCodec.isOggVorbis(bytes)) {
+      VorbisCodec.decodeSamples(bytes)
     } else throw new IllegalArgumentException(
-      "unsupported audio input (wav/aiff/au/caf PCM, flac, mp3)")
+      "unsupported audio input (wav/aiff/au/caf PCM, flac, mp3, ogg-vorbis)")
 
   /** samples → target-format bytes. `flacLevel` is the reference's flac
     * `compression_level` export kwarg (audio_converters.py:97-99); the
