@@ -1535,6 +1535,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // OGG VORBIS SAMPLE ENCODE (the reference's ogg EXPORT target,
+    // audio_converters.py:45-49 via pydub/ffmpeg): VorbisEncoder emits a
+    // spec-valid Vorbis I stream (fitted floor 1 + type-2 lattice residue
+    // over the shared vorbistables.bin constants) that VorbisCodec decodes
+    // back with the EXACT input frame count (granule end-trim) at 25-29 dB
+    // SNR. The oracle pins the decoded-PCM digests per wheel slot — the
+    // same streams decode byte-identically under the independent Python
+    // reference decoder (scripts/vorbisref/decoder.py; pinned in
+    // VorbisEncoderSpec), so the constants are a two-decoder pin.
+    "ac_ogg_encode" -> ((s, dir) => {
+      import s.implicits._
+      val slots = Array((1, 44100, 9000), (2, 48000, 5000), (1, 8000, 900),
+        (2, 16000, 1024), (1, 22050, 3333), (2, 11025, 2048))
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val (ch, rate, n) = slots((id % 6).toInt)
+          val src = graft.fixtures.MediaFixtures.tonePcm(n, ch, rate)
+          val ogg = graft.multimodal.VorbisEncoder.encode(
+            graft.multimodal.AudioConvert.AudioBuf(ch, rate, 16, src))
+          val back = graft.multimodal.VorbisCodec.decodeSamples(ogg)
+          val raw = new Array[Byte](back.samples.length * 2)
+          var i = 0
+          while (i < back.samples.length) {
+            raw(2 * i) = (back.samples(i) & 0xff).toByte
+            raw(2 * i + 1) = ((back.samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(raw).map(b => f"$b%02x").mkString
+          var es = 0.0
+          var en = 0.0
+          i = 0
+          while (i < src.length) {
+            val sv = src(i) / 32768.0
+            val dv = back.samples(i) / 32768.0
+            es += sv * sv; en += (sv - dv) * (sv - dv)
+            i += 1
+          }
+          (id, back.channels, back.frameRate, back.frames, ogg.length,
+            md5, back.samples.foldLeft(0L)(_ + _),
+            back.samples.foldLeft(0)((m, v) => math.max(m, math.abs(v))),
+            math.floor(10 * math.log10(es / en)).toInt)
+        }.toDF("doc_id", "channels", "frame_rate", "frames", "ogg_bytes",
+          "pcm_md5", "sample_sum", "max_abs", "snr_db_floor")
+        .select(col("doc_id"),
+          col("channels").cast("int").as("channels"),
+          col("frame_rate").cast("int").as("frame_rate"),
+          col("frames").cast("int").as("frames"),
+          col("ogg_bytes").cast("int").as("ogg_bytes"), col("pcm_md5"),
+          col("sample_sum").cast("bigint").as("sample_sum"),
+          col("max_abs").cast("int").as("max_abs"),
+          col("snr_db_floor").cast("int").as("snr_db_floor"))
+        .orderBy("doc_id")
+    }),
+
     // Audio CONVERT surface (the reference's pydub direction: load ->
     // effects -> export, audio_converters.py:50-127): every row CROSSES
     // containers (WAV fixture in -> AIFF out, AIFF fixture in -> WAV out),
@@ -2511,6 +2566,27 @@ object SparkEntry {
         "f.pcm_md5, CAST(f.sample_sum AS BIGINT) AS sample_sum, " +
         "CAST(f.max_abs AS INT) AS max_abs, TRUE AS flac_roundtrip_ok " +
         "FROM documents d JOIN f ON f.k = d.doc_id % 13 ORDER BY d.doc_id"),
+    "ac_ogg_encode" ->
+      // constants pinned from the two-decoder cross-check: VorbisCodec and
+      // the Python reference decoder (scripts/vorbisref/decoder.py) return
+      // byte-identical PCM for VorbisEncoder's streams (VorbisEncoderSpec
+      // pins the same digests); frames equals the tonePcm input exactly
+      // (granule end-trim), snr floor'd dB vs the source
+      ("WITH f(k, channels, frame_rate, frames, ogg_bytes, pcm_md5, " +
+        "sample_sum, max_abs, snr_db_floor) AS (VALUES " +
+        "(0, 1, 44100, 9000, 9230, 'ff459ecb546260f21f5dcb475e6f9840', 193044, 18687, 29), " +
+        "(1, 2, 48000, 5000, 10896, 'a95bbc5bf7383b90c43e8001230d85a5', 329023, 18865, 28), " +
+        "(2, 1, 8000, 900, 3131, '83f69a403870b873f7ddcf6603411b80', 75981, 17865, 26), " +
+        "(3, 2, 16000, 1024, 4852, '39b74e38af27ce33d7f2f54e671f8f5d', 90104, 19114, 25), " +
+        "(4, 1, 22050, 3333, 5445, '5026bd479c30a01fee6c026ffd731b46', 194507, 18520, 28), " +
+        "(5, 2, 11025, 2048, 5353, '601d91b58d09a29a620e8bee9b74b15e', 110659, 20731, 25)) " +
+        "SELECT d.doc_id, CAST(f.channels AS INT) AS channels, " +
+        "CAST(f.frame_rate AS INT) AS frame_rate, CAST(f.frames AS INT) AS frames, " +
+        "CAST(f.ogg_bytes AS INT) AS ogg_bytes, f.pcm_md5, " +
+        "CAST(f.sample_sum AS BIGINT) AS sample_sum, " +
+        "CAST(f.max_abs AS INT) AS max_abs, " +
+        "CAST(f.snr_db_floor AS INT) AS snr_db_floor " +
+        "FROM documents d JOIN f ON f.k = d.doc_id % 6 ORDER BY d.doc_id"),
     "ac_convert" ->
       // Every field of the audio convert result recomputed closed-form:
       // the effect wheel is integer-exact by construction (speed = index

@@ -1443,4 +1443,33 @@ object MediaFixtures {
     buf.put("RIFF".getBytes(fcc)).putInt(body.length).put(body)
     buf.array()
   }
+
+  /** Deterministic tonal int16 PCM (interleaved) for the lossy vorbis
+    * encode oracles: three fixed sine partials, channel c's partials at
+    * (c+1)x frequency so stereo lanes differ. StrictMath.sin is
+    * bit-exact on every JVM by definition, so the encoded stream — and
+    * therefore its decoded digest — is a stable pin. */
+  def tonePcm(frames: Int, channels: Int, rate: Int): Array[Int] = {
+    val freqs = Array(440.0, 1320.5, 3777.0)
+    val amps = Array(0.32, 0.2, 0.12)
+    val out = new Array[Int](frames * channels)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        var v = 0.0
+        var j = 0
+        while (j < freqs.length) {
+          v += amps(j) * StrictMath.sin(
+            2 * math.Pi * freqs(j) * (c + 1) * i / rate + 0.3 * j)
+          j += 1
+        }
+        out(i * channels + c) =
+          math.max(-32768, math.min(32767, math.round(v * 32767).toInt))
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
 }

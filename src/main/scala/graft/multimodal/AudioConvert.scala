@@ -20,10 +20,12 @@ package graft.multimodal
   * real via [[FlacCodec]] (fixed predictors + Rice coding). mp3 INPUT
   * decodes for real via [[Mp3Codec]] (full Layer III — Huffman,
   * requantize, stereo, IMDCT, polyphase synthesis), and ogg-vorbis
-  * INPUT decodes for real via [[VorbisCodec]] (in-stream codebooks,
-  * floor 1, residue 0/1/2, coupling, IMDCT), so mp3 and ogg payloads
-  * ride the whole convert/merge/effects surface like they do in pydub.
-  * The remaining lossy ENCODE targets (mp3/ogg/aac/m4a/opus/wma) and
+  * rides BOTH directions — [[VorbisCodec]] decodes (in-stream
+  * codebooks, floor 1, residue 0/1/2, coupling, IMDCT) and
+  * [[VorbisEncoder]] encodes (fitted floor 1 + lattice residue over
+  * the same shared tables) — so mp3 and ogg payloads ride the whole
+  * convert/merge/effects surface like they do in pydub.
+  * The remaining lossy ENCODE targets (mp3/aac/m4a/opus/wma) and
   * aac/m4a decode need the DSP codecs the reference delegates to
   * ffmpeg via pydub — asking for one is a named error, never fake bytes
   * (same contract as [[ImageConvert]]'s webp-lossy arm).
@@ -31,7 +33,7 @@ package graft.multimodal
 object AudioConvert {
 
   /** Formats [[convert]] can WRITE. */
-  val encodeFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff", "flac")
+  val encodeFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff", "flac", "ogg")
 
   /** Decoded interleaved PCM: `samples(f * channels + c)`, values already
     * sign-corrected to the depth's range ([-32768,32767] or [-128,127]). */
@@ -81,10 +83,11 @@ object AudioConvert {
       case "aiff" | "aif" =>
         MediaCodecs.encodeAiff(buf.channels, buf.frameRate, buf.bits, buf.samples)
       case "flac" => FlacCodec.encode(buf, flacLevel)
-      case f @ ("mp3" | "ogg" | "aac" | "m4a" | "opus" | "wma") =>
+      case "ogg" | "oga" => VorbisEncoder.encode(buf)
+      case f @ ("mp3" | "aac" | "m4a" | "opus" | "wma") =>
         throw new IllegalArgumentException(
           s"$f encode needs a lossy/DSP codec (the reference delegates " +
-            "to ffmpeg inside pydub) — offered targets: wav, aiff, flac")
+            "to ffmpeg inside pydub) — offered targets: wav, aiff, flac, ogg")
       case o => throw new IllegalArgumentException(s"unsupported output format $o")
     }
 

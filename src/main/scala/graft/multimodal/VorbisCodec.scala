@@ -79,7 +79,7 @@ object VorbisCodec {
     * doc). Layout: "GRVORBT1", slopes for n = 64..8192 (n/2 doubles
     * each), then per n: pre (2h), post (2h), fft (h) doubles with
     * h = n/4, then the 256-entry inverse-dB table. */
-  private object Tables {
+  private[multimodal] object Tables {
     val blocksizes: Array[Int] = Array(64, 128, 256, 512, 1024, 2048,
       4096, 8192)
     private val all: ByteBuffer = {
@@ -114,7 +114,7 @@ object VorbisCodec {
   // -------------------------------------------------------------- bits --
   /** Vorbis bitpacker convention: LSb-first within each byte; Huffman
     * codewords are the one MSb-first entity (spec 2 / 3.2.1). */
-  private final class BitReader(data: Array[Byte]) {
+  private[multimodal] final class BitReader(data: Array[Byte]) {
     var pos: Int = 0
     private val nbits = data.length * 8
     def read(n: Int): Int = {
@@ -150,7 +150,7 @@ object VorbisCodec {
   }
 
   /** spec 9.2.1. */
-  private def ilog(x0: Int): Int = {
+  private[multimodal] def ilog(x0: Int): Int = {
     var x = x0; var r = 0
     while (x > 0) { r += 1; x >>= 1 }
     r
@@ -166,7 +166,7 @@ object VorbisCodec {
   }
 
   /** spec 9.2.3. */
-  private def lookup1Values(entries: Int, dim: Int): Int = {
+  private[multimodal] def lookup1Values(entries: Int, dim: Int): Int = {
     var n = math.floor(math.pow(entries.toDouble,
       1.0 / dim)).toInt
     while (math.pow((n + 1).toDouble, dim.toDouble) <= entries) n += 1
@@ -191,7 +191,7 @@ object VorbisCodec {
     tab
   }
 
-  private def oggCrc(data: Array[Byte], from: Int, until: Int,
+  private[multimodal] def oggCrc(data: Array[Byte], from: Int, until: Int,
                      zeroCrcField: Int): Int = {
     var r = 0
     var i = from
@@ -291,7 +291,7 @@ object VorbisCodec {
   // ------------------------------------------------------------ huffman --
   /** spec 3.2.1 canonical assignment; returns codeword-per-entry (-1 =
     * unused) with lengths, mirroring common.py assign_codewords. */
-  private def assignCodewords(lengths: Array[Int])
+  private[multimodal] def assignCodewords(lengths: Array[Int])
       : (Array[Int], Array[Int]) = {
     val codes = Array.fill(lengths.length)(-1)
     val available = new Array[Long](33)
@@ -325,7 +325,7 @@ object VorbisCodec {
   }
 
   // ------------------------------------------------------------ codebook --
-  private final class Codebook(br: BitReader) {
+  private[multimodal] final class Codebook(br: BitReader) {
     need(br.read(24) == 0x564342, "codebook sync pattern missing")
     val dims: Int = br.read(16)
     val entries: Int = br.read(24)
@@ -449,7 +449,7 @@ object VorbisCodec {
     if (v < lo) lo else if (v > hi) hi else v
 
   /** spec 9.2.4. */
-  private def lowNeighbor(v: Array[Int], x: Int): Int = {
+  private[multimodal] def lowNeighbor(v: Array[Int], x: Int): Int = {
     var best = -1
     var n = 0
     while (n < x) {
@@ -461,7 +461,7 @@ object VorbisCodec {
   }
 
   /** spec 9.2.5. */
-  private def highNeighbor(v: Array[Int], x: Int): Int = {
+  private[multimodal] def highNeighbor(v: Array[Int], x: Int): Int = {
     var best = -1
     var n = 0
     while (n < x) {
@@ -473,7 +473,7 @@ object VorbisCodec {
   }
 
   /** spec 9.2.6. */
-  private def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int,
+  private[multimodal] def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int,
                           x: Int): Int = {
     val dy = y1 - y0
     val adx = x1 - x0
@@ -506,7 +506,7 @@ object VorbisCodec {
     }
   }
 
-  private final class Floor1(br: BitReader, books: Array[Codebook]) {
+  private[multimodal] final class Floor1(br: BitReader, books: Array[Codebook]) {
     val partitions: Int = br.read(5)
     val classList: Array[Int] =
       Array.fill(partitions)(br.read(4))
@@ -859,7 +859,7 @@ object VorbisCodec {
 
   // ------------------------------------------------------------ transforms --
   /** Radix-2 DIT complex FFT, mirrored op for op from common.py. */
-  private def fftInplace(re: Array[Double], im: Array[Double],
+  private[multimodal] def fftInplace(re: Array[Double], im: Array[Double],
                          tw: Array[Double]): Unit = {
     val h = re.length
     var j = 0
@@ -900,18 +900,21 @@ object VorbisCodec {
     }
   }
 
-  /** IMDCT via DCT-IV (derivation in the module doc); out length n. */
-  private def imdct(spec: Array[Double], n: Int, pre: Array[Double],
-                    post: Array[Double], ffttw: Array[Double],
-                    out: Array[Double]): Unit = {
-    val m = n / 2
+  /** DCT-IV of `v` (length m) via one complex FFT of size m/2 — the
+    * factorization in the module doc, shared verbatim by the IMDCT
+    * below and [[VorbisEncoder]]'s forward MDCT (common.py dct4_fast
+    * is the Python mirror of exactly this operation order). */
+  private[multimodal] def dct4(v: Array[Double], pre: Array[Double],
+                               post: Array[Double], ffttw: Array[Double])
+      : Array[Double] = {
+    val m = v.length
     val h = m / 2
     val re = new Array[Double](h)
     val im = new Array[Double](h)
     var k = 0
     while (k < h) {
-      val a = spec(2 * k)
-      val b = spec(m - 1 - 2 * k)
+      val a = v(2 * k)
+      val b = v(m - 1 - 2 * k)
       val pr = pre(2 * k)
       val pi = pre(2 * k + 1)
       re(k) = a * pr - b * pi
@@ -930,6 +933,15 @@ object VorbisCodec {
       c(m - 1 - 2 * j) = -ci
       j += 1
     }
+    c
+  }
+
+  /** IMDCT via DCT-IV (derivation in the module doc); out length n. */
+  private def imdct(spec: Array[Double], n: Int, pre: Array[Double],
+                    post: Array[Double], ffttw: Array[Double],
+                    out: Array[Double]): Unit = {
+    val m = n / 2
+    val c = dct4(spec, pre, post, ffttw)
     val half = m / 2
     var i = 0
     while (i < half) { out(i) = c(i + half); i += 1 }

@@ -64,7 +64,9 @@ class AudioConvertSpec extends AnyFunSuite {
     val small = samples.map(s => Math.floorDiv(s, 16)) // 8-bit range
     for ((bits, src) <- Seq((16, samples), (8, small)); channels <- Seq(1, 2)) {
       val buf = AudioBuf(channels, 22050, bits, src)
-      for (fmt <- AudioConvert.encodeFormats) {
+      // the lossless targets; ogg is lossy by nature and has its own
+      // SNR-bounded roundtrip in VorbisEncoderSpec
+      for (fmt <- AudioConvert.encodeFormats.filterNot(_ == "ogg")) {
         val rt = AudioConvert.decodeSamples(AudioConvert.encode(buf, fmt))
         assert(rt.samples.toSeq == src.toSeq, s"$fmt bits=$bits ch=$channels")
         assert(rt.frameRate == 22050 && rt.channels == channels && rt.bits == bits)
@@ -182,7 +184,7 @@ class AudioConvertSpec extends AnyFunSuite {
 
   test("lossy/unknown audio targets and non-audio inputs are named errors") {
     val wav = MediaFixtures.wav(1, 8000, 10, 0)
-    for (fmt <- Seq("mp3", "ogg", "m4a", "opus"))
+    for (fmt <- Seq("mp3", "m4a", "opus", "wma", "aac"))
       assert(intercept[IllegalArgumentException](
         AudioConvert.convert(wav, fmt)).getMessage.contains("codec"), fmt)
     assert(intercept[IllegalArgumentException](
