@@ -111,4 +111,25 @@ object KernelProperties extends Properties("kernels") {
     forAll(Gen.asciiPrintableStr, text) { (a, b) =>
       !DocFunctions.isBinaryBytes((a + b).getBytes(StandardCharsets.UTF_8))
     }
+
+  property("vorbis encode roundtrips any PCM at the exact frame count") = {
+    // arbitrary frames (incl. 0 and non-multiples of the 1024 emit step),
+    // channels 1-4, any rate, arbitrary int16 content: the stream must
+    // decode — Ogg CRC, framing, setup, floor, residue all self-check in
+    // VorbisCodec — to exactly `frames` frames with matching meta
+    val pcmCase = for {
+      frames <- Gen.chooseNum(0, 2600)
+      ch <- Gen.chooseNum(1, 4)
+      rate <- Gen.oneOf(8000, 11025, 16000, 22050, 44100, 96000)
+      seed <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    } yield (frames, ch, rate, seed)
+    forAll(pcmCase) { case (frames, ch, rate, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pcm = Array.fill(frames * ch)(rnd.nextInt(65536) - 32768)
+      val back = graft.multimodal.VorbisCodec.decodeSamples(
+        graft.multimodal.VorbisEncoder.encode(
+          graft.multimodal.AudioConvert.AudioBuf(ch, rate, 16, pcm)))
+      back.frames == frames && back.channels == ch && back.frameRate == rate
+    }
+  }
 }
