@@ -598,6 +598,8 @@ object VorbisEncoder {
     val ch = buf.channels
     require(ch >= 1 && ch <= 255, s"vorbis encode: $ch channels")
     require(buf.frameRate > 0, "vorbis encode: frame rate must be positive")
+    require(buf.bits == 8 || buf.bits == 16,
+      s"vorbis encode: ${buf.bits}-bit input unsupported (8/16)")
     require(buf.samples.length <= (1 << 24),
       s"vorbis encode: ${buf.samples.length} samples exceeds the 16M cap")
     val scale = if (buf.bits == 8) 128.0 else 32768.0

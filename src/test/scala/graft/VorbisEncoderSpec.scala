@@ -130,6 +130,9 @@ class VorbisEncoderSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       VorbisEncoder.encode(AudioBuf(1, 0, 16, Array.empty[Int])))
     assert(e2.getMessage.contains("frame rate"))
+    val e4 = intercept[IllegalArgumentException](
+      VorbisEncoder.encode(AudioBuf(1, 8000, 24, Array.empty[Int])))
+    assert(e4.getMessage.contains("24-bit"))
     // the remaining lossy targets still fail named
     val e3 = intercept[IllegalArgumentException](
       AudioConvert.encode(AudioBuf(1, 8000, 16, new Array[Int](10)), "mp3"))
